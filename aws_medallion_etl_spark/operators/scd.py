@@ -1,0 +1,179 @@
+"""Slowly-changing-dimension engine (SCD2 + SCD1) and surrogate keys.
+
+Re-expresses the reference's gold dimension builds
+(``Meta_Guideline.md:2573-2731``): change detection with ``lag``,
+effective-date chaining with ``lead``, ``is_current`` flags, the
+mandatory Unknown row (SK=0, ``requirements/...:86``), and an
+incremental close-out merge.
+
+Fixes two documented reference defects (SURVEY.md §7.4):
+
+* Null-safe change detection — the reference compares attributes with
+  ``!=`` which misses NULL->value transitions
+  (``Meta_Guideline.md:2608-2611``); we use ``eqNullSafe`` (<=>).
+* Scalable surrogate keys — the reference's
+  ``row_number() OVER (ORDER BY ...)`` is a single-partition global
+  sort (``Meta_Guideline.md:2623-2627``), an OOM at 100 TB. Default
+  here is ``xxhash64(nk, effective_start_ts)``: deterministic,
+  shuffle-free, collision-checked by ``dq.check_unique``; sentinel 0
+  is reserved by remapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HIGH_DATE = "9999-12-31 00:00:00"
+
+
+def hash_surrogate_key(df: DataFrame, sk_col: str, cols: list[str]) -> DataFrame:
+    """Deterministic, distributed surrogate key from the natural key + version.
+
+    xxhash64 runs in whole-stage codegen — no shuffle, no driver
+    bottleneck. 0 is reserved for the Unknown row: a real hash of 0
+    (p ~ 2^-64) is remapped to 1.
+    """
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    return df.withColumn(sk_col, F.when(h == 0, F.lit(1)).otherwise(h))
+
+
+def sequential_surrogate_key(
+    df: DataFrame, sk_col: str, order_by: list[str], offset: int = 0
+) -> DataFrame:
+    """Reference-parity sequential SK (global row_number + offset).
+
+    Kept for parity with ``Meta_Guideline.md:2623-2627`` and for small
+    dims; the empty-partition window is a deliberate single-partition
+    sort — do NOT use on large dims (use ``hash_surrogate_key``).
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(sk_col, F.row_number().over(w) + F.lit(offset))
+
+
+def scd2_from_history(
+    df: DataFrame,
+    nk: list[str],
+    attrs: list[str],
+    order_col: str,
+    start_col: str = "effective_start_ts",
+    end_col: str = "effective_end_ts",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Collapse a change history into SCD2 version rows (initial load).
+
+    Consecutive snapshots of the same natural key with identical
+    ``attrs`` merge into one version; each change opens a new version.
+    ``lag`` detects changes (null-safely), a running ``sum`` numbers
+    version groups, a groupBy collapses them, and ``lead`` chains
+    effective dates — exactly one hash exchange on ``nk`` feeds all
+    four window/agg steps since they share the partitioning key.
+    """
+    by_key = Window.partitionBy(*nk).orderBy(order_col)
+
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(by_key))
+    is_new_version = F.when(
+        F.lag(order_col).over(by_key).isNull(), F.lit(True)
+    ).otherwise(changed)
+
+    versioned = df.withColumn(
+        "__version",
+        F.sum(is_new_version.cast("long")).over(
+            by_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    collapsed = versioned.groupBy(*nk, "__version").agg(
+        F.min(order_col).alias(start_col),
+        *[F.first(a).alias(a) for a in attrs],
+    )
+    by_key_v = Window.partitionBy(*nk).orderBy(start_col)
+    high = F.lit(HIGH_DATE).cast("timestamp")
+    return (
+        collapsed.withColumn(end_col, F.lead(start_col, 1, None).over(by_key_v))
+        .withColumn(end_col, F.coalesce(F.col(end_col), high))
+        .withColumn(current_col, F.col(end_col) == high)
+        .drop("__version")
+    )
+
+
+def scd2_apply_changes(
+    dim: DataFrame,
+    updates: DataFrame,
+    nk: list[str],
+    attrs: list[str],
+    change_ts_col: str,
+    start_col: str = "effective_start_ts",
+    end_col: str = "effective_end_ts",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Incremental SCD2 merge: close out changed current rows, insert new versions.
+
+    Pure-DataFrame equivalent of a Delta ``MERGE`` (reference does a
+    full-dimension rewrite, ``Meta_Guideline.md:2630-2659``; on a
+    Delta/Iceberg table swap the final union for ``MERGE INTO``).
+    ``updates`` carries one row per natural key (dedup upstream).
+    Comparison is null-safe.
+    """
+    upd = updates.select(
+        *nk, *attrs, F.col(change_ts_col).alias("__change_ts")
+    )
+    current = dim.filter(F.col(current_col))
+    history = dim.filter(~F.col(current_col))
+
+    same = F.lit(True)
+    for a in attrs:
+        same = same & F.col(f"cur.{a}").eqNullSafe(F.col(f"upd.{a}"))
+
+    joined = current.alias("cur").join(upd.alias("upd"), nk, "left")
+    unchanged = joined.filter(F.col("upd.__change_ts").isNull() | same).select("cur.*")
+    closed = (
+        joined.filter(F.col("upd.__change_ts").isNotNull() & ~same)
+        .select("cur.*", F.col("upd.__change_ts"))
+        .withColumn(end_col, F.col("__change_ts"))
+        .withColumn(current_col, F.lit(False))
+        .drop("__change_ts")
+    )
+    existing_nk = current.select(*nk)
+    high = F.lit(HIGH_DATE).cast("timestamp")
+    fresh = (
+        upd.join(
+            current.alias("cur"), nk, "left"
+        )
+        .filter(F.col(f"cur.{start_col}").isNull() | ~same)
+        .select(*nk, *[F.col(f"upd.{a}").alias(a) for a in attrs], "__change_ts")
+        .withColumn(start_col, F.col("__change_ts"))
+        .withColumn(end_col, high)
+        .withColumn(current_col, F.lit(True))
+        .drop("__change_ts")
+    )
+    cols = history.columns
+    return (
+        history.unionByName(unchanged.select(*cols))
+        .unionByName(closed.select(*cols))
+        .unionByName(fresh.select(*cols))
+    )
+
+
+def with_unknown_row(
+    dim: DataFrame, defaults: dict[str, object], spark=None
+) -> DataFrame:
+    """Prepend the mandatory Unknown member (SK=0) to a dimension.
+
+    Reference: ``Meta_Guideline.md:2689-2706`` — SK=0, id '-1',
+    'Unknown' labels, country 'XX', effective 1900-01-01 -> 9999-12-31.
+    (The copilot docs say SK=-1; requirements + implementation + tests
+    use 0, which we follow — SURVEY.md §7.4.7.)
+    """
+    spark = spark or dim.sparkSession
+    row = [tuple(defaults.get(c) for c in dim.columns)]
+    unknown = spark.createDataFrame(row, dim.schema)
+    return unknown.unionByName(dim)
+
+
+def scd1_latest(df: DataFrame, nk: list[str], order_by: list[str]) -> DataFrame:
+    """SCD Type 1: keep only the newest attribute values per key."""
+    from aws_medallion_etl_spark.operators.dedup import dedup_max_by
+
+    return dedup_max_by(df, nk, order_by)

@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Mirrors the reference's runtime configuration surface
+(``conf/spark-defaults.conf:13-24``, ``README.md:718-734`` in the
+reference repo): AQE with partition coalescing and skew-join handling,
+dynamic partition overwrite for idempotent re-runs, Arrow for the few
+pandas-UDF operators, and sane shuffle sizing.
+
+At 100 TB the same knobs matter, with different values: shuffle
+partitions sized so each task processes 128-512 MB post-filter, and
+``files.maxPartitionBytes`` so scan tasks stay balanced. AQE re-coalesces
+at runtime, so over-provisioning ``shuffle.partitions`` is safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Adaptive execution: runtime re-planning, partition coalescing and
+    # skew-join splitting (reference enables the same, conf/spark-defaults.conf:23).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Idempotent per-partition overwrite (requirements/...:40 in the reference
+    # demands "re-run same run_date => no duplicates"). Without this, a
+    # partitionBy(...).mode("overwrite") write nukes sibling partitions.
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Arrow transfer for pandas_udf / mapInPandas operators.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Scan-side task sizing; 128 MB keeps scan tasks balanced at any SF.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast threshold: dims in this workload are small; 64 MB is safe
+    # on 16 GB executors and converts most dim joins into BHJ.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Timestamps are UTC end-to-end (requirements/...:21).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "aws-medallion-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller passes the cluster master / lets spark-submit set it.
+    ``shuffle_partitions`` defaults to 2x local cores (AQE coalesces down),
+    or 200 like the reference when running against a cluster.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * int(cpus), 32) if master.startswith("local") else 200
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for key, value in _DEFAULTS.items():
+        builder = builder.config(key, value)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
