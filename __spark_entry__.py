@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship multi-operator query on sf0.001;
+``queries()`` exposes the full declared inventory (one entry per
+operator family from SURVEY.md §2 plus the training-data extensions);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry (the rest get rows-only checks).
 """
 
 from __future__ import annotations
@@ -12,27 +12,54 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark.queries import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: validate -> dedup -> enrich -> conditional agg -> share.
+
+    Revenue per market segment over valid lineitems: the spine of the
+    medallion pipeline (P5/P6 validation, W1 dedup, J1 broadcast
+    enrichment, A2 conditional aggregation, A9/W7 share-of-total) on
+    the sf0.001 star schema.
+    """
+    from aws_medallion_etl_spark.operators import validate
+    from aws_medallion_etl_spark.queries import lineitem_rules
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    valid, _rejects = validate.split_valid_invalid(li, lineitem_rules())
+    enriched = (
+        valid.join(orders.select("o_orderkey", "o_custkey"),
+                   valid["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    by_segment = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned"),
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("revenue").over(Window.partitionBy())
+    return by_segment.withColumn(
+        "revenue_share_pct", F.round(F.col("revenue") * 100.0 / total, 4)
+    ).orderBy(F.desc("revenue"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL for every SQL-expressible query."""
+    return dict(ORACLES)

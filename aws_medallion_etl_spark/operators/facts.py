@@ -1,0 +1,132 @@
+"""Grain-checked fact builders: conditional aggregates and FK resolution.
+
+Re-expresses the reference's gold fact jobs:
+
+* ``fact_dataset_owner_daily`` — grouped conditional counts with the
+  ``total = private + public`` invariant (``Meta_Guideline.md:2947-2954``,
+  spec ``requirements/meta/meta_module_06_requirements.md:94-96``).
+* FK lookup with SK=0 fallback and miss accounting
+  (``Meta_Guideline.md:3110-3121``, rule ``requirements/...:111``:
+  map rate > 99%, misses logged).
+* Grain/balance/negative DQ assertions that raise before any write
+  (``Meta_Guideline.md:2987-3030``).
+
+Scale notes: conditional aggregates are single hash aggregations with
+map-side partial aggregation (``sum(when(cond,1))`` never leaves
+codegen); FK resolution broadcasts the dim so the 100 TB fact side
+never shuffles; DQ assertions are expressed as aggregates collected as
+ONE row rather than repeated ``.count()`` actions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def conditional_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    conditions: dict[str, Column],
+    extra_aggs: list[Column] | None = None,
+    count_name: str = "total_count",
+) -> DataFrame:
+    """GROUP BY ``keys`` with one total count plus a count per condition.
+
+    ``sum(when(cond, 1).otherwise(0))`` is the reference's conditional
+    count idiom (``Meta_Guideline.md:2947-2954``); each condition adds
+    a column named after its dict key.
+    """
+    aggs = [F.count(F.lit(1)).alias(count_name)]
+    aggs += [
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(name)
+        for name, cond in conditions.items()
+    ]
+    aggs += list(extra_aggs or [])
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def resolve_fk(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    sk_col: str,
+    default_sk: int = 0,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Attach ``sk_col`` from ``dim`` to ``fact``; misses get ``default_sk``.
+
+    Late-arriving-FK pattern (``Meta_Guideline.md:3110-3121``): LEFT
+    join the (broadcast) dim keyed on the natural key, project only the
+    SK, and fill non-matches with the Unknown sentinel. Adds a
+    ``__fk_miss`` flag so callers can count misses in the same scan
+    (map rate gate, ``requirements/...:142``) instead of re-joining.
+    """
+    lookup = dim.select(F.col(dim_key).alias("__dim_nk"), F.col(sk_col))
+    if broadcast_dim:
+        lookup = F.broadcast(lookup)
+    joined = fact.join(lookup, fact[fact_key] == lookup["__dim_nk"], "left")
+    return (
+        joined.withColumn("__fk_miss", F.col(sk_col).isNull())
+        .withColumn(sk_col, F.coalesce(F.col(sk_col), F.lit(default_sk)))
+        .drop("__dim_nk")
+    )
+
+
+def fk_miss_stats(resolved: DataFrame) -> dict:
+    """Map-rate metrics from a frame produced by :func:`resolve_fk` (one scan)."""
+    row = resolved.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("__fk_miss").cast("long")).alias("misses"),
+    ).collect()[0]
+    total, misses = row["total"], row["misses"] or 0
+    return {
+        "total": total,
+        "misses": misses,
+        "map_rate": ((total - misses) / total) if total else 1.0,
+    }
+
+
+class GrainViolation(RuntimeError):
+    """Raised when a fact table has duplicate rows at its declared grain."""
+
+
+def check_grain(df: DataFrame, keys: list[str]) -> None:
+    """Assert ``keys`` uniquely identify rows; raise :class:`GrainViolation`.
+
+    One aggregation: total rows vs distinct grain count. Distinct-count
+    is exact here because a wrong grain must fail deterministically;
+    use ``approx_count_distinct`` only for advisory monitoring.
+    """
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("g"),
+    ).collect()[0]
+    if row["n"] != row["g"]:
+        raise GrainViolation(
+            f"grain {keys} violated: {row['n']} rows, {row['g']} distinct keys"
+        )
+
+
+class BalanceViolation(RuntimeError):
+    """Raised when a declared balance invariant does not hold."""
+
+
+def check_balance(df: DataFrame, total_col: str, part_cols: list[str]) -> None:
+    """Assert ``total_col == sum(part_cols)`` on every row (e.g. the
+    reference's ``total = private + public``, ``requirements/...:96``)."""
+    parts = sum((F.col(c) for c in part_cols[1:]), F.col(part_cols[0]))
+    bad = df.filter(~F.col(total_col).eqNullSafe(parts)).limit(1).count()
+    if bad:
+        raise BalanceViolation(f"{total_col} != {' + '.join(part_cols)}")
+
+
+def check_non_negative(df: DataFrame, cols: list[str]) -> None:
+    """Assert no negative measures (``Meta_Guideline.md:2999-3006``)."""
+    pred = F.lit(False)
+    for c in cols:
+        pred = pred | (F.col(c) < 0)
+    bad = df.filter(pred).limit(1).count()
+    if bad:
+        raise BalanceViolation(f"negative values in {cols}")

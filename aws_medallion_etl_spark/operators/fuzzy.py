@@ -1,0 +1,281 @@
+"""Near-duplicate detection: exact-hash, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Beyond-reference extensions (SURVEY.md §7.2 M7) for training-data
+dedup at 100 TB. Design rules:
+
+* Never all-pairs. Candidate generation always goes through a
+  *blocking* join — shared shingle, LSH band bucket, or SimHash prefix
+  — so the shuffle carries (candidate pairs), not (n^2 pairs).
+* All hashing is ``xxhash64`` (JVM codegen, seed via a literal column)
+  — no Python in the hot path; the only data-size-proportional state
+  is the exploded shingle stream, which is map-local until the
+  candidate join.
+* Verification (exact Jaccard on candidates) happens only on the
+  bucket-filtered pairs, mirroring the LSH literature (see PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str):
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with ``transform`` over an index ``sequence`` — array ops in
+    codegen, exploded map-side. Documents shorter than ``n`` tokens
+    contribute their full token string as a single shingle.
+    """
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """One-row frame: total docs vs distinct md5(text) fingerprints."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5(F.col(text_col))).alias("n_unique"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (id_a < id_b, jaccard).
+
+    Candidates = pairs sharing >= 1 shingle (a self-equi-join on the
+    shingle — a *blocking* join, not a cross join); Jaccard is then
+    exact: |A∩B| / (|A| + |B| - |A∩B|).
+
+    Scale levers:
+    * ``block_col`` — an extra equality key (e.g. language) that
+      partitions the candidate space.
+    * ``max_shingle_df`` — drop shingles occurring in more than this
+      many docs before pairing. Stop-shingles generate quadratic
+      candidate blowup while being useless evidence for near-identity
+      (a pair at jaccard >= t shares plenty of rare shingles). At
+      100 TB this cap is mandatory; it is OFF by default because it
+      makes the Jaccard slightly conservative (documents table
+      correctness runs use the exact path).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if block_col is not None:
+        blocks = df.select(F.col(id_col).alias("__id"), F.col(block_col).alias("__blk"))
+        sh = sh.join(blocks, "__id")
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(rare), "shingle")
+
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__id").alias("id_a"), "shingle", *(["__blk"] if block_col else []))
+    b = sh.select(F.col("__id").alias("id_b"), "shingle", *(["__blk"] if block_col else []))
+    join_keys = ["shingle"] + (["__blk"] if block_col else [])
+    inter = (
+        a.join(b, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """Per-doc MinHash signature as an array<long> of length ``num_hashes``.
+
+    h_i(doc) = min over shingles of xxhash64(seed_i, shingle). One
+    explode + one groupBy(id): the shuffle carries num_hashes longs
+    per doc (map-side partial min), never the shingle stream.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("__id").agg(*mins)
+    return sig.select(
+        "__id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs — the 100 TB dedup path.
+
+    Signature matrix is banded (``bands`` bands x ``num_hashes/bands``
+    rows); docs colliding in >= 1 band become candidates (equi-join on
+    (band, band_hash) — never all-pairs). With r = hashes/bands the
+    collision probability is 1-(1-s^r)^b, tuned so s >= ``threshold``
+    is caught w.h.p. Candidates are then verified with exact Jaccard
+    (computed only for candidate pairs) when ``verify=True``.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_struct = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col("signature").getItem(b * rows + r) for r in range(rows)]
+                    ).alias("bhash"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+    banded = sig.select("__id", band_struct).select(
+        "__id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    )
+    a = banded.select(F.col("__id").alias("id_a"), "band", "bhash")
+    b = banded.select(F.col("__id").alias("id_b"), "band", "bhash")
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if not verify:
+        return cand
+
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    sa = sh.select(F.col("__id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("__id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: (id, simhash long).
+
+    Each token hashes to 64 bits; bit b contributes +1/-1 to slot b;
+    the sign vector re-packs into a long. Implemented entirely with
+    array expressions (``transform``/``aggregate``/``zip_with``) over
+    the token array — per-row codegen, no shuffle beyond the final
+    groupBy(id) for multi-chunk docs (here: none — one row per doc).
+    """
+    # Bit i's mask as a signed-long literal (bit 63 is the sign bit, so
+    # 1<<63 must be written as its two's-complement value).
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    toks = tokens_col(text_col)
+    bitvec = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.xxhash64(t).bitwiseAND(F.lit(m)) != 0, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for m in masks
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            bitvec,
+            F.array(*[F.lit(m).cast("long") for m in masks]),
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("__id"), packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: same ``prefix_bits`` bucket, hamming <= k.
+
+    Bucketing on the top bits blocks the candidate space (near-dups
+    agree on most bits, so they usually share the prefix; production
+    systems rotate prefixes for recall — one rotation here keeps the
+    example honest about its recall tradeoff). Hamming distance is
+    ``bit_count(xor)`` in codegen.
+    """
+    sh = simhash(df, id_col, text_col)
+    bucketed = sh.withColumn(
+        "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+    a = bucketed.select(
+        F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"), "bucket"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
+    )

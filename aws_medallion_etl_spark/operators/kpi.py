@@ -1,0 +1,117 @@
+"""KPI / analytical query operators: top-k, rollups, YoY, shares, trailing frames.
+
+Re-expresses the reference's gold KPI tables and Athena monitoring
+queries: top-k owners/tags (``README.md:339-344``,
+``Meta_Guideline.md:989-993``, top_tags spec
+``.github/copilot/instructions.md:81``), yearly multi-metric rollup +
+YoY growth via ``lag`` (``Meta_Guideline.md:3271-3323``),
+share-of-total via an unbounded window (``Meta_Guideline.md:2362-2370``),
+and the trailing 7-row anomaly baseline (``Meta_Guideline.md:4297-4303``).
+
+Scale notes: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+each partition keeps a k-row heap and only k rows per partition reach
+the driver-side merge, so top-k never global-sorts. The YoY / trailing
+windows partition by nothing but operate on already-aggregated frames
+(one row per year/day), so the single-partition window is a few
+hundred rows, not the raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(
+    df: DataFrame,
+    keys: list[str],
+    k: int,
+    metric: Column | None = None,
+    metric_name: str = "cnt",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """GROUP BY ``keys`` → ``metric`` (default count) → ORDER DESC → LIMIT k.
+
+    ``tiebreak`` columns (default: the keys, ascending) make the k-th
+    row deterministic when metric values tie.
+    """
+    metric = metric if metric is not None else F.count(F.lit(1))
+    agged = df.groupBy(*keys).agg(metric.alias(metric_name))
+    order = [F.desc(metric_name)] + [F.asc(c) for c in (tiebreak or keys)]
+    return agged.orderBy(*order).limit(k)
+
+
+def yoy_growth(
+    yearly: DataFrame,
+    year_col: str,
+    metric_col: str,
+    growth_name: str = "yoy_growth_pct",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Add % growth vs the previous year (``lag`` over year order).
+
+    Input is one row per year (a post-aggregation frame), so the
+    empty-partition window is safe — it sorts a handful of rows.
+    """
+    w = Window.orderBy(year_col)
+    prev = F.lag(metric_col).over(w)
+    growth = F.when(
+        prev.isNotNull() & (prev != 0),
+        F.round((F.col(metric_col) - prev) * 100.0 / prev, ndigits),
+    )
+    return yearly.withColumn(growth_name, growth)
+
+
+def share_of_total(
+    df: DataFrame,
+    keys: list[str],
+    share_name: str = "pct_of_total",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-group count + percentage of the grand total (window SUM OVER ()).
+
+    The unbounded window runs over the aggregated frame (one row per
+    group), so it is cheap at any input scale.
+    """
+    agged = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return agged.withColumn(
+        share_name, F.round(F.col("cnt") * 100.0 / total, ndigits)
+    )
+
+
+def trailing_average(
+    df: DataFrame,
+    order_col: str,
+    metric_col: str,
+    preceding: int = 6,
+    closing: int = 1,
+    avg_name: str = "trailing_avg",
+    partition_by: list[str] | None = None,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Trailing-frame mean: AVG over ROWS BETWEEN p PRECEDING AND c PRECEDING.
+
+    The reference's anomaly baseline (``Meta_Guideline.md:4297-4303``)
+    compares today's row count against the prior week's average.
+    """
+    w = (
+        Window.partitionBy(*(partition_by or []))
+        .orderBy(order_col)
+        .rowsBetween(-preceding, -closing)
+    )
+    return df.withColumn(avg_name, F.round(F.avg(metric_col).over(w), ndigits))
+
+
+def rank_rows(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Global row_number under a deterministic multi-key sort (O2 surface).
+
+    Single-partition window by design — use only on small/aggregated
+    frames (top-k output, reports); for large data use top_k instead.
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(rank_name, F.row_number().over(w))

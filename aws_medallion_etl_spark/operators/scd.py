@@ -118,7 +118,7 @@ def scd2_apply_changes(
     """
     upd = updates.select(
         *nk, *attrs, F.col(change_ts_col).alias("__change_ts")
-    )
+    ).alias("upd")
     current = dim.filter(F.col(current_col))
     history = dim.filter(~F.col(current_col))
 
@@ -126,7 +126,7 @@ def scd2_apply_changes(
     for a in attrs:
         same = same & F.col(f"cur.{a}").eqNullSafe(F.col(f"upd.{a}"))
 
-    joined = current.alias("cur").join(upd.alias("upd"), nk, "left")
+    joined = current.alias("cur").join(upd, nk, "left")
     unchanged = joined.filter(F.col("upd.__change_ts").isNull() | same).select("cur.*")
     closed = (
         joined.filter(F.col("upd.__change_ts").isNotNull() & ~same)
@@ -135,12 +135,9 @@ def scd2_apply_changes(
         .withColumn(current_col, F.lit(False))
         .drop("__change_ts")
     )
-    existing_nk = current.select(*nk)
     high = F.lit(HIGH_DATE).cast("timestamp")
     fresh = (
-        upd.join(
-            current.alias("cur"), nk, "left"
-        )
+        upd.join(current.alias("cur"), nk, "left")
         .filter(F.col(f"cur.{start_col}").isNull() | ~same)
         .select(*nk, *[F.col(f"upd.{a}").alias(a) for a in attrs], "__change_ts")
         .withColumn(start_col, F.col("__change_ts"))
