@@ -1,0 +1,178 @@
+"""Sources and sinks: contract CSV reads, partitioned parquet writes,
+reject quarantine, JSON reports, provenance, sensors, catalog.
+
+Re-expresses the reference's IO surface (SURVEY.md §2.1 S1-S12):
+
+* S1 — CSV scan with an ENFORCED StructType (``inferSchema`` is
+  prohibited, reference ``README.md:777``): ``Meta_Guideline.md:905-910``.
+* S2/S3 — parquet scans; partition pruning comes free from the
+  layout + Catalyst, nothing to hand-roll.
+* S4/S5 — parquet sinks with snappy + small-file control and
+  partitioned dynamic overwrite (``Meta_Guideline.md:973-976``,
+  ``3186-3192``; idempotency rule ``requirements/...:40``).
+* S6 — reject quarantine under ``_rejects/<table>/run_date=...``
+  (``Meta_Guideline.md:979-986``, ``requirements/...:58-59``).
+* S7 — JSON run-report objects under ``_reports/``
+  (``Meta_Guideline.md:997-1023`` — boto3 there, local fs here).
+* S8 — file provenance via ``input_file_name()``
+  (``Meta_Guideline.md:920-923``).
+* S9 — raw-file availability sensor (``Meta_Guideline.md:1421-1454``).
+* S10/S12 — catalog registration + ``spark.sql`` endpoint
+  (``Meta_Guideline.md:2318-2345``; one engine replaces Glue+Athena).
+
+Scale notes: small-file control uses AQE-coalesced ``repartition``
+(cluster-wide, no single-writer bottleneck) rather than the
+reference's ``coalesce(1)`` (which collapses the WRITE stage to one
+task — a straight serialization point at 100 TB). Dynamic partition
+overwrite only rewrites touched partitions, making daily re-runs
+idempotent without nuking siblings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# Reference CSV contract options (Meta_Guideline.md:905-910).
+CSV_OPTIONS = {"header": "true", "multiLine": "true", "escape": '"'}
+
+
+def read_csv_contract(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    rename: dict[str, str] | None = None,
+    extra_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1: CSV scan with an enforced schema contract (never inferSchema).
+
+    ``rename`` applies the raw→snake_case mapping
+    (``Meta_Guideline.md:893-898``) in the same projection.
+    """
+    reader = spark.read.options(**{**CSV_OPTIONS, **(extra_options or {})})
+    df = reader.schema(schema).csv(path)
+    if rename:
+        df = df.withColumnsRenamed(rename)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2/S3: parquet scan. Partition pruning is Catalyst's job —
+    filter on the partition column and the scan skips directories."""
+    return spark.read.parquet(path)
+
+
+def with_provenance(
+    df: DataFrame, run_date: str, source_system: str = "local"
+) -> DataFrame:
+    """S8/P8: audit columns — ingest_ts, run_date, source_file, source_system
+    (``Meta_Guideline.md:920-923``)."""
+    return (
+        df.withColumn("ingest_ts", F.current_timestamp())
+        .withColumn("run_date", F.lit(run_date))
+        .withColumn("source_file", F.input_file_name())
+        .withColumn("source_system", F.lit(source_system))
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    """S4/S5: snappy parquet sink with small-file control.
+
+    With ``partition_by`` and the session's
+    ``partitionOverwriteMode=dynamic`` (set by our session factory),
+    overwrite touches ONLY the partitions present in ``df`` — the
+    idempotent re-run guarantee (``requirements/...:40``, ``:143``).
+
+    ``target_files`` bounds output file count via ``repartition`` —
+    a parallel shuffle-based coalesce, unlike the reference's
+    ``coalesce(1)`` which serializes the whole write through one task.
+    At scale, prefer leaving it unset and letting AQE size output
+    partitions (128 MB advisory target).
+    """
+    if target_files:
+        df = df.repartition(target_files, *(partition_by or []) or [F.lit(1)])
+    writer = df.write.mode(mode).option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_rejects(
+    rejects: DataFrame, base_path: str, table: str, run_date: str
+) -> str:
+    """S6: quarantine sink — ``<base>/_rejects/<table>/run_date=<d>/``.
+
+    The frame must already carry ``reject_reason``
+    (``operators.validate.tag_rejects``).
+    """
+    path = f"{base_path}/_rejects/{table}/run_date={run_date}"
+    rejects.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    return path
+
+
+def write_json_report(report: dict, base_path: str, table: str, run_date: str) -> str:
+    """S7: driver-side JSON run report — ``<base>/_reports/run_date=<d>/``.
+
+    Reports are tiny dicts (gate counts, timings); a driver-side file
+    write is correct at any scale — never ship them through executors.
+    """
+    out_dir = f"{base_path}/_reports/run_date={run_date}"
+    os.makedirs(out_dir, exist_ok=True)
+    path = f"{out_dir}/{table}_report.json"
+    payload = {
+        "table": table,
+        "run_date": run_date,
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+        **report,
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+    return path
+
+
+def read_json_report(base_path: str, table: str, run_date: str) -> dict:
+    """Read back an S7 report (layer-completion gates, C2)."""
+    with open(f"{base_path}/_reports/run_date={run_date}/{table}_report.json") as f:
+        return json.load(f)
+
+
+class MissingInputError(FileNotFoundError):
+    """Raised by the availability sensor when required inputs are absent."""
+
+
+def check_inputs_exist(paths: list[str]) -> None:
+    """S9: raw-file availability sensor — all inputs must exist BEFORE
+    any job starts (``Meta_Guideline.md:1421-1454``)."""
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise MissingInputError(f"missing required inputs: {missing}")
+
+
+def register_table(spark: SparkSession, df: DataFrame, name: str) -> None:
+    """S10: register a frame in the session catalog for SQL access."""
+    df.createOrReplaceTempView(name)
+
+
+def register_layer(
+    spark: SparkSession, base_path: str, tables: list[str], prefix: str = ""
+) -> None:
+    """S10: register every table of a written layer (parquet dirs)."""
+    for t in tables:
+        spark.read.parquet(f"{base_path}/{t}").createOrReplaceTempView(f"{prefix}{t}")
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """S12: the interactive SQL endpoint — one engine serves the
+    Glue-job AND Athena roles of the reference."""
+    return spark.sql(query)

@@ -15,8 +15,10 @@ Fixes two documented reference defects (SURVEY.md §7.4):
   ``row_number() OVER (ORDER BY ...)`` is a single-partition global
   sort (``Meta_Guideline.md:2623-2627``), an OOM at 100 TB. Default
   here is ``xxhash64(nk, effective_start_ts)``: deterministic,
-  shuffle-free, collision-checked by ``dq.check_unique``; sentinel 0
-  is reserved by remapping.
+  shuffle-free, collision-checked by ``operators.dq.check_unique``
+  (callers run it as a gate; hash SKs can be negative, unlike the
+  reference's positive sequential SKs); sentinel 0 is reserved by
+  remapping.
 """
 
 from __future__ import annotations

@@ -99,13 +99,37 @@ def _hyperplane(plane: int, dim: int) -> Column:
     )
 
 
-def lsh_bucket(vec: Column, planes: int, dim: int) -> Column:
-    """Sign-bit bucket id from ``planes`` random hyperplanes."""
+def lsh_bucket(vec: Column, planes: int, dim: int, table: int = 0) -> Column:
+    """Sign-bit bucket id from ``planes`` random hyperplanes.
+
+    ``table`` offsets the hyperplane seeds so multiple independent
+    hash tables can be derived from the same function.
+    """
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        bit = F.when(dot(vec, _hyperplane(p, dim)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(
+            dot(vec, _hyperplane(table * planes + p, dim)) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
         bucket = F.shiftleft(bucket, 1) + bit
     return bucket
+
+
+def _with_table_buckets(
+    df: DataFrame, vec: str, planes: int, dim: int, tables: int
+) -> DataFrame:
+    """Explode each row into one (table, bucket) entry per hash table."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col(vec), planes, dim, table=t).alias("bkt"),
+            )
+            for t in range(tables)
+        ]
+    )
+    return df.withColumn("__e", F.explode(entries)).select(
+        *df.columns, F.col("__e.tbl").alias("__tbl"), F.col("__e.bkt").alias("__bkt")
+    )
 
 
 def cosine_topk_lsh(
@@ -116,34 +140,47 @@ def cosine_topk_lsh(
     k: int = 5,
     planes: int = 4,
     dim: int = 64,
+    tables: int = 8,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's LSH bucket.
+    """Approximate top-k: score only candidates colliding in >= 1 hash table.
 
-    Both sides bucket on the same deterministic hyperplanes; the join
-    is an equi-join on bucket (shuffle/broadcast by bucket — never a
-    cross join). Recall < 1: neighbors straddling a hyperplane are
-    missed; raise recall with fewer planes or multi-probe (flip one
-    bit) — the probe set here is the exact bucket only, measured
-    against brute force in the test suite.
+    Classic OR-amplified sign-LSH: ``tables`` independent tables of
+    ``planes`` bits each. A true neighbor at angle θ collides per
+    table with p = (1-θ/π)^planes and is a candidate with
+    1-(1-p)^tables — e.g. cosine 0.32 → p≈0.13 → recall≈0.67 at
+    (4, 8), while each query scores only ~1-(1-2^-planes)^tables
+    (~⅓ here) of the corpus instead of all of it. Tune (planes,
+    tables) to the corpus's neighbor-similarity profile: tighter
+    clusters → more planes, fewer tables.
+
+    The join is an equi-join on (table, bucket) — never a cross join;
+    colliding-in-many-tables pairs dedup BEFORE scoring so each
+    candidate pair costs exactly one dot product.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
+    c = _with_table_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
+        ),
+        "__cv", planes, dim, tables,
     )
-    c = c.withColumn("__bkt", lsh_bucket(F.col("__cv"), planes, dim)).withColumn(
-        "__cn", l2_norm(F.col("__cv"))
+    q = _with_table_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+        ),
+        "__qv", planes, dim, tables,
     )
-    q = queries.select(
+    cand = c.join(F.broadcast(q.select("query_id", "__tbl", "__bkt")), ["__tbl", "__bkt"])
+    if exclude_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    # one scoring row per (query, neighbor) no matter how many tables collide
+    cand = cand.groupBy("query_id", "neighbor_id").agg(F.first("__cv").alias("__cv"))
+    qvec = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
     )
-    q = q.withColumn("__bkt", lsh_bucket(F.col("__qv"), planes, dim)).withColumn(
-        "__qn", l2_norm(F.col("__qv"))
-    )
-    pairs = c.join(F.broadcast(q), "__bkt")
-    if exclude_self:
-        pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.withColumn(
-        "cosine", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    scored = cand.join(F.broadcast(qvec), "query_id").withColumn(
+        "cosine",
+        dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -67,23 +67,18 @@ def split_valid_invalid(df: DataFrame, rules: list[Rule]) -> tuple[DataFrame, Da
 def validation_stats(tagged: DataFrame) -> dict:
     """Single-pass gate metrics: total / valid / rejected (+ per-reason).
 
-    One wide aggregate instead of the reference's repeated ``.count()``
-    actions — one scan, map-side partial aggregation, a single row to
-    the driver.
+    ONE job — a groupBy on the reason column (NULL group = valid rows)
+    collected once; totals derive driver-side. At most
+    ``len(rules)+1`` rows reach the driver, and the input is scanned
+    exactly once (the reference re-scans per ``.count()``,
+    SURVEY.md §7.4.4).
     """
-    rejected = F.col(REJECT_REASON).isNotNull()
-    row = tagged.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum(rejected.cast("long")).alias("rejected"),
-    ).collect()[0]
-    total, nrej = row["total"], row["rejected"] or 0
-    by_reason = {
-        r[REJECT_REASON]: r["cnt"]
-        for r in tagged.filter(rejected)
-        .groupBy(REJECT_REASON)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
+    per_reason = (
+        tagged.groupBy(REJECT_REASON).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    by_reason = {r[REJECT_REASON]: r["cnt"] for r in per_reason if r[REJECT_REASON]}
+    nrej = sum(by_reason.values())
+    total = sum(r["cnt"] for r in per_reason)
     return {
         "total": total,
         "valid": total - nrej,

@@ -1,0 +1,190 @@
+"""Medallion pipeline runner: bronze → silver → gold with gates.
+
+Re-expresses the reference's orchestration semantics (SURVEY.md §2.11)
+as a plain-Python stage runner — the Airflow DAG collapses to call
+order (C3), layer-completion gates read the previous layer's JSON
+report (C2, ``Meta_Guideline.md:2145-2184``), the circuit breaker
+fires before any write (C1), and a master ``run_pipeline`` drives the
+whole flow idempotently (C4, ``requirements/...:27-40``).
+
+Stage contract: each stage writes its tables under
+``<out>/<layer>/<table>/run_date=<d>/`` plus a ``_reports`` JSON; a
+stage REFUSES to run if its upstream report is missing or failed.
+Re-running a stage for the same run_date overwrites only that
+run_date's partitions (dynamic partition overwrite) — the acceptance
+test "re-run ⇒ no duplicates" (``requirements/...:143``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark import io
+from aws_medallion_etl_spark.operators import dedup, validate
+
+
+class GateFailure(RuntimeError):
+    """An upstream layer report is missing or failed (C2 gate)."""
+
+
+@dataclass
+class TableSpec:
+    """Per-table pipeline configuration.
+
+    ``rules`` is a factory (Column expressions need a live session);
+    ``clean`` is an optional silver-side transform.
+    """
+
+    name: str
+    rules: Callable[[], list[validate.Rule]] = field(default=lambda: [])
+    nk: list[str] = field(default_factory=list)
+    dedup_order: list[str] = field(default_factory=list)
+    clean: Callable[[DataFrame], DataFrame] | None = None
+    reject_threshold: float = 0.10
+
+
+def _table_path(out_dir: str, layer: str, table: str) -> str:
+    return f"{out_dir}/{layer}/{table}"
+
+
+def require_layer_ok(out_dir: str, layer: str, tables: list[str], run_date: str) -> None:
+    """C2: fail fast unless every upstream table reported status=ok."""
+    for t in tables:
+        try:
+            report = io.read_json_report(f"{out_dir}/{layer}", t, run_date)
+        except FileNotFoundError as e:
+            raise GateFailure(f"{layer}/{t}: report missing for {run_date}") from e
+        if report.get("status") != "ok":
+            raise GateFailure(f"{layer}/{t}: status={report.get('status')}")
+
+
+def run_bronze_table(
+    spark: SparkSession,
+    spec: TableSpec,
+    source: DataFrame,
+    out_dir: str,
+    run_date: str,
+) -> dict:
+    """Validate → circuit-break → write valid rows + rejects + report.
+
+    The tagged frame is persisted for the duration of the stage so the
+    gate aggregate, the valid write, and the reject write share ONE
+    scan of the source (the reference re-reads per action).
+    """
+    base = f"{out_dir}/bronze"
+    tagged = validate.tag_rejects(source, spec.rules()).persist()
+    try:
+        stats = validate.validation_stats(tagged)
+        validate.circuit_breaker(stats, spec.reject_threshold)  # raises pre-write
+
+        valid = tagged.filter(F.col(validate.REJECT_REASON).isNull()).drop(
+            validate.REJECT_REASON
+        )
+        valid = valid.withColumn("run_date", F.lit(run_date))
+        io.write_parquet(
+            valid, _table_path(out_dir, "bronze", spec.name), partition_by=["run_date"]
+        )
+        rejects = tagged.filter(F.col(validate.REJECT_REASON).isNotNull())
+        io.write_rejects(rejects, base, spec.name, run_date)
+        report = {"status": "ok", "layer": "bronze", **stats}
+    except validate.CircuitBreakerError as e:
+        report = {"status": "failed", "layer": "bronze", "error": str(e)}
+        io.write_json_report(report, base, spec.name, run_date)
+        raise
+    finally:
+        tagged.unpersist()
+    io.write_json_report(report, base, spec.name, run_date)
+    return report
+
+
+def run_silver_table(
+    spark: SparkSession, spec: TableSpec, out_dir: str, run_date: str
+) -> dict:
+    """Gate on bronze → NK dedup (keep newest) → clean → write + report."""
+    require_layer_ok(out_dir, "bronze", [spec.name], run_date)
+    df = io.read_parquet(spark, _table_path(out_dir, "bronze", spec.name)).where(
+        F.col("run_date") == run_date
+    )
+    n_in = df.count()
+    if spec.nk:
+        df = dedup.dedup_max_by(
+            df.drop("run_date"), spec.nk, spec.dedup_order or spec.nk
+        ).withColumn("run_date", F.lit(run_date))
+    if spec.clean is not None:
+        df = spec.clean(df)
+    io.write_parquet(
+        df, _table_path(out_dir, "silver", spec.name), partition_by=["run_date"]
+    )
+    n_out = io.read_parquet(spark, _table_path(out_dir, "silver", spec.name)).where(
+        F.col("run_date") == run_date
+    ).count()
+    report = {
+        "status": "ok",
+        "layer": "silver",
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "deduped": n_in - n_out,
+    }
+    io.write_json_report(report, f"{out_dir}/silver", spec.name, run_date)
+    return report
+
+
+def run_gold(
+    spark: SparkSession,
+    builders: dict[str, Callable[[SparkSession, str, str], DataFrame]],
+    upstream_tables: list[str],
+    out_dir: str,
+    run_date: str,
+) -> dict:
+    """Gate on silver → build each gold table → write + report.
+
+    ``builders`` maps gold table name → fn(spark, out_dir, run_date)
+    returning the frame to write (dims, facts, KPIs).
+    """
+    require_layer_ok(out_dir, "silver", upstream_tables, run_date)
+    report: dict = {"status": "ok", "layer": "gold", "tables": {}}
+    for name, build in builders.items():
+        df = build(spark, out_dir, run_date)
+        if "run_date" not in df.columns:
+            df = df.withColumn("run_date", F.lit(run_date))
+        io.write_parquet(
+            df, _table_path(out_dir, "gold", name), partition_by=["run_date"]
+        )
+        report["tables"][name] = (
+            io.read_parquet(spark, _table_path(out_dir, "gold", name))
+            .where(F.col("run_date") == run_date)
+            .count()
+        )
+    io.write_json_report(report, f"{out_dir}/gold", "_all", run_date)
+    return report
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sources: dict[str, DataFrame],
+    specs: dict[str, TableSpec],
+    gold_builders: dict[str, Callable[[SparkSession, str, str], DataFrame]],
+    out_dir: str,
+    run_date: str,
+) -> dict:
+    """C4 master runner: bronze(all) → silver(all) → gold, gated.
+
+    Dependency order within a layer is the dict order of ``specs``
+    (C3's DAG collapses to a topological call order). Returns the
+    combined report tree.
+    """
+    reports: dict = {"bronze": {}, "silver": {}, "gold": None}
+    for name, spec in specs.items():
+        reports["bronze"][name] = run_bronze_table(
+            spark, spec, sources[name], out_dir, run_date
+        )
+    for name, spec in specs.items():
+        reports["silver"][name] = run_silver_table(spark, spec, out_dir, run_date)
+    reports["gold"] = run_gold(
+        spark, gold_builders, list(specs), out_dir, run_date
+    )
+    return reports

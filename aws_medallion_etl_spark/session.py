@@ -38,7 +38,11 @@ _DEFAULTS: dict[str, str] = {
     # Timestamps are UTC end-to-end (requirements/...:21).
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # NOTE: JVM sizing (spark.driver.memory etc.) is deliberately NOT set
+    # here — builder.config silently no-ops once a JVM exists, so memory
+    # must come from launch-time config (spark-submit / env), not library
+    # defaults. The same applies to every _DEFAULTS entry when getOrCreate
+    # returns a pre-existing session.
 }
 
 

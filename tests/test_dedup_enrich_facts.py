@@ -1,0 +1,116 @@
+"""NK dedup strategy parity, join enrichment, fact builders and DQ gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark.operators import dedup, enrich, facts
+
+
+def test_dedup_window_vs_max_by_parity(spark, sf_dir):
+    """The two physical strategies must produce the identical row set."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    order_cols = ["l_shipdate", "l_quantity", "l_extendedprice", "l_partkey",
+                  "l_suppkey", "l_linenumber", "l_discount", "l_tax",
+                  "l_returnflag", "l_linestatus"]
+    a = dedup.dedup_by_key(li, ["l_orderkey"], [F.desc(c) for c in order_cols])
+    b = dedup.dedup_max_by(li, ["l_orderkey"], order_cols)
+    cols = sorted(li.columns)
+    rows_a = sorted([tuple(r) for r in a.select(*cols).collect()])
+    rows_b = sorted([tuple(r) for r in b.select(*cols).collect()])
+    assert rows_a == rows_b
+    assert len(rows_a) == li.select("l_orderkey").distinct().count()
+
+
+def test_dedup_null_ordering_parity(spark):
+    """NULL order keys: max_by struct comparison == desc_nulls_last window."""
+    df = spark.createDataFrame(
+        [("k", None, "a"), ("k", 5, "b"), ("k", 3, "c")],
+        "nk string, ts int, payload string",
+    )
+    w = dedup.dedup_by_key(df, ["nk"], [F.desc_nulls_last("ts")])
+    m = dedup.dedup_max_by(df, ["nk"], ["ts"])
+    assert w.collect()[0].payload == "b"
+    assert m.collect()[0].payload == "b"
+
+
+def test_enrich_left_defaults(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "id int, dim_id int")
+    dim = spark.createDataFrame([(10, "x")], "dim_id int, label string")
+    out = enrich.enrich_left(fact, dim, on="dim_id", defaults={"label": "Unknown"})
+    got = {r.id: r.label for r in out.collect()}
+    assert got == {1: "x", 2: "Unknown"}
+
+
+def test_referential_filter_no_amplification(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    ref = spark.createDataFrame([(1,), (1,), (1,)], "k int")  # dup keys in ref
+    out = enrich.referential_filter(df, ref, on="k")
+    # left_semi: both k=1 rows kept, NOT multiplied by ref's 3 copies
+    assert out.count() == 2
+
+
+def test_orphans_anti(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    ref = spark.createDataFrame([(1,)], "k int")
+    assert [r.k for r in enrich.orphans(df, ref, on="k").collect()] == [2]
+
+
+def test_conditional_aggregate_balance(spark):
+    df = spark.createDataFrame(
+        [("o1", True), ("o1", False), ("o1", True), ("o2", False)],
+        "owner string, is_private boolean",
+    )
+    out = facts.conditional_aggregate(
+        df,
+        ["owner"],
+        {
+            "private_count": F.col("is_private"),
+            "public_count": ~F.col("is_private"),
+        },
+        count_name="datasets_count",
+    )
+    for r in out.collect():
+        # the reference's mandatory invariant: total = private + public
+        assert r.datasets_count == r.private_count + r.public_count
+
+
+def test_resolve_fk_fallback_and_stats(spark):
+    fact = spark.createDataFrame([(1,), (2,), (3,)], "uid int")
+    dim = spark.createDataFrame([(1, 101), (2, 102)], "uid_nk int, user_sk int")
+    resolved = facts.resolve_fk(fact, dim, "uid", "uid_nk", "user_sk")
+    got = {r.uid: r.user_sk for r in resolved.collect()}
+    assert got == {1: 101, 2: 102, 3: 0}  # miss -> SK=0 sentinel
+    stats = facts.fk_miss_stats(resolved)
+    assert stats["total"] == 3 and stats["misses"] == 1
+    assert abs(stats["map_rate"] - 2 / 3) < 1e-12
+
+
+def test_check_grain_raises(spark):
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    facts.check_grain(ok, ["k"])  # must not raise
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with pytest.raises(facts.GrainViolation):
+        facts.check_grain(dup, ["k"])
+
+
+def test_check_balance_and_negative(spark):
+    ok = spark.createDataFrame([(3, 1, 2)], "total int, a int, b int")
+    facts.check_balance(ok, "total", ["a", "b"])
+    bad = spark.createDataFrame([(4, 1, 2)], "total int, a int, b int")
+    with pytest.raises(facts.BalanceViolation):
+        facts.check_balance(bad, "total", ["a", "b"])
+    with pytest.raises(facts.BalanceViolation):
+        facts.check_non_negative(
+            spark.createDataFrame([(-1,)], "m int"), ["m"]
+        )
+
+
+def test_broadcast_in_enrich_plan(spark):
+    """enrich_left must broadcast the dim: no shuffle of the fact side."""
+    fact = spark.range(1000).withColumnRenamed("id", "dim_id")
+    dim = spark.createDataFrame([(1, "x")], "dim_id long, label string")
+    out = enrich.enrich_left(fact, dim, on="dim_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,127 @@
+"""Training-data extensions: near-dup dedup parity + ANN recall + plan shape.
+
+The LSH paths are approximations of the exact paths; these tests pin
+(a) exact-path correctness on constructed cases, (b) LSH vs exact
+parity/recall on the driver's documents/embeddings tables, and
+(c) that no candidate-generation path degenerates into a cartesian
+product (the 100 TB kill criterion).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark.operators import fuzzy, similarity, text
+
+
+def _no_cartesian(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # BroadcastNestedLoopJoin is the other all-pairs shape
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id int, text string",
+    )
+    out = fuzzy.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    rows = out.collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    # 7 shingles each, 6 shared -> 6/8
+    assert rows[0].jaccard == 0.75
+    _no_cartesian(out)
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    """On real documents, banded-LSH + verify == the exact path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = fuzzy.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    lsh = fuzzy.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
+    )
+    e = {(r.id_a, r.id_b, r.jaccard) for r in exact.collect()}
+    l = {(r.id_a, r.id_b, r.jaccard) for r in lsh.collect()}
+    assert e, "fixture should contain near-dup pairs"
+    # verification makes LSH precise; banding at r=4,b=16 catches s>=0.8 w.h.p.
+    assert l == e
+    _no_cartesian(lsh)
+
+
+def test_simhash_identical_and_distinct(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical -> hamming 0
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id int, text string",
+    )
+    out = fuzzy.simhash_pairs(docs, "doc_id", "text", max_hamming=3, prefix_bits=4)
+    rows = out.collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
+    _no_cartesian(out)
+
+
+def test_exact_dedup_stats(spark):
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id int, text string"
+    )
+    row = fuzzy.exact_dedup_stats(docs, "text").collect()[0]
+    assert (row.n_docs, row.n_unique) == (3, 2)
+
+
+def test_cosine_topk_bruteforce_known_geometry(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),   # closest to 1
+            (3, [0.0, 1.0]),   # orthogonal to 1
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    q = docs.filter(F.col("vec_id") == 1)
+    out = similarity.cosine_topk_bruteforce(docs, q, "vec_id", "embedding", k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [2, 3]
+    assert rows[0].cosine > 0.99
+
+
+def test_cosine_topk_lsh_recall(spark, sf_dir):
+    """LSH ANN must recover most of the true top-5 on real embeddings."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.cosine_topk_bruteforce(emb, q, "vec_id", "embedding", k=5)
+    approx = similarity.cosine_topk_lsh(
+        emb, q, "vec_id", "embedding", k=5, planes=4, dim=64
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+    _no_cartesian(approx)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox."), (2, "  spaced   out  words  ")],
+        "doc_id int, text string",
+    )
+    out = df.select(
+        "doc_id",
+        text.token_count("text").alias("n"),
+        text.fingerprint("text").alias("fp"),
+    ).collect()
+    got = {r.doc_id: r.n for r in out}
+    assert got == {1: 4, 2: 3}
+    # fingerprint is whitespace-insensitive
+    a = df.select(text.fingerprint("text").alias("fp")).collect()
+    b = spark.createDataFrame([(1, "the quick brown fox.")], "doc_id int, text string") \
+        .select(text.fingerprint("text").alias("fp")).collect()
+    assert a[0].fp == b[0].fp

@@ -1,0 +1,125 @@
+"""Validation split / circuit breaker / silver cleaning strategies —
+mirrors the reference's bronze-gate and silver-strategy tests
+(``Meta_Guideline.md:930-986``, ``1623-1650``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark.operators import clean, validate
+
+
+@pytest.fixture()
+def users(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", "alice", "US"),
+            ("u2", None, "VN"),      # missing name -> reject
+            ("u3", "  ", "DE"),      # blank name -> reject
+            ("u4", "dave", "X"),     # bad country length -> reject
+            ("u5", "eve", None),     # optional country NULL -> valid
+        ],
+        "user_id string, user_name string, country_code string",
+    )
+
+
+def _rules():
+    return [
+        validate.Rule("missing_user_name", validate.null_or_blank("user_name")),
+        validate.Rule(
+            "bad_country_code",
+            F.col("country_code").isNotNull() & (F.length("country_code") != 2),
+        ),
+    ]
+
+
+def test_split_valid_invalid(spark, users):
+    valid, rejects = validate.split_valid_invalid(users, _rules())
+    assert {r.user_id for r in valid.collect()} == {"u1", "u5"}
+    got = {r.user_id: r.reject_reason for r in rejects.collect()}
+    assert got == {
+        "u2": "missing_user_name",
+        "u3": "missing_user_name",
+        "u4": "bad_country_code",
+    }
+    assert validate.REJECT_REASON not in valid.columns
+
+
+def test_first_match_wins(spark):
+    df = spark.createDataFrame([("", "XXX")], "user_name string, country_code string")
+    tagged = validate.tag_rejects(
+        df,
+        [
+            validate.Rule("missing_user_name", validate.null_or_blank("user_name")),
+            validate.Rule("bad_country_code", F.length("country_code") != 2),
+        ],
+    )
+    assert tagged.collect()[0].reject_reason == "missing_user_name"
+
+
+def test_validation_stats_and_breaker_trip(spark, users):
+    tagged = validate.tag_rejects(users, _rules())
+    stats = validate.validation_stats(tagged)
+    assert stats["total"] == 5
+    assert stats["rejected"] == 3
+    assert stats["valid"] == 2
+    assert stats["by_reason"] == {"missing_user_name": 2, "bad_country_code": 1}
+    with pytest.raises(validate.CircuitBreakerError):
+        validate.circuit_breaker(stats, threshold=0.10)
+    # 60% rejection passes a 70% threshold: gate must NOT trip
+    validate.circuit_breaker(stats, threshold=0.70)
+
+
+def test_impute_missing_with_flags(spark):
+    df = spark.createDataFrame(
+        [("u1", "US", 5), ("u2", None, None), ("u3", " ", 7)],
+        "user_id string, country string, score int",
+    )
+    out = clean.impute_missing(df, {"country": "XX", "score": 0})
+    rows = {r.user_id: r for r in out.collect()}
+    assert rows["u2"].country == "XX" and rows["u2"].country_was_imputed
+    assert rows["u3"].country == "XX"  # blank string counts as missing
+    assert rows["u2"].score == 0 and rows["u2"].score_was_imputed
+    assert rows["u1"].country == "US" and not rows["u1"].country_was_imputed
+    counts = clean.strategy_counts(out, ["country_was_imputed", "score_was_imputed"])
+    assert counts == {"total": 3, "country_was_imputed": 2, "score_was_imputed": 1}
+
+
+def test_drop_missing(spark):
+    df = spark.createDataFrame(
+        [("u1", "a"), (None, "b"), ("u3", None)], "user_id string, v string"
+    )
+    out = clean.drop_missing(df, ["user_id", "v"])
+    assert [r.user_id for r in out.collect()] == ["u1"]
+
+
+def test_explode_tags_json_path(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '["Machine-Learning", "  nlp ", "NLP", ""]'),
+            (2, '["vision"]'),
+            (3, None),
+        ],
+        "dataset_id int, tags string",
+    )
+    out = clean.explode_tags(df, "tags", ["dataset_id"])
+    got = {(r.dataset_id, r.tag) for r in out.collect()}
+    # normalized, blanks dropped, (id, tag) exact-deduped, NULL json dropped
+    assert got == {(1, "machine-learning"), (1, "nlp"), (2, "vision")}
+
+
+def test_parse_boolean(spark):
+    df = spark.createDataFrame(
+        [("TRUE",), ("false",), (" True ",), ("yes",), (None,)], "v string"
+    )
+    out = df.select(clean.parse_boolean("v").alias("b")).collect()
+    assert [r.b for r in out] == [True, False, True, None, None]
+
+
+def test_frequency_classify(spark):
+    vals = [("a",)] * 60 + [("b",)] * 38 + [("c",)] * 2
+    df = spark.createDataFrame(vals, "v string")
+    out = {r.v: r.frequency_class for r in clean.frequency_classify(df, "v", popular_pct=50.0, rare_count=2).collect()}
+    assert out == {"a": "popular", "b": "common", "c": "rare"}
