@@ -926,6 +926,112 @@ def dim_date_calendar(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S/O/P surfaces — provenance, SQL endpoint, diagnostics, projections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s8_provenance_by_file",
+    # The driver's oracle runs at sf0.01; DuckDB views carry no file
+    # metadata, so the oracle re-reads the parquet with filename=true.
+    """
+    SELECT regexp_extract(filename, '[^/]+$') AS source_file,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet', filename=true)
+    GROUP BY 1
+    """,
+)
+def s8_provenance_by_file(spark, sf_dir):
+    """File provenance (S8): rows per source file via input_file_name()."""
+    from aws_medallion_etl_spark import io as eio
+
+    df = eio.with_provenance(_t(spark, sf_dir, "lineitem"), run_date="2024-01-01")
+    return df.groupBy(
+        F.regexp_extract("source_file", r"([^/]+)$", 1).alias("source_file")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+_S12_SQL = """
+    WITH rev AS (
+        SELECT c.c_nationkey, sum(o.o_totalprice) AS nation_rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    )
+    SELECT n.n_name AS nation, round(rev.nation_rev, 2) AS revenue,
+           round(rev.nation_rev * 100.0 / sum(rev.nation_rev) OVER (), 4) AS pct
+    FROM rev JOIN nation n ON n.n_nationkey = rev.c_nationkey
+    ORDER BY revenue DESC, nation
+    LIMIT 5
+"""
+
+
+@query("s12_sql_endpoint", _S12_SQL)
+def s12_sql_endpoint(spark, sf_dir):
+    """SQL endpoint (S12): register the star schema, answer in pure SQL.
+
+    One engine serves both the reference's Glue-job AND Athena roles
+    (``Meta_Guideline.md:2318-2345``) — the same session runs
+    DataFrame pipelines and interactive SQL over the same tables.
+    """
+    from aws_medallion_etl_spark import io as eio
+
+    for t in ["orders", "customer", "nation"]:
+        eio.register_table(spark, _t(spark, sf_dir, t), t)
+    return eio.sql(spark, _S12_SQL)
+
+
+@query(
+    "o3_diagnostics_sample",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           {_LINEITEM_REASON_SQL} AS reject_reason
+    FROM lineitem
+    WHERE {_LINEITEM_REASON_SQL} IS NOT NULL
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 5
+    """,
+)
+def o3_diagnostics_sample(spark, sf_dir):
+    """Reject diagnostics sample (O3): deterministic limit(5) over rejects."""
+    _, rejects = validate.split_valid_invalid(
+        _t(spark, sf_dir, "lineitem"), lineitem_rules()
+    )
+    return (
+        rejects.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", validate.REJECT_REASON
+        )
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(5)
+    )
+
+
+@query(
+    "p_projection_family",
+    """
+    SELECT s_suppkey AS supplier_id,
+           s_name AS supplier_name,
+           coalesce(CASE WHEN s_acctbal > 2500 THEN 'gold' END, 'standard') AS tier,
+           'tpch' AS source_system
+    FROM supplier
+    WHERE s_acctbal BETWEEN 0 AND 5000
+    """,
+)
+def p_projection_family(spark, sf_dir):
+    """P1/P7/P8/P9/P10 in one pass: rename, drop, constant, range, fillna."""
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        clean.rename_columns(
+            sup, {"s_suppkey": "supplier_id", "s_name": "supplier_name"}
+        )
+        .filter(F.col("s_acctbal").between(0, 5000))                     # P9
+        .withColumn("source_system", F.lit("tpch"))                       # P8
+        .withColumn("tier", F.when(F.col("s_acctbal") > 2500, "gold"))    # P5-ish
+        .fillna({"tier": "standard"})                                     # P10
+        .drop("s_nationkey", "s_acctbal")                                 # P7
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis (documents table)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,151 @@
+"""Structured Streaming surface: incremental ingest, watermarked
+windowed aggregation, streaming dedup, and session windows.
+
+The reference is batch-only — late data is handled by daily
+``run_date`` partitions + backfill (SURVEY.md §2.9), and streaming is
+its own "next step" (reference ``Meta_Guideline.md:4717``). This
+module is that step, built the idiomatic way: the SAME DataFrame
+expressions the batch operators use, lifted onto ``readStream`` /
+``writeStream`` so a medallion layer can flip batch → incremental
+without rewriting transforms.
+
+Scale notes:
+
+* Watermarks bound state: a windowed aggregation with no watermark
+  grows state forever at 100 TB/day — every aggregation here demands
+  one.
+* ``dropDuplicatesWithinWatermark`` keys state eviction to event
+  time, the streaming analogue of the silver NK dedup.
+* ``foreachBatch`` bridges streams onto the batch sinks (idempotent
+  partitioned parquet from ``io.write_parquet``) so bronze/silver
+  layouts stay byte-compatible between modes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream: new files under ``path`` become micro-batches.
+
+    Schema is ENFORCED (same contract rule as the batch CSV reader —
+    streaming sources cannot infer safely). ``max_files_per_trigger``
+    caps per-batch work for backpressure.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    extra_keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation with a watermark.
+
+    Late rows beyond ``watermark`` are dropped and their window state
+    evicted — bounded state at any throughput. Output columns:
+    ``window_start``, ``window_end``, keys, ``n`` (+ custom aggs).
+    """
+    win = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("__w"), *(extra_keys or []))
+        .agg(F.count(F.lit(1)).alias("n"), *(aggs or []))
+    )
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *(extra_keys or []),
+        *[c for c in out.columns if c != "__w"],
+    ).drop("__w")
+
+
+def stream_dedup(
+    df: DataFrame, keys: list[str], ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming NK dedup: first event per key wins within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` evicts key state once the
+    watermark passes — the unbounded-state-safe analogue of the
+    silver layer's keep-newest dedup.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge.
+
+    Built on ``F.session_window`` (native state store support) — no
+    ``applyInPandasWithState`` needed for plain sessionization.
+    """
+    win = F.session_window(F.col(ts_col), gap)
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("__w"), *(keys or []))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return out.select(
+        F.col("__w.start").alias("session_start"),
+        F.col("__w.end").alias("session_end"),
+        *(keys or []),
+        "n_events",
+    )
+
+
+def run_available_now(
+    stream: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> None:
+    """Drain everything currently available through ``foreachBatch``, then stop.
+
+    The batch-parity execution mode: each micro-batch is handed to
+    ``batch_fn(df, batch_id)`` (e.g. an idempotent ``io.write_parquet``
+    by run_date), with exactly-once bookkeeping in ``checkpoint_dir``.
+    """
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def to_memory_sink(
+    stream: DataFrame, name: str, output_mode: str = "append"
+) -> "object":
+    """Materialize a stream into an in-memory table (tests/debug only)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,109 @@
+"""Structured Streaming extension: stream results must match their
+batch equivalents (the batch-parity contract), and state must be
+watermark-bounded.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark import io, streaming
+
+TS = datetime.datetime
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path):
+    """Two parquet files of timestamped events (two future micro-batches)."""
+    path = str(tmp_path / "events_in")
+    rows1 = [
+        (1, "u1", "click", TS(2024, 1, 1, 10, 5)),
+        (2, "u1", "click", TS(2024, 1, 1, 10, 20)),
+        (3, "u2", "view", TS(2024, 1, 1, 10, 40)),
+    ]
+    rows2 = [
+        (4, "u2", "view", TS(2024, 1, 1, 11, 10)),
+        (2, "u1", "click", TS(2024, 1, 1, 10, 20)),  # duplicate event_id
+        (5, "u3", "click", TS(2024, 1, 1, 11, 55)),
+    ]
+    schema = "event_id long, user_id string, event_type string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(path)
+    return path, spark.read.parquet(path).schema
+
+
+def test_windowed_counts_matches_batch(spark, event_dir, tmp_path):
+    path, schema = event_dir
+    stream = streaming.stream_from_directory(spark, path, schema)
+    assert stream.isStreaming
+    agged = streaming.windowed_counts(
+        stream, "ts", window_duration="1 hour", watermark="2 hours",
+        extra_keys=["event_type"],
+    )
+    streaming.to_memory_sink(agged, "win_counts", output_mode="complete")
+    got = {
+        (str(r.window_start), r.event_type): r.n
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = spark.read.parquet(path)
+    expect = {
+        (str(r.ws), r.event_type): r.n
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expect
+
+
+def test_stream_dedup(spark, event_dir):
+    path, schema = event_dir
+    stream = streaming.stream_from_directory(spark, path, schema)
+    deduped = streaming.stream_dedup(stream, ["event_id"], "ts", watermark="1 day")
+    streaming.to_memory_sink(deduped, "dedup_out")
+    ids = sorted(
+        r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect()
+    )
+    assert ids == [1, 2, 3, 4, 5]  # duplicate event_id=2 removed
+
+
+def test_sessionize(spark, event_dir):
+    path, schema = event_dir
+    stream = streaming.stream_from_directory(spark, path, schema)
+    sessions = streaming.sessionize(
+        stream, "ts", gap="30 minutes", keys=["user_id"], watermark="1 day"
+    )
+    streaming.to_memory_sink(sessions, "sessions", output_mode="complete")
+    got = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # u1: 10:05 + 10:20 + the duplicated 10:20 row merge (gap 15m, no dedup);
+    # u2: 11:10 lands exactly on the 10:40+30m boundary -> sessions merge
+    assert got[("u1", "2024-01-01 10:05:00")] == 3
+    assert got[("u2", "2024-01-01 10:40:00")] == 2
+    assert got[("u3", "2024-01-01 11:55:00")] == 1
+    assert len(got) == 3
+
+
+def test_foreach_batch_to_partitioned_sink(spark, event_dir, tmp_path):
+    """Stream -> foreachBatch -> the batch engine's idempotent sink."""
+    path, schema = event_dir
+    out = str(tmp_path / "bronze_events")
+    ckpt = str(tmp_path / "ckpt")
+    stream = streaming.stream_from_directory(spark, path, schema)
+
+    def write_batch(df, batch_id):
+        enriched = df.withColumn("run_date", F.to_date("ts").cast("string"))
+        io.write_parquet(enriched, out, partition_by=["run_date"], mode="append")
+
+    streaming.run_available_now(stream, write_batch, ckpt)
+    written = spark.read.parquet(out)
+    assert written.count() == 6
+    assert str(written.select("run_date").distinct().collect()[0].run_date) == "2024-01-01"
+    # restart with same checkpoint: nothing new to process, no duplicates
+    stream2 = streaming.stream_from_directory(spark, path, schema)
+    streaming.run_available_now(stream2, write_batch, ckpt)
+    assert spark.read.parquet(out).count() == 6
