@@ -1,0 +1,145 @@
+"""Physical-plan assertions: the properties that make queries survive
+a 100 TB scale-up. These pin the *plan shape*, not timings — a
+regression here (lost pushdown, a broadcast turning into a shuffle, a
+second exchange sneaking into a window chain) is a scale bug even
+when sf0.01 timings look fine.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark.operators import dedup, enrich, kpi
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_dir):
+    """Predicate + column pruning must reach the parquet scan."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _physical(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+    # scan must read only the two projected columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_dim_join_is_broadcast_not_shuffle(spark, sf_dir):
+    """enrich_left on a dim: BroadcastHashJoin, zero Exchange of the fact."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = enrich.enrich_left(orders, dim, on=orders["o_custkey"] == dim["c_custkey"])
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the fact side must not be hash-repartitioned for this join
+    assert "hashpartitioning(o_custkey" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject, not a
+    global sort."""
+    out = kpi.top_k(spark.read.parquet(f"{sf_dir}/orders.parquet"), ["o_custkey"], 10)
+    plan = _physical(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_aggregate_has_partial_stage(spark, sf_dir):
+    """groupBy aggregates must map-side combine (partial_ functions)."""
+    out = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+    )
+    plan = _physical(out)
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_dedup_max_by_partial_aggregation(spark, sf_dir):
+    """The scale dedup path must partially aggregate before the shuffle
+    (the whole point of preferring it over the window strategy)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = dedup.dedup_max_by(li, ["l_orderkey"], ["l_shipdate", "l_linenumber"])
+    plan = _physical(out)
+    assert "partial_max_by" in plan
+
+
+def test_window_dedup_single_exchange(spark, sf_dir):
+    """Window dedup: exactly one hash exchange (on the partition key)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = dedup.dedup_by_key(li, ["l_orderkey"], [F.desc("l_shipdate")])
+    plan = _physical(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_from_history_exchange_count(spark, sf_dir):
+    """The SCD2 initial load shares partitioning across its window/agg
+    steps: lag + version-sum reuse one exchange on nk; the groupBy on
+    (nk, __version) and the lead() chain add at most two more. Pinning
+    the count catches accidental extra shuffles."""
+    from aws_medallion_etl_spark.operators import scd
+
+    hist = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("user_id"),
+        F.col("l_returnflag").alias("event_type"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    out = scd.scd2_from_history(hist, ["user_id"], ["event_type"], "ts")
+    plan = _physical(out)
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_semi_join_no_duplicate_columns(spark, sf_dir):
+    """Referential filter keeps the probe schema — no ref columns leak."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = enrich.referential_filter(
+        li, orders, on=li["l_orderkey"] == orders["o_orderkey"]
+    )
+    assert out.columns == li.columns
+    assert "LeftSemi" in _physical(out)
+
+
+def test_partition_pruning_on_run_date(spark, tmp_path):
+    """Filtering the partition column must prune at planning time."""
+    out = str(tmp_path / "pp")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 3) for i in range(10)],
+        "v int, run_date string",
+    )
+    df.write.partitionBy("run_date").parquet(out)
+    scan = spark.read.parquet(out).filter(F.col("run_date") == "2024-01-02")
+    plan = _physical(scan)
+    # the run_date predicate must become a planning-time partition filter,
+    # NOT a row-level Filter after the scan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "run_date" in pf
+    assert "PushedFilters: []" in plan  # nothing left to push row-level
+    assert scan.count() == 10
+
+
+def test_whole_stage_codegen_covers_validation(spark, sf_dir):
+    """The validation when-chain must stay inside WholeStageCodegen."""
+    from aws_medallion_etl_spark.operators import validate
+    from aws_medallion_etl_spark.queries import lineitem_rules
+
+    tagged = validate.tag_rejects(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), lineitem_rules()
+    )
+    # '*(n)' prefixes mark whole-stage-codegen stages in the plan string
+    assert "*(1)" in _physical(tagged)
