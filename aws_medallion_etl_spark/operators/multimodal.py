@@ -75,3 +75,72 @@ def extract_features(packaged: DataFrame) -> DataFrame:
     return packaged.select("doc_id", "payload").mapInPandas(
         fake_feature_extract, schema=FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, n_bytes int"
+
+
+def sample_frames(
+    packaged: DataFrame, n_frames: int = 4, frame_bytes: int = 64
+) -> DataFrame:
+    """Frame sampling: N evenly-spaced fixed-size windows per payload.
+
+    The video-pipeline shape: one input row fans out to ``n_frames``
+    rows of (doc_id, frame_idx, frame bytes). A real decoder would
+    seek keyframes; the deterministic stand-in slices evenly-spaced
+    byte windows so offsets, fan-out, and schema behave exactly like
+    production. Runs in ``mapInPandas`` — fan-out happens inside the
+    Arrow batch, so no explode shuffle on the binary column.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                size = len(payload)
+                k = min(n_frames, max(size // max(frame_bytes, 1), 1))
+                step = max((size - frame_bytes) // max(k - 1, 1), 1) if size > frame_bytes else 0
+                for i in range(k):
+                    start = min(i * step, max(size - frame_bytes, 0))
+                    frame = payload[start : start + frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(frame)
+                    out["n_bytes"].append(len(frame))
+            res = pd.DataFrame(out)
+            res["frame_idx"] = res["frame_idx"].astype("int32")
+            res["n_bytes"] = res["n_bytes"].astype("int32")
+            yield res
+
+    return packaged.select("doc_id", "payload").mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, payload binary, n_bytes int"
+
+
+def resize_stub(packaged: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize' payloads to a fixed byte budget (truncate / zero-pad).
+
+    Stands in for image resize / audio resample: output size is
+    uniform so downstream batch shapes are predictable — exactly the
+    property a real resize provides. Swap the body for PIL/ffmpeg
+    without touching schema or callers.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(p[:target_bytes]).ljust(target_bytes, b"\x00")
+                for p in pdf["payload"]
+            ]
+            res = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "n_bytes": [len(p) for p in resized],
+                }
+            )
+            res["n_bytes"] = res["n_bytes"].astype("int32")
+            yield res
+
+    return packaged.select("doc_id", "payload").mapInPandas(resize, schema=RESIZE_SCHEMA)

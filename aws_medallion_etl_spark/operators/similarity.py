@@ -165,6 +165,49 @@ def _with_table_buckets(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    planes: int = 4,
+    dim: int = 64,
+    tables: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    ``method='exact'`` scores all pairs (broadcast one side) — the
+    correctness baseline, quadratic, small corpora only.
+    ``method='lsh'`` generates candidates via the OR-amplified bucket
+    join (recall < 1, never all-pairs) and verifies candidates with
+    the exact cosine — the 100 TB path.
+    """
+    c = corpus.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("__va"))
+    d = corpus.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("__vb"))
+    if method == "exact":
+        pairs = c.join(F.broadcast(d), F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        ca = _with_table_buckets(c, "__va", planes, dim, tables)
+        cb = _with_table_buckets(d, "__vb", planes, dim, tables)
+        pairs = (
+            ca.join(cb, ["__tbl", "__bkt"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.first("__va").alias("__va"), F.first("__vb").alias("__vb"))
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    cos = dot(F.col("__va"), F.col("__vb")) / (
+        l2_norm(F.col("__va")) * l2_norm(F.col("__vb"))
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1240,6 +1240,36 @@ def sim_topk_bruteforce(spark, sf_dir):
     return similarity.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=5)
 
 
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         n AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS nrm
+            FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+            GROUP BY vec_id
+         )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    JOIN n na ON na.vec_id = a.vec_id
+    JOIN n nb ON nb.vec_id = b.vec_id
+    WHERE list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact baseline (oracle-checked).
+
+    The LSH candidate variant of the same operator is the scale path
+    (recall measured in pytest); the exact method IS the correctness
+    contract, so it carries the oracle.
+    """
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4, method="exact",
+    )
+
+
 @query("sim_topk_lsh")  # rows-only: approximate by design; recall tested in pytest
 def sim_topk_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 — the scale path for ANN search."""

@@ -108,6 +108,24 @@ def test_cosine_topk_lsh_recall(spark, sf_dir):
     _no_cartesian(approx)
 
 
+def test_cosine_near_dup_lsh_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = similarity.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, method="exact"
+    )
+    lsh = similarity.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, method="lsh"
+    )
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    l = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert e, "threshold should produce some pairs on this fixture"
+    assert l <= e  # verification makes LSH precise (no false positives)
+    assert len(l) / len(e) >= 0.5  # recall floor on near-random embeddings
+    _no_cartesian(lsh)
+    with pytest.raises(ValueError, match="unknown method"):
+        similarity.cosine_near_dup_pairs(emb, "vec_id", "embedding", method="nope")
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [(1, "The quick brown fox."), (2, "  spaced   out  words  ")],

@@ -1,0 +1,69 @@
+"""Multimodal plumbing: binary transport schema, Arrow-batched feature
+extraction, frame sampling fan-out, resize normalization, decode stub.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark.operators import multimodal
+
+
+@pytest.fixture()
+def packaged(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "short", "en"),
+            (2, "a" * 500, "en"),
+            (3, "", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    return multimodal.with_binary_payload(docs, "doc_id", "text", ["lang"])
+
+
+def test_transport_schema(packaged):
+    assert packaged.schema.simpleString() == (
+        "struct<doc_id:bigint,payload:binary,meta:struct<lang:string>>"
+    )
+    rows = {r.doc_id: r for r in packaged.collect()}
+    assert bytes(rows[1].payload) == b"short"
+    assert rows[2].meta.lang == "en"
+
+
+def test_extract_features_deterministic(packaged):
+    feats = {r.doc_id: r for r in multimodal.extract_features(packaged).collect()}
+    assert feats[1].sha256 == hashlib.sha256(b"short").hexdigest()
+    assert feats[1].n_bytes == 5
+    assert feats[2].n_bytes == 500
+    assert feats[3].n_bytes == 0  # empty payload still produces a row
+
+
+def test_sample_frames_fanout(packaged):
+    frames = multimodal.sample_frames(packaged, n_frames=4, frame_bytes=100)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 500-byte payload -> 4 frames of 100 bytes, evenly spaced
+    f2 = sorted(by_doc[2], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in f2] == [0, 1, 2, 3]
+    assert all(r.n_bytes == 100 for r in f2)
+    # 5-byte payload -> one short frame; empty payload -> one empty frame
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_bytes == 5
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_bytes == 0
+
+
+def test_resize_uniform_batch_shape(packaged):
+    resized = multimodal.resize_stub(packaged, target_bytes=64)
+    rows = resized.collect()
+    assert all(r.n_bytes == 64 for r in rows)  # truncate AND zero-pad
+    assert {r.doc_id for r in rows} == {1, 2, 3}
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="codec libraries"):
+        multimodal.decode_stub(b"\x89PNG...")
