@@ -166,8 +166,15 @@ def with_unknown_row(
     use 0, which we follow — SURVEY.md §7.4.7.)
     """
     spark = spark or dim.sparkSession
-    row = [tuple(defaults.get(c) for c in dim.columns)]
-    unknown = spark.createDataFrame(row, dim.schema)
+    # Build the row JVM-side (range(1) + typed literal casts): no
+    # Python->JVM data conversion, no schema re-inference, and literal
+    # types can never drift from the dim schema.
+    unknown = spark.range(1).select(
+        *[
+            F.lit(defaults.get(f.name)).cast(f.dataType).alias(f.name)
+            for f in dim.schema.fields
+        ]
+    )
     return unknown.unionByName(dim)
 
 

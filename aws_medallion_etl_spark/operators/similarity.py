@@ -183,8 +183,15 @@ def cosine_near_dup_pairs(
     join (recall < 1, never all-pairs) and verifies candidates with
     the exact cosine — the 100 TB path.
     """
-    c = corpus.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("__va"))
-    d = corpus.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("__vb"))
+    # Norms are computed per ROW before pairing — recomputing them per
+    # pair would triple the (interpreted) vector-math cost on a
+    # quadratic pair stream.
+    c = corpus.select(
+        F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("__va")
+    ).withColumn("__na", l2_norm(F.col("__va")))
+    d = corpus.select(
+        F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("__vb")
+    ).withColumn("__nb", l2_norm(F.col("__vb")))
     if method == "exact":
         pairs = c.join(F.broadcast(d), F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
@@ -194,13 +201,14 @@ def cosine_near_dup_pairs(
             ca.join(cb, ["__tbl", "__bkt"])
             .where(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
-            .agg(F.first("__va").alias("__va"), F.first("__vb").alias("__vb"))
+            .agg(
+                F.first("__va").alias("__va"), F.first("__nb").alias("__nb"),
+                F.first("__vb").alias("__vb"), F.first("__na").alias("__na"),
+            )
         )
     else:
         raise ValueError(f"unknown method {method!r}")
-    cos = dot(F.col("__va"), F.col("__vb")) / (
-        l2_norm(F.col("__va")) * l2_norm(F.col("__vb"))
-    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)

@@ -46,6 +46,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — a failed query must not kill the bench
             failures[name] = f"{type(e).__name__}: {e}"
 
+    pipeline_sec = None
+    if not only:
+        pipeline_sec = _bench_pipeline(spark, sf_dir)
+
     out = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
@@ -53,10 +57,75 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if pipeline_sec is not None:
+        # BASELINE.md's operative envelope: bronze->silver->gold < 30 min.
+        out["pipeline_e2e_sec"] = pipeline_sec
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
     return 1 if failures else 0
+
+
+def _bench_pipeline(spark, sf_dir: str) -> float:
+    """Time a full gated medallion run (orders+customer+lineitem ->
+    bronze -> silver -> gold fact) against the BASELINE <30 min envelope."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark import pipeline
+    from aws_medallion_etl_spark.operators import validate
+
+    out_dir = tempfile.mkdtemp(prefix="bench_lake_")
+    specs = {
+        "orders": pipeline.TableSpec(
+            "orders",
+            rules=lambda: [validate.Rule("neg_price", F.col("o_totalprice") < 0)],
+            nk=["o_orderkey"], dedup_order=["o_orderdate"],
+        ),
+        "customer": pipeline.TableSpec(
+            "customer",
+            rules=lambda: [validate.Rule("no_seg", validate.null_or_blank("c_mktsegment"))],
+            nk=["c_custkey"], dedup_order=["c_acctbal"],
+        ),
+        "lineitem": pipeline.TableSpec(
+            "lineitem",
+            rules=lambda: [validate.Rule("bad_qty", F.col("l_quantity") <= 0)],
+            nk=["l_orderkey", "l_linenumber"], dedup_order=["l_shipdate"],
+        ),
+    }
+    sources = {
+        n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in specs
+    }
+
+    def fact_revenue_by_segment(spark, out_dir, run_date):
+        li = spark.read.parquet(f"{out_dir}/silver/lineitem")
+        o = spark.read.parquet(f"{out_dir}/silver/orders")
+        c = spark.read.parquet(f"{out_dir}/silver/customer")
+        return (
+            li.where(F.col("run_date") == run_date)
+            .join(o.select("o_orderkey", "o_custkey"),
+                  li["l_orderkey"] == F.col("o_orderkey"))
+            .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                  F.col("o_custkey") == F.col("c_custkey"), "left")
+            .fillna({"c_mktsegment": "UNKNOWN"})
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+        )
+
+    t0 = time.time()
+    try:
+        pipeline.run_pipeline(
+            spark, sources, specs,
+            {"fact_revenue_by_segment": fact_revenue_by_segment},
+            out_dir, "2024-06-01",
+        )
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
