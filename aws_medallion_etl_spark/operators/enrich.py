@@ -53,6 +53,38 @@ def orphans(
     return df.join(_maybe_broadcast(ref, broadcast_ref), on, "left_anti")
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-resistant equi-join: shard hot keys across ``n_salts`` reducers.
+
+    For joins whose key distribution is too skewed even for AQE's
+    skew-join splitting (one key >> a partition), the classic salting
+    rewrite: the fact side gets a per-row salt, the dim side is
+    replicated once per salt value, and the join key becomes
+    (key, salt) — a hot key's rows now land on ``n_salts`` different
+    reducers instead of one straggler.
+
+    The salt must be uniform per-row but need NOT be deterministic
+    across runs (it never reaches the output); ``spark_partition_id``
+    + ``monotonically_increasing_id`` gives a cheap uniform spread
+    with no RNG. Dim replication multiplies the build side by
+    ``n_salts`` — use only when the dim is small relative to the skew
+    being fixed (otherwise prefer AQE skew handling).
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    salted_dim = dim.select("*", salts)
+    out = salted_fact.join(salted_dim, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def with_scalar_stats(df: DataFrame, stats: DataFrame) -> DataFrame:
     """Attach a 1-row stats frame to every row (broadcast cross join).
 

@@ -107,6 +107,26 @@ def test_check_balance_and_negative(spark):
         )
 
 
+def test_salted_join_equivalent_to_plain(spark):
+    """Salting must not change join semantics — only key distribution."""
+    # heavily skewed fact: 10k rows on one key, a handful elsewhere
+    hot = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(5).select((F.col("id") + 2).alias("k"), F.col("id").alias("v"))
+    fact = hot.unionByName(cold)
+    dim = spark.createDataFrame([(1, "hot"), (3, "c3"), (99, "unused")], "k long, label string")
+
+    plain = fact.join(dim, "k", "left")
+    salted = enrich.salted_join(fact, dim, "k", n_salts=8)
+    cols = ["k", "v", "label"]
+    assert sorted(map(tuple, salted.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+    assert "__salt" not in salted.columns
+    # the join key actually includes the salt (the skew-sharding mechanism)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
 def test_broadcast_in_enrich_plan(spark):
     """enrich_left must broadcast the dim: no shuffle of the fact side."""
     fact = spark.range(1000).withColumnRenamed("id", "dim_id")
