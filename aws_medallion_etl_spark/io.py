@@ -147,6 +147,30 @@ def read_json_report(base_path: str, table: str, run_date: str) -> dict:
         return json.load(f)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled storage for co-located joins.
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle — the exchange happened once at write time
+    and is amortized over every subsequent join/aggregation on that
+    key. This is the storage-level answer to repeated big-x-big joins
+    at 100 TB (broadcast covers small dims; bucketing covers fact-to-
+    fact). Requires the session catalog (``saveAsTable``) — plain
+    parquet paths cannot carry bucket metadata.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.option("compression", "snappy").format("parquet").saveAsTable(table)
+
+
 class MissingInputError(FileNotFoundError):
     """Raised by the availability sensor when required inputs are absent."""
 

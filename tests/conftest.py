@@ -22,7 +22,17 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from aws_medallion_etl_spark import get_spark
 
-    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    import tempfile
+
+    spark = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # static conf: needed by bucketed-table tests (saveAsTable)
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
 

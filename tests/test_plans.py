@@ -133,6 +133,32 @@ def test_partition_pruning_on_run_date(spark, tmp_path):
     assert scan.count() == 10
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join with ZERO exchanges —
+    the write-time shuffle is amortized over every later join."""
+    from aws_medallion_etl_spark import io
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    io.write_bucketed(orders, "b_orders", ["o_custkey"], num_buckets=8)
+    io.write_bucketed(cust, "b_customer", ["c_custkey"], num_buckets=8)
+    try:
+        # disable broadcast so only bucketing can avoid the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _physical(joined)
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_whole_stage_codegen_covers_validation(spark, sf_dir):
     """The validation when-chain must stay inside WholeStageCodegen."""
     from aws_medallion_etl_spark.operators import validate
