@@ -33,6 +33,15 @@ def main() -> int:
     except ValueError:
         sf = None
 
+    # Untimed warm-up: touch every table once so per-query numbers
+    # measure steady-state compute, not first-read page-cache misses.
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
