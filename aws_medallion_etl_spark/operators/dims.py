@@ -15,13 +15,18 @@ from pyspark.sql import functions as F
 
 
 def dim_date(
-    spark: SparkSession, start: str = "2020-01-01", end: str = "2025-12-31"
+    spark: SparkSession,
+    start: str = "2020-01-01",
+    end: str = "2025-12-31",
+    holidays: list[str] | None = None,
 ) -> DataFrame:
     """Calendar dimension, one row per day in [start, end].
 
     ``sequence(date, date)`` builds the day array inside codegen and
     ``explode`` fans it out — no driver loop, no shuffle, generable for
-    any range on any cluster size.
+    any range on any cluster size. ``holidays`` (ISO dates) populates
+    ``is_holiday`` — the reference bakes a holiday list into its
+    driver loop (``Meta_Guideline.md:2781-2857``); here it is data.
     """
     days = spark.range(1).select(
         F.explode(
@@ -50,4 +55,9 @@ def dim_date(
         F.when(F.month("date") >= 10, F.year("date") + 1)
         .otherwise(F.year("date"))
         .alias("fiscal_year"),
+        (
+            F.col("date").isin([F.lit(h).cast("date") for h in holidays])
+            if holidays
+            else F.lit(False)
+        ).alias("is_holiday"),
     )

@@ -902,6 +902,35 @@ def tags_explode_normalize(spark, sf_dir):
 
 
 @query(
+    "f_boolean_parse",
+    """
+    SELECT raw_flag,
+           CASE WHEN upper(trim(raw_flag)) = 'TRUE' THEN TRUE
+                WHEN upper(trim(raw_flag)) = 'FALSE' THEN FALSE
+           END AS parsed,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT CASE o_orderstatus WHEN 'O' THEN ' true ' WHEN 'F' THEN 'FALSE'
+                                  ELSE 'maybe' END AS raw_flag
+        FROM orders
+    ) GROUP BY 1, 2
+    """,
+)
+def f_boolean_parse(spark, sf_dir):
+    """Strict boolean parse (the reference's when-chain, NOT cast):
+    'true'/'FALSE' map, garbage -> NULL."""
+    flags = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "O", " true ")
+        .when(F.col("o_orderstatus") == "F", "FALSE")
+        .otherwise("maybe")
+        .alias("raw_flag")
+    )
+    return flags.withColumn("parsed", clean.parse_boolean("raw_flag")).groupBy(
+        "raw_flag", "parsed"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "dim_date_calendar",
     """
     SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_sk,
@@ -916,7 +945,8 @@ def tags_explode_normalize(spark, sf_dir):
            dayname(d) AS day_name,
            dayofweek(d) IN (0, 6) AS is_weekend,
            CAST(CASE WHEN month(d) >= 10 THEN year(d) + 1 ELSE year(d) END AS INT)
-               AS fiscal_year
+               AS fiscal_year,
+           FALSE AS is_holiday
     FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(d)
     """,
 )
