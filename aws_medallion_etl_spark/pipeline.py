@@ -119,9 +119,10 @@ def run_silver_table(
     io.write_parquet(
         df, _table_path(out_dir, "silver", spec.name), partition_by=["run_date"]
     )
-    n_out = io.read_parquet(spark, _table_path(out_dir, "silver", spec.name)).where(
+    written = io.read_parquet(spark, _table_path(out_dir, "silver", spec.name)).where(
         F.col("run_date") == run_date
-    ).count()
+    )
+    n_out = written.count()
     report = {
         "status": "ok",
         "layer": "silver",
@@ -129,6 +130,15 @@ def run_silver_table(
         "rows_out": n_out,
         "deduped": n_in - n_out,
     }
+    # Per-strategy counters (reference silver reports,
+    # Meta_Guideline.md:1643-1650): any *_was_imputed flag the clean
+    # hook added is counted in ONE scan of the written partition.
+    flag_cols = [c for c in written.columns if c.endswith("_was_imputed")]
+    if flag_cols:
+        from aws_medallion_etl_spark.operators import clean as clean_ops
+
+        counts = clean_ops.strategy_counts(written, flag_cols)
+        report["strategy_counts"] = {k: v for k, v in counts.items() if k != "total"}
     io.write_json_report(report, f"{out_dir}/silver", spec.name, run_date)
     return report
 

@@ -167,6 +167,31 @@ def test_pipeline_end_to_end_and_idempotent(spark, sf_dir, tmp_path):
     assert gold1 == gold2
 
 
+def test_silver_clean_hook_reports_strategy_counts(spark, tmp_path):
+    """A clean hook that imputes must surface its counters in the report."""
+    from aws_medallion_etl_spark.operators import clean
+
+    out = str(tmp_path / "lake_clean")
+    src = spark.createDataFrame(
+        [(1, "US"), (2, None), (3, " ")], "id int, country string"
+    )
+    spec = pipeline.TableSpec(
+        name="t",
+        nk=["id"],
+        dedup_order=["id"],
+        clean=lambda df: clean.impute_missing(df, {"country": "XX"}),
+    )
+    pipeline.run_bronze_table(spark, spec, src, out, "2024-06-01")
+    report = pipeline.run_silver_table(spark, spec, out, "2024-06-01")
+    assert report["strategy_counts"] == {"country_was_imputed": 2}
+    silver = spark.read.parquet(f"{out}/silver/t")
+    assert {r.country for r in silver.collect()} == {"US", "XX"}
+    # counters also land in the persisted JSON report (C5 metadata path)
+    assert io.read_json_report(f"{out}/silver", "t", "2024-06-01")[
+        "strategy_counts"
+    ] == {"country_was_imputed": 2}
+
+
 def test_pipeline_gate_blocks_on_missing_bronze(spark, sf_dir, tmp_path):
     out = str(tmp_path / "lake2")
     with pytest.raises(pipeline.GateFailure):
