@@ -37,6 +37,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Timestamps are UTC end-to-end (requirements/...:21).
     "spark.sql.session.timeZone": "UTC",
+    # Documented engine default: parquet TIMESTAMP(NANOS) columns (which
+    # Spark's reader otherwise rejects) surface as raw nanosecond longs;
+    # readers rebuild a microsecond timestamp explicitly (see
+    # queries._t for the events table). Declared here, session-wide, so
+    # no operator needs to toggle it mid-session.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     # NOTE: JVM sizing (spark.driver.memory etc.) is deliberately NOT set
     # here — builder.config silently no-ops once a JVM exists, so memory

@@ -74,8 +74,8 @@ def windowed_counts(
         F.col("__w.start").alias("window_start"),
         F.col("__w.end").alias("window_end"),
         *(extra_keys or []),
-        *[c for c in out.columns if c != "__w"],
-    ).drop("__w")
+        *[c for c in out.columns if c != "__w" and c not in (extra_keys or [])],
+    )
 
 
 def stream_dedup(

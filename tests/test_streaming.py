@@ -43,6 +43,10 @@ def test_windowed_counts_matches_batch(spark, event_dir, tmp_path):
         stream, "ts", window_duration="1 hour", watermark="2 hours",
         extra_keys=["event_type"],
     )
+    # extra_keys must appear exactly once — a duplicate-named schema
+    # breaks the foreachBatch -> parquet sink bridge.
+    assert sorted(agged.columns) == sorted(set(agged.columns))
+    assert agged.columns.count("event_type") == 1
     streaming.to_memory_sink(agged, "win_counts", output_mode="complete")
     got = {
         (str(r.window_start), r.event_type): r.n
