@@ -56,8 +56,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions).
+
+    Ordered so the queries whose verdicts were missing from round 2's
+    correctness record run FIRST — if the harness run is ever cut
+    short, the cut lands on entries with an established green history
+    rather than silently re-dropping the same ones.
+    """
+    first = [
+        "sim_topk_lsh", "mm_binary_features", "dedup_simhash",
+        "dedup_minhash_lsh", "j5_scd2_apply_changes", "w2w3_scd2_from_history",
+    ]
+    ordered = {name: QUERIES[name] for name in first if name in QUERIES}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -254,6 +254,87 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select("__id", packed.alias("simhash"))
 
 
+def _hex_nibble(col, pos: int):
+    """Value 0-15 of the 1-indexed hex digit at ``pos`` (lowercase hex)."""
+    a = F.ascii(F.substring(col, pos, 1))
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+def simhash_md5_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Portable 64-bit SimHash as four 16-bit words: (id, w0..w3).
+
+    Same algorithm as :func:`simhash` but the per-token bits come from
+    the first 16 hex digits of ``md5(token)`` instead of ``xxhash64``
+    — md5 is bit-identical across engines, so an external system
+    (DuckDB, Trino, ...) can recompute the signature and audit the
+    dedup. Physical shape is unchanged: explode tokens → nibble
+    projection → ONE hash aggregate with 64 conditional sums
+    (map-side partial agg; the shuffle carries 64 longs per doc).
+    Bit i is ``(nibble[i/4] >> (i%4)) & 1``; a bit is set in the
+    signature iff its +1/-1 sum is > 0. xxhash64 stays the default
+    for pure-Spark pipelines (one hash call vs md5 + 16 nibble
+    extractions per token).
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(tokens_col(text_col)).alias("__t"),
+        )
+        .withColumn("__ok", F.col("__t").isNotNull() & (F.col("__t") != ""))
+        .withColumn("__h", F.md5(F.col("__t")))
+    )
+    # Materialize the 16 nibble values once (codegen projection) so the
+    # 64 bit tests below are cheap integer ops, not string slicing.
+    tok = tok.select(
+        "__id", "__ok", *[_hex_nibble(F.col("__h"), k + 1).alias(f"__n{k}") for k in range(16)]
+    )
+    contrib = [
+        F.sum(
+            F.when(~F.col("__ok"), 0)
+            .when(F.shiftright(F.col(f"__n{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("__id").agg(*contrib)
+    words = []
+    for g in range(4):
+        w = F.lit(0)
+        for j in range(16):
+            w = w + F.when(F.col(f"__b{g * 16 + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        words.append(w.cast("int").alias(f"w{g}"))
+    return sums.select("__id", *words)
+
+
+def simhash_pairs_portable(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs over the portable md5 signature.
+
+    Blocking and verification mirror :func:`simhash_pairs`: candidates
+    share the first 16-bit word (one equi-join, never all-pairs),
+    hamming distance is ``bit_count(xor)`` over the remaining words in
+    codegen. Output: (id_a < id_b, hamming <= max_hamming).
+    """
+    sh = simhash_md5_words(df, id_col, text_col)
+    a = sh.select(
+        F.col("__id").alias("id_a"), *[F.col(f"w{g}").alias(f"__a{g}") for g in range(4)]
+    )
+    b = sh.select(
+        F.col("__id").alias("id_b"), *[F.col(f"w{g}").alias(f"__b{g}") for g in range(4)]
+    )
+    ham = sum(
+        (F.bit_count(F.col(f"__a{g}").bitwiseXOR(F.col(f"__b{g}"))) for g in range(1, 4)),
+        F.lit(0),
+    )
+    return (
+        a.join(b, F.col("__a0") == F.col("__b0"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

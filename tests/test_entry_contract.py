@@ -25,9 +25,10 @@ def test_contract_shape():
     assert len(qs) >= 50
     # every oracle belongs to a declared query
     assert set(oracles) <= set(qs)
-    # rows-only entries are the documented hash-seed/approximate ops only
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {"dedup_minhash_lsh", "dedup_simhash", "sim_topk_lsh"}
+    # every declared query is oracle-checked — no rows-only entries
+    # (approximate ops are declared in recall-1.0 configs / portable
+    # hash variants precisely so they CAN be oracle-checked)
+    assert set(qs) == set(oracles)
     # all callables, all SQL strings
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())

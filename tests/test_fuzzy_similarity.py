@@ -69,6 +69,41 @@ def test_simhash_identical_and_distinct(spark):
     _no_cartesian(out)
 
 
+def test_simhash_portable_finds_exact_dups(spark, sf_dir):
+    """Both SimHash variants must find every exact-duplicate pair
+    (identical token streams -> identical signature -> hamming 0).
+    Borderline hamming<=3 pairs legitimately differ between hash
+    families, so the exact-dup core is the cross-variant invariant."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # Plant exact duplicates: re-id a deterministic subset at +1000000.
+    dup = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(dup)
+    exact_dups = {(d, d + 1000000) for d in {r.doc_id for r in base.collect()} if d % 10 == 0}
+    assert exact_dups, "fixture should contain exact duplicate docs"
+    portable = fuzzy.simhash_pairs_portable(docs, "doc_id", "text", max_hamming=3)
+    default = fuzzy.simhash_pairs(docs, "doc_id", "text", max_hamming=3, prefix_bits=16)
+    p = {(r.id_a, r.id_b) for r in portable.collect()}
+    d = {(r.id_a, r.id_b) for r in default.collect()}
+    assert exact_dups <= p
+    assert exact_dups <= d
+    _no_cartesian(portable)
+
+
+def test_simhash_portable_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical -> hamming 0
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = fuzzy.simhash_pairs_portable(docs, "doc_id", "text", max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
 def test_exact_dedup_stats(spark):
     docs = spark.createDataFrame(
         [(1, "same"), (2, "same"), (3, "other")], "doc_id int, text string"
