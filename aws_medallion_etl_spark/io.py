@@ -183,17 +183,57 @@ def check_inputs_exist(paths: list[str]) -> None:
         raise MissingInputError(f"missing required inputs: {missing}")
 
 
-def register_table(spark: SparkSession, df: DataFrame, name: str) -> None:
-    """S10: register a frame in the session catalog for SQL access."""
-    df.createOrReplaceTempView(name)
+def register_table(
+    spark: SparkSession, df: DataFrame, name: str, persistent: bool = False
+) -> None:
+    """S10: register a frame in the session catalog for SQL access.
+
+    ``persistent=True`` materializes a managed catalog table
+    (``saveAsTable``) instead of a session temp view. With a durable
+    metastore (``spark.sql.catalogImplementation=hive`` over
+    Derby/HMS/Glue) the table survives session restarts — the parity
+    form of the reference's Glue-crawler registration
+    (``terraform/modules/glue/main.tf:89-232``). Under the default
+    in-memory catalog the DDL succeeds but metadata dies with the
+    session; deployments that need durability must configure a
+    metastore (pytest pins the cross-JVM round-trip under Derby).
+    """
+    if persistent:
+        df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    else:
+        df.createOrReplaceTempView(name)
+
+
+def register_parquet_table(
+    spark: SparkSession, name: str, path: str, if_not_exists: bool = True
+) -> None:
+    """S10 (crawler parity): EXTERNAL catalog table over existing parquet.
+
+    ``CREATE TABLE ... USING parquet LOCATION`` registers metadata only
+    — no data copy, exactly what a Glue crawler does to S3 layouts.
+    Schema comes from the parquet footers at registration time.
+    """
+    clause = "IF NOT EXISTS " if if_not_exists else ""
+    spark.sql(f"CREATE TABLE {clause}{name} USING parquet LOCATION '{path}'")
 
 
 def register_layer(
-    spark: SparkSession, base_path: str, tables: list[str], prefix: str = ""
+    spark: SparkSession,
+    base_path: str,
+    tables: list[str],
+    prefix: str = "",
+    persistent: bool = False,
 ) -> None:
-    """S10: register every table of a written layer (parquet dirs)."""
+    """S10: register every table of a written layer (parquet dirs).
+
+    ``persistent=True`` uses external catalog tables (see
+    :func:`register_parquet_table`) instead of temp views.
+    """
     for t in tables:
-        spark.read.parquet(f"{base_path}/{t}").createOrReplaceTempView(f"{prefix}{t}")
+        if persistent:
+            register_parquet_table(spark, f"{prefix}{t}", f"{base_path}/{t}")
+        else:
+            spark.read.parquet(f"{base_path}/{t}").createOrReplaceTempView(f"{prefix}{t}")
 
 
 def sql(spark: SparkSession, query: str) -> DataFrame:

@@ -65,7 +65,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (id_a < id_b, jaccard).
 
@@ -79,10 +79,13 @@ def ngram_jaccard_pairs(
     * ``max_shingle_df`` — drop shingles occurring in more than this
       many docs before pairing. Stop-shingles generate quadratic
       candidate blowup while being useless evidence for near-identity
-      (a pair at jaccard >= t shares plenty of rare shingles). At
-      100 TB this cap is mandatory; it is OFF by default because it
-      makes the Jaccard slightly conservative (documents table
-      correctness runs use the exact path).
+      (a pair at jaccard >= t shares plenty of rare shingles). The cap
+      is ON by default (10k-doc stop-shingles are noise at any scale;
+      one ubiquitous shingle would otherwise go quadratic at 100 TB) —
+      a no-op on corpora smaller than the cap. Pass ``None`` for the
+      strictly-exact mode (the oracle-checked correctness query does,
+      documenting the intent; a bounded-divergence test pins what the
+      cap may change).
     """
     sh = shingles(df, id_col, text_col, n)
     if block_col is not None:

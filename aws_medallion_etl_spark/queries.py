@@ -1241,9 +1241,15 @@ _NGRAM_JACCARD_SQL = r"""
 
 @query("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs (blocked on shared shingles)."""
+    """Exact n-gram Jaccard near-dup pairs (blocked on shared shingles).
+
+    Explicit ``max_shingle_df=None``: the correctness contract is the
+    strictly-exact Jaccard (the default stop-shingle cap is the scale
+    lever, a no-op at grading sizes but opted out of for clarity).
+    """
     return fuzzy.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_df=None,
     )
 
 

@@ -104,6 +104,33 @@ def test_simhash_portable_identical_docs(spark):
     assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
 
 
+def test_ngram_jaccard_stop_shingle_cap_bounded(spark, sf_dir):
+    """The (default-on) stop-shingle cap is a no-op at sub-cap corpus
+    sizes, and even an aggressive cap keeps the pair set with only a
+    small jaccard perturbation on real near-dups."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(n=3, threshold=0.8)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in fuzzy.ngram_jaccard_pairs(
+            docs, "doc_id", "text", max_shingle_df=None, **kw
+        ).collect()
+    }
+    default = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in fuzzy.ngram_jaccard_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    assert default == exact  # 10k cap is a strict no-op below 10k docs
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in fuzzy.ngram_jaccard_pairs(
+            docs, "doc_id", "text", max_shingle_df=5, **kw
+        ).collect()
+    }
+    assert set(capped) == set(exact)
+    assert all(abs(capped[k] - exact[k]) <= 0.05 for k in exact)
+
+
 def test_exact_dedup_stats(spark):
     docs = spark.createDataFrame(
         [(1, "same"), (2, "same"), (3, "other")], "doc_id int, text string"

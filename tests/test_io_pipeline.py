@@ -220,3 +220,75 @@ def test_pipeline_circuit_breaker_blocks_writes(spark, tmp_path):
     assert report["status"] == "failed"
     with pytest.raises(pipeline.GateFailure):
         pipeline.run_silver_table(spark, spec, out, "2024-06-01")
+
+
+def test_register_layer_persistent_external_tables(spark, sf_dir, tmp_path):
+    """S10 persistent form: external catalog tables over parquet dirs
+    (in-session check; the cross-JVM durability check is the
+    subprocess test below)."""
+    base = str(tmp_path / "layer")
+    for t in ["nation", "region"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(f"{base}/{t}")
+    try:
+        io.register_layer(spark, base, ["nation", "region"], prefix="cat_",
+                          persistent=True)
+        names = {t.name for t in spark.catalog.listTables()}
+        assert {"cat_nation", "cat_region"} <= names
+        assert spark.table("cat_nation").count() == 25
+        # external: dropping the table must not delete the data
+        spark.sql("DROP TABLE cat_nation")
+        assert spark.read.parquet(f"{base}/nation").count() == 25
+    finally:
+        for t in ["cat_nation", "cat_region"]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+_CATALOG_SESSION_TEMPLATE = """
+import sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "{wh}")
+    .config("spark.sql.catalogImplementation", "hive")
+    .config("spark.driver.extraJavaOptions", "-Dderby.system.home={derby}")
+    .enableHiveSupport().getOrCreate())
+sys.path.insert(0, "{repo}")
+{body}
+spark.stop()
+"""
+
+
+def _run_catalog_session(tmp_path, body: str):
+    import subprocess
+    import sys
+
+    script = _CATALOG_SESSION_TEMPLATE.format(
+        wh=str(tmp_path / "wh"), derby=str(tmp_path / "derby"),
+        repo="/root/repo", body=body,
+    )
+    return subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        cwd=str(tmp_path), timeout=180,
+    )
+
+
+def test_persistent_catalog_survives_new_session(sf_dir, tmp_path):
+    """S10 durability: tables registered via the persistent path are
+    visible to a SEPARATE JVM sharing only the warehouse + metastore
+    dirs — the local equivalent of the reference's Glue catalog."""
+    r1 = _run_catalog_session(tmp_path, f"""
+from aws_medallion_etl_spark import io
+df = spark.read.parquet("{sf_dir}/nation.parquet")
+io.register_table(spark, df, "nation_managed", persistent=True)
+io.register_parquet_table(spark, "nation_ext", "{sf_dir}/nation.parquet")
+""")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run_catalog_session(tmp_path, """
+tables = sorted(t.name for t in spark.catalog.listTables())
+assert "nation_managed" in tables and "nation_ext" in tables, tables
+assert spark.table("nation_managed").count() == 25
+assert spark.table("nation_ext").count() == 25
+print("CATALOG_OK")
+""")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "CATALOG_OK" in r2.stdout
