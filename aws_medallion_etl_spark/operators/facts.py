@@ -20,7 +20,7 @@ ONE row rather than repeated ``.count()`` actions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -86,6 +86,46 @@ def fk_miss_stats(resolved: DataFrame) -> dict:
         "misses": misses,
         "map_rate": ((total - misses) / total) if total else 1.0,
     }
+
+
+def usage_with_first_seen(
+    df: DataFrame,
+    tag_col: str,
+    entity_col: str,
+    date_col: str,
+    usage_name: str = "usage_count",
+    new_name: str = "new_usage_count",
+) -> DataFrame:
+    """Fact at (tag, date) grain: active entities vs first-seen entities.
+
+    The ``fact_tag_usage_daily`` shape (spec
+    ``requirements/meta/meta_module_06_requirements.md:97-99`` — the one
+    gold fact whose job body the reference never shows):
+    ``usage_count`` = distinct entities carrying the tag that date,
+    ``new_usage_count`` = those whose FIRST date with the tag is that
+    date. ``usage >= new_usage`` then holds per row BY CONSTRUCTION
+    (every first-seen entity is also active); gate with
+    :func:`check_row_invariant` after any hand edit.
+
+    Shape: distinct on (tag, entity, date), min-date per (entity, tag)
+    via window (reuses the same hash partitioning — map-side partial
+    agg, no second wide shuffle), then one aggregate to the fact grain.
+    """
+    pairs = df.select(tag_col, entity_col, date_col).distinct()
+    w = Window.partitionBy(entity_col, tag_col)
+    firsts = pairs.withColumn("__first", F.min(date_col).over(w))
+    return firsts.groupBy(tag_col, date_col).agg(
+        F.count(F.lit(1)).alias(usage_name),
+        F.sum((F.col(date_col) == F.col("__first")).cast("long")).alias(new_name),
+    )
+
+
+def check_row_invariant(df: DataFrame, predicate, desc: str) -> None:
+    """Assert a per-row invariant (e.g. ``usage_count >= new_usage_count``,
+    ``requirements/...:141``); raise :class:`BalanceViolation` citing ``desc``."""
+    bad = df.filter(~predicate).limit(1).count()
+    if bad:
+        raise BalanceViolation(desc)
 
 
 class GrainViolation(RuntimeError):

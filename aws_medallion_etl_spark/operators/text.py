@@ -69,6 +69,41 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(norm)
 
 
+def quality_tag(
+    df,
+    text_col: Column | str,
+    min_tokens: int = 5,
+    word_len_range: tuple[float, float] = (2.0, 12.0),
+    max_stopword_ratio: float = 0.5,
+    max_punct_ratio: float = 0.3,
+    reason_col: str = "quality_reject_reason",
+):
+    """Tag each document with its FIRST failing quality rule (NULL = keep).
+
+    The text-family composition of the engine's P5 validation idiom: a
+    single CASE chain over the quality signals (token count, average
+    word length, stopword spam, punctuation density) — one shuffle-free
+    projection, so the filter runs at scan speed in front of any
+    training-data pipeline stage.
+    """
+    c = _c(text_col)
+    lo, hi = word_len_range
+    reason = (
+        F.when(token_count(c) < min_tokens, "too_short")
+        .when((avg_word_length(c) < lo) | (avg_word_length(c) > hi), "word_length")
+        .when(stopword_ratio(c) > max_stopword_ratio, "stopword_spam")
+        .when(punctuation_ratio(c) > max_punct_ratio, "punctuation")
+    )
+    return df.withColumn(reason_col, reason)
+
+
+def quality_filter(df, text_col: Column | str, **thresholds):
+    """Drop documents failing any quality threshold (see :func:`quality_tag`)."""
+    reason_col = thresholds.pop("reason_col", "quality_reject_reason")
+    tagged = quality_tag(df, text_col, reason_col=reason_col, **thresholds)
+    return tagged.filter(F.col(reason_col).isNull()).drop(reason_col)
+
+
 def language_id(
     col: Column | str,
     profiles: list[tuple[str, str]] | None = None,

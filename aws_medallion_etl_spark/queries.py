@@ -1417,6 +1417,87 @@ def sim_topk_lsh(spark, sf_dir):
 
 
 @query(
+    "fact_tag_usage_daily",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    firsts AS (
+        SELECT user_id, event_type, min(day) AS first_day
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS usage_count,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_usage_count
+    FROM pairs JOIN firsts USING (user_id, event_type)
+    GROUP BY event_type, day
+    """,
+)
+def fact_tag_usage_daily(spark, sf_dir):
+    """The reference's unshown gold fact: (tag, date) usage vs first-seen.
+
+    events stands in as the tagging stream (event_type = tag, user_id =
+    entity). The ``usage_count >= new_usage_count`` invariant
+    (``requirements/meta/meta_module_06_requirements.md:141``) is gated
+    in-query via ``check_row_invariant`` — the query fails loudly, not
+    silently, if the build ever breaks it.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id", F.to_date("ts").alias("day"))
+    )
+    out = facts.usage_with_first_seen(ev, "event_type", "user_id", "day")
+    facts.check_row_invariant(
+        out, F.col("usage_count") >= F.col("new_usage_count"),
+        "usage_count < new_usage_count in fact_tag_usage_daily",
+    )
+    return out
+
+
+# Thresholds chosen to split the synthetic docs non-trivially
+# (tokens 10-99, avg word len 3.7-5.3, stopword ratio 0-0.22).
+_TDF_PARAMS = dict(
+    min_tokens=25, word_len_range=(3.0, 5.0),
+    max_stopword_ratio=0.15, max_punct_ratio=0.3,
+)
+
+
+@query(
+    "t_document_filter",
+    r"""
+    WITH q AS (
+        SELECT len(string_split_regex(trim(text), '\s+')) AS n_tok,
+               round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 4) AS awl,
+               round(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 4) AS swr,
+               round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0
+                     / length(text), 4) AS pr
+        FROM documents
+    )
+    SELECT coalesce(CASE WHEN n_tok < 25 THEN 'too_short'
+                         WHEN awl < 3.0 OR awl > 5.0 THEN 'word_length'
+                         WHEN swr > 0.15 THEN 'stopword_spam'
+                         WHEN pr > 0.3 THEN 'punctuation'
+                    END, 'kept') AS reason,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM q GROUP BY 1
+    """,
+)
+def t_document_filter(spark, sf_dir):
+    """Composite document-quality filter: the text family as an actual
+    pipeline stage (first-match reject chain, P5-style), counted per
+    outcome so kept + every reject reason is oracle-checked."""
+    tagged = text.quality_tag(_t(spark, sf_dir, "documents"), "text", **_TDF_PARAMS)
+    return tagged.groupBy(
+        F.coalesce(F.col("quality_reject_reason"), F.lit("kept")).alias("reason")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
     "mm_binary_features",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -134,3 +134,33 @@ def test_broadcast_in_enrich_plan(spark):
     out = enrich.enrich_left(fact, dim, on="dim_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_usage_with_first_seen_invariant_and_values(spark):
+    rows = [
+        # (tag, entity, day): u1 first uses 'a' on d1, again d2; u2 joins d2
+        ("a", "u1", "2024-01-01"),
+        ("a", "u1", "2024-01-02"),
+        ("a", "u2", "2024-01-02"),
+        ("b", "u1", "2024-01-02"),
+    ]
+    df = spark.createDataFrame(rows, "tag string, entity string, day string")
+    out = facts.usage_with_first_seen(df, "tag", "entity", "day")
+    got = {(r.tag, r.day): (r.usage_count, r.new_usage_count) for r in out.collect()}
+    assert got == {
+        ("a", "2024-01-01"): (1, 1),
+        ("a", "2024-01-02"): (2, 1),  # u1 returning, u2 new
+        ("b", "2024-01-02"): (1, 1),
+    }
+    # invariant holds by construction
+    facts.check_row_invariant(
+        out, F.col("usage_count") >= F.col("new_usage_count"), "usage>=new"
+    )
+
+
+def test_check_row_invariant_raises(spark):
+    bad = spark.createDataFrame([(1, 2)], "usage_count int, new_usage_count int")
+    with pytest.raises(facts.BalanceViolation):
+        facts.check_row_invariant(
+            bad, F.col("usage_count") >= F.col("new_usage_count"), "usage>=new"
+        )

@@ -205,3 +205,30 @@ def test_text_functions(spark):
     b = spark.createDataFrame([(1, "the quick brown fox.")], "doc_id int, text string") \
         .select(text.fingerprint("text").alias("fp")).collect()
     assert a[0].fp == b[0].fp
+
+
+def test_quality_filter_composite(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a hat and a bat near the door"),
+            (2, "tiny doc"),                     # too_short
+            (3, "supercalifragilistic " * 20),   # word_length (long words)
+            (4, "the a of and to " * 10),        # stopword_spam
+        ],
+        "doc_id int, text string",
+    )
+    tagged = text.quality_tag(
+        docs, "text", min_tokens=5, word_len_range=(2.0, 8.0),
+        max_stopword_ratio=0.5, max_punct_ratio=0.3,
+    )
+    reasons = {r.doc_id: r.quality_reject_reason for r in tagged.collect()}
+    assert reasons[1] is None
+    assert reasons[2] == "too_short"
+    assert reasons[3] == "word_length"
+    assert reasons[4] == "stopword_spam"
+    kept = text.quality_filter(
+        docs, "text", min_tokens=5, word_len_range=(2.0, 8.0),
+        max_stopword_ratio=0.5, max_punct_ratio=0.3,
+    )
+    assert [r.doc_id for r in kept.collect()] == [1]
+    assert "quality_reject_reason" not in kept.columns
