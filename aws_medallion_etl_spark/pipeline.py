@@ -31,6 +31,48 @@ class GateFailure(RuntimeError):
     """An upstream layer report is missing or failed (C2 gate)."""
 
 
+# ---------------------------------------------------------------------------
+# C5 failure alerts — the reference publishes pipeline failures to an
+# SNS topic / Slack webhook (``Meta_Guideline.md:4330-4354``); here that
+# is a pluggable callback registry so any transport (webhook poster,
+# log shipper, the bundled JSON-lines file sink) can subscribe.
+# Callbacks receive (event, subject, payload) and MUST NOT be able to
+# mask the original pipeline error: callback exceptions are swallowed.
+# ---------------------------------------------------------------------------
+
+AlertCallback = Callable[[str, str, dict], None]
+_ALERT_CALLBACKS: list[AlertCallback] = []
+
+
+def register_alert_callback(fn: AlertCallback) -> AlertCallback:
+    """Subscribe ``fn(event, subject, payload)`` to pipeline failures."""
+    _ALERT_CALLBACKS.append(fn)
+    return fn
+
+
+def clear_alert_callbacks() -> None:
+    _ALERT_CALLBACKS.clear()
+
+
+def _fire_alerts(event: str, subject: str, payload: dict) -> None:
+    for fn in list(_ALERT_CALLBACKS):
+        try:
+            fn(event, subject, payload)
+        except Exception:  # noqa: BLE001 — alerting never masks the failure
+            pass
+
+
+def jsonl_alert_sink(path: str) -> AlertCallback:
+    """File-backed alert transport (local stand-in for the SNS topic)."""
+    import json
+
+    def _sink(event: str, subject: str, payload: dict) -> None:
+        with open(path, "a", encoding="utf-8") as f:
+            f.write(json.dumps({"event": event, "subject": subject, **payload}) + "\n")
+
+    return _sink
+
+
 @dataclass
 class TableSpec:
     """Per-table pipeline configuration.
@@ -57,8 +99,16 @@ def require_layer_ok(out_dir: str, layer: str, tables: list[str], run_date: str)
         try:
             report = io.read_json_report(f"{out_dir}/{layer}", t, run_date)
         except FileNotFoundError as e:
+            _fire_alerts(
+                "gate_failure", f"{layer}/{t}",
+                {"run_date": run_date, "error": "report missing"},
+            )
             raise GateFailure(f"{layer}/{t}: report missing for {run_date}") from e
         if report.get("status") != "ok":
+            _fire_alerts(
+                "gate_failure", f"{layer}/{t}",
+                {"run_date": run_date, "error": f"status={report.get('status')}"},
+            )
             raise GateFailure(f"{layer}/{t}: status={report.get('status')}")
 
 
@@ -94,6 +144,10 @@ def run_bronze_table(
     except validate.CircuitBreakerError as e:
         report = {"status": "failed", "layer": "bronze", "error": str(e)}
         io.write_json_report(report, base, spec.name, run_date)
+        _fire_alerts(
+            "circuit_breaker", f"bronze/{spec.name}",
+            {"run_date": run_date, "error": str(e)},
+        )
         raise
     finally:
         tagged.unpersist()

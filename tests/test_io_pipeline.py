@@ -292,3 +292,39 @@ print("CATALOG_OK")
 """)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "CATALOG_OK" in r2.stdout
+
+
+def test_alert_callbacks_fire_on_failures(spark, tmp_path):
+    """C5: circuit-breaker and gate failures publish to registered alert
+    sinks; a broken callback never masks the pipeline error."""
+    out = str(tmp_path / "lake4")
+    events = []
+    pipeline.clear_alert_callbacks()
+    pipeline.register_alert_callback(lambda e, s, p: events.append((e, s, p)))
+    pipeline.register_alert_callback(
+        lambda e, s, p: (_ for _ in ()).throw(RuntimeError("broken sink"))
+    )
+    sink_path = str(tmp_path / "alerts.jsonl")
+    pipeline.register_alert_callback(pipeline.jsonl_alert_sink(sink_path))
+    try:
+        bad = spark.createDataFrame(
+            [(1, -5.0)] * 9 + [(2, 10.0)], "o_orderkey int, o_totalprice double"
+        )
+        spec = pipeline.TableSpec(
+            name="orders",
+            rules=lambda: [validate.Rule("neg", F.col("o_totalprice") < 0)],
+        )
+        with pytest.raises(validate.CircuitBreakerError):
+            pipeline.run_bronze_table(spark, spec, bad, out, "2024-06-01")
+        with pytest.raises(pipeline.GateFailure):
+            pipeline.run_silver_table(spark, spec, out, "2024-06-01")
+    finally:
+        pipeline.clear_alert_callbacks()
+    kinds = [(e, s) for e, s, _ in events]
+    assert ("circuit_breaker", "bronze/orders") in kinds
+    assert ("gate_failure", "bronze/orders") in kinds
+    import json
+
+    lines = [json.loads(l) for l in open(sink_path)]
+    assert {l["event"] for l in lines} == {"circuit_breaker", "gate_failure"}
+    assert all(l["run_date"] == "2024-06-01" for l in lines)
