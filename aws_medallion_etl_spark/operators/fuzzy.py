@@ -370,3 +370,79 @@ def simhash_pairs(
         .where(ham <= max_hamming)
         .select("id_a", "id_b", ham.alias("hamming"))
     )
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: (id, cluster_id).
+
+    The "last mile" of dedup: pair lists (from any of the candidate
+    generators above) are transitive — A~B and B~C put A,B,C in ONE
+    duplicate group even if (A,C) was never emitted — so keep/drop
+    decisions need components, not pairs. ``cluster_id`` is the
+    smallest member id, a deterministic canonical representative.
+
+    Algorithm: hash-min label propagation with pointer jumping.
+    Each round every node takes the min label over itself and its
+    neighbors (one shuffle join + one partial-agg groupBy), then
+    labels are compressed by one pointer jump (comp <- comp(comp),
+    a self-join), giving O(log diameter) rounds instead of
+    O(diameter) — near-dup components are shallow, so this converges
+    in 2-4 rounds in practice. Per round the frame is
+    ``localCheckpoint``-ed: iterative joins otherwise stack lineage
+    until planning dominates. Convergence is detected by the sum of
+    labels (strictly decreasing until fixpoint) — one scalar action
+    per round, the sanctioned driver-side gate pattern.
+
+    At 100 TB this is the standard MapReduce-CC shape (hash-min of
+    Kiveris et al.); the frame being iterated is (node, label) —
+    proportional to the number of *docs in >=1 pair*, far smaller
+    than the corpus.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.select("id", "comp")
+            .union(neigh)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        ptr = new.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
+        jumped = (
+            new.join(ptr, new.comp == ptr.pid, "left")
+            .select(new.id, F.coalesce(ptr.pcomp, new.comp).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        s = jumped.agg(F.sum("comp")).collect()[0][0]
+        labels = jumped
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select("id", F.col("comp").alias("cluster_id"))
+
+
+def canonical_docs(
+    df: DataFrame, id_col: str, clusters: DataFrame
+) -> DataFrame:
+    """Attach cluster_id + is_canonical to every doc (singletons keep
+    themselves). Filter ``is_canonical`` to get the deduped corpus."""
+    c = clusters.select(F.col("id").alias("__cid"), "cluster_id")
+    return (
+        df.join(c, df[id_col] == F.col("__cid"), "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+        .drop("__cid")
+    )

@@ -1211,8 +1211,8 @@ def dedup_exact_docs(spark, sf_dir):
 # P(miss) ~ 2e-4 per true pair at s=0.8, i.e. recall 1.0 on test scales).
 # The CASE mirrors fuzzy.shingles' short-doc fallback: docs with < 3
 # tokens contribute their whole token string as a single shingle.
-_NGRAM_JACCARD_SQL = r"""
-    WITH words AS (
+_NGRAM_PAIR_CTES = r"""
+    words AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
     ),
     sh AS (
@@ -1230,12 +1230,37 @@ _NGRAM_JACCARD_SQL = r"""
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
     )
-    SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
+
+_NGRAM_JACCARD_SQL = f"WITH {_NGRAM_PAIR_CTES} SELECT id_a, id_b, jaccard FROM jpairs"
+
+# Transitive closure of the near-dup pairs (recursive CTE — fine at
+# oracle scale; the Spark side uses log-rounds label propagation).
+_DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM jpairs
+        UNION
+        SELECT id_b, id_a FROM jpairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
@@ -1250,6 +1275,26 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return fuzzy.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8,
         max_shingle_df=None,
+    )
+
+
+@query("dedup_clusters", _DEDUP_CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → canonical doc per cluster.
+
+    The keep/drop decision of a dedup pipeline: pair evidence is
+    transitive, so duplicate groups are graph components
+    (``fuzzy.cluster_pairs``, log-rounds hash-min propagation), and the
+    min-id member is kept. Oracle = recursive-CTE transitive closure
+    over the same exact-Jaccard pair set.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+    clusters = fuzzy.cluster_pairs(pairs)
+    return fuzzy.canonical_docs(docs.select("doc_id"), "doc_id", clusters).select(
+        "doc_id", "cluster_id", "is_canonical"
     )
 
 

@@ -232,3 +232,30 @@ def test_quality_filter_composite(spark):
     )
     assert [r.doc_id for r in kept.collect()] == [1]
     assert "quality_reject_reason" not in kept.columns
+
+
+def test_cluster_pairs_transitive_components(spark):
+    # chain 1-2-3 (1,3 never paired directly) + pair 10-11; 99 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.cluster_id for r in fuzzy.cluster_pairs(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id bigint"
+    )
+    out = fuzzy.canonical_docs(docs, "doc_id", fuzzy.cluster_pairs(pairs))
+    canon = sorted(r.doc_id for r in out.collect() if r.is_canonical)
+    assert canon == [1, 10, 99]  # one keeper per group, singleton kept
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    # path graph of 40 nodes: pointer jumping must converge well under
+    # max_iter (O(log n) rounds), all nodes labeled with the min id
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    out = fuzzy.cluster_pairs(pairs, max_iter=12).collect()
+    assert len(out) == 41
+    assert {r.cluster_id for r in out} == {0}
