@@ -93,3 +93,130 @@ def with_scalar_stats(df: DataFrame, stats: DataFrame) -> DataFrame:
     side makes this a free map-side operation at any scale.
     """
     return df.crossJoin(F.broadcast(stats))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance: Column | None = None,
+    prefix: str = "",
+) -> DataFrame:
+    """As-of join: each left row gets the nearest right row per key.
+
+    ``backward`` matches the latest right row with ``right_ts <=
+    left_ts`` (``<`` when ``strict``); ``forward`` the earliest with
+    ``>=`` / ``>``. ``tolerance`` (a Column interval / duration bound)
+    nulls matches further away than the bound. Right payload columns
+    come back with ``prefix``; the matched timestamp as
+    ``{prefix}{right_ts}``.
+
+    Spark has no ASOF JOIN; the naive emulation (range join + window
+    re-rank) shuffles candidate PAIRS. This one is the sort-based plan
+    a native implementation would pick: union both sides tagged, ONE
+    shuffle on the keys, then a running ``last(ignorenulls)`` (or
+    ``first`` for forward) over the union ordered by time carries the
+    most recent right payload onto each left row. State per window is
+    one struct — no pair blowup, no second shuffle, and ties at equal
+    timestamps are resolved by the side tag (right-before-left for
+    inclusive, after for strict), not at random.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    rs = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.struct(F.col(right_ts).alias("__mts"), *payload).alias("__r"),
+    )
+    # Tie-break tag: left rows sit at __ord=1; right rows sort before
+    # them (0) when the equal-timestamp match is allowed, after (2)
+    # when excluded by strict/forward-inclusive rules.
+    if direction == "backward":
+        right_ord = 2 if strict else 0
+    else:
+        right_ord = 0 if strict else 2
+    rtype = rs.schema["__r"].dataType
+    l = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__r", F.lit(None).cast(rtype)
+    ).withColumn("__ord", F.lit(1))
+    r = rs.withColumn("__ord", F.lit(right_ord))
+    for c in left.columns:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    cols = [*left.columns, "__t", "__ord", "__r"]
+    u = l.select(*cols).unionByName(r.select(*cols))
+
+    from pyspark.sql import Window
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__t", "__ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__t", "__ord")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = F.first("__r", ignorenulls=True).over(w)
+
+    out = u.withColumn("__m", matched).filter(F.col("__ord") == 1)
+    if tolerance is not None:
+        dist = (
+            F.col(f"__m.__mts") - F.col("__t")
+            if direction == "forward"
+            else F.col("__t") - F.col("__m.__mts")
+        )
+        out = out.withColumn(
+            "__m", F.when(dist <= tolerance, F.col("__m"))
+        )
+    proj = [
+        *left.columns,
+        F.col("__m.__mts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__m.{p}").alias(f"{prefix}{p}") for p in payload],
+    ]
+    return out.select(*proj)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_size: float | None = None,
+) -> DataFrame:
+    """Join left rows to right intervals with ``lo <= value < hi``.
+
+    Default path broadcasts the interval table: the range predicate
+    makes Spark pick BroadcastNestedLoopJoin, which is the RIGHT plan
+    when the interval table is dim-sized (each probe row scans a
+    broadcast array; no shuffle of the big side). For interval tables
+    too big to broadcast, pass ``bin_size``: both sides are blocked to
+    bins of that width (intervals explode to every bin they overlap),
+    turning the theta-join into a shuffled equi-join on the bin id +
+    residual filter — each (row, interval) pair meets in exactly one
+    bin, so no dedup is needed.
+    """
+    pred = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    if bin_size is None:
+        return left.join(F.broadcast(right), pred)
+    lb = left.withColumn("__bin", F.floor(F.col(value_col) / F.lit(bin_size)))
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_size)),
+                F.floor(F.col(hi_col) / F.lit(bin_size)),
+            )
+        ),
+    )
+    return lb.join(rb, "__bin").where(pred).drop("__bin")

@@ -397,6 +397,97 @@ def j7_scalar_stats_zscore(spark, sf_dir):
     )
 
 
+@query(
+    "j8_asof_prior_event",
+    """
+    WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+               max_by(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           c.cts AS prior_click_ts, c.click_value AS prior_click_value
+    FROM events e
+    ASOF LEFT JOIN clicks c
+        ON e.user_id = c.user_id AND CAST(e.ts AS TIMESTAMP) > c.cts
+    """,
+)
+def j8_asof_prior_event(spark, sf_dir):
+    """As-of join (extension): attribute each event to the user's most
+    recent STRICTLY-earlier click. Oracle is DuckDB's native ASOF JOIN;
+    the Spark side is the union + running-last plan in
+    ``enrich.asof_join`` (one shuffle, no candidate-pair blowup).
+    Right side is pre-deduped per (user, ts) so ties are deterministic.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+        .select("user_id", "cts", "click_value")
+    )
+    out = enrich.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="cts",
+        direction="backward",
+        strict=True,
+        prefix="prior_click_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("prior_click_cts").alias("prior_click_ts"),
+        F.col("prior_click_click_value").alias("prior_click_value"),
+    )
+
+
+@query(
+    "j9_range_join_price_bands",
+    """
+    WITH bands AS (
+        SELECT CAST(i AS BIGINT) AS band_id, i * 50000.0 AS lo,
+               (i + 1) * 50000.0 AS hi
+        FROM range(10) t(i)
+    )
+    SELECT band_id, lo, hi,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
+    FROM bands LEFT JOIN orders
+        ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY 1, 2, 3
+    """,
+)
+def j9_range_join_price_bands(spark, sf_dir):
+    """Range (interval) join: orders bucketed into price bands.
+
+    ``enrich.range_join`` broadcasts the 10-row interval table (BNLJ —
+    the right plan for dim-sized intervals; the binned equi-join path
+    is the scale lever, pinned equal by pytest).
+    """
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = enrich.range_join(orders, bands, "o_totalprice", "lo", "hi")
+    per_band = joined.groupBy("band_id", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return (
+        bands.join(per_band.drop("lo", "hi"), "band_id", "left")
+        .select(
+            "band_id", "lo", "hi",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("sum_price", F.lit(0.0)).alias("sum_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # A — aggregations
 # ---------------------------------------------------------------------------

@@ -164,3 +164,60 @@ def test_check_row_invariant_raises(spark):
         facts.check_row_invariant(
             bad, F.col("usage_count") >= F.col("new_usage_count"), "usage>=new"
         )
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [("u", 1, 10), ("u", 2, 20), ("u", 3, 30), ("v", 1, 40)],
+        "k string, t int, lv int",
+    )
+    right = spark.createDataFrame(
+        [("u", 1, 100.0), ("u", 3, 300.0), ("w", 2, 999.0)],
+        "k string, rt int, rv double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_inclusive_and_strict(spark):
+    left, right = _asof_frames(spark)
+    out = enrich.asof_join(left, right, ["k"], "t", "rt").collect()
+    got = {(r.k, r.t): (r.rt, r.rv) for r in out}
+    assert got == {
+        ("u", 1): (1, 100.0),   # inclusive: equal ts matches
+        ("u", 2): (1, 100.0),
+        ("u", 3): (3, 300.0),
+        ("v", 1): (None, None),  # no right rows for key
+    }
+    strict = enrich.asof_join(left, right, ["k"], "t", "rt", strict=True).collect()
+    got = {(r.k, r.t): r.rt for r in strict}
+    assert got[("u", 1)] is None    # strict: equal ts excluded
+    assert got[("u", 3)] == 1
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    left, right = _asof_frames(spark)
+    fwd = enrich.asof_join(left, right, ["k"], "t", "rt", direction="forward")
+    got = {(r.k, r.t): r.rt for r in fwd.collect()}
+    assert got == {("u", 1): 1, ("u", 2): 3, ("u", 3): 3, ("v", 1): None}
+    tol = enrich.asof_join(
+        left, right, ["k"], "t", "rt", tolerance=F.lit(1)
+    )
+    got = {(r.k, r.t): r.rt for r in tol.collect()}
+    assert got[("u", 2)] == 1       # distance 1 <= tolerance
+    assert got[("u", 3)] == 3
+    tol0 = enrich.asof_join(left, right, ["k"], "t", "rt", tolerance=F.lit(0))
+    got = {(r.k, r.t): r.rt for r in tol0.collect()}
+    assert got[("u", 2)] is None    # distance 1 > 0 nulled
+
+
+def test_range_join_binned_matches_broadcast(spark):
+    vals = spark.range(1000).select((F.col("id") * 7 % 997).alias("v"))
+    bands = spark.createDataFrame(
+        [(0, 0.0, 250.0), (1, 250.0, 500.0), (2, 500.0, 997.0)],
+        "band_id int, lo double, hi double",
+    )
+    a = enrich.range_join(vals, bands, "v", "lo", "hi")
+    b = enrich.range_join(vals, bands, "v", "lo", "hi", bin_size=100.0)
+    ra = sorted((r.v, r.band_id) for r in a.collect())
+    rb = sorted((r.v, r.band_id) for r in b.collect())
+    assert ra == rb and len(ra) == 1000
