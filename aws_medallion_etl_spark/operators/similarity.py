@@ -272,3 +272,155 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path
+# ---------------------------------------------------------------------------
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _assign_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id by cosine (vectors pre-normalized → max dot).
+
+    Centroids ship as constant-folded literals, so assignment is a
+    pure projection — NO shuffle, no join: each row evaluates
+    n_centroids codegen dot products. Ties break to the lowest id.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec, _lit_vec(c)).alias("s"), F.lit(-i).alias("ni")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return (-F.array_max(scored)["ni"]).cast("int")
+
+
+def _probe_centroids(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest centroid ids (descending score)."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec, _lit_vec(c)).alias("s"), F.lit(-i).alias("ni")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(top, lambda s: (-s["ni"]).cast("int"))
+
+
+def _normalize(vec: Column) -> Column:
+    n = l2_norm(vec)
+    return F.transform(vec, lambda x: x / n)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Spherical k-means centroids, fully deterministic.
+
+    Init = the ``n_centroids`` lowest-id vectors (no RNG → any run or
+    cluster reproduces the index). Each Lloyd round is ONE distributed
+    pass: literal-centroid assignment (projection, above) then the
+    per-dimension mean via posexplode → groupBy(cid, pos) — a narrow
+    (n_centroids x dim)-row aggregate regardless of corpus size.
+    Only (n_centroids x dim) floats ever reach the driver per round.
+    Empty clusters keep their previous centroid.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"), _normalize(as_double_vec(vec_col)).alias("__v")
+    )
+    cents = [
+        r["__v"]
+        for r in vecs.orderBy("__id").limit(n_centroids).collect()
+    ]
+    for _ in range(iters):
+        assigned = vecs.withColumn("__cid", _assign_centroid(F.col("__v"), cents))
+        dims = (
+            assigned.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
+            .groupBy("__cid", "__pos")
+            .agg(F.avg("__val").alias("__m"))
+        )
+        rows = (
+            dims.groupBy("__cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm")
+            )
+            .select("__cid", F.transform("__pm", lambda s: s["__m"]).alias("__mean"))
+            .collect()
+        )
+        new = list(cents)
+        for r in rows:
+            m = r["__mean"]
+            norm = sum(x * x for x in m) ** 0.5
+            if norm > 0:
+                new[r["__cid"]] = [x / norm for x in m]
+        cents = new
+    return cents
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 8,
+    iters: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN: corpus partitioned by nearest centroid, queries probe
+    only their ``nprobe`` closest cells.
+
+    The inverted-file shape at 100 TB: the corpus is written
+    partitioned/bucketed by ``__cid`` once, so a query batch reads
+    only ``nprobe / n_centroids`` of the data (partition pruning on
+    the probe join), and scoring happens per cell. Candidates per
+    (query, neighbor) pair are unique by construction — a corpus row
+    lives in exactly ONE cell — so no dedup stage is needed (unlike
+    OR-amplified LSH). ``nprobe = n_centroids`` degrades gracefully to
+    exact search through the same plumbing; recall at lower nprobe is
+    pinned by pytest.
+    """
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
+        )
+        .withColumn("__cn", l2_norm(F.col("__cv")))
+        .withColumn(
+            "__cid", _assign_centroid(_normalize(F.col("__cv")), cents)
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+        )
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+        .withColumn(
+            "__cid",
+            F.explode(_probe_centroids(_normalize(F.col("__qv")), cents, nprobe)),
+        )
+    )
+    pairs = c.join(F.broadcast(q), "__cid")
+    if exclude_self:
+        pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )

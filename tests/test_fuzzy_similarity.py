@@ -259,3 +259,35 @@ def test_cluster_pairs_long_chain_converges(spark):
     out = fuzzy.cluster_pairs(pairs, max_iter=12).collect()
     assert len(out) == 41
     assert {r.cluster_id for r in out} == {0}
+
+
+def test_ivf_topk_recall_and_exact_at_full_probe(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id % 250 = 0")
+    exact = set(
+        map(tuple, similarity.cosine_topk_bruteforce(emb, q, "vec_id", "embedding", k=5)
+            .select("query_id", "neighbor_id").collect())
+    )
+    # nprobe = n_centroids: same plumbing, provably exhaustive -> exact
+    full = set(
+        map(tuple, similarity.cosine_topk_ivf(
+            emb, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=8)
+            .select("query_id", "neighbor_id").collect())
+    )
+    assert full == exact
+    # aggressive pruning keeps most neighbors (floor, not exact)
+    pruned = set(
+        map(tuple, similarity.cosine_topk_ivf(
+            emb, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=2)
+            .select("query_id", "neighbor_id").collect())
+    )
+    assert len(pruned & exact) / len(exact) >= 0.6
+
+
+def test_kmeans_centroids_deterministic_and_normalized(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.kmeans_centroids(emb, "vec_id", "embedding", 4, iters=2)
+    b = similarity.kmeans_centroids(emb, "vec_id", "embedding", 4, iters=2)
+    assert a == b
+    for c in a:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
