@@ -115,3 +115,49 @@ def rank_rows(
     """
     w = Window.orderBy(*order_by)
     return df.withColumn(rank_name, F.row_number().over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Batch sessionization: number gap-delimited sessions per key.
+
+    The classic two-window composition — ``lag`` flags rows starting a
+    new session (gap to the previous event exceeds ``gap_seconds``),
+    then a running ``sum`` of the flags numbers sessions 1..n within
+    the key. Both windows share ONE partitioning (the key), so the
+    whole operator costs a single shuffle + sort regardless of data
+    size; session state never materializes beyond the two longs per
+    row. ``order_tiebreak`` columns make equal-timestamp ordering
+    deterministic. (The streaming analogue with watermarked state is
+    ``streaming.sessionize``.)
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in (order_tiebreak or [])]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    new_sess = F.when(
+        prev.isNull() | (gap > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_idx", F.sum(new_sess).over(running))
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Sessions rolled up to one row each: bounds + event count."""
+    s = sessionize(df, key_cols, ts_col, gap_seconds, order_tiebreak)
+    return s.groupBy(*key_cols, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )

@@ -789,6 +789,106 @@ def w6_trailing_average(spark, sf_dir):
 
 
 @query(
+    "w8_sessionize",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flags AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flags
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def w8_sessionize(spark, sf_dir):
+    """Batch sessionization (extension): 30-minute-gap sessions per user,
+    rolled up to session bounds + event counts. One shuffle total —
+    the lag flag, the running session number, and the rollup all share
+    the user_id partitioning."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return kpi.session_stats(
+        ev, ["user_id"], "ts", gap_seconds=1800, order_tiebreak=["event_id"]
+    ).select("user_id", "session_idx", "n_events", "session_start", "session_end")
+
+
+@query(
+    "a10_rollup_status_year",
+    """
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(grouping(o_orderstatus) * 2 + grouping(year(o_orderdate)) AS BIGINT)
+               AS grouping_level
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, year(o_orderdate))
+    """,
+)
+def a10_rollup_status_year(spark, sf_dir):
+    """ROLLUP hierarchy totals: (status, year) → (status) → grand total
+    in ONE pass. Spark plans rollup as a single expanded aggregate —
+    map-side partial aggregation still applies, so the extra grouping
+    sets cost one Expand, not extra scans. grouping_level
+    disambiguates NULLs from subtotal rows vs data NULLs."""
+    orders = _t(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    return (
+        orders.rollup(F.col("o_orderstatus"), year.alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("grouping_level"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("order_year").cast("int").alias("order_year"),
+            "n_orders", "revenue", "grouping_level",
+        )
+    )
+
+
+@query(
+    "a11_pivot_status_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_pending
+    FROM orders GROUP BY 1
+    """,
+)
+def a11_pivot_status_by_year(spark, sf_dir):
+    """Pivot (long → wide): order counts per year by status. Explicit
+    pivot values keep it ONE aggregate pass (no extra distinct-values
+    job) — always list the values when the domain is known."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+@query(
     "o2_rank_multikey",
     """
     SELECT p_partkey, p_retailprice,

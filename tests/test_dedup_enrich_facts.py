@@ -221,3 +221,24 @@ def test_range_join_binned_matches_broadcast(spark):
     ra = sorted((r.v, r.band_id) for r in a.collect())
     rb = sorted((r.v, r.band_id) for r in b.collect())
     assert ra == rb and len(ra) == 1000
+
+
+def test_sessionize_gap_numbering(spark):
+    from aws_medallion_etl_spark.operators import kpi
+
+    rows = [
+        ("u", 1, "2024-01-01 10:00:00"),
+        ("u", 2, "2024-01-01 10:10:00"),   # same session (10 min gap)
+        ("u", 3, "2024-01-01 11:30:00"),   # new session (80 min gap)
+        ("v", 4, "2024-01-01 10:00:00"),   # other key, own numbering
+    ]
+    df = spark.createDataFrame(rows, "k string, eid int, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = kpi.sessionize(df, ["k"], "ts", gap_seconds=1800, order_tiebreak=["eid"])
+    got = {r.eid: r.session_idx for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    stats = kpi.session_stats(df, ["k"], "ts", 1800, ["eid"]).collect()
+    s = {(r.k, r.session_idx): r.n_events for r in stats}
+    assert s == {("u", 1): 2, ("u", 2): 1, ("v", 1): 1}
