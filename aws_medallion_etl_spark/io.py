@@ -240,3 +240,39 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     """S12: the interactive SQL endpoint — one engine serves the
     Glue-job AND Athena roles of the reference."""
     return spark.sql(query)
+
+
+def publish_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """S11: warehouse publish over JDBC (the reference's Redshift
+    DDL→COPY manager, ``boto3_deployment/managers/redshift_manager.py:
+    76-348``, re-expressed as Spark's parallel JDBC writer).
+
+    Each partition opens one connection and writes ``batchsize``-row
+    batches; cap the fan-in with ``num_partitions`` so a 1000-executor
+    write doesn't open 1000 warehouse connections. Requires the
+    target's JDBC driver jar on the classpath — absent in this
+    sandbox (verified: only hive-jdbc ships with pyspark, and there is
+    no warehouse endpoint to connect to), so this path is covered by
+    the persistent-catalog publish (``register_layer(persistent=
+    True)``) instead; see SCALING.md.
+    """
+    writer = df
+    if num_partitions is not None:
+        writer = df.coalesce(num_partitions)
+    (
+        writer.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchsize)
+        .options(**(properties or {}))
+        .mode(mode)
+        .save()
+    )
