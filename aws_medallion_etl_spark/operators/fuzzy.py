@@ -404,7 +404,12 @@ def cluster_pairs(
     than the corpus.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Checkpoint the symmetric edge list ONCE: every propagation round
+    # joins against it, and without this each round would re-run the
+    # (potentially expensive) pair-generation lineage feeding `pairs`.
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)

@@ -278,40 +278,45 @@ def cosine_topk_lsh(
 # IVF (inverted-file) ANN — the centroid-partitioned scale path
 # ---------------------------------------------------------------------------
 
-def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+def _assign_centroid(centroids: list[list[float]]):
+    """Pandas UDF: nearest-centroid id by cosine (max dot against
+    normalized centroids — query-side normalization drops out of the
+    argmax, so raw vectors are fine).
 
-
-def _assign_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id by cosine (vectors pre-normalized → max dot).
-
-    Centroids ship as constant-folded literals, so assignment is a
-    pure projection — NO shuffle, no join: each row evaluates
-    n_centroids codegen dot products. Ties break to the lowest id.
+    Assignment is a pure projection — NO shuffle, no join. Like the
+    LSH ``_bucket_udf``, this is the sanctioned dense-math case: one
+    (batch x dim) @ (dim x k) BLAS multiply per Arrow batch. (A
+    literal-centroid codegen expression works too but pays seconds of
+    codegen compilation per distinct centroid set at dim 64 — measured
+    slower end-to-end than Arrow transfer.) Ties break to the lowest
+    centroid id (``argmax`` returns the first maximum).
     """
-    scored = F.array(
-        *[
-            F.struct(
-                dot(vec, _lit_vec(c)).alias("s"), F.lit(-i).alias("ni")
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return (-F.array_max(scored)["ni"]).cast("int")
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64).T  # dim x k
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(m @ C, axis=1).astype(np.int32))
+
+    return assign
 
 
-def _probe_centroids(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
-    """Array of the nprobe nearest centroid ids (descending score)."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(vec, _lit_vec(c)).alias("s"), F.lit(-i).alias("ni")
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
-    return F.transform(top, lambda s: (-s["ni"]).cast("int"))
+def _probe_centroids(centroids: list[list[float]], nprobe: int):
+    """Pandas UDF: the ``nprobe`` nearest centroid ids, score-descending,
+    ties to the lowest id (stable argsort)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64).T
+
+    @pandas_udf("array<int>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        idx = np.argsort(-(m @ C), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32) for row in idx])
+
+    return probe
 
 
 def _normalize(vec: Column) -> Column:
@@ -336,35 +341,41 @@ def kmeans_centroids(
     Only (n_centroids x dim) floats ever reach the driver per round.
     Empty clusters keep their previous centroid.
     """
+    # Persist the normalized vectors: every Lloyd round (and the init
+    # collect) scans them; without this each action re-reads + re-normalizes
+    # the source.
     vecs = corpus.select(
         F.col(id_col).alias("__id"), _normalize(as_double_vec(vec_col)).alias("__v")
-    )
-    cents = [
-        r["__v"]
-        for r in vecs.orderBy("__id").limit(n_centroids).collect()
-    ]
-    for _ in range(iters):
-        assigned = vecs.withColumn("__cid", _assign_centroid(F.col("__v"), cents))
-        dims = (
-            assigned.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
-            .groupBy("__cid", "__pos")
-            .agg(F.avg("__val").alias("__m"))
-        )
-        rows = (
-            dims.groupBy("__cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm")
+    ).persist()
+    try:
+        cents = [
+            r["__v"]
+            for r in vecs.orderBy("__id").limit(n_centroids).collect()
+        ]
+        for _ in range(iters):
+            assigned = vecs.withColumn("__cid", _assign_centroid(cents)(F.col("__v")))
+            dims = (
+                assigned.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
+                .groupBy("__cid", "__pos")
+                .agg(F.avg("__val").alias("__m"))
             )
-            .select("__cid", F.transform("__pm", lambda s: s["__m"]).alias("__mean"))
-            .collect()
-        )
-        new = list(cents)
-        for r in rows:
-            m = r["__mean"]
-            norm = sum(x * x for x in m) ** 0.5
-            if norm > 0:
-                new[r["__cid"]] = [x / norm for x in m]
-        cents = new
+            rows = (
+                dims.groupBy("__cid")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm")
+                )
+                .select("__cid", F.transform("__pm", lambda s: s["__m"]).alias("__mean"))
+                .collect()
+            )
+            new = list(cents)
+            for r in rows:
+                m = r["__mean"]
+                norm = sum(x * x for x in m) ** 0.5
+                if norm > 0:
+                    new[r["__cid"]] = [x / norm for x in m]
+            cents = new
+    finally:
+        vecs.unpersist()
     return cents
 
 
@@ -399,7 +410,7 @@ def cosine_topk_ivf(
         )
         .withColumn("__cn", l2_norm(F.col("__cv")))
         .withColumn(
-            "__cid", _assign_centroid(_normalize(F.col("__cv")), cents)
+            "__cid", _assign_centroid(cents)(F.col("__cv"))
         )
     )
     q = (
@@ -409,7 +420,7 @@ def cosine_topk_ivf(
         .withColumn("__qn", l2_norm(F.col("__qv")))
         .withColumn(
             "__cid",
-            F.explode(_probe_centroids(_normalize(F.col("__qv")), cents, nprobe)),
+            F.explode(_probe_centroids(cents, nprobe)(F.col("__qv"))),
         )
     )
     pairs = c.join(F.broadcast(q), "__cid")

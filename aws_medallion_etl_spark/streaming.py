@@ -25,9 +25,11 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType, DoubleType
 
 
 def stream_from_directory(
@@ -149,3 +151,43 @@ def to_memory_sink(
     )
     q.awaitTermination()
     return q
+
+
+def running_totals(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum) across
+    micro-batches via ``applyInPandasWithState``.
+
+    The escape hatch for stateful semantics the built-in streaming
+    aggregations can't express (here the simplest possible instance so
+    the harness itself is the point): state is an explicit typed
+    tuple, updated once per key per micro-batch from Arrow batches,
+    and each batch EMITS the refreshed running totals (update mode).
+    State size is O(distinct keys) and independent of throughput;
+    pair with a timeout (``GroupStateTimeout.ProcessingTimeTimeout``)
+    to evict idle keys on unbounded key spaces at 100 TB/day.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [df.schema[k] for k in key_cols]
+        + [StructField("n_events", LongType()), StructField("total_value", DoubleType())]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("t", DoubleType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        n, t = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            t += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, t))
+        yield pd.DataFrame(
+            [[*key, n, t]], columns=[*key_cols, "n_events", "total_value"]
+        )
+
+    return df.groupBy(*[F.col(k) for k in key_cols]).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -111,3 +111,31 @@ def test_foreach_batch_to_partitioned_sink(spark, event_dir, tmp_path):
     stream2 = streaming.stream_from_directory(spark, path, schema)
     streaming.run_available_now(stream2, write_batch, ckpt)
     assert spark.read.parquet(out).count() == 6
+
+
+def test_running_totals_state_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches and the
+    final emission per key equals the batch aggregate."""
+    path = str(tmp_path / "vals_in")
+    schema = "k string, v double"
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [("a", 4.0), ("b", 5.0)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = streaming.stream_from_directory(
+        spark, path, spark.read.parquet(path).schema, max_files_per_trigger=1
+    )
+    out = streaming.running_totals(stream, ["k"], "v")
+    streaming.to_memory_sink(out, "rt_sink", output_mode="update")
+    rows = spark.sql("SELECT * FROM rt_sink").collect()
+
+    # multiple emissions per key prove state persisted across batches
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.k, []).append((r.n_events, r.total_value))
+    assert any(len(v) > 1 for v in per_key.values())
+    finals = {k: max(v) for k, v in per_key.items()}  # running => max is last
+    assert finals == {"a": (3, 7.0), "b": (2, 15.0)}
