@@ -861,6 +861,29 @@ def a10_rollup_status_year(spark, sf_dir):
 
 
 @query(
+    "a12_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 2) AS p90
+    FROM orders GROUP BY 1
+    """,
+)
+def a12_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (one sort-based
+    aggregate). The scale path is ``percentile_approx`` (mergeable
+    KLL-style sketch, no per-group sort buffer) — its error bound vs
+    this exact result is pinned by pytest."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.90)), 2).alias("p90"),
+    )
+
+
+@query(
     "a11_pivot_status_by_year",
     """
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,

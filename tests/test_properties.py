@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): operators whose semantics have a
+trivially-correct driver-side reference implementation are checked
+against it on randomized small inputs — edge cases (ties, empty keys,
+single rows, gap boundaries) that hand-written examples miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark.operators import enrich, kpi
+
+KEYS = st.sampled_from(["a", "b"])
+TS = st.integers(min_value=0, max_value=40)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def asof_case(draw):
+    left = draw(st.lists(st.tuples(KEYS, TS), min_size=1, max_size=10))
+    # unique (key, ts) on the right: tie order among equal right rows is
+    # out of contract (callers pre-dedup, as the j8 query does)
+    right = sorted(draw(st.sets(st.tuples(KEYS, TS), min_size=0, max_size=10)))
+    return left, right
+
+
+def _naive_asof(left, right, strict):
+    out = []
+    for k, t in left:
+        cands = [rt for rk, rt in right if rk == k and (rt < t if strict else rt <= t)]
+        out.append((k, t, max(cands) if cands else None))
+    return sorted(out, key=repr)
+
+
+@given(case=asof_case(), strict=st.booleans())
+@settings(**SETTINGS)
+def test_asof_backward_matches_naive(spark, case, strict):
+    left, right = case
+    ldf = spark.createDataFrame(left, "k string, t long")
+    rdf = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in right] or [("zzz", 0, 0.0)],
+        "k string, rt long, rv double",
+    )
+    got = enrich.asof_join(ldf, rdf, ["k"], "t", "rt", strict=strict).collect()
+    assert sorted(((r.k, r.t, r.rt) for r in got), key=repr) == _naive_asof(
+        left, right, strict
+    )
+
+
+@st.composite
+def session_case(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    rows = [
+        (draw(KEYS), i, draw(TS))  # unique eid as tie-break
+        for i in range(n)
+    ]
+    gap = draw(st.integers(min_value=1, max_value=10))
+    return rows, gap
+
+
+def _naive_sessions(rows, gap):
+    out = {}
+    bykey: dict = {}
+    for k, eid, t in rows:
+        bykey.setdefault(k, []).append((t, eid))
+    for k, evs in bykey.items():
+        evs.sort()
+        idx = 0
+        prev = None
+        for t, eid in evs:
+            if prev is None or t - prev > gap:
+                idx += 1
+            out[eid] = (k, idx)
+            prev = t
+    return out
+
+
+@given(case=session_case())
+@settings(**SETTINGS)
+def test_sessionize_matches_naive(spark, case):
+    rows, gap = case
+    df = spark.createDataFrame(rows, "k string, eid int, t long").withColumn(
+        "ts", F.timestamp_seconds("t")
+    )
+    got = kpi.sessionize(df, ["k"], "ts", gap_seconds=gap, order_tiebreak=["eid"])
+    assert {
+        r.eid: (r.k, r.session_idx) for r in got.collect()
+    } == _naive_sessions(rows, gap)
+
+
+def test_percentile_approx_error_bound(spark):
+    """The percentile_approx scale path stays within its accuracy
+    contract of the exact interpolated percentile (a12's oracle)."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    both = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("approx"),
+    )
+    for r in both.collect():
+        assert abs(r.approx - r.exact) / r.exact < 0.02
