@@ -1797,3 +1797,188 @@ def mm_binary_features(spark, sf_dir):
             F.count_distinct("sha256").alias("n_unique_payloads"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E2E medallion + IO round-trips — oracle proof for the control-flow and
+# sink operators (C2-C4, S1, S4/S5) that previously had pytest-only pins.
+# Each query routes data through REAL writes (tmp dirs keyed on sf_dir so
+# re-runs overwrite rather than accumulate) and returns the read-back
+# result, so the oracle compares the full write -> read -> aggregate path.
+# ---------------------------------------------------------------------------
+
+def _scratch(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch dir under the system tmp."""
+    import hashlib
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/mdl_{tag}_{h}"
+
+
+def e2e_rules() -> list[validate.Rule]:
+    # Milder than lineitem_rules(): combined reject rate ~8.6% at
+    # sf0.01, under the 10% circuit breaker — the gate is exercised
+    # but does not fire (C1 firing is pinned by pytest instead).
+    return [
+        validate.Rule("bulk_quantity", F.col("l_quantity") > 48),
+        validate.Rule("excessive_discount", F.col("l_discount") > 0.09),
+    ]
+
+
+_E2E_SQL = f"""
+    WITH valid AS (
+        SELECT * FROM lineitem
+        WHERE NOT (l_quantity > 48 OR l_discount > 0.09)
+    ), silver AS (
+        SELECT * FROM valid
+        QUALIFY row_number() OVER (
+            PARTITION BY l_orderkey
+            ORDER BY l_shipdate DESC, l_quantity DESC, l_extendedprice DESC,
+                     l_partkey DESC, l_suppkey DESC, l_linenumber DESC,
+                     l_discount DESC, l_tax DESC, l_returnflag DESC,
+                     l_linestatus DESC
+        ) = 1
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(s.l_extendedprice * (1 - s.l_discount)), 2) AS revenue
+    FROM silver s
+    JOIN orders o ON s.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+"""
+
+
+def _e2e_gold_builder(spark, out_dir, run_date):
+    from aws_medallion_etl_spark import io as eio
+
+    rd = F.col("run_date") == run_date
+    s = eio.read_parquet(spark, f"{out_dir}/silver/lineitem").where(rd)
+    o = eio.read_parquet(spark, f"{out_dir}/silver/orders").where(rd)
+    c = eio.read_parquet(spark, f"{out_dir}/silver/customer").where(rd)
+    return (
+        s.join(o, s.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query("e2e_medallion_gold", _E2E_SQL)
+def e2e_medallion_gold(spark, sf_dir):
+    """The whole medallion flow as ONE oracle-checked query (C2-C4).
+
+    ``run_pipeline`` drives bronze (validate + circuit-break + reject
+    quarantine) -> silver (gated on bronze reports, NK dedup
+    keep-newest) -> gold (gated on silver, star join + segment
+    rollup), with every layer physically written to parquet and read
+    back through the layer gates — so the oracle SQL is checking the
+    composed report/gate/write/read machinery, not just the
+    transformations (reference master flow ``Meta_Guideline.md:
+    2145-2184``; acceptance ``requirements/...:27-40``).
+    """
+    from aws_medallion_etl_spark import io as eio
+    from aws_medallion_etl_spark import pipeline
+
+    # The driver harness builds its own session: re-assert dynamic
+    # partition overwrite (our session factory default) so gold
+    # re-runs replace only their run_date.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = _scratch("e2e", sf_dir)
+    run_date = "2024-06-01"
+    specs = {
+        "lineitem": pipeline.TableSpec(
+            "lineitem", rules=e2e_rules, nk=["l_orderkey"], dedup_order=_W1_ORDER
+        ),
+        "orders": pipeline.TableSpec("orders", nk=["o_orderkey"]),
+        "customer": pipeline.TableSpec("customer", nk=["c_custkey"]),
+    }
+    sources = {name: _t(spark, sf_dir, name) for name in specs}
+    pipeline.run_pipeline(
+        spark, sources, specs, {"fact_segment_revenue": _e2e_gold_builder},
+        out, run_date,
+    )
+    gold = eio.read_parquet(spark, f"{out}/gold/fact_segment_revenue")
+    return gold.where(F.col("run_date") == run_date).select(
+        "segment", "n_items", "revenue"
+    )
+
+
+_S1_SQL = """
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+    FROM nation GROUP BY n_regionkey
+"""
+
+
+@query("s1_csv_roundtrip", _S1_SQL)
+def s1_csv_roundtrip(spark, sf_dir):
+    """S1 proven by oracle: parquet -> CSV sink -> schema-enforced CSV
+    scan (``io.read_csv_contract``, never inferSchema) -> aggregate.
+
+    A wrong delimiter/quote/escape/schema contract shows up as a
+    count or length drift against the oracle running on the original
+    parquet (reference CSV contract ``Meta_Guideline.md:885-898``).
+    """
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from aws_medallion_etl_spark import io as eio
+
+    path = _scratch("s1csv", sf_dir)
+    _t(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    back = eio.read_csv_contract(spark, path, schema)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum(F.length("n_name")).alias("name_chars"),
+    )
+
+
+_S45_SQL = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("s45_sink_roundtrip", _S45_SQL)
+def s45_sink_roundtrip(spark, sf_dir):
+    """S4/S5 proven by oracle: partitioned snappy sink, then a second
+    dynamic-overwrite write of ONE partition from the same source
+    (the idempotent re-run), then read-back + aggregate.
+
+    If overwrite were static the second write would drop the other
+    partitions and the counts would collapse to one status — the
+    oracle on the original table catches exactly that failure mode
+    (``requirements/...:40``, ``:143``).
+    """
+    from aws_medallion_etl_spark import io as eio
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    path = _scratch("s45", sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    eio.write_parquet(orders, path, partition_by=["o_orderstatus"])
+    eio.write_parquet(
+        orders.where(F.col("o_orderstatus") == "F"),
+        path,
+        partition_by=["o_orderstatus"],
+    )
+    back = eio.read_parquet(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
