@@ -1,0 +1,247 @@
+"""Training-corpus curation operators.
+
+Beyond-reference extensions for large-scale LLM-data pipelines: the
+steps between "deduped documents" and "training shards" — reproducible
+train/val/test splits, token-budget sequence packing, TF-IDF term
+scoring, vocabulary extraction, PII redaction, and picking one
+representative document per near-duplicate cluster.
+
+Design for 100 TB:
+
+* Everything here is pure column expressions or hash aggregates — no
+  Python UDFs, no driver-side loops, no windows over a single global
+  partition except where explicitly documented (``pack_sequences``,
+  whose global packing order is the operator's CONTRACT; the sharded
+  variant is the scale path).
+* ``hash_split`` is stateless and idempotent: membership is a pure
+  function of (id, seed), so re-runs, backfills, and late-arriving
+  shards land in the same split without coordination — the property
+  that matters when 1000 executors split a corpus nobody can sort.
+* TF-IDF / vocabulary are explode → hash-aggregate pipelines: the
+  shuffle carries (term, partial count) pairs after map-side combine,
+  not token streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Reproducible splits
+# ---------------------------------------------------------------------------
+
+def split_bucket(id_col: Column | str, seed: str = "split", buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, buckets) from an id and a seed string.
+
+    Portable md5 construction (first 8 hex chars → int) rather than
+    ``xxhash64`` so any engine — including the DuckDB oracle — can
+    reproduce membership bit-for-bit. One md5 per row is noise next
+    to the scan; at 100 TB the win is that NO engine-specific state
+    (and no RNG) is involved: the split of a document is a fact about
+    the document, computable anywhere, forever.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.concat(c.cast("string"), F.lit(":" + seed))
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hashed id (idempotent).
+
+    ``weights`` maps split name → fraction (must sum to ~1.0); dict
+    order defines the bucket ranges, so the same (weights, seed)
+    always yields the same membership.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1.0, got {total}")
+    bucket = split_bucket(id_col, seed)
+    expr: Column | None = None
+    hi = 0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += int(round(weights[name] * 10_000))
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, last)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    out_col: str = "bin_id",
+) -> DataFrame:
+    """Sequential token-budget packing: docs (ordered by ``id_col``)
+    fill fixed-budget bins; a doc's bin is determined by the tokens
+    consumed BEFORE it (``floor(cum_before / budget)``).
+
+    Semantics note: a doc that straddles a budget boundary stays in
+    the earlier bin (bins may exceed ``budget`` by at most one doc's
+    tokens) — the cumulative-quotient contract, chosen because it is
+    a pure window expression on BOTH the engine and any SQL oracle.
+    Exact close-the-bin greedy packing needs a sequential scan; do
+    that per-shard (group by a partition key, pack within) when bins
+    must hard-cap, never globally.
+
+    The single unpartitioned window makes the GLOBAL order the
+    contract; at 100 TB pack per shard: ``Window.partitionBy(shard)``
+    turns the same expression into a parallel per-shard pack.
+    """
+    w = Window.orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return df.withColumn(out_col, F.floor(cum_before / F.lit(budget)))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / vocabulary
+# ---------------------------------------------------------------------------
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text (no empties)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf): per-document term counts via explode + hash agg."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf(
+    df: DataFrame, id_col: str, text_col: str, ndigits: int = 4
+) -> DataFrame:
+    """(id, term, tf, tfidf): classic tf * ln(N / df) weighting.
+
+    Two hash aggregates (per-doc tf, per-term df) joined on term; the
+    document-frequency side aggregates to |vocab| rows and is
+    broadcast when small. N is a scalar broadcast join, not a
+    ``collect`` — the plan stays fully distributed.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("__df")), ndigits),
+        )
+        .drop("__n", "__df")
+    )
+
+
+def top_terms(
+    tfidf_df: DataFrame, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (score desc, term asc tiebreak)."""
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tfidf_df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def vocabulary(
+    df: DataFrame, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """(term, n_docs, n_occurrences): corpus vocabulary with counts.
+
+    One explode + one hash aggregate; map-side combine means the
+    shuffle carries (term, partial) not the token stream. At 100 TB
+    add a frequency floor (``min_count``) BEFORE any downstream join.
+    """
+    t = df.select(F.explode(tokens(text_col)).alias("term"), F.lit(1).alias("__one"))
+    out = t.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return out.where(F.col("n_occurrences") >= min_count)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB oracle): no lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+def redact_pii(
+    col: Column | str,
+    email_token: str = "[EMAIL]",
+    phone_token: str = "[PHONE]",
+) -> Column:
+    """Replace email addresses and phone-like digit runs with tokens.
+
+    Order matters: emails first (their local parts can contain digit
+    runs a phone pattern would shred). Pure ``regexp_replace`` —
+    codegen'd, no UDF; at 100 TB this is a free rider on the scan.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, email_token)
+    return F.regexp_replace(out, PHONE_RE, phone_token)
+
+
+# ---------------------------------------------------------------------------
+# Cluster representatives
+# ---------------------------------------------------------------------------
+
+def cluster_representatives(
+    docs: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    quality_col: str,
+) -> DataFrame:
+    """One representative doc per duplicate cluster: highest
+    ``quality_col``, smallest id on ties.
+
+    The keep/drop step after connected components — instead of
+    blindly keeping the min-id member (``canonical_docs``), keep the
+    BEST member. ``max_by`` over (quality, -id) gives map-side
+    partial aggregation: the shuffle carries one candidate per
+    (partition × cluster).
+    """
+    c = clusters.select(F.col("id").alias("__cid"), "cluster_id")
+    tagged = (
+        docs.join(c, docs[id_col] == F.col("__cid"), "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .drop("__cid")
+    )
+    pick = F.max_by(
+        F.col(id_col), F.struct(F.col(quality_col), -F.col(id_col))
+    ).alias("representative_id")
+    return tagged.groupBy("cluster_id").agg(
+        pick,
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(quality_col).alias("best_quality"),
+    )

@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_medallion_etl_spark.operators import clean, dedup, dims, enrich, facts
+from aws_medallion_etl_spark.operators import clean, corpus, dedup, dims, enrich, facts
 from aws_medallion_etl_spark.operators import fuzzy, kpi, multimodal, scd, similarity, text, validate
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1981,4 +1981,303 @@ def s45_sink_roundtrip(spark, sf_dir):
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation — reproducible splits, packing, TF-IDF, vocabulary,
+# PII redaction, cluster representatives (operators/corpus.py). All
+# oracle-checked; the md5 split + whitespace tokenization are chosen
+# specifically to be reproducible on ANY engine.
+# ---------------------------------------------------------------------------
+
+_TOKENLEN_SQL = r"len(string_split_regex(trim(text), '\s+'))"
+
+
+@query(
+    "corpus_hash_split",
+    """
+    WITH b AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+                    AS BIGINT) % 10000 AS bkt
+        FROM documents
+    )
+    SELECT CASE WHEN bkt < 9000 THEN 'train'
+                WHEN bkt < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1
+    """,
+)
+def corpus_hash_split(spark, sf_dir):
+    """Reproducible 90/5/5 train/val/test split by hashed doc id.
+
+    Membership is a pure function of (id, seed) — no RNG, no state —
+    so re-runs and late shards land identically on any engine (the
+    oracle recomputes the same md5 buckets in DuckDB).
+    """
+    docs = corpus.hash_split(
+        _t(spark, sf_dir, "documents"), "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return docs.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "corpus_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENLEN_SQL} AS n_tok FROM documents
+    ), c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS cum_before
+        FROM t
+    )
+    SELECT CAST(floor(cum_before / 2000.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def corpus_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (2000-token bins, id order).
+
+    Cumulative-quotient contract: a doc's bin is decided by tokens
+    consumed before it, so the packing is a pure window expression
+    (see ``corpus.pack_sequences`` for the per-shard scale variant).
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tok")
+    )
+    packed = corpus.pack_sequences(docs, "doc_id", "n_tok", budget=2000)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
+    "corpus_tfidf_top_terms",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln(n.n * 1.0 / dfreq.df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        WHERE tf.doc_id % 100 = 0
+    )
+    SELECT doc_id, term, tf, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def corpus_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per doc (corpus-wide document frequencies,
+    results shown for a deterministic 1-in-100 doc subset)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = corpus.tfidf(docs, "doc_id", "text")
+    sub = scored.where(F.col("doc_id") % 100 == 0)
+    return corpus.top_terms(sub, "doc_id", k=3).select(
+        "doc_id", "term", "tf", "tfidf", "rank"
+    )
+
+
+@query(
+    "corpus_vocab_topk",
+    r"""
+    SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    )
+    GROUP BY term
+    ORDER BY n_occurrences DESC, term ASC
+    LIMIT 20
+    """,
+)
+def corpus_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: 20 most frequent tokens (count desc, term asc)."""
+    vocab = corpus.vocabulary(_t(spark, sf_dir, "documents"), "text")
+    return vocab.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(20)
+
+
+_PII_RAW_SQL = (
+    "'reach ' || c_name || ' at ' || "
+    "lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || "
+    "'@example.com or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "corpus_redact_pii",
+    f"""
+    SELECT c_custkey,
+           regexp_replace(
+               regexp_replace({_PII_RAW_SQL},
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '[EMAIL]', 'g'),
+               '\\+?\\d[\\d-]{{7,}}\\d', '[PHONE]', 'g') AS redacted
+    FROM customer
+    """,
+)
+def corpus_redact_pii(spark, sf_dir):
+    """PII redaction: emails then phone-like digit runs -> tokens.
+
+    The contact strings are synthesized deterministically from the
+    customer table (the test corpus has no real PII), so both engines
+    redact identical inputs; digit runs inside names redact too —
+    the conservative-over-precise tradeoff a scrubbing pass wants.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at "),
+        F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]", "")),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    return cust.select(
+        "c_custkey", corpus.redact_pii(raw).alias("redacted")
+    )
+
+
+_CLUSTER_REPS_SQL = f"""
+    WITH RECURSIVE {{pair_ctes}},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM jpairs
+        UNION
+        SELECT id_b, id_a FROM jpairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    tagged AS (
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               {_TOKENLEN_SQL} AS q
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT cluster_id, representative_id, cluster_size, best_quality
+    FROM (
+        SELECT cluster_id, doc_id AS representative_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size,
+               CAST(max(q) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS best_quality,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY q DESC, doc_id ASC) AS rn
+        FROM tagged
+    ) WHERE rn = 1
+"""
+
+
+@query(
+    "corpus_cluster_representatives",
+    _CLUSTER_REPS_SQL.format(pair_ctes=_NGRAM_PAIR_CTES),
+)
+def corpus_cluster_representatives(spark, sf_dir):
+    """Best-member-per-cluster dedup: near-dup components keep their
+    highest-token-count doc (min id on ties) instead of the min-id
+    member — the quality-aware variant of ``dedup_clusters``."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+    clusters = fuzzy.cluster_pairs(pairs)
+    quality = docs.select(
+        "doc_id", text.token_count("text").alias("q")
+    )
+    reps = corpus.cluster_representatives(quality, "doc_id", clusters, "q")
+    return reps.select(
+        "cluster_id", "representative_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("best_quality").cast("long").alias("best_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 / W9 — grouping sets with GROUPING() flags; ntile quartiles.
+# Round out the aggregation (rollup/cube/pivot already covered) and
+# ranking window families.
+# ---------------------------------------------------------------------------
+
+_A13_SQL = """
+    WITH o AS (
+        SELECT o_orderstatus AS status,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               o_totalprice
+        FROM orders
+    )
+    SELECT status, yr,
+           CAST(GROUPING(status) AS INT) AS g_status,
+           CAST(GROUPING(yr) AS INT) AS g_yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM o
+    GROUP BY GROUPING SETS ((status, yr), (status), (yr), ())
+"""
+
+
+@query("a13_grouping_sets", _A13_SQL)
+def a13_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() flags (A13) — the
+    general form behind the rollup/cube queries; one shuffle produces
+    all four granularities (Spark expands sets map-side, so the
+    exchange carries each input row once per set, already
+    partially aggregated)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_A13_SQL)
+
+
+_W9_SQL = """
+    SELECT quartile, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM (
+        SELECT o_totalprice,
+               CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                    AS INT) AS quartile
+        FROM orders
+    )
+    GROUP BY 1
+"""
+
+
+@query("w9_ntile_quartiles", _W9_SQL)
+def w9_ntile_quartiles(spark, sf_dir):
+    """ntile(4) order-value quartiles (W9) with per-quartile stats.
+
+    The unpartitioned ntile is a single-reducer sort — correct parity
+    shape for ranked-bucket reports; at 100 TB use approx percentile
+    boundaries (a12) + a codegen CASE instead of a global sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    q = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", F.ntile(4).over(w).alias("quartile")
+    )
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )

@@ -1,0 +1,136 @@
+"""Corpus-curation operator tests (operators/corpus.py).
+
+Pins the properties the oracle queries can't see: split stability
+across re-runs and weights, packing bin invariants, tf-idf math,
+redaction behavior on tricky strings, and representative selection
+tie-breaking.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark.operators import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_split_deterministic_and_partitions(spark, docs):
+    a = corpus.hash_split(docs, "doc_id").select("doc_id", "split")
+    b = corpus.hash_split(docs, "doc_id").select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # every doc in exactly one split
+    n = docs.count()
+    assert a.count() == n
+    counts = dict(a.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    # train is the bulk at 90/5/5
+    assert counts["train"] > 0.7 * n
+
+
+def test_hash_split_seed_changes_membership(spark, docs):
+    a = corpus.hash_split(docs, "doc_id", seed="s1")
+    b = corpus.hash_split(docs, "doc_id", seed="s2")
+    moved = (
+        a.select("doc_id", F.col("split").alias("sa"))
+        .join(b.select("doc_id", F.col("split").alias("sb")), "doc_id")
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError):
+        corpus.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, 100 + (i % 7) * 50) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    packed = corpus.pack_sequences(df, "doc_id", "n_tok", budget=500)
+    got = {r["doc_id"]: r["bin_id"] for r in packed.collect()}
+    # reproduce sequentially: bin = floor(cum_before / budget)
+    cum = 0
+    for i, tok in rows:
+        assert got[i] == cum // 500, f"doc {i}"
+        cum += tok
+    # bins are contiguous starting at 0 and non-decreasing in id order
+    bins = [got[i] for i, _ in rows]
+    assert bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+
+
+def test_tfidf_math(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date")],
+        ["doc_id", "text"],
+    )
+    scored = corpus.tfidf(df, "doc_id", "text")
+    vals = {(r["doc_id"], r["term"]): (r["tf"], r["tfidf"]) for r in scored.collect()}
+    # apple: tf=2 in doc1, df=1, N=3 -> 2*ln(3)
+    assert vals[(1, "apple")][0] == 2
+    assert vals[(1, "apple")][1] == pytest.approx(round(2 * math.log(3), 4))
+    # banana: df=2 -> ln(3/2)
+    assert vals[(2, "banana")][1] == pytest.approx(round(math.log(1.5), 4))
+
+
+def test_top_terms_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "zeta alpha")], ["doc_id", "text"]
+    )
+    # both terms unique to the doc -> equal score; alpha wins rank 1
+    out = corpus.top_terms(corpus.tfidf(df, "doc_id", "text"), "doc_id", k=2)
+    ranked = {r["rank"]: r["term"] for r in out.collect()}
+    assert ranked[1] == "alpha" and ranked[2] == "zeta"
+
+
+def test_redact_pii_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk now"),
+            (2, "call +1-555-123-4567 today"),
+            (3, "digits 12345678901 run"),
+            (4, "clean text stays"),
+        ],
+        ["id", "t"],
+    )
+    out = {r["id"]: r["red"] for r in
+           df.select("id", corpus.redact_pii("t").alias("red")).collect()}
+    assert out[1] == "mail [EMAIL] now"
+    assert out[2] == "call [PHONE] today"
+    assert out[3] == "digits [PHONE] run"
+    assert out[4] == "clean text stays"
+
+
+def test_cluster_representatives_picks_best_then_min_id(spark):
+    # cluster {1,2,3}: quality 5,9,9 -> doc 2 (best quality, min id tie)
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7)], ["doc_id", "q"]
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["id", "cluster_id"]
+    )
+    reps = {
+        r["cluster_id"]: (r["representative_id"], r["cluster_size"], r["best_quality"])
+        for r in corpus.cluster_representatives(docs, "doc_id", clusters, "q").collect()
+    }
+    assert reps[1] == (2, 3, 9)
+    # singleton doc 4 keeps itself
+    assert reps[4] == (4, 1, 7)
+
+
+def test_vocabulary_min_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a b b c c c")], ["doc_id", "text"]
+    )
+    v = {r["term"]: r["n_occurrences"]
+         for r in corpus.vocabulary(df, "text", min_count=2).collect()}
+    assert v == {"b": 2, "c": 3}
