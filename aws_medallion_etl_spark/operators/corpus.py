@@ -245,3 +245,27 @@ def cluster_representatives(
         F.count(F.lit(1)).alias("cluster_size"),
         F.max(quality_col).alias("best_quality"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling by hashed id.
+
+    Unlike ``DataFrame.sampleBy`` (partition-order-sensitive RNG),
+    membership is a pure function of (id, seed): re-runs, retries,
+    and other engines reproduce the exact sample — the property a
+    training-data pipeline needs for auditability. Rates are exact
+    in expectation (binomial per stratum, like sampleBy), enforced
+    via md5 bucket < fraction * 10000.
+    """
+    bucket = split_bucket(id_col, seed)
+    rate: Column = F.lit(default_fraction)
+    for value, frac in fractions.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(frac)).otherwise(rate)
+    return df.where(bucket < rate * 10_000)

@@ -451,3 +451,44 @@ def canonical_docs(
         .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
         .drop("__cid")
     )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_distance: int = 3,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Edit-distance near-match pairs over the DISTINCT values of
+    ``text_col``: (name_a < name_b, distance <= max_distance).
+
+    The spelling-variant counterpart of the token dedups: values
+    dedup FIRST (the distinct-value set is vocabulary-sized, usually
+    orders of magnitude below row count), then pair within blocks.
+    ``block_col`` is the candidate lever — default blocks on the
+    LAST whitespace token, which for entity-style names ("red
+    widget" / "hot widget") keeps head-noun variants together; the
+    recall contract is "edits confined to the non-block tokens", and
+    callers with different name shapes pass their own blocking
+    expression. Within-block pairing is an equi-join, never a global
+    cross join; ``levenshtein`` is a codegen'd JVM builtin.
+    """
+    block = (
+        block_col
+        if block_col is not None
+        else F.element_at(F.split(F.col("name"), r"\s+"), -1)
+    )
+    names = (
+        df.select(F.col(text_col).alias("name"))
+        .distinct()
+        .withColumn("__blk", block)
+    )
+    a = names.select(F.col("name").alias("name_a"), "__blk")
+    b = names.select(F.col("name").alias("name_b"), "__blk")
+    return (
+        a.join(b, "__blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .where(F.col("distance") <= max_distance)
+        .select("name_a", "name_b", "distance")
+    )

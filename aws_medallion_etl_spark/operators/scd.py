@@ -183,3 +183,26 @@ def scd1_latest(df: DataFrame, nk: list[str], order_by: list[str]) -> DataFrame:
     from aws_medallion_etl_spark.operators.dedup import dedup_max_by
 
     return dedup_max_by(df, nk, order_by)
+
+
+def scd1_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    nk: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """CDC upsert: apply a change feed onto a snapshot, newest row per
+    key wins (SCD Type 1 merge).
+
+    union + ``max_by`` aggregation — the same map-side-combined plan
+    as the silver dedup, so the shuffle carries one candidate per
+    (partition × key), not snapshot + feed. On a Delta/Iceberg table
+    this is ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``;
+    the sandbox has neither (SCALING.md), so the engine-native form
+    re-materializes the merged snapshot — which is also the shape
+    that bulk-backfills best at 100 TB (one wide write, no per-row
+    update amplification).
+    """
+    from aws_medallion_etl_spark.operators.dedup import dedup_max_by
+
+    return dedup_max_by(snapshot.unionByName(changes), nk, order_by)

@@ -1,0 +1,119 @@
+"""Sketch-based approximate monitoring (HLL, CMS).
+
+The 100 TB substitute for exact DQ counters: exact
+``count_distinct`` over billions of keys is a full expand + dedup
+shuffle, while an HLL sketch is a fixed-size (KB) accumulator that
+merges associatively — the shuffle carries one sketch per partition
+per group no matter the row count. Same story for count-min vs exact
+frequency tables.
+
+These wrap Spark's built-in Apache DataSketches HLL functions
+(``hll_sketch_agg``/``hll_sketch_estimate``, JVM-side, deterministic
+for fixed data + lgK) and ``DataFrame.stat.countMinSketch`` (fixed
+seed → deterministic). The estimate-vs-exact bound checks emitted by
+``distinct_bounds`` make the error contract itself testable — an
+oracle can assert the boolean without reproducing the sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_sketch(
+    df: DataFrame, keys: list[str], col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HLL sketch estimate of distinct ``col`` values.
+
+    Returns (keys..., n_distinct_est). Mergeable: at 100 TB the same
+    ``hll_sketch_agg`` runs per partition, per day, per shard — and
+    ``hll_union_agg`` rolls sketches up WITHOUT re-reading rows (the
+    property exact distinct counts fundamentally lack).
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(col), F.lit(lg_k))
+        ).alias("n_distinct_est")
+    )
+
+
+def distinct_bounds(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lg_k: int = 12,
+    rel_bound: float = 0.05,
+) -> DataFrame:
+    """Exact distinct count per group + whether the HLL estimate lands
+    within ``rel_bound`` of it.
+
+    The exact side exists to CHECK the sketch (at test scale); the
+    emitted contract is (keys, n_exact, hll_within_bound). HLL++ at
+    lgK=12 has σ ≈ 1.04/√4096 ≈ 1.6%, so a 5% bound is ~3σ.
+    """
+    exact = df.groupBy(*keys).agg(
+        F.count_distinct(F.col(col)).alias("n_exact")
+    )
+    est = distinct_sketch(df, keys, col, lg_k)
+    return (
+        exact.join(est, keys)
+        .withColumn(
+            "hll_within_bound",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(rel_bound)
+            ),
+        )
+        .select(*keys, "n_exact", "hll_within_bound")
+    )
+
+
+def frequency_bounds(
+    df: DataFrame,
+    col: str,
+    values: list[str],
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> list[dict]:
+    """Count-min-sketch estimates for ``values`` of ``col`` vs exact
+    counts, with the CMS guarantee evaluated per value:
+    exact <= estimate <= exact + eps * N (w.p. ``confidence``).
+
+    Driver-side ONLY in the sense that the final KB-sized sketch is
+    collected; the aggregation itself is distributed (SQL
+    ``count_min_sketch`` aggregate with map-side partials, then the
+    binary is deserialized through Spark's public
+    ``org.apache.spark.util.sketch.CountMinSketch`` reader).
+    Returns plain dicts (value, n_exact, cms_within_bound) — a DQ
+    report row, not a frame.
+    """
+    agg = df.agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("__cms"),
+        F.count(F.lit(1)).alias("__n"),
+    ).head()
+    jvm = df.sparkSession._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(agg["__cms"]))
+    )
+    n_total = agg["__n"]
+    exact = dict(
+        df.where(F.col(col).isin(values)).groupBy(col).count().collect()
+    )
+    out = []
+    for v in values:
+        n_exact = int(exact.get(v, 0))
+        est = sketch.estimateCount(v)
+        out.append(
+            {
+                "value": v,
+                "n_exact": n_exact,
+                "cms_within_bound": bool(
+                    n_exact <= est <= n_exact + eps * n_total
+                ),
+            }
+        )
+    return out

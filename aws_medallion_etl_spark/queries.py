@@ -2281,3 +2281,145 @@ def w9_ntile_quartiles(spark, sf_dir):
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches, CDC upsert, edit-distance match, stratified sample,
+# distribution ranks.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sketch_distinct_bounds",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS hll_within_bound
+    FROM orders GROUP BY 1
+    """,
+)
+def sketch_distinct_bounds(spark, sf_dir):
+    """HLL distinct-count monitoring (sketches.distinct_bounds).
+
+    The oracle pins the exact counts AND asserts the sketch's error
+    contract: ``hll_within_bound`` must come back TRUE for every
+    group, so a broken sketch config (or a >3sigma estimate) fails
+    the gate. The sketch side is the 100 TB path — fixed-size
+    mergeable state instead of an expand + dedup shuffle.
+    """
+    from aws_medallion_etl_spark.operators import sketches
+
+    return sketches.distinct_bounds(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey"
+    )
+
+
+_J10_SQL = """
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 100.0 AS o_totalprice,
+               o_orderdate + INTERVAL 1000 DAY AS o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+    ), unioned AS (
+        SELECT * FROM orders UNION ALL SELECT * FROM changes
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM unioned
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY o_orderdate DESC) = 1
+"""
+
+
+@query("j10_upsert_snapshot", _J10_SQL)
+def j10_upsert_snapshot(spark, sf_dir):
+    """CDC upsert (J10): a change feed (10% of keys, repriced, newer
+    ts) merged onto the snapshot; newest row per key wins
+    (``scd.scd1_upsert``, map-side-combined max_by merge)."""
+    orders = _t(spark, sf_dir, "orders")
+    changes = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        # +100.0 is FP-exact, so the repriced value needs no rounding
+        # (round(x*1.1) straddles half-ulp boundaries differently
+        # across engines — a real lesson for oracle design).
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS")
+        )
+    )
+    return scd.scd1_upsert(orders, changes, ["o_orderkey"], ["o_orderdate"])
+
+
+@query(
+    "dedup_levenshtein_names",
+    r"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    b AS (
+        SELECT name,
+               list_extract(string_split_regex(name, '\s+'), -1) AS blk
+        FROM names
+    )
+    SELECT a.name AS name_a, c.name AS name_b,
+           CAST(levenshtein(a.name, c.name) AS INT) AS distance
+    FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+    WHERE levenshtein(a.name, c.name) <= 3
+    """,
+)
+def dedup_levenshtein_names(spark, sf_dir):
+    """Spelling-variant fuzzy match: distinct part names paired
+    within last-token blocks at edit distance <= 3
+    (``fuzzy.levenshtein_pairs``)."""
+    return fuzzy.levenshtein_pairs(
+        _t(spark, sf_dir, "part"), "p_name", max_distance=3
+    )
+
+
+@query(
+    "corpus_stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                     1, 8)) AS BIGINT) % 10000 AS bkt,
+               CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                         ELSE 0.1 END AS rate
+        FROM documents
+    ) WHERE bkt < rate * 10000
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: 50% of English docs, 20% of
+    German, 10% elsewhere, by hashed doc id — exact membership is
+    reproduced by the oracle, something ``sampleBy``'s
+    partition-order RNG cannot promise."""
+    sampled = corpus.stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id",
+        {"en": 0.5, "de": 0.2}, default_fraction=0.1, seed="sample",
+    )
+    return sampled.select("doc_id", "lang")
+
+
+_W10_SQL = """
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    QUALIFY o_orderkey % 500 = 0
+"""
+
+
+@query("w10_distribution_ranks", _W10_SQL)
+def w10_distribution_ranks(spark, sf_dir):
+    """percent_rank + cume_dist per status (W10), sampled to a
+    deterministic key subset AFTER ranking (rank values depend only
+    on sort-key ties, so both engines agree without a tiebreak)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    ranked = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.where(F.col("o_orderkey") % 500 == 0)

@@ -1,0 +1,80 @@
+"""Sketch monitoring, CDC upsert, edit-distance match, stratified
+sampling — operator-level pins beyond the oracle queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark.operators import corpus, fuzzy, scd, sketches
+
+
+def test_hll_bounds_hold_and_merge_property(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 1000).alias("v")
+    )
+    out = sketches.distinct_bounds(df, ["g"], "v", rel_bound=0.05)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["hll_within_bound"] for r in rows)
+    # gcd(3, 1000) = 1, so every group cycles through all 1000 values
+    assert all(r["n_exact"] == 1000 for r in rows)
+
+
+def test_cms_bounds(spark):
+    df = spark.range(5_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 10).cast("string")).alias("k")
+    )
+    report = sketches.frequency_bounds(df, "k", ["k0", "k5", "missing"])
+    by_val = {r["value"]: r for r in report}
+    assert by_val["k0"]["n_exact"] == 500
+    assert by_val["missing"]["n_exact"] == 0
+    assert all(r["cms_within_bound"] for r in report)
+
+
+def test_scd1_upsert_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], ["k", "v", "ts"]
+    )
+    feed = spark.createDataFrame(
+        [(2, "B", 20), (4, "d", 20)], ["k", "v", "ts"]
+    )
+    out = {r["k"]: (r["v"], r["ts"])
+           for r in scd.scd1_upsert(snap, feed, ["k"], ["ts"]).collect()}
+    assert out == {1: ("a", 10), 2: ("B", 20), 3: ("c", 10), 4: ("d", 20)}
+
+
+def test_scd1_upsert_stale_change_loses(spark):
+    snap = spark.createDataFrame([(1, "new", 30)], ["k", "v", "ts"])
+    feed = spark.createDataFrame([(1, "old", 20)], ["k", "v", "ts"])
+    out = scd.scd1_upsert(snap, feed, ["k"], ["ts"]).collect()
+    assert out[0]["v"] == "new"
+
+
+def test_levenshtein_pairs_blocking_and_distance(spark):
+    df = spark.createDataFrame(
+        [("red widget",), ("rod widget",), ("red gadget",), ("red widget",)],
+        ["name"],
+    )
+    pairs = {(r["name_a"], r["name_b"]): r["distance"]
+             for r in fuzzy.levenshtein_pairs(df, "name", 3).collect()}
+    # same block (widget), distance 1; duplicates collapse first
+    assert pairs == {("red widget", "rod widget"): 1}
+    # gadget-block singleton pairs with nothing even though distance
+    # to "red widget" is 3 — the documented blocking recall contract
+    assert not any("gadget" in a or "gadget" in b for a, b in pairs)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    s1 = corpus.stratified_sample(df, "lang", "doc_id", {"en": 0.5}, 0.1)
+    s2 = corpus.stratified_sample(df, "lang", "doc_id", {"en": 0.5}, 0.1)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    counts = dict(s1.groupBy("lang").count().collect())
+    # 1000 en at 50%, 1000 fr at 10% — binomial, generous windows
+    assert 400 <= counts["en"] <= 600
+    assert 50 <= counts["fr"] <= 200
+    # sample is a subset of the input
+    assert s1.join(df, ["doc_id", "lang"], "left_anti").count() == 0
