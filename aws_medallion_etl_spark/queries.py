@@ -2423,3 +2423,52 @@ def w10_distribution_ranks(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
     return ranked.where(F.col("o_orderkey") % 500 == 0)
+
+
+# ---------------------------------------------------------------------------
+# W11 — time-range window frame (RANGE BETWEEN n seconds PRECEDING).
+# ---------------------------------------------------------------------------
+
+_W11_SQL = """
+    SELECT event_id, user_id, n_1h, sum_1h FROM (
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(sum(value) OVER w, 2) AS sum_1h
+        FROM (
+            SELECT event_id, user_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es
+            FROM events
+        )
+        WINDOW w AS (PARTITION BY user_id ORDER BY es
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ) WHERE event_id % 200 = 0
+"""
+
+
+@query("w11_range_frame", _W11_SQL)
+def w11_range_frame(spark, sf_dir):
+    """Per-user trailing-1-hour event count and value sum via a RANGE
+    frame (W11) — frames bound by the ORDER-BY VALUE (epoch seconds),
+    not row offsets, so irregular event spacing is handled natively.
+
+    Complements w6 (ROWS frame): ROWS counts neighbors, RANGE counts
+    time. Partitioned by user — parallel across keys at any scale; a
+    user's events fit a partition.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    out = ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+    return out.where(F.col("event_id") % 200 == 0)

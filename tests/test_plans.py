@@ -169,3 +169,62 @@ def test_whole_stage_codegen_covers_validation(spark, sf_dir):
     )
     # '*(n)' prefixes mark whole-stage-codegen stages in the plan string
     assert "*(1)" in _physical(tagged)
+
+
+def test_levenshtein_pairs_no_cartesian(spark, sf_dir):
+    """Blocked fuzzy match must be an equi-join on the block key —
+    never a cross/nested-loop product of the name sets."""
+    from aws_medallion_etl_spark.operators import fuzzy
+
+    out = fuzzy.levenshtein_pairs(
+        spark.read.parquet(f"{sf_dir}/part.parquet"), "p_name", 3
+    )
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd1_upsert_partial_aggregation(spark, sf_dir):
+    """CDC upsert must map-side combine (partial_max_by), so the
+    shuffle carries candidates, not snapshot + feed."""
+    from aws_medallion_etl_spark.operators import scd
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    feed = orders.limit(100)
+    out = scd.scd1_upsert(orders, feed, ["o_orderkey"], ["o_orderdate"])
+    plan = _physical(out)
+    assert "partial_max_by" in plan
+
+
+def test_tfidf_broadcasts_scalar_and_vocab_sides(spark, sf_dir):
+    """The corpus-size (1-row) join must broadcast; no plan node may
+    collect to the driver."""
+    from aws_medallion_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.tfidf(docs, "doc_id", "text")
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CollectLimit" not in plan
+
+
+def test_vocabulary_partial_aggregation(spark, sf_dir):
+    from aws_medallion_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(corpus.vocabulary(docs, "text"))
+    assert "partial_count" in plan
+
+
+def test_hash_split_and_sample_are_shuffle_free(spark, sf_dir):
+    """Split/sample membership is a pure projection/filter — zero
+    exchanges at any scale."""
+    from aws_medallion_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_plan = _physical(corpus.hash_split(docs, "doc_id"))
+    sample_plan = _physical(
+        corpus.stratified_sample(docs, "lang", "doc_id", {"en": 0.5}, 0.1)
+    )
+    assert "Exchange" not in split_plan
+    assert "Exchange" not in sample_plan
