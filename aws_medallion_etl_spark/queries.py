@@ -2472,3 +2472,70 @@ def w11_range_frame(spark, sf_dir):
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
     )
     return out.where(F.col("event_id") % 200 == 0)
+
+
+# ---------------------------------------------------------------------------
+# U4 — INTERSECT / EXCEPT set ops; S13 — subquery forms (EXISTS / IN /
+# scalar) through the SQL endpoint.
+# ---------------------------------------------------------------------------
+
+_U4_SQL = """
+    WITH y24 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 2024
+    ), y23 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 2023
+    ), both_years AS (SELECT o_custkey FROM y24 INTERSECT SELECT o_custkey FROM y23),
+    only_24 AS (SELECT o_custkey FROM y24 EXCEPT SELECT o_custkey FROM y23)
+    SELECT 'both_years' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+    FROM both_years
+    UNION ALL
+    SELECT 'only_2024', CAST(count(*) AS BIGINT) FROM only_24
+"""
+
+
+@query("u4_intersect_except", _U4_SQL)
+def u4_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT cohort analysis (U4): customers active in
+    both years vs only the newer one. Spark plans both as hash
+    aggregates + joins (semi/anti over distinct keys) — same
+    partial-aggregated shuffle budget as the equivalent explicit
+    joins, so the declarative form costs nothing extra."""
+    o = _t(spark, sf_dir, "orders")
+    y24 = o.where(F.year("o_orderdate") == 2024).select("o_custkey").distinct()
+    y23 = o.where(F.year("o_orderdate") == 2023).select("o_custkey").distinct()
+    both_years = y24.intersect(y23).agg(F.count(F.lit(1)).alias("n_customers"))
+    only_24 = y24.exceptAll(y23).agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        both_years.select(F.lit("both_years").alias("cohort"), "n_customers")
+        .unionByName(
+            only_24.select(F.lit("only_2024").alias("cohort"), "n_customers")
+        )
+    )
+
+
+_S13_SQL = """
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+          )
+      AND c.c_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+          )
+      AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
+@query("s13_sql_subqueries", _S13_SQL)
+def s13_sql_subqueries(spark, sf_dir):
+    """Subquery forms through the SQL endpoint (S13): correlated
+    EXISTS (→ left-semi join), uncorrelated IN (→ semi join on the
+    broadcast dim), and a scalar subquery (→ 1-row broadcast).
+    Catalyst de-correlates all three — no per-row re-execution, the
+    trap naive subquery engines fall into."""
+    for name in ("customer", "orders", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_S13_SQL)
