@@ -2539,3 +2539,69 @@ def s13_sql_subqueries(spark, sf_dir):
     for name in ("customer", "orders", "nation"):
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_S13_SQL)
+
+
+# ---------------------------------------------------------------------------
+# STR1 — streaming parity, oracle-checked: the SAME events flow through a
+# real readStream -> watermarked window agg -> availableNow -> memory sink,
+# and the result must equal the batch SQL aggregation DuckDB computes.
+# ---------------------------------------------------------------------------
+
+_STR1_SQL = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query("str1_stream_windowed_counts", _STR1_SQL)
+def str1_stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming proven by oracle (STR1): tumbling-window
+    counts by event type via an actual micro-batch execution
+    (file-source stream, 2h watermark, ``availableNow`` drain into a
+    memory sink) — byte-equal to the batch aggregation because
+    event-time windowing is deterministic under any micro-batch
+    split; the watermark drops nothing in a bounded drain.
+    """
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from aws_medallion_etl_spark import streaming
+
+    # File-source streams must declare their schema; events.parquet is
+    # TIMESTAMP(NANOS), so read ts as raw nanos and rebuild micros.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    # The file-stream source monitors a DIRECTORY; stage the (read-only)
+    # events file into a scratch dir via symlink.
+    import os
+
+    src_dir = _scratch("str1src", sf_dir)
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agged = streaming.windowed_counts(
+        stream, "ts", window_duration="1 hour", watermark="2 hours",
+        extra_keys=["event_type"],
+    )
+    streaming.to_memory_sink(agged, "str1_win_counts", output_mode="complete")
+    return spark.table("str1_win_counts").select(
+        "window_start", "event_type", F.col("n").alias("n")
+    )
