@@ -86,6 +86,7 @@ def pack_sequences(
     token_col: str,
     budget: int,
     out_col: str = "bin_id",
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Sequential token-budget packing: docs (ordered by ``id_col``)
     fill fixed-budget bins; a doc's bin is determined by the tokens
@@ -99,13 +100,15 @@ def pack_sequences(
     that per-shard (group by a partition key, pack within) when bins
     must hard-cap, never globally.
 
-    The single unpartitioned window makes the GLOBAL order the
-    contract; at 100 TB pack per shard: ``Window.partitionBy(shard)``
-    turns the same expression into a parallel per-shard pack.
+    The default unpartitioned window makes the GLOBAL order the
+    contract (single reducer — per-shard corpus sizes only); at
+    100 TB pass ``partition_by`` (e.g. the split or shard column) and
+    the same expression packs every partition in parallel, bins
+    numbered independently per partition.
     """
-    w = Window.orderBy(F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w = Window.partitionBy(*(partition_by or [])).orderBy(
+        F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum_before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
     return df.withColumn(out_col, F.floor(cum_before / F.lit(budget)))
 

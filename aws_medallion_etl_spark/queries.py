@@ -2605,3 +2605,73 @@ def str1_stream_windowed_counts(spark, sf_dir):
     return spark.table("str1_win_counts").select(
         "window_start", "event_type", F.col("n").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus pipeline: quality filter -> reproducible split ->
+# per-split sequence packing, in one oracle-checked query.
+# ---------------------------------------------------------------------------
+
+_SHARDS_SQL = r"""
+    WITH q AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok,
+               round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 4) AS awl,
+               round(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 4) AS swr,
+               round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0
+                     / length(text), 4) AS pr
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, n_tok FROM q
+        WHERE NOT (n_tok < 25 OR awl < 3.0 OR awl > 5.0
+                   OR swr > 0.15 OR pr > 0.3)
+    ), s AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN bkt < 9000 THEN 'train'
+                    WHEN bkt < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, n_tok,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || ':split'), 1, 8)) AS BIGINT) % 10000 AS bkt
+            FROM kept
+        )
+    ), c AS (
+        SELECT split, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS cum_before
+        FROM s
+    )
+    SELECT split, CAST(floor(cum_before / 2000.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1, 2
+"""
+
+
+@query("corpus_prepare_shards", _SHARDS_SQL)
+def corpus_prepare_shards(spark, sf_dir):
+    """The end-to-end curation flow a training pipeline actually runs,
+    as ONE oracle-checked query: composite quality filter (reject
+    short/spammy/punctuation-heavy docs) -> reproducible hash split ->
+    token-budget packing PER SPLIT (``pack_sequences(partition_by=
+    ['split'])`` — the parallel form), reported as docs/tokens per
+    (split, bin). Every stage is a previously-proven operator; this
+    pins their composition.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tagged = text.quality_tag(docs, "text", **_TDF_PARAMS)
+    kept = tagged.where(F.col("quality_reject_reason").isNull()).select(
+        "doc_id", text.token_count("text").alias("n_tok")
+    )
+    split = corpus.hash_split(kept, "doc_id")
+    packed = corpus.pack_sequences(
+        split, "doc_id", "n_tok", budget=2000, partition_by=["split"]
+    )
+    return packed.groupBy("split", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )

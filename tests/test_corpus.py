@@ -134,3 +134,17 @@ def test_vocabulary_min_count(spark):
     v = {r["term"]: r["n_occurrences"]
          for r in corpus.vocabulary(df, "text", min_count=2).collect()}
     assert v == {"b": 2, "c": 3}
+
+
+def test_pack_sequences_partitioned(spark):
+    rows = [(s, i, 300) for s in ("a", "b") for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["split", "doc_id", "n_tok"])
+    packed = corpus.pack_sequences(
+        df, "doc_id", "n_tok", budget=1000, partition_by=["split"]
+    )
+    got = {(r["split"], r["doc_id"]): r["bin_id"] for r in packed.collect()}
+    # bins restart at 0 within each partition: 1000/300 -> docs 1-4 in
+    # bin 0 (cum_before 0,300,600,900), 5-7 bin 1, ...
+    for s in ("a", "b"):
+        assert got[(s, 1)] == 0 and got[(s, 4)] == 0
+        assert got[(s, 5)] == 1 and got[(s, 8)] == 2
