@@ -105,3 +105,64 @@ def test_percentile_approx_error_bound(spark):
     )
     for r in both.collect():
         assert abs(r.approx - r.exact) / r.exact < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation properties
+# ---------------------------------------------------------------------------
+
+@st.composite
+def pack_case(draw):
+    toks = draw(st.lists(st.integers(min_value=1, max_value=50),
+                         min_size=1, max_size=15))
+    budget = draw(st.integers(min_value=10, max_value=60))
+    return toks, budget
+
+
+@given(case=pack_case())
+@settings(**SETTINGS)
+def test_pack_sequences_matches_naive(spark, case):
+    from aws_medallion_etl_spark.operators import corpus
+
+    toks, budget = case
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {r.doc_id: r.bin_id
+           for r in corpus.pack_sequences(df, "doc_id", "n_tok", budget).collect()}
+    cum = 0
+    for i, t in rows:
+        assert got[i] == cum // budget
+        cum += t
+
+
+@given(ids=st.sets(st.integers(min_value=0, max_value=10_000),
+                   min_size=1, max_size=40),
+       seed=st.sampled_from(["s1", "s2"]))
+@settings(**SETTINGS)
+def test_hash_split_total_and_stable(spark, ids, seed):
+    """Every id lands in exactly one split, identically across calls."""
+    from aws_medallion_etl_spark.operators import corpus
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    a = sorted(corpus.hash_split(df, "doc_id", seed=seed).collect())
+    b = sorted(corpus.hash_split(df, "doc_id", seed=seed).collect())
+    assert a == b
+    assert len(a) == len(ids)
+    assert all(r.split in ("train", "val", "test") for r in a)
+
+
+@given(texts=st.lists(
+    st.text(alphabet=st.characters(codec="ascii",
+                                   exclude_characters="\x00"),
+            max_size=40),
+    min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_redact_pii_idempotent(spark, texts):
+    """redact(redact(x)) == redact(x): replacement tokens never
+    re-trigger either pattern."""
+    from aws_medallion_etl_spark.operators import corpus
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    once = df.select(corpus.redact_pii("t").alias("r"))
+    twice = once.select(corpus.redact_pii("r").alias("r"))
+    assert [r.r for r in once.collect()] == [r.r for r in twice.collect()]
