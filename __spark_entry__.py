@@ -58,14 +58,25 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions).
 
-    Ordered so the queries whose verdicts were missing from round 2's
-    correctness record run FIRST — if the harness run is ever cut
-    short, the cut lands on entries with an established green history
-    rather than silently re-dropping the same ones.
+    Ordered so queries WITHOUT an established green correctness
+    history run FIRST — round 2's record silently dropped the two
+    last-declared entries, so if the harness run is ever cut short,
+    the cut should land on entries proven green in prior rounds, not
+    on the ones still needing their first verdict.
     """
     first = [
+        # missing from the round-2 record (greened late in round 2)
         "sim_topk_lsh", "mm_binary_features", "dedup_simhash",
         "dedup_minhash_lsh", "j5_scd2_apply_changes", "w2w3_scd2_from_history",
+        # round-3 additions — no recorded verdict yet
+        "e2e_medallion_gold", "s1_csv_roundtrip", "s45_sink_roundtrip",
+        "corpus_hash_split", "corpus_pack_sequences", "corpus_tfidf_top_terms",
+        "corpus_vocab_topk", "corpus_redact_pii",
+        "corpus_cluster_representatives", "corpus_stratified_sample",
+        "corpus_prepare_shards", "a13_grouping_sets", "w9_ntile_quartiles",
+        "w10_distribution_ranks", "w11_range_frame", "u4_intersect_except",
+        "s13_sql_subqueries", "j10_upsert_snapshot", "dedup_levenshtein_names",
+        "sketch_distinct_bounds", "str1_stream_windowed_counts",
     ]
     ordered = {name: QUERIES[name] for name in first if name in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
