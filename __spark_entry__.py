@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_distribution_ranks", "w11_range_frame", "u4_intersect_except",
         "s13_sql_subqueries", "j10_upsert_snapshot", "dedup_levenshtein_names",
         "sketch_distinct_bounds", "str1_stream_windowed_counts",
+        "s6_reject_quarantine_roundtrip", "mm_frame_sampling",
     ]
     ordered = {name: QUERIES[name] for name in first if name in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})

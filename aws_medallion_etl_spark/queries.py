@@ -2675,3 +2675,63 @@ def corpus_prepare_shards(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S6 round-trip + MM2 frame-sampling contract — two more pytest-only
+# surfaces promoted to oracle-checked queries.
+# ---------------------------------------------------------------------------
+
+@query(
+    "s6_reject_quarantine_roundtrip",
+    f"""
+    SELECT {_LINEITEM_REASON_SQL} AS reject_reason,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE {_LINEITEM_REASON_SQL} IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def s6_reject_quarantine_roundtrip(spark, sf_dir):
+    """S6 proven by oracle: the reject side physically lands in the
+    quarantine sink (``_rejects/<table>/run_date=...``) and the
+    read-back per-reason counts must equal the oracle's CASE chain —
+    a quarantine that drops, duplicates, or mislabels rows fails."""
+    from aws_medallion_etl_spark import io as eio
+
+    base = _scratch("s6", sf_dir)
+    _, rejects = validate.split_valid_invalid(
+        _t(spark, sf_dir, "lineitem"), lineitem_rules()
+    )
+    path = eio.write_rejects(rejects, base, "lineitem", "2024-06-01")
+    back = eio.read_parquet(spark, path)
+    return back.groupBy("reject_reason").agg(F.count(F.lit(1)).alias("n"))
+
+
+_MM2_SQL = """
+    SELECT doc_id,
+           CAST(least(4, greatest(strlen(text) // 64, 1)) AS INT)
+               AS n_frames,
+           CAST(CASE WHEN strlen(text) >= 64
+                     THEN least(4, greatest(strlen(text) // 64, 1)) * 64
+                     ELSE strlen(text) END AS BIGINT)
+               AS total_frame_bytes
+    FROM documents
+"""
+
+
+@query("mm_frame_sampling", _MM2_SQL)
+def mm_frame_sampling(spark, sf_dir):
+    """Frame-sampling contract (MM2): N evenly-spaced fixed-size byte
+    windows per payload via Arrow ``mapInPandas``, checked per doc on
+    fan-out count and total sampled bytes (every window is exactly
+    ``frame_bytes`` once the payload covers one — the offsets
+    guarantee the last window never truncates). The oracle recomputes
+    both from the payload's utf-8 byte length."""
+    docs = _t(spark, sf_dir, "documents")
+    packaged = multimodal.with_binary_payload(docs, "doc_id", "text", ["lang"])
+    frames = multimodal.sample_frames(packaged, n_frames=4, frame_bytes=64)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum("n_bytes").alias("total_frame_bytes"),
+    )
