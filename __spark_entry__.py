@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_sql_subqueries", "j10_upsert_snapshot", "dedup_levenshtein_names",
         "sketch_distinct_bounds", "str1_stream_windowed_counts",
         "s6_reject_quarantine_roundtrip", "mm_frame_sampling",
+        "j11_salted_skew_join", "s14_bucketed_join",
     ]
     ordered = {name: QUERIES[name] for name in first if name in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})

@@ -2735,3 +2735,72 @@ def mm_frame_sampling(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_frames"),
         F.sum("n_bytes").alias("total_frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J11 — salted skew-join; S14 — bucketed-table join. The two big-join
+# scale levers, promoted from pytest parity to oracle-checked queries
+# (the salt / bucket layout must be invisible in the VALUES).
+# ---------------------------------------------------------------------------
+
+_J11_SQL = """
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+"""
+
+
+@query("j11_salted_skew_join", _J11_SQL)
+def j11_salted_skew_join(spark, sf_dir):
+    """Salted join (J11): the fact side shards across 16 salts, the
+    dim replicates 16x, and the (key, salt) equi-join must produce
+    VALUES identical to the plain join the oracle runs — salt is a
+    physical-distribution trick, never a semantic one."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = enrich.salted_join(li, supp, "l_suppkey", n_salts=16, how="inner")
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+_S14_SQL = """
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+"""
+
+
+@query("s14_bucketed_join", _S14_SQL)
+def s14_bucketed_join(spark, sf_dir):
+    """Bucketed-table join (S14): both sides written as 8-bucket
+    managed tables on the join key (the pay-the-shuffle-once storage
+    layout), then joined — values must equal the plain path join.
+    The shuffle-free plan property is pinned separately in
+    ``test_plans::test_bucketed_join_is_shuffle_free``."""
+    from aws_medallion_etl_spark import io as eio
+
+    eio.write_bucketed(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "mdl_bkt_lineitem", ["l_orderkey"], num_buckets=8,
+    )
+    eio.write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "mdl_bkt_orders", ["o_orderkey"], num_buckets=8,
+    )
+    li = spark.table("mdl_bkt_lineitem")
+    o = spark.table("mdl_bkt_orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+    )
