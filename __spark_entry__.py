@@ -59,26 +59,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions).
 
     Ordered so queries WITHOUT an established green correctness
-    history run FIRST — round 2's record silently dropped the two
-    last-declared entries, so if the harness run is ever cut short,
-    the cut should land on entries proven green in prior rounds, not
-    on the ones still needing their first verdict.
+    history run FIRST — the harness records ~50 verdicts per round, so
+    if the run is ever cut short, the cut should land on entries
+    proven green in prior rounds, not on the ones still needing their
+    first verdict. Head of the list for round 4: the 8 queries with no
+    recorded verdict in ANY round, plus the round-3 red
+    (``s14_bucketed_join``, idempotency fix landed); then everything
+    whose only green is round 2 (longest-unrefreshed); twice-green
+    rows sit at the back.
     """
     first = [
-        # missing from the round-2 record (greened late in round 2)
-        "sim_topk_lsh", "mm_binary_features", "dedup_simhash",
-        "dedup_minhash_lsh", "j5_scd2_apply_changes", "w2w3_scd2_from_history",
-        # round-3 additions — no recorded verdict yet
-        "e2e_medallion_gold", "s1_csv_roundtrip", "s45_sink_roundtrip",
-        "corpus_hash_split", "corpus_pack_sequences", "corpus_tfidf_top_terms",
-        "corpus_vocab_topk", "corpus_redact_pii",
-        "corpus_cluster_representatives", "corpus_stratified_sample",
-        "corpus_prepare_shards", "a13_grouping_sets", "w9_ntile_quartiles",
-        "w10_distribution_ranks", "w11_range_frame", "u4_intersect_except",
-        "s13_sql_subqueries", "j10_upsert_snapshot", "dedup_levenshtein_names",
-        "sketch_distinct_bounds", "str1_stream_windowed_counts",
-        "s6_reject_quarantine_roundtrip", "mm_frame_sampling",
-        "j11_salted_skew_join", "s14_bucketed_join",
+        # no driver verdict in any round — first priority
+        "w8_sessionize", "a10_rollup_status_year", "a11_pivot_status_by_year",
+        "a12_percentiles", "dedup_clusters", "sim_topk_ivf",
+        "fact_tag_usage_daily", "t_document_filter",
+        # round-3 red, fixed this round
+        "s14_bucketed_join",
+        # green only in round 2 — longest-unrefreshed verdicts next
+        "a7_exact_dedup", "a8_dq_null_stats", "a9_share_of_total",
+        "dedup_embedding_cosine", "dedup_exact_docs", "dedup_ngram_jaccard",
+        "dim_date_calendar", "f_array_funcs", "f_boolean_parse",
+        "f_date_funcs", "f_json_extract", "f_math_funcs", "f_string_funcs",
+        "o2_rank_multikey", "o3_diagnostics_sample", "p_projection_family",
+        "s12_sql_endpoint", "s8_provenance_by_file", "sim_topk_bruteforce",
+        "t_fingerprint", "t_lang_id", "t_quality_score", "t_token_count",
+        "tags_explode_normalize", "u2_unknown_row", "u3_union_all_report",
+        "w4_hash_sk_distinct", "w5_yoy_growth", "w6_trailing_average",
     ]
     ordered = {name: QUERIES[name] for name in first if name in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -164,7 +165,23 @@ def write_bucketed(
     at 100 TB (broadcast covers small dims; bucketing covers fact-to-
     fact). Requires the session catalog (``saveAsTable``) — plain
     parquet paths cannot carry bucket metadata.
+
+    Idempotent across sessions: a fresh session's in-memory catalog
+    does not know about a table whose warehouse directory survived a
+    previous JVM, so ``mode("overwrite")`` alone raises
+    ``LOCATION_ALREADY_EXISTS``. Drop the catalog entry AND clear the
+    orphaned location before writing — the same re-runnability S4/S5
+    already guarantee for path-based sinks.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        stale = os.path.join(warehouse, table.split(".")[-1].lower())
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

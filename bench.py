@@ -72,7 +72,10 @@ def main() -> int:
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
-    return 1 if failures else 0
+    # A single red query must not void the whole bench record (round 3's
+    # s14 failure left BENCH_r03 with parsed=null). Failures are recorded
+    # in-JSON above; only a broadly broken run exits non-zero.
+    return 1 if len(failures) > 3 else 0
 
 
 def _bench_pipeline(spark, sf_dir: str) -> float:

@@ -6,16 +6,27 @@ row count, column names, and sorted values. Floats compare exactly
 first, then with 1e-9 tolerance (reported separately — the driver's
 hash compare is exact, so any tolerance-only match is a risk flag).
 
+Writes the full result to ``CORRECTNESS_local.json`` (driver-style
+rows for every declared query) so the cumulative record stays
+auditable even when the driver's ~50-row-per-round window truncates.
+Partial runs (an explicit query list) merge into the existing file
+instead of replacing it.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 
 import duckdb
+
+LOCAL_RECORD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "CORRECTNESS_local.json")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -70,6 +81,7 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    record: dict[str, dict] = {}
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -81,10 +93,16 @@ def main():
             spark_rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "err": f"{type(e).__name__}: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spark_rows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(spark_rows),
+                            "err": None, "rows_only": True}
             n_rowsonly += 1
             continue
         try:
@@ -93,10 +111,18 @@ def main():
             duck_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: ORACLE ERROR {e}")
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(spark_rows),
+                            "err": f"ORACLE {e}"}
             n_fail += 1
             continue
-        if sorted(cols) != sorted(duck_cols):
+        row = {"rows_match": len(spark_rows) == len(duck_rows),
+               "schema_match": sorted(cols) == sorted(duck_cols),
+               "hash_match": False, "spark_rows": len(spark_rows),
+               "oracle_rows": len(duck_rows), "err": None}
+        if not row["schema_match"]:
             print(f"FAIL  {name}: SCHEMA {sorted(cols)} vs {sorted(duck_cols)}")
+            record[name] = row
             n_fail += 1
             continue
         # align column order by name
@@ -105,11 +131,23 @@ def main():
         s = [tuple(r[i] for i in sidx) for r in spark_rows]
         d = [tuple(r[i] for i in didx) for r in duck_rows]
         msg, ok = compare(s, d, sorted(cols))
+        row["hash_match"] = bool(ok)
+        if msg.startswith("FLOAT_TOL"):
+            row["float_tol_only"] = True
+        record[name] = row
         status = "ok   " if ok else "FAIL "
         print(f"{status} {name}: {msg} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
         n_pass += ok
         n_fail += not ok
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    merged = record
+    if only and os.path.exists(LOCAL_RECORD):
+        with open(LOCAL_RECORD) as f:
+            merged = json.load(f)
+        merged.update(record)
+    with open(LOCAL_RECORD, "w") as f:
+        json.dump(merged, f, indent=2, sort_keys=True)
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only"
+          f" -> {os.path.basename(LOCAL_RECORD)}")
     return 1 if n_fail else 0
 
 
