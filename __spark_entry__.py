@@ -62,31 +62,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history run FIRST — the harness records ~50 verdicts per round, so
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
-    first verdict. Head of the list for round 4: the 8 queries with no
-    recorded verdict in ANY round, plus the round-3 red
-    (``s14_bucketed_join``, idempotency fix landed); then everything
-    whose only green is round 2 (longest-unrefreshed); twice-green
-    rows sit at the back.
+    first verdict. Head of the list for round 5: the 9 events
+    consumers broken by round 4's loader bug (the two never-green ones
+    — ``w8_sessionize``, ``fact_tag_usage_daily`` — first, loader fix
+    landed this round); then every query whose only green is round 3
+    (longest-unrefreshed); the round-4-refreshed rows sit at the back.
     """
     first = [
-        # no driver verdict in any round — first priority
-        "w8_sessionize", "a10_rollup_status_year", "a11_pivot_status_by_year",
-        "a12_percentiles", "dedup_clusters", "sim_topk_ivf",
-        "fact_tag_usage_daily", "t_document_filter",
-        # round-3 red, fixed this round
-        "s14_bucketed_join",
-        # green only in round 2 — longest-unrefreshed verdicts next
-        "a7_exact_dedup", "a8_dq_null_stats", "a9_share_of_total",
-        "dedup_embedding_cosine", "dedup_exact_docs", "dedup_ngram_jaccard",
-        "dim_date_calendar", "f_array_funcs", "f_boolean_parse",
-        "f_date_funcs", "f_json_extract", "f_math_funcs", "f_string_funcs",
-        "o2_rank_multikey", "o3_diagnostics_sample", "p_projection_family",
-        "s12_sql_endpoint", "s8_provenance_by_file", "sim_topk_bruteforce",
-        "t_fingerprint", "t_lang_id", "t_quality_score", "t_token_count",
-        "tags_explode_normalize", "u2_unknown_row", "u3_union_all_report",
-        "w4_hash_sk_distinct", "w5_yoy_growth", "w6_trailing_average",
+        # never green in ANY round (events loader broke them in r4) — first
+        "w8_sessionize", "fact_tag_usage_daily",
+        # red in r4 via the same loader bug, fixed this round
+        "a8_dq_null_stats", "w6_trailing_average", "f_json_extract",
+        # stale-broken: green in r3 but events consumers, must re-prove
+        "j8_asof_prior_event", "w2w3_scd2_from_history", "w11_range_frame",
+        "str1_stream_windowed_counts",
+        # green only in round 3 — longest-unrefreshed verdicts next
+        "e2e_medallion_gold", "s1_csv_roundtrip", "s45_sink_roundtrip",
+        "s6_reject_quarantine_roundtrip", "s13_sql_subqueries",
+        "corpus_hash_split", "corpus_pack_sequences", "corpus_tfidf_top_terms",
+        "corpus_vocab_topk", "corpus_redact_pii", "corpus_cluster_representatives",
+        "corpus_stratified_sample", "corpus_prepare_shards",
+        "mm_binary_features", "mm_frame_sampling",
+        "j9_range_join_price_bands", "j10_upsert_snapshot", "j11_salted_skew_join",
+        "a13_grouping_sets", "w9_ntile_quartiles", "w10_distribution_ranks",
+        "u4_intersect_except", "sketch_distinct_bounds",
+        "dedup_levenshtein_names",
+        # green only in round 2 — oldest verdicts of all
+        "dedup_minhash_lsh", "dedup_simhash", "sim_topk_lsh",
+        # single r3 green for the A-row family
+        "a1_topk_customers", "a2_conditional_agg_owner", "a3_yearly_rollup",
+        "a4_distinct_counts", "a5_global_minmax", "a6_frequency_classify",
     ]
-    ordered = {name: QUERIES[name] for name in first if name in QUERIES}
+    missing = [n for n in first if n not in QUERIES]
+    assert not missing, f"priority list names unknown queries: {missing}"
+    ordered = {name: QUERIES[name] for name in first}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
     return ordered
 

@@ -175,12 +175,36 @@ def write_bucketed(
     """
     spark = df.sparkSession
     if mode == "overwrite":
+        # Resolve the MANAGED table's real location from the catalog
+        # before dropping, rather than reconstructing it by warehouse
+        # convention (which is wrong for qualified `db.tbl` names —
+        # those live under `<warehouse>/<db>.db/<tbl>` — and would
+        # wrongly delete the data of an EXTERNAL table at that path,
+        # which DROP TABLE deliberately preserves).
+        stale = None
+        if spark.catalog.tableExists(table):
+            detail = {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            }
+            if detail.get("Type", "").upper() == "MANAGED":
+                loc = detail.get("Location", "")
+                stale = loc[len("file:"):] if loc.startswith("file:") else loc
+        else:
+            # Catalog has no entry (fresh session, orphaned directory
+            # from a previous JVM): fall back to the warehouse-layout
+            # convention, including the `<db>.db/` segment.
+            warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            if warehouse.startswith("file:"):
+                warehouse = warehouse[len("file:"):]
+            parts = [p.lower() for p in table.split(".")]
+            rel = (
+                os.path.join(f"{parts[-2]}.db", parts[-1])
+                if len(parts) > 1 else parts[-1]
+            )
+            stale = os.path.join(warehouse, rel)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        if warehouse.startswith("file:"):
-            warehouse = warehouse[len("file:"):]
-        stale = os.path.join(warehouse, table.split(".")[-1].lower())
-        if os.path.isdir(stale):
+        if stale and os.path.isdir(stale):
             shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:

@@ -176,13 +176,16 @@ def top_terms(
 def vocabulary(
     df: DataFrame, text_col: str, min_count: int = 1
 ) -> DataFrame:
-    """(term, n_docs, n_occurrences): corpus vocabulary with counts.
+    """(term, n_occurrences): corpus vocabulary with occurrence counts.
 
     One explode + one hash aggregate; map-side combine means the
     shuffle carries (term, partial) not the token stream. At 100 TB
     add a frequency floor (``min_count``) BEFORE any downstream join.
+    For per-term DOCUMENT frequency, use :func:`tfidf` (its ``df``
+    column) — computing it here would force a second explode or a
+    distinct-expand, which most vocabulary callers don't need.
     """
-    t = df.select(F.explode(tokens(text_col)).alias("term"), F.lit(1).alias("__one"))
+    t = df.select(F.explode(tokens(text_col)).alias("term"))
     out = t.groupBy("term").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
     )

@@ -466,23 +466,25 @@ def levenshtein_pairs(
     dedup FIRST (the distinct-value set is vocabulary-sized, usually
     orders of magnitude below row count), then pair within blocks.
     ``block_col`` is the candidate lever — default blocks on the
-    LAST whitespace token, which for entity-style names ("red
-    widget" / "hot widget") keeps head-noun variants together; the
-    recall contract is "edits confined to the non-block tokens", and
-    callers with different name shapes pass their own blocking
-    expression. Within-block pairing is an equi-join, never a global
-    cross join; ``levenshtein`` is a codegen'd JVM builtin.
+    LAST whitespace token of ``text_col``, which for entity-style
+    names ("red widget" / "hot widget") keeps head-noun variants
+    together; the recall contract is "edits confined to the non-block
+    tokens". A caller-supplied ``block_col`` is an expression over the
+    ORIGINAL ``df`` columns (evaluated before the internal aliasing),
+    so blocking on a different column — e.g. a category — works; a
+    value appearing under several blocks is paired in each (more
+    candidates, same correctness). Within-block pairing is an
+    equi-join, never a global cross join; ``levenshtein`` is a
+    codegen'd JVM builtin.
     """
     block = (
         block_col
         if block_col is not None
-        else F.element_at(F.split(F.col("name"), r"\s+"), -1)
+        else F.element_at(F.split(F.col(text_col), r"\s+"), -1)
     )
-    names = (
-        df.select(F.col(text_col).alias("name"))
-        .distinct()
-        .withColumn("__blk", block)
-    )
+    names = df.select(
+        F.col(text_col).alias("name"), block.alias("__blk")
+    ).distinct()
     a = names.select(F.col("name").alias("name_a"), "__blk")
     b = names.select(F.col("name").alias("name_b"), "__blk")
     return (

@@ -41,18 +41,40 @@ def query(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects by default; read it as raw nanos and rebuild a
-        # (microsecond) timestamp with integer `div` — float division
-        # would lose precision above 2^53 ns. nanosAsLong is the
-        # engine's documented session default (session._DEFAULTS); it is
-        # re-asserted here because the driver harness builds its own
-        # session without our factory.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, normalizing ``ts`` to a session-local
+    TIMESTAMP regardless of how the parquet file encodes it.
+
+    The testdata generator has shipped ``ts`` both as TIMESTAMP(MICROS)
+    (current) and TIMESTAMP(NANOS) (earlier rounds). Dispatch on the
+    schema Spark actually reads instead of assuming either:
+
+    * TIMESTAMP / TIMESTAMP_NTZ — usable as-is (NTZ is cast so every
+      downstream window/interval expression sees one type).
+    * LONG — only happens when ``spark.sql.legacy.parquet.nanosAsLong``
+      is set and the file is TIMESTAMP(NANOS): rebuild micros with
+      integer ``div`` (float division loses precision above 2^53 ns).
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    except Exception:
+        # Spark's reader rejects TIMESTAMP(NANOS) outright unless the
+        # legacy nanosAsLong escape hatch is on; flip it (scoped to this
+        # read path, not a session default) and retry once.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -2564,25 +2586,21 @@ def str1_stream_windowed_counts(spark, sf_dir):
     event-time windowing is deterministic under any micro-batch
     split; the watermark drops nothing in a bounded drain.
     """
-    from pyspark.sql.types import (
-        DoubleType, LongType, StringType, StructField, StructType,
-    )
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     from aws_medallion_etl_spark import streaming
 
-    # File-source streams must declare their schema; events.parquet is
-    # TIMESTAMP(NANOS), so read ts as raw nanos and rebuild micros.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
+    # File-source streams must declare their schema. The on-disk ``ts``
+    # encoding has changed across testdata generations (NANOS-as-long vs
+    # MICROS), so probe the actual schema with a one-off batch read and
+    # build the stream's rebuild expression from what is really there —
+    # exactly the dispatch `_events` does for the batch path.
+    try:
+        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = batch_schema["ts"].dataType
     # The file-stream source monitors a DIRECTORY; stage the (read-only)
     # events file into a scratch dir via symlink.
     import os
@@ -2592,11 +2610,11 @@ def str1_stream_windowed_counts(spark, sf_dir):
     link = f"{src_dir}/events.parquet"
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
+    if isinstance(ts_type, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agged = streaming.windowed_counts(
         stream, "ts", window_duration="1 hour", watermark="2 hours",
         extra_keys=["event_type"],

@@ -37,12 +37,13 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Timestamps are UTC end-to-end (requirements/...:21).
     "spark.sql.session.timeZone": "UTC",
-    # Documented engine default: parquet TIMESTAMP(NANOS) columns (which
-    # Spark's reader otherwise rejects) surface as raw nanosecond longs;
-    # readers rebuild a microsecond timestamp explicitly (see
-    # queries._t for the events table). Declared here, session-wide, so
-    # no operator needs to toggle it mid-session.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOTE: no `spark.sql.legacy.parquet.nanosAsLong` session default.
+    # Timestamp encoding is a property of each FILE, not the session:
+    # readers must dispatch on the schema they actually get (see
+    # queries._events — reads normally, falls back to nanosAsLong+rebuild
+    # only when the reader rejects a TIMESTAMP(NANOS) column). A session
+    # default here previously encouraged loaders to hard-code one
+    # encoding, which broke when the testdata switched NANOS -> MICROS.
     "spark.ui.enabled": "false",
     # NOTE: JVM sizing (spark.driver.memory etc.) is deliberately NOT set
     # here — builder.config silently no-ops once a JVM exists, so memory

@@ -144,6 +144,10 @@ def main():
         with open(LOCAL_RECORD) as f:
             merged = json.load(f)
         merged.update(record)
+        # Prune rows for queries that no longer exist (renames/deletes)
+        # so the cumulative record never carries stale entries.
+        declared = set(entrymod.queries())
+        merged = {k: v for k, v in merged.items() if k in declared}
     with open(LOCAL_RECORD, "w") as f:
         json.dump(merged, f, indent=2, sort_keys=True)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only"
