@@ -69,8 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (longest-unrefreshed); the round-4-refreshed rows sit at the back.
     """
     first = [
-        # never green in ANY round (events loader broke them in r4) — first
-        "w8_sessionize", "fact_tag_usage_daily",
+        # never green in ANY round (events loader broke them in r4),
+        # plus the round-5 addition awaiting its first verdict — first
+        "w8_sessionize", "fact_tag_usage_daily", "sim_topk_ivf_indexed",
         # red in r4 via the same loader bug, fixed this round
         "a8_dq_null_stats", "w6_trailing_average", "f_json_extract",
         # stale-broken: green in r3 but events consumers, must re-prove

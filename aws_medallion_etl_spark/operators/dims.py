@@ -13,6 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# The reference bakes these fixed-date Vietnam public holidays into its
+# driver loop (Meta_Guideline.md:2789-2796): New Year (Jan 1),
+# Reunification Day (Apr 30), Labour Day (May 1), National Day (Sep 2).
+VIETNAM_FIXED_HOLIDAYS: list[tuple[int, int]] = [(1, 1), (4, 30), (5, 1), (9, 2)]
+
 
 def dim_date(
     spark: SparkSession,
@@ -24,9 +29,15 @@ def dim_date(
 
     ``sequence(date, date)`` builds the day array inside codegen and
     ``explode`` fans it out — no driver loop, no shuffle, generable for
-    any range on any cluster size. ``holidays`` (ISO dates) populates
-    ``is_holiday`` — the reference bakes a holiday list into its
-    driver loop (``Meta_Guideline.md:2781-2857``); here it is data.
+    any range on any cluster size. Attribute-for-attribute parity with
+    the reference's row dict (``Meta_Guideline.md:2798-2820`` plus the
+    derived columns at ``:2848-2860``): ISO day-of-week (1=Monday),
+    July-based fiscal year/quarter, short month/day names, year_month,
+    days_in_month. ``holidays`` (ISO dates) overrides ``is_holiday``;
+    when omitted, the reference's fixed-date Vietnam holiday rule
+    applies. The audit columns (``created_at``/``etl_run_date``,
+    ``:2863-2866``) are left to the sink layer — they are run metadata,
+    not calendar attributes.
     """
     days = spark.range(1).select(
         F.explode(
@@ -37,27 +48,40 @@ def dim_date(
             )
         ).alias("date")
     )
-    dow = F.dayofweek("date")  # 1=Sunday .. 7=Saturday
+    # Spark weekday(): 0=Monday .. 6=Sunday; reference uses 1=Monday .. 7=Sunday.
+    iso_dow = F.expr("weekday(date) + 1")
+    month = F.month("date")
+    if holidays is not None:
+        is_holiday = F.col("date").isin([F.lit(h).cast("date") for h in holidays])
+    else:
+        is_holiday = F.lit(False)
+        for m, d in VIETNAM_FIXED_HOLIDAYS:
+            is_holiday = is_holiday | ((month == m) & (F.dayofmonth("date") == d))
     return days.select(
         F.date_format("date", "yyyyMMdd").cast("int").alias("date_sk"),
         F.col("date"),
+        F.date_format("date", "yyyy-MM-dd").alias("date_string"),
         F.year("date").alias("year"),
         F.quarter("date").alias("quarter"),
-        F.month("date").alias("month"),
-        F.dayofmonth("date").alias("day_of_month"),
-        F.dayofweek("date").alias("day_of_week"),
-        F.weekofyear("date").alias("week_of_year"),
+        month.alias("month"),
         F.date_format("date", "MMMM").alias("month_name"),
+        F.date_format("date", "MMM").alias("month_name_short"),
+        F.weekofyear("date").alias("week_of_year"),
+        F.dayofyear("date").alias("day_of_year"),
+        F.dayofmonth("date").alias("day_of_month"),
+        iso_dow.alias("day_of_week"),
         F.date_format("date", "EEEE").alias("day_name"),
-        ((dow == 1) | (dow == 7)).alias("is_weekend"),
-        # Fiscal year shifted +1 from October (reference convention,
-        # Meta_Guideline.md:2812-2816).
-        F.when(F.month("date") >= 10, F.year("date") + 1)
-        .otherwise(F.year("date"))
+        F.date_format("date", "EEE").alias("day_name_short"),
+        (iso_dow >= 6).alias("is_weekend"),
+        (iso_dow < 6).alias("is_weekday"),
+        is_holiday.alias("is_holiday"),
+        # July-based fiscal calendar (Meta_Guideline.md:2815-2817):
+        # FY = calendar year of July 1 that starts the fiscal year.
+        F.when(month >= 7, F.year("date"))
+        .otherwise(F.year("date") - 1)
         .alias("fiscal_year"),
-        (
-            F.col("date").isin([F.lit(h).cast("date") for h in holidays])
-            if holidays
-            else F.lit(False)
-        ).alias("is_holiday"),
+        # Both reference branches reduce to ((month + 5) % 12) // 3 + 1.
+        (F.floor(((month + 5) % 12) / 3) + 1).cast("int").alias("fiscal_quarter"),
+        F.date_format("date", "yyyyMM").alias("year_month"),
+        F.dayofmonth(F.last_day("date")).alias("days_in_month"),
     )

@@ -413,6 +413,96 @@ def cosine_topk_ivf(
             "__cid", _assign_centroid(cents)(F.col("__cv"))
         )
     )
+    return _score_probed_cells(c, queries, id_col, vec_col, cents,
+                               k, nprobe, exclude_self)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_centroids: int = 8,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Materialize the IVF index: the corpus written PARTITIONED by
+    cell id, plus a centroid sidecar.
+
+    This is the production shape of ``cosine_topk_ivf`` — the k-means
+    and cell assignment are paid ONCE at build time and amortized over
+    every query batch, and the cell layout is a real parquet
+    ``partitionBy("__cid")`` directory tree, so a probe's
+    ``__cid IN (...)`` filter becomes static PARTITION PRUNING at the
+    scan (pinned by ``test_plans::test_ivf_index_probe_prunes_partitions``):
+    a batch probing ``p`` distinct cells reads ~``p / n_centroids`` of
+    the corpus bytes, never the rest. Centroids are (k x dim) floats —
+    trivially small — stored as JSON next to the cells.
+    """
+    import json
+    import os
+
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
+    ).withColumn("__cid", _assign_centroid(cents)(F.col("__cv")))
+    c.write.mode("overwrite").partitionBy("__cid").parquet(f"{path}/cells")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/centroids.json", "w") as fh:
+        json.dump(cents, fh)
+    return cents
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN against a prebuilt :func:`build_ivf_index` layout.
+
+    The probed cell set is the UNION of every query's ``nprobe``
+    nearest centroids — collected driver-side as a literal IN-list
+    (at most ``n_queries x nprobe`` ints, bounded by ``n_centroids``,
+    never data-proportional), so the cells scan carries a static
+    partition filter and untouched cells are never read. Scoring is
+    identical to the unindexed path.
+    """
+    import json
+
+    with open(f"{index_path}/centroids.json") as fh:
+        cents = json.load(fh)
+    probe = _probe_centroids(cents, nprobe)
+    probed_cells = sorted(
+        r["__cid"]
+        for r in queries.select(
+            F.explode(probe(as_double_vec(vec_col))).alias("__cid")
+        ).distinct().collect()
+    )
+    c = (
+        spark.read.parquet(f"{index_path}/cells")
+        .where(F.col("__cid").isin(probed_cells))
+        .withColumn("__cn", l2_norm(F.col("__cv")))
+    )
+    return _score_probed_cells(c, queries, id_col, vec_col, cents,
+                               k, nprobe, exclude_self)
+
+
+def _score_probed_cells(
+    cells: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    k: int,
+    nprobe: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared IVF scoring tail: probe-join queries onto cells, exact
+    cosine within candidates, per-query top-k."""
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
@@ -423,7 +513,7 @@ def cosine_topk_ivf(
             F.explode(_probe_centroids(cents, nprobe)(F.col("__qv"))),
         )
     )
-    pairs = c.join(F.broadcast(q), "__cid")
+    pairs = cells.join(F.broadcast(q), "__cid")
     if exclude_self:
         pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.withColumn(

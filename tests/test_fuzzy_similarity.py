@@ -291,3 +291,20 @@ def test_kmeans_centroids_deterministic_and_normalized(spark):
     assert a == b
     for c in a:
         assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_ivf_indexed_matches_unindexed(spark, tmp_path):
+    """The materialized-index path must return exactly what the
+    inline path returns for the same (n_centroids, nprobe, k)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id % 250 = 0")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx,
+                               n_centroids=8, iters=3)
+    inline = similarity.cosine_topk_ivf(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=6, iters=3,
+    ).collect()
+    indexed = similarity.cosine_topk_ivf_indexed(
+        spark, idx, q, "vec_id", "embedding", k=5, nprobe=6,
+    ).collect()
+    assert sorted(map(tuple, indexed)) == sorted(map(tuple, inline))

@@ -228,3 +228,33 @@ def test_hash_split_and_sample_are_shuffle_free(spark, sf_dir):
     )
     assert "Exchange" not in split_plan
     assert "Exchange" not in sample_plan
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The materialized IVF layout must turn a probe into static
+    partition pruning: the cells scan reads ONLY the probed
+    ``__cid=`` directories, never the rest of the corpus."""
+    from aws_medallion_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx,
+                               n_centroids=8, iters=1)
+    q = emb.filter("vec_id = 0")
+    out = similarity.cosine_topk_ivf_indexed(
+        spark, idx, q, "vec_id", "embedding", k=5, nprobe=2,
+    )
+    import re
+
+    plan = _physical(out)
+    # the cells scan is the only FileScan carrying the stored vector
+    # column __cv; the path itself may be truncated out of the line
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "__cv" in ln
+    ]
+    assert scan_lines, "expected a FileScan over the cells layout"
+    m = re.search(r"PartitionFilters: \[__cid#\d+ IN \(([\d,]+)\)", scan_lines[0])
+    assert m, f"cells scan carries no static __cid partition filter: {scan_lines[0]}"
+    # one query probing 2 of 8 cells -> exactly 2 cell ids in the filter
+    assert len(m.group(1).split(",")) == 2

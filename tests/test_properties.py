@@ -166,3 +166,39 @@ def test_redact_pii_idempotent(spark, texts):
     once = df.select(corpus.redact_pii("t").alias("r"))
     twice = once.select(corpus.redact_pii("r").alias("r"))
     assert [r.r for r in once.collect()] == [r.r for r in twice.collect()]
+
+
+@st.composite
+def partitioned_pack_case(draw):
+    # skewed partition sizes: one shard may carry 50x the docs of another
+    n_parts = draw(st.integers(min_value=1, max_value=4))
+    shards = {
+        f"s{p}": draw(st.lists(st.integers(min_value=1, max_value=500),
+                               min_size=0, max_size=draw(st.sampled_from([1, 3, 25]))))
+        for p in range(n_parts)
+    }
+    budget = draw(st.integers(min_value=10, max_value=600))
+    return shards, budget
+
+
+@given(case=partitioned_pack_case())
+@settings(**SETTINGS)
+def test_pack_sequences_partitioned_matches_naive(spark, case):
+    """With partition_by, every shard packs independently under the
+    same cumulative-quotient contract — bin numbering restarts per
+    shard and skewed shard sizes don't leak across shards."""
+    from aws_medallion_etl_spark.operators import corpus
+
+    shards, budget = case
+    rows = [(s, i, t) for s, toks in shards.items() for i, t in enumerate(toks)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "split string, doc_id long, n_tok long")
+    got = {(r.split, r.doc_id): r.bin_id
+           for r in corpus.pack_sequences(
+               df, "doc_id", "n_tok", budget, partition_by=["split"]).collect()}
+    for s, toks in shards.items():
+        cum = 0
+        for i, t in enumerate(toks):
+            assert got[(s, i)] == cum // budget
+            cum += t
