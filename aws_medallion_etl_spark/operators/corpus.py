@@ -275,3 +275,30 @@ def stratified_sample(
     for value, frac in fractions.items():
         rate = F.when(F.col(strata_col) == value, F.lit(frac)).otherwise(rate)
     return df.where(bucket < rate * 10_000)
+
+
+# ---------------------------------------------------------------------------
+# Per-source caps
+# ---------------------------------------------------------------------------
+
+def cap_per_source(
+    df: DataFrame,
+    source_col: str,
+    cap: int,
+    order_by: list,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source/domain, chosen by the
+    deterministic ``order_by`` preference (e.g. quality desc, id asc).
+
+    The standard web-corpus diversity guard: without a per-domain cap,
+    a handful of boilerplate-heavy domains dominate the training mix.
+    One window partitioned by SOURCE — millions of small partitions,
+    no global sort, no skew beyond the largest single domain (cap the
+    candidate set upstream if one domain is pathological).
+    """
+    w = Window.partitionBy(source_col).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -124,3 +124,80 @@ def language_id(
     for lang, _ in profiles:
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr.otherwise(F.lit(out_unknown))
+
+
+def word_ngrams(
+    df,
+    id_col: str,
+    text_col: Column | str,
+    n: int = 2,
+    out_col: str = "ngram",
+):
+    """(id, ngram) pairs: word n-grams of the lowercased text.
+
+    The token array is materialized in its own projection FIRST, then
+    the n-gram lambda only references that plain column — higher-order
+    -function lambdas are interpreted, so referencing a computed
+    ``split()`` inside the lambda would re-split per array element.
+    Docs with fewer than ``n`` tokens yield no rows (``sequence`` with
+    a descending stop would otherwise silently count backwards).
+    """
+    toks = F.split(F.trim(F.lower(_c(text_col))), r"\s+")
+    with_toks = df.select(F.col(id_col), toks.alias("__toks"))
+    positions = F.when(
+        F.size("__toks") >= n,
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        positions,
+        lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+    )
+    return with_toks.select(
+        F.col(id_col), F.explode(grams).alias(out_col)
+    )
+
+
+def ngram_repetition_scores(
+    df,
+    id_col: str,
+    text_col: Column | str,
+    n: int = 2,
+    ndigits: int = 4,
+):
+    """Per-document n-gram repetition signals (the Gopher/MassiveText
+    repetition filters, Rae et al. 2021 §A1.1): documents dominated by
+    a single repeated n-gram, or whose n-grams are mostly duplicated,
+    are boilerplate/spam candidates.
+
+    Returns (id, n_ngrams, top_ngram, top_ngram_frac, dup_ngram_frac):
+    ``top_ngram_frac`` = occurrences of the most frequent n-gram over
+    all n-gram occurrences (ties -> lexicographically smallest n-gram),
+    ``dup_ngram_frac`` = occurrences belonging to any n-gram seen more
+    than once. Occurrence-fractions, not Gopher's char-fractions — the
+    same signal with a cleaner cross-engine contract.
+
+    Shape at 100 TB: explode -> hash-aggregate on (doc, ngram) with
+    map-side combine, then a per-DOC window for the deterministic
+    top-1 — partitioned by doc id, so no global sort and no skew
+    (a document's n-gram vocabulary is bounded by its length).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        word_ngrams(df, id_col, text_col, n)
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__c"), F.asc("ngram"))
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.sum("__c").alias("n_ngrams"),
+        F.max(F.when(F.col("__rn") == 1, F.col("ngram"))).alias("top_ngram"),
+        F.round(
+            F.max(F.when(F.col("__rn") == 1, F.col("__c"))) / F.sum("__c"), ndigits
+        ).alias("top_ngram_frac"),
+        F.round(
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)) / F.sum("__c"),
+            ndigits,
+        ).alias("dup_ngram_frac"),
+    )

@@ -1830,6 +1830,69 @@ def t_document_filter(spark, sf_dir):
 
 
 @query(
+    "t_repetition_ngrams",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), ng AS (
+        SELECT doc_id, array_to_string(t[i:i+1], ' ') AS ngram
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), c AS (
+        SELECT doc_id, ngram, count(*) AS c FROM ng GROUP BY doc_id, ngram
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_ngrams,
+           (list(ngram ORDER BY c DESC, ngram ASC))[1] AS top_ngram,
+           round(max(c) * 1.0 / sum(c), 4) AS top_ngram_frac,
+           round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 4)
+               AS dup_ngram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def t_repetition_ngrams(spark, sf_dir):
+    """Gopher-style 2-gram repetition signals per document (Rae et al.
+    2021 §A1.1): occurrence share of the single most frequent word
+    bigram and of all duplicated bigrams — the boilerplate/spam
+    filters a training-data pipeline runs after the cheap length
+    checks. Explode -> (doc, ngram) hash-agg -> per-doc window top-1;
+    everything stays JVM-side."""
+    return text.ngram_repetition_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2
+    )
+
+
+@query(
+    "corpus_source_cap",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    GROUP BY source
+    """,
+)
+def corpus_source_cap(spark, sf_dir):
+    """Per-source diversity cap: keep the 10 longest documents per
+    source (n_chars desc, doc_id asc tiebreak) so no single domain
+    dominates the training mix — the standard web-corpus guard.
+    Aggregated per source so the kept set is oracle-checked by count
+    AND content (char sum)."""
+    capped = corpus.cap_per_source(
+        _t(spark, sf_dir, "documents"), "source", 10,
+        [F.desc("n_chars"), F.asc("doc_id")],
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+@query(
     "mm_binary_features",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

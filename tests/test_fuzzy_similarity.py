@@ -308,3 +308,43 @@ def test_ivf_indexed_matches_unindexed(spark, tmp_path):
         spark, idx, q, "vec_id", "embedding", k=5, nprobe=6,
     ).collect()
     assert sorted(map(tuple, indexed)) == sorted(map(tuple, inline))
+
+
+def test_ngram_repetition_scores_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # "a b" x3, "b a" x2 -> top frac 3/5, all dup
+            (2, "w x y z"),          # 3 distinct bigrams, no repetition
+            (3, "solo"),             # shorter than n -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            text.ngram_repetition_scores(df, "doc_id", "text", n=2).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has no bigrams
+    assert rows[1].n_ngrams == 5
+    assert rows[1].top_ngram == "a b"
+    assert rows[1].top_ngram_frac == 0.6
+    assert rows[1].dup_ngram_frac == 1.0
+    assert rows[2].top_ngram_frac == round(1 / 3, 4)
+    assert rows[2].dup_ngram_frac == 0.0
+    # tie on count -> lexicographically smallest ngram wins
+    tie = spark.createDataFrame([(9, "b c b c a d a d")], "doc_id long, text string")
+    r9 = text.ngram_repetition_scores(tie, "doc_id", "text", n=2).collect()[0]
+    assert r9.top_ngram == "a d"
+
+
+def test_cap_per_source(spark):
+    from aws_medallion_etl_spark.operators import corpus
+
+    rows = [("s1", i, 100 - i) for i in range(5)] + [("s2", 10, 7)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    kept = corpus.cap_per_source(
+        df, "source", 2, [F.desc("n_chars"), F.asc("doc_id")]
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # s1 keeps its two longest docs (ids 0,1); undersized s2 keeps all
+    assert sorted(by_src["s1"]) == [0, 1]
+    assert by_src["s2"] == [10]
