@@ -72,7 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never green in ANY round (events loader broke them in r4),
         # plus the round-5 additions awaiting their first verdict — first
         "w8_sessionize", "fact_tag_usage_daily", "sim_topk_ivf_indexed",
-        "t_repetition_ngrams", "corpus_source_cap",
+        "t_repetition_ngrams", "corpus_source_cap", "dedup_incremental",
         # red in r4 via the same loader bug, fixed this round
         "a8_dq_null_stats", "w6_trailing_average", "f_json_extract",
         # stale-broken: green in r3 but events consumers, must re-prove

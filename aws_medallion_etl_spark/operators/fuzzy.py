@@ -494,3 +494,65 @@ def levenshtein_pairs(
         .where(F.col("distance") <= max_distance)
         .select("name_a", "name_b", "distance")
     )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """Incremental near-dedup: keep the NEW batch's rows whose n-gram
+    Jaccard against every EXISTING corpus document stays below
+    ``threshold``.
+
+    The continuous-ingestion shape: a daily/streaming batch must not
+    re-pair the corpus with itself (that work is already done), only
+    new-vs-corpus. Candidates are a cross-side shingle equi-join —
+    still a *blocking* join, sized |new| x avg-df, never
+    |new| x |corpus| — and Jaccard verification is exact on the
+    candidates. ``max_shingle_df`` (document frequency counted across
+    BOTH sides) drops stop-shingles exactly as
+    :func:`ngram_jaccard_pairs` does, same default, same ``None``
+    escape for the strictly-exact contract.
+
+    At 100 TB the corpus shingle index (``shingles(corpus)``) is the
+    thing to MATERIALIZE once and reuse per batch — it only grows by
+    the kept batch, so maintain it as a partitioned table and append;
+    or screen first with stored :func:`minhash_signatures` bands and
+    verify only band-colliding candidates.
+    """
+    sh_new = shingles(new_df, id_col, text_col, n)
+    sh_old = shingles(corpus_df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh_new.select("shingle").unionAll(sh_old.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh_new = sh_new.join(F.broadcast(rare), "shingle")
+        sh_old = sh_old.join(F.broadcast(rare), "shingle")
+    size_new = sh_new.groupBy("__id").agg(F.count(F.lit(1)).alias("__nn"))
+    size_old = sh_old.groupBy("__id").agg(F.count(F.lit(1)).alias("__no"))
+    inter = (
+        sh_new.select(F.col("__id").alias("__new_id"), "shingle")
+        .join(sh_old.select(F.col("__id").alias("__old_id"), "shingle"), "shingle")
+        .groupBy("__new_id", "__old_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    jac = F.col("__c") / (F.col("__nn") + F.col("__no") - F.col("__c"))
+    matched = (
+        inter.join(size_new.select(F.col("__id").alias("__new_id"), "__nn"), "__new_id")
+        .join(size_old.select(F.col("__id").alias("__old_id"), "__no"), "__old_id")
+        .where(jac >= threshold)
+        .select(F.col("__new_id").alias("__dup_id"))
+        .distinct()
+    )
+    return new_df.join(
+        matched, new_df[id_col] == F.col("__dup_id"), "left_anti"
+    )

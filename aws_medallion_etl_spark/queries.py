@@ -1525,6 +1525,35 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_incremental",
+    f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND NOT EXISTS (
+            SELECT 1 FROM jpairs j
+            WHERE (j.id_a = d.doc_id AND j.id_b % 2 = 0)
+               OR (j.id_b = d.doc_id AND j.id_a % 2 = 0)
+          )
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental near-dedup: a NEW batch (odd doc_ids) kept only
+    where its exact 3-gram Jaccard against every EXISTING corpus doc
+    (even doc_ids) stays below 0.8 — the continuous-ingestion shape
+    that never re-pairs the corpus with itself
+    (``fuzzy.dedup_against_corpus``). Oracle = the all-pairs Jaccard
+    CTE restricted to cross-side pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = fuzzy.dedup_against_corpus(
+        new, existing, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None,
+    )
+    return kept.select("doc_id")
+
+
 @query("dedup_clusters", _DEDUP_CLUSTERS_SQL)
 def dedup_clusters(spark, sf_dir):
     """Near-dup pairs → connected components → canonical doc per cluster.

@@ -348,3 +348,45 @@ def test_cap_per_source(spark):
     # s1 keeps its two longest docs (ids 0,1); undersized s2 keeps all
     assert sorted(by_src["s1"]) == [0, 1]
     assert by_src["s2"] == [10]
+
+
+def test_dedup_against_corpus(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # exact dup of 0 -> dropped
+            (3, "one two three four five seven"),         # jaccard 3/5 < 0.8 -> kept
+            (5, "totally different words entirely here"), # no shared shingle -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in fuzzy.dedup_against_corpus(
+            new, corpus, "doc_id", "text", n=3, threshold=0.8,
+            max_shingle_df=None,
+        ).collect()
+    )
+    assert kept == [3, 5]
+    # intra-batch duplicates are NOT this operator's job: a new doc
+    # duplicating another NEW doc (but no corpus doc) survives
+    new2 = new.union(
+        spark.createDataFrame(
+            [(7, "totally different words entirely here")],
+            "doc_id long, text string",
+        )
+    )
+    kept2 = sorted(
+        r.doc_id
+        for r in fuzzy.dedup_against_corpus(
+            new2, corpus, "doc_id", "text", n=3, threshold=0.8,
+            max_shingle_df=None,
+        ).collect()
+    )
+    assert kept2 == [3, 5, 7]
