@@ -2701,35 +2701,28 @@ _STR1_SQL = """
 """
 
 
-@query("str1_stream_windowed_counts", _STR1_SQL)
-def str1_stream_windowed_counts(spark, sf_dir):
-    """Structured Streaming proven by oracle (STR1): tumbling-window
-    counts by event type via an actual micro-batch execution
-    (file-source stream, 2h watermark, ``availableNow`` drain into a
-    memory sink) — byte-equal to the batch aggregation because
-    event-time windowing is deterministic under any micro-batch
-    split; the watermark drops nothing in a bounded drain.
+def _events_stream(spark, sf_dir: str, tag: str) -> DataFrame:
+    """File-source events STREAM with ``ts`` normalized to TIMESTAMP.
+
+    File-source streams must declare their schema. The on-disk ``ts``
+    encoding has changed across testdata generations (NANOS-as-long vs
+    MICROS), so probe the actual schema with a one-off batch read and
+    build the stream's rebuild expression from what is really there —
+    exactly the dispatch `_events` does for the batch path. The
+    file-stream source monitors a DIRECTORY; the (read-only) events
+    file is staged into a scratch dir via symlink.
     """
+    import os
+
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    from aws_medallion_etl_spark import streaming
-
-    # File-source streams must declare their schema. The on-disk ``ts``
-    # encoding has changed across testdata generations (NANOS-as-long vs
-    # MICROS), so probe the actual schema with a one-off batch read and
-    # build the stream's rebuild expression from what is really there —
-    # exactly the dispatch `_events` does for the batch path.
     try:
         batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ts_type = batch_schema["ts"].dataType
-    # The file-stream source monitors a DIRECTORY; stage the (read-only)
-    # events file into a scratch dir via symlink.
-    import os
-
-    src_dir = _scratch("str1src", sf_dir)
+    src_dir = _scratch(tag, sf_dir)
     os.makedirs(src_dir, exist_ok=True)
     link = f"{src_dir}/events.parquet"
     if not os.path.exists(link):
@@ -2739,6 +2732,21 @@ def str1_stream_windowed_counts(spark, sf_dir):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(ts_type, TimestampNTZType):
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+@query("str1_stream_windowed_counts", _STR1_SQL)
+def str1_stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming proven by oracle (STR1): tumbling-window
+    counts by event type via an actual micro-batch execution
+    (file-source stream, 2h watermark, ``availableNow`` drain into a
+    memory sink) — byte-equal to the batch aggregation because
+    event-time windowing is deterministic under any micro-batch
+    split; the watermark drops nothing in a bounded drain.
+    """
+    from aws_medallion_etl_spark import streaming
+
+    stream = _events_stream(spark, sf_dir, "str1src")
     agged = streaming.windowed_counts(
         stream, "ts", window_duration="1 hour", watermark="2 hours",
         extra_keys=["event_type"],
@@ -2746,6 +2754,80 @@ def str1_stream_windowed_counts(spark, sf_dir):
     streaming.to_memory_sink(agged, "str1_win_counts", output_mode="complete")
     return spark.table("str1_win_counts").select(
         "window_start", "event_type", F.col("n").alias("n")
+    )
+
+
+_STR2_SQL = """
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
+@query("str2_stream_sessionize", _STR2_SQL)
+def str2_stream_sessionize(spark, sf_dir):
+    """Streaming session windows proven by oracle (STR2): per-user
+    30-minute-gap sessions via native ``session_window`` state-store
+    merging, drained ``availableNow`` into a memory sink in complete
+    mode. Session semantics match the gaps-and-islands SQL: an event
+    exactly one gap after its predecessor starts a NEW session (Spark
+    merges only while ``ts < session_end``), and ``session_end`` is
+    last-event + gap."""
+    from aws_medallion_etl_spark import streaming
+
+    stream = _events_stream(spark, sf_dir, "str2src")
+    sess = streaming.sessionize(
+        stream, "ts", gap="30 minutes", keys=["user_id"], watermark="2 hours",
+    )
+    streaming.to_memory_sink(sess, "str2_sessions", output_mode="complete")
+    return spark.table("str2_sessions").select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+_STR3_SQL = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(coalesce(value, 0.0)), 2) AS total_value
+    FROM events GROUP BY event_type
+"""
+
+
+@query("str3_stream_running_totals", _STR3_SQL)
+def str3_stream_running_totals(spark, sf_dir):
+    """Custom stateful streaming operator proven by oracle (STR3):
+    per-event-type running (count, sum) via ``applyInPandasWithState``
+    (``streaming.running_totals``), drained ``availableNow`` into an
+    update-mode memory sink. The FINAL emission per key — the row with
+    the highest running count, since counts only grow — must equal the
+    batch aggregate regardless of how the drain was micro-batched."""
+    from aws_medallion_etl_spark import streaming
+
+    stream = _events_stream(spark, sf_dir, "str3src")
+    totals = streaming.running_totals(stream, ["event_type"], "value")
+    streaming.to_memory_sink(totals, "str3_totals", output_mode="update")
+    return (
+        spark.table("str3_totals")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
+        )
     )
 
 
