@@ -258,3 +258,34 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert m, f"cells scan carries no static __cid partition filter: {scan_lines[0]}"
     # one query probing 2 of 8 cells -> exactly 2 cell ids in the filter
     assert len(m.group(1).split(",")) == 2
+
+
+def test_incremental_dedup_no_cartesian_and_partial_agg(spark, sf_dir):
+    """Cross-side candidate generation must stay a blocking equi-join
+    on the shingle — never an all-pairs product — and the intersection
+    count must partially aggregate map-side."""
+    from aws_medallion_etl_spark.operators import fuzzy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = fuzzy.dedup_against_corpus(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
+        "doc_id", "text", n=3, threshold=0.8,
+    )
+    plan = _physical(kept)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_ngram_repetition_partial_agg_and_doc_partitioned_window(spark, sf_dir):
+    """(doc, ngram) counts combine map-side; the top-1 window is
+    partitioned by doc id — no single-partition global window."""
+    from aws_medallion_etl_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text_ops.ngram_repetition_scores(docs, "doc_id", "text", n=2)
+    plan = _physical(out)
+    assert "partial_count" in plan
+    # a Window with an empty partition spec logs/plans a global sort;
+    # partitioned windows hash-partition on the key instead
+    assert "hashpartitioning(doc_id" in plan
