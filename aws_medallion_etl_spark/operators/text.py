@@ -201,3 +201,22 @@ def ngram_repetition_scores(
             ndigits,
         ).alias("dup_ngram_frac"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs valid in
+# BOTH Java regex (Spark) and RE2 (DuckDB oracle): common English
+# contraction suffixes, then space-prefixed letter runs, digit runs, and
+# punctuation runs. (The original GPT-2 pattern's `(?!\S)`/`\s+$`
+# lookaround pieces are dropped — RE2 has no lookahead; on
+# whitespace-normalized text the simplified pattern segments
+# identically.)
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """Subword-style token count via the GPT-2 pre-tokenizer regex —
+    the cheap LLM-token estimator (a real BPE merge table refines the
+    segments but the pre-tokenizer split dominates the count; each
+    pre-token maps to >= 1 BPE token, so this is a tight lower bound).
+    One ``regexp_extract_all`` + ``size``: codegen, no Python."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE), F.lit(0)))

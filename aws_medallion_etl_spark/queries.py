@@ -1341,17 +1341,27 @@ def p_projection_family(spark, sf_dir):
     r"""
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
-           round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+           round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')))
+               AS BIGINT) AS sum_bpe_tokens
     FROM documents GROUP BY lang
     """,
 )
 def t_token_count(spark, sf_dir):
-    """Token counting per language."""
-    docs = _t(spark, sf_dir, "documents").withColumn("n_tok", text.token_count("text"))
+    """Token counting per language: whitespace tokens AND the GPT-2
+    pre-tokenizer (BPE-ish) estimate — the same regex runs on both
+    engines (Java regex / RE2 portable subset)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("n_tok", text.token_count("text"))
+        .withColumn("n_bpe", text.token_count_bpe("text"))
+    )
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("sum_tokens"),
         F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.sum("n_bpe").alias("sum_bpe_tokens"),
     )
 
 

@@ -390,3 +390,17 @@ def test_dedup_against_corpus(spark):
         ).collect()
     )
     assert kept2 == [3, 5, 7]
+
+
+def test_token_count_bpe_segments(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "don't stop 123 now!"),   # don / 't / " stop" / " 123" / " now" / "!"
+            (2, "hello world"),
+            (3, "a1b2"),                  # a / 1 / b / 2 -> letter/digit run breaks
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id", text.token_count_bpe("text").alias("n")).collect()}
+    assert got == {1: 6, 2: 2, 3: 4}
