@@ -76,3 +76,38 @@ def check_scd2_no_overlap(
         raise UniquenessViolation(
             f"SCD2 windows for {nk} overlap, gap, or mis-flag {current_col}"
         )
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profiler: (column, n_rows, n_nulls, null_frac,
+    n_distinct) per profiled column — the DQ summary the reference's
+    quality framework reports per table (``README.md:600-636``).
+
+    ALL per-column aggregates are computed in a SINGLE aggregate over
+    one scan (one wide row), then unpivoted driver-free with ``stack``
+    — profiling 50 columns costs one pass, not 50. Exact
+    ``count_distinct`` keeps the result oracle-checkable; at 100 TB
+    swap in ``approx_count_distinct`` per column (same shape, no
+    dedup-expand shuffle) when the exact cardinality isn't required.
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__nn_{c}`, `__nd_{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.round(F.col("n_nulls") / F.col("n_rows"), 4).alias("null_frac"),
+        "n_distinct",
+    )

@@ -673,6 +673,33 @@ def a8_dq_null_stats(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+            AS null_frac,
+        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("dq_profile_orders", _PROFILE_SQL)
+def dq_profile_orders(spark, sf_dir):
+    """Whole-table column profile (DQ framework summary): null counts,
+    null fraction, and exact distinct cardinality for every profiled
+    column in ONE scan + one aggregate (``dq.profile``); the oracle
+    pays one scan per column to say the same thing."""
+    from aws_medallion_etl_spark.operators import dq
+
+    return dq.profile(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
 @query(
     "a9_share_of_total",
     """

@@ -328,3 +328,21 @@ def test_alert_callbacks_fire_on_failures(spark, tmp_path):
     lines = [json.loads(l) for l in open(sink_path)]
     assert {l["event"] for l in lines} == {"circuit_breaker", "gate_failure"}
     assert all(l["run_date"] == "2024-06-01" for l in lines)
+
+
+def test_dq_profile_single_pass(spark, sf_dir):
+    """The profiler computes every column's stats in ONE aggregate over
+    one scan (one FileScan in the plan) and reports exact values."""
+    from aws_medallion_etl_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k int, v string"
+    )
+    rows = {r["column"]: r for r in dq.profile(df).collect()}
+    assert rows["k"].n_rows == 4 and rows["k"].n_nulls == 1
+    assert rows["k"].null_frac == 0.25 and rows["k"].n_distinct == 3
+    assert rows["v"].n_nulls == 1 and rows["v"].n_distinct == 2
+    plan = dq.profile(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
