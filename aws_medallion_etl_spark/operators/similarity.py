@@ -525,3 +525,34 @@ def _score_probed_cells(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage: int8 quantization
+# ---------------------------------------------------------------------------
+
+def quantize_int8(vec_col: Column | str, out_scale: str | None = None):
+    """Per-vector symmetric int8 quantization: q_i = round(x_i * 127 /
+    max|x|), returned with its scale so ``dequantize`` can invert.
+
+    The embedding-storage lever at 100 TB: float32->int8 is a 4x cut in
+    scan bytes and shuffle volume for every ANN stage, and COSINE is
+    scale-invariant, so scoring on quantized vectors needs no dequant
+    at all (per-vector scales cancel in q·q / |q||q|). Pure codegen
+    column exprs — `transform` over a materialized array, no Python.
+    Returns a struct column (q: array<int>, scale: double).
+    """
+    v = as_double_vec(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.when(amax > 0, 127.0 / amax).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    return F.struct(q.alias("q"), scale.alias("scale"))
+
+
+def dequantize_int8(qstruct: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: x_i ~ q_i / scale (max abs
+    reconstruction error = 0.5 / scale per component)."""
+    s = qstruct["scale"]
+    return F.transform(qstruct["q"], lambda q: q / s)

@@ -1793,6 +1793,56 @@ def sim_topk_ivf(spark, sf_dir):
     )
 
 
+@query(
+    "emb_quantize_int8",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ), s AS (
+        SELECT vec_id, x,
+               list_max(list_transform(x, a -> abs(a))) AS amax
+        FROM v
+    ), q AS (
+        SELECT vec_id,
+               list_transform(
+                   x, a -> CAST(round(a * (CASE WHEN amax > 0
+                                                THEN 127.0 / amax
+                                                ELSE 1.0 END)) AS BIGINT)
+               ) AS q
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_min(q) AS BIGINT) AS q_min,
+           CAST(list_max(q) AS BIGINT) AS q_max,
+           CAST(len(list_filter(q, e -> abs(e) = 127)) AS BIGINT) AS n_saturated
+    FROM q
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (``similarity.quantize_int8``) proven by INTEGER-exact aggregates
+    per vector (sum/min/max of the quantized components + saturation
+    count) — integers hash bit-identically across engines, so the
+    oracle pins the full quantization arithmetic, not a rounded
+    statistic. Cosine is scale-invariant, so ANN scoring can run on
+    these int8 arrays directly at a 4x scan/shuffle discount."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.select(
+        "vec_id", similarity.quantize_int8("embedding").alias("__qs")
+    ).select("vec_id", F.col("__qs.q").alias("__q"))
+    return qs.select(
+        "vec_id",
+        F.aggregate(
+            "__q", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min("__q").cast("long").alias("q_min"),
+        F.array_max("__q").cast("long").alias("q_max"),
+        F.size(F.filter("__q", lambda e: F.abs(e) == 127)).cast("long")
+        .alias("n_saturated"),
+    )
+
+
 @query("sim_topk_ivf_indexed", _SIM_TOPK_SQL)
 def sim_topk_ivf_indexed(spark, sf_dir):
     """IVF ANN against a MATERIALIZED index — the amortized production

@@ -404,3 +404,48 @@ def test_token_count_bpe_segments(spark):
     got = {r.doc_id: r.n for r in
            df.select("doc_id", text.token_count_bpe("text").alias("n")).collect()}
     assert got == {1: 6, 2: 2, 3: 4}
+
+
+def test_quantize_dequantize_int8_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = df.select(
+        "vec_id",
+        similarity.quantize_int8("embedding").alias("qs"),
+    ).select(
+        "vec_id", F.col("qs.q").alias("q"), F.col("qs.scale").alias("scale"),
+        similarity.dequantize_int8(F.col("qs")).alias("x"),
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    assert rows[1].q == [127, -64, 32, 0]  # round(-63.5) away from zero
+    assert abs(rows[1].scale - 127.0) < 1e-9
+    # max abs reconstruction error is 0.5/scale per component
+    for orig, rec in zip([1.0, -0.5, 0.25, 0.0], rows[1].x):
+        assert abs(orig - rec) <= 0.5 / rows[1].scale + 1e-12
+    # all-zero vector: scale 1.0, zero quantized, exact roundtrip
+    assert rows[2].q == [0, 0, 0, 0] and rows[2].x == [0.0] * 4
+
+
+def test_quantized_cosine_close_to_exact(spark):
+    """Cosine on int8-quantized vectors must track the float cosine
+    (scale cancels; error comes only from rounding)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.select(
+        "vec_id",
+        similarity.as_double_vec("embedding").alias("v"),
+        similarity.quantize_int8("embedding")["q"].alias("qv"),
+    )
+    a = q.filter("vec_id = 0").select(
+        F.col("v").alias("va"), F.col("qv").alias("qa"))
+    pairs = a.crossJoin(q.filter("vec_id IN (1, 2, 3)"))
+    rows = pairs.select(
+        similarity.cosine(F.col("va"), F.col("v")).alias("exact"),
+        similarity.cosine(
+            F.transform("qa", lambda x: x.cast("double")),
+            F.transform("qv", lambda x: x.cast("double")),
+        ).alias("approx"),
+    ).collect()
+    for r in rows:
+        assert abs(r.exact - r.approx) < 0.02
