@@ -36,7 +36,7 @@ def main() -> int:
     # Untimed warm-up: touch every table once so per-query numbers
     # measure steady-state compute, not first-read page-cache misses.
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "documents", "embeddings"]:
+              "orders", "lineitem", "events", "documents", "embeddings"]:
         try:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
         except Exception:
