@@ -206,3 +206,58 @@ def scd1_upsert(
     from aws_medallion_etl_spark.operators.dedup import dedup_max_by
 
     return dedup_max_by(snapshot.unionByName(changes), nk, order_by)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    out_col: str = "change_type",
+) -> DataFrame:
+    """Reconcile two table snapshots: one row per key with
+    ``change_type`` in {added, removed, changed, unchanged}.
+
+    The CDC-audit counterpart of :func:`scd1_upsert` — given
+    yesterday's and today's materializations, classify every key by a
+    single FULL OUTER join on the natural key (one shuffle per side,
+    sort-merge at any scale) with null-safe column comparison
+    (``<=>``), so NULL→value and value→NULL edits count as changes,
+    not as matches. ``compare_cols`` defaults to every shared non-key
+    column. Output carries the coalesced key columns + ``change_type``;
+    join back to either side for payloads.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c not in keys and c in new.columns
+        ]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__oc_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__nc_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+    joined = o.join(n, cond, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"__oc_{c}").eqNullSafe(F.col(f"__nc_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in keys
+        ],
+        change.alias(out_col),
+    )

@@ -673,6 +673,57 @@ def a8_dq_null_stats(spark, sf_dir):
     )
 
 
+@query(
+    "j12_snapshot_diff",
+    """
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    new AS (
+        SELECT o_orderkey,
+               o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN round(o_totalprice + 10.0, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys
+    FROM (
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) GROUP BY change_type
+    """,
+)
+def j12_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation (extension J12): classify every key of
+    two table materializations as added / removed / changed /
+    unchanged via ONE full outer join with null-safe comparison
+    (``scd.snapshot_diff``) — the CDC audit that validates an upsert
+    actually landed. The 'new' snapshot is derived in-query
+    (price bump on keys % 11, drop keys % 97, add shifted keys % 101)
+    so the expected mix is deterministic."""
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = old.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.round(F.col("o_totalprice") + 10.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = old.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    new = base.unionByName(added)
+    diff = scd.snapshot_diff(old, new, ["o_orderkey"])
+    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
 _PROFILE_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority",

@@ -161,3 +161,25 @@ def test_sequential_surrogate_key(spark):
     df = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
     out = scd.sequential_surrogate_key(df, "sk", ["k"], offset=10)
     assert {(r.k, r.sk) for r in out.collect()} == {("a", 11), ("b", 12), ("c", 13)}
+
+
+def test_snapshot_diff_classification(spark):
+    from aws_medallion_etl_spark.operators import scd
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),    # unchanged
+            (2, "b", 20.0),    # NULL -> value must count as changed
+            (3, None, 30.0),   # value -> NULL must count as changed
+            (5, "e", 50.0),    # added (4 removed)
+        ],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change_type
+           for r in scd.snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
