@@ -302,3 +302,59 @@ def cap_per_source(
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source mixing
+# ---------------------------------------------------------------------------
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    seed: str = "mix",
+) -> DataFrame:
+    """Downsample sources to a TARGET MIXTURE, deterministically.
+
+    Given target proportions (e.g. web .5, code .3, books .2), the
+    achievable corpus is bounded by the scarcest source relative to
+    its share: scale = min over sources of (n_s / w_s). Each source
+    then keeps ~(w_s * scale) docs via the same portable md5-bucket
+    membership as :func:`hash_split` — stateless, idempotent,
+    engine-reproducible; re-runs and backfills keep the same docs.
+    Sources absent from ``weights`` are dropped (weight 0).
+
+    Plan shape: one hash-agg for the per-source counts (a |sources|-row
+    broadcast join back), then a pure filter — no shuffle of the data
+    itself, so the mixing step costs a scan at any corpus size. Keeps
+    are bucket-threshold approximations (±1/10000 of a source), the
+    price of needing zero coordination between executors.
+    """
+    total_w = sum(weights.values())
+    norm = {s: w / total_w for s, w in weights.items()}
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    wmap = F.create_map(
+        *[x for s, w in norm.items() for x in (F.lit(s), F.lit(w))]
+    )
+    sized = counts.withColumn("__w", wmap[F.col(source_col)]).where(
+        F.col("__w").isNotNull() & (F.col("__w") > 0)
+    )
+    scale = sized.agg(
+        F.min(F.col("__n") / F.col("__w")).alias("__scale")
+    )
+    frac = (
+        sized.join(F.broadcast(scale))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0), F.col("__w") * F.col("__scale") / F.col("__n")
+            ).alias("__keep_frac"),
+        )
+    )
+    bucket = split_bucket(id_col, seed)
+    return (
+        df.join(F.broadcast(frac), source_col)
+        .where(bucket < F.round(F.col("__keep_frac") * 10_000))
+        .drop("__keep_frac")
+    )

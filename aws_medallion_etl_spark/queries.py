@@ -2400,6 +2400,46 @@ def corpus_vocab_topk(spark, sf_dir):
     return vocab.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(20)
 
 
+@query(
+    "corpus_mix_sources",
+    """
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), sized AS (
+        SELECT source, n,
+               CASE source WHEN 'src0' THEN 0.5
+                           WHEN 'src1' THEN 0.3
+                           WHEN 'src2' THEN 0.2 END AS w
+        FROM counts
+        WHERE source IN ('src0', 'src1', 'src2')
+    ), s AS (
+        SELECT min(n / w) AS scale FROM sized
+    ), frac AS (
+        SELECT source, least(1.0, w * (SELECT scale FROM s) / n) AS keep_frac
+        FROM sized
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents d
+    JOIN frac f ON f.source = d.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8))
+               AS BIGINT) % 10000 < round(f.keep_frac * 10000)
+    GROUP BY d.source
+    """,
+)
+def corpus_mix_sources(spark, sf_dir):
+    """Deterministic source mixing (``corpus.mix_sources``): downsample
+    sources to a 50/30/20 target mixture, bounded by the scarcest
+    source relative to its share; membership is the same portable
+    md5-bucket predicate as the split operator, so the kept set is
+    identical on any engine and across re-runs. Counted per source so
+    the achieved mixture is what the oracle checks."""
+    mixed = corpus.mix_sources(
+        _t(spark, sf_dir, "documents"), "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id",
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 _PII_RAW_SQL = (
     "'reach ' || c_name || ' at ' || "
     "lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || "

@@ -148,3 +148,29 @@ def test_pack_sequences_partitioned(spark):
     for s in ("a", "b"):
         assert got[(s, 1)] == 0 and got[(s, 4)] == 0
         assert got[(s, 5)] == 1 and got[(s, 8)] == 2
+
+
+def test_mix_sources_targets_and_determinism(spark):
+    # 3 sources with unequal sizes: s_big 2000, s_mid 1000, s_small 200.
+    rows = (
+        [("s_big", i) for i in range(2000)]
+        + [("s_mid", 10_000 + i) for i in range(1000)]
+        + [("s_small", 20_000 + i) for i in range(200)]
+        + [("s_drop", 30_000)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    # target 50/25/25: binding source is s_small (200 / 0.25 = 800 scale)
+    # -> expected keeps ~ s_big 400, s_mid 200, s_small 200 (all of it)
+    weights = {"s_big": 0.5, "s_mid": 0.25, "s_small": 0.25}
+    mixed = corpus.mix_sources(df, "source", weights, "doc_id")
+    got = {r.source: r.n for r in
+           mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "s_drop" not in got          # unweighted source dropped
+    assert got["s_small"] == 200        # binding source keeps everything
+    # hash-bucket keeps are binomial around the target; 3-sigma bounds
+    assert abs(got["s_big"] - 400) <= 60 and abs(got["s_mid"] - 200) <= 45
+    # determinism: same inputs -> identical kept set
+    a = sorted(r.doc_id for r in mixed.collect())
+    b = sorted(r.doc_id for r in corpus.mix_sources(
+        df, "source", weights, "doc_id").collect())
+    assert a == b
