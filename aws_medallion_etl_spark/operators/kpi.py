@@ -161,3 +161,44 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stages: list[tuple[str, Column]],
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the FIRST timestamp of each
+    stage that occurs STRICTLY AFTER the previous stage's first
+    timestamp — the standard conversion query (view -> click ->
+    purchase), where out-of-order events do not count.
+
+    One filtered aggregate + keyed equi-join per stage (stage count is
+    small and fixed); every join is on the user key, so at 100 TB each
+    stage is one shuffle of the stage's events — already filtered to
+    that stage's predicate — against the (1 row per user) funnel
+    frame, never the full event stream. Users keep NULLs for stages
+    they never reached (left joins), so drop-off is countable at every
+    step.
+    """
+    name0, pred0 = stages[0]
+    out = df.where(pred0).groupBy(user_col).agg(
+        F.min(ts_col).alias(f"t_{name0}")
+    )
+    prev = name0
+    for name, pred in stages[1:]:
+        reached = (
+            df.where(pred)
+            .join(
+                out.select(user_col, F.col(f"t_{prev}").alias("__prev_ts"))
+                .where(F.col("__prev_ts").isNotNull()),
+                user_col,
+            )
+            .where(F.col(ts_col) > F.col("__prev_ts"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{name}"))
+        )
+        out = out.join(reached, user_col, "left")
+        prev = name
+    return out

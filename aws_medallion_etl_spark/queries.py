@@ -2935,6 +2935,57 @@ def str1_stream_windowed_counts(spark, sf_dir):
     )
 
 
+@query(
+    "w12_funnel_conversion",
+    """
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN t1 ON t1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1
+        GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN t2 ON t2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click', CAST((SELECT count(*) FROM t2) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase', CAST((SELECT count(*) FROM t3) AS BIGINT)
+    """,
+)
+def w12_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (extension W12): users converting through
+    view -> click -> purchase where each stage's first event must
+    strictly follow the previous stage's first event
+    (``kpi.funnel``) — the standard conversion/drop-off query."""
+    ev = _t(spark, sf_dir, "events")
+    f = kpi.funnel(
+        ev, "user_id", "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+    counts = f.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'view', n_view, 'click', n_click,"
+            " 'purchase', n_purchase) AS (stage, n_users)"
+        )
+    )
+
+
 _STR2_SQL = """
     WITH o AS (
         SELECT user_id, ts,

@@ -242,3 +242,31 @@ def test_sessionize_gap_numbering(spark):
     stats = kpi.session_stats(df, ["k"], "ts", 1800, ["eid"]).collect()
     s = {(r.k, r.session_idx): r.n_events for r in stats}
     assert s == {("u", 1): 2, ("u", 2): 1, ("v", 1): 1}
+
+
+def test_funnel_strict_ordering(spark):
+    from aws_medallion_etl_spark.operators import kpi
+
+    rows = [
+        # u1 completes in order: view@1, click@2, purchase@3
+        (1, "view", 1.0), (1, "click", 2.0), (1, "purchase", 3.0),
+        # u2 clicks BEFORE first view: click must not count
+        (2, "click", 1.0), (2, "view", 2.0), (2, "purchase", 3.0),
+        # u3 views only
+        (3, "view", 5.0),
+        # u4: second click after view counts even though first was before
+        (4, "click", 1.0), (4, "view", 2.0), (4, "click", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts double")
+    f = kpi.funnel(
+        df, "user_id", "ts",
+        [("view", F.col("event_type") == "view"),
+         ("click", F.col("event_type") == "click"),
+         ("purchase", F.col("event_type") == "purchase")],
+    )
+    got = {r.user_id: (r.t_view, r.t_click, r.t_purchase) for r in f.collect()}
+    assert got[1] == (1.0, 2.0, 3.0)
+    # u2: click@1 precedes view@2 -> no click stage -> purchase can't count
+    assert got[2] == (2.0, None, None)
+    assert got[3] == (5.0, None, None)
+    assert got[4] == (2.0, 4.0, None)
