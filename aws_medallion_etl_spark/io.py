@@ -198,9 +198,12 @@ def write_bucketed(
             if warehouse.startswith("file:"):
                 warehouse = warehouse[len("file:"):]
             parts = [p.lower() for p in table.split(".")]
+            if len(parts) == 1:
+                # unqualified names resolve against the CURRENT database
+                parts = [spark.catalog.currentDatabase().lower(), parts[0]]
             rel = (
-                os.path.join(f"{parts[-2]}.db", parts[-1])
-                if len(parts) > 1 else parts[-1]
+                parts[-1] if parts[-2] == "default"
+                else os.path.join(f"{parts[-2]}.db", parts[-1])
             )
             stale = os.path.join(warehouse, rel)
         spark.sql(f"DROP TABLE IF EXISTS {table}")

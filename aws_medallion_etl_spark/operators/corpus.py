@@ -331,7 +331,11 @@ def mix_sources(
     are bucket-threshold approximations (±1/10000 of a source), the
     price of needing zero coordination between executors.
     """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-empty and non-negative: {weights}")
     total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError(f"weights must sum to a positive value, got {total_w}")
     norm = {s: w / total_w for s, w in weights.items()}
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     wmap = F.create_map(

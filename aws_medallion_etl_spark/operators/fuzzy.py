@@ -492,7 +492,11 @@ def levenshtein_pairs(
         .where(F.col("name_a") < F.col("name_b"))
         .withColumn("distance", F.levenshtein("name_a", "name_b"))
         .where(F.col("distance") <= max_distance)
+        # a pair can match under several blocks when block_col maps one
+        # value to multiple blocks (e.g. blocking on a category column);
+        # emit it once
         .select("name_a", "name_b", "distance")
+        .distinct()
     )
 
 

@@ -214,6 +214,7 @@ def snapshot_diff(
     keys: list[str],
     compare_cols: list[str] | None = None,
     out_col: str = "change_type",
+    assert_unique: bool = False,
 ) -> DataFrame:
     """Reconcile two table snapshots: one row per key with
     ``change_type`` in {added, removed, changed, unchanged}.
@@ -226,7 +227,20 @@ def snapshot_diff(
     not as matches. ``compare_cols`` defaults to every shared non-key
     column. Output carries the coalesced key columns + ``change_type``;
     join back to either side for payloads.
+
+    CONTRACT: ``keys`` must be unique in BOTH snapshots — a duplicated
+    key fans the full outer join out to multiple classified rows,
+    double-counting the audit while hiding the defect. Pass
+    ``assert_unique=True`` to pay two extra aggregates and fail fast
+    (``dq.UniquenessViolation``) instead; it is off by default because
+    snapshots that just passed a pipeline's NK dedup have the property
+    by construction.
     """
+    if assert_unique:
+        from aws_medallion_etl_spark.operators import dq
+
+        dq.check_unique(old, keys, label="snapshot_diff(old)")
+        dq.check_unique(new, keys, label="snapshot_diff(new)")
     if compare_cols is None:
         compare_cols = [
             c for c in old.columns if c not in keys and c in new.columns

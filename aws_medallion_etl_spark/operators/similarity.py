@@ -531,7 +531,7 @@ def _score_probed_cells(
 # Embedding storage: int8 quantization
 # ---------------------------------------------------------------------------
 
-def quantize_int8(vec_col: Column | str, out_scale: str | None = None):
+def quantize_int8(vec_col: Column | str):
     """Per-vector symmetric int8 quantization: q_i = round(x_i * 127 /
     max|x|), returned with its scale so ``dequantize`` can invert.
 

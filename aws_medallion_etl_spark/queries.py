@@ -45,36 +45,54 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, normalizing ``ts`` to a session-local
-    TIMESTAMP regardless of how the parquet file encodes it.
+def _events_probe(spark: SparkSession, sf_dir: str):
+    """Shared events-encoding dispatch for batch AND streaming readers.
 
     The testdata generator has shipped ``ts`` both as TIMESTAMP(MICROS)
-    (current) and TIMESTAMP(NANOS) (earlier rounds). Dispatch on the
-    schema Spark actually reads instead of assuming either:
+    (current) and TIMESTAMP(NANOS) (earlier rounds), so never assume
+    either: probe the schema Spark actually reads and return
+    ``(schema, rebuild)`` where ``rebuild(df)`` normalizes ``ts`` to a
+    TIMESTAMP with the wall-clock values the file stores:
 
-    * TIMESTAMP / TIMESTAMP_NTZ — usable as-is (NTZ is cast so every
-      downstream window/interval expression sees one type).
     * LONG — only happens when ``spark.sql.legacy.parquet.nanosAsLong``
       is set and the file is TIMESTAMP(NANOS): rebuild micros with
       integer ``div`` (float division loses precision above 2^53 ns).
+      The escape hatch is flipped here on a failed first read (Spark
+      rejects NANOS columns outright without it) — scoped to this read
+      path, not a session default.
+    * TIMESTAMP_NTZ — cast to TIMESTAMP. The cast interprets the wall
+      clock in the SESSION timezone, so the engine's UTC contract
+      (reference ``requirements/...:21``) is asserted first — a driver
+      session left on a non-UTC zone would otherwise shift every
+      epoch-aligned window boundary away from the oracle's naive-UTC
+      reading.
     """
     from pyspark.sql.types import LongType, TimestampNTZType
 
     try:
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     except Exception:
-        # Spark's reader rejects TIMESTAMP(NANOS) outright unless the
-        # legacy nanosAsLong escape hatch is on; flip it (scoped to this
-        # read path, not a session default) and retry once.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = df.schema["ts"].dataType
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = schema["ts"].dataType
     if isinstance(ts_type, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        def rebuild(df: DataFrame) -> DataFrame:
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(ts_type, TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+        def rebuild(df: DataFrame) -> DataFrame:
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        def rebuild(df: DataFrame) -> DataFrame:
+            return df
+    return schema, rebuild
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with ``ts`` normalized (see ``_events_probe``)."""
+    _, rebuild = _events_probe(spark, sf_dir)
+    return rebuild(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -2882,35 +2900,22 @@ _STR1_SQL = """
 def _events_stream(spark, sf_dir: str, tag: str) -> DataFrame:
     """File-source events STREAM with ``ts`` normalized to TIMESTAMP.
 
-    File-source streams must declare their schema. The on-disk ``ts``
-    encoding has changed across testdata generations (NANOS-as-long vs
-    MICROS), so probe the actual schema with a one-off batch read and
-    build the stream's rebuild expression from what is really there —
-    exactly the dispatch `_events` does for the batch path. The
-    file-stream source monitors a DIRECTORY; the (read-only) events
-    file is staged into a scratch dir via symlink.
+    File-source streams must declare their schema; ``_events_probe``
+    supplies it plus the encoding-appropriate ``ts`` rebuild (one
+    dispatch shared with the batch path, so a future encoding change
+    is fixed in one place). The file-stream source monitors a
+    DIRECTORY; the (read-only) events file is staged into a scratch
+    dir via symlink.
     """
     import os
 
-    from pyspark.sql.types import LongType, TimestampNTZType
-
-    try:
-        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ts_type = batch_schema["ts"].dataType
+    batch_schema, rebuild = _events_probe(spark, sf_dir)
     src_dir = _scratch(tag, sf_dir)
     os.makedirs(src_dir, exist_ok=True)
     link = f"{src_dir}/events.parquet"
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
-    if isinstance(ts_type, LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif isinstance(ts_type, TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return rebuild(spark.readStream.schema(batch_schema).parquet(src_dir))
 
 
 @query("str1_stream_windowed_counts", _STR1_SQL)

@@ -86,11 +86,18 @@ def main() -> int:
         pass
     sys.stderr.flush()
     print(line, flush=True)
-    # Exit codes: 0 = all queries timed; 2 = JSON printed but some queries
-    # failed (recorded under "failures" above — callers that only need the
-    # record can still parse stdout); 1 is reserved for a crash before the
-    # JSON line exists.
-    return 2 if failures else 0
+    # Exit code signals only "was a record produced": 0 whenever the JSON
+    # line exists (per-query failures are recorded IN the JSON under
+    # "failures" — that is the machine-readable failure channel); a
+    # nonzero exit is reserved for crashing before the record exists.
+    # History: round 3's single red query exited 1 and the harness voided
+    # the whole bench record (BENCH_r03 parsed=null) despite 57 valid
+    # timings on stdout — an rc-based partial-failure signal re-creates
+    # exactly that, so callers must read the JSON, not the rc.
+    if failures:
+        print(f"bench: {len(failures)} queries failed (see JSON 'failures')",
+              file=sys.stderr)
+    return 0
 
 
 def _bench_pipeline(spark, sf_dir: str) -> float:
