@@ -146,6 +146,38 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Banded MinHash rows per doc: (__id, band, bhash), ``bands`` rows
+    per document. The shared candidate-generation surface for
+    self-dedup (:func:`minhash_lsh_pairs`) and the persisted
+    incremental index (:func:`build_minhash_index`)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_struct = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col("signature").getItem(b * rows + r) for r in range(rows)]
+                    ).alias("bhash"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+    return sig.select("__id", band_struct).select(
+        "__id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -165,24 +197,7 @@ def minhash_lsh_pairs(
     is caught w.h.p. Candidates are then verified with exact Jaccard
     (computed only for candidate pairs) when ``verify=True``.
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_struct = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[F.col("signature").getItem(b * rows + r) for r in range(rows)]
-                    ).alias("bhash"),
-                )
-                for b in range(bands)
-            ]
-        )
-    ).alias("bb")
-    banded = sig.select("__id", band_struct).select(
-        "__id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
-    )
+    banded = minhash_bands(df, id_col, text_col, n, num_hashes, bands)
     a = banded.select(F.col("__id").alias("id_a"), "band", "bhash")
     b = banded.select(F.col("__id").alias("id_b"), "band", "bhash")
     cand = (
@@ -559,4 +574,82 @@ def dedup_against_corpus(
     )
     return new_df.join(
         matched, new_df[id_col] == F.col("__dup_id"), "left_anti"
+    )
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Materialize the corpus MinHash band index for incremental dedup.
+
+    The amortize-once pattern (same shape as ``similarity.
+    build_ivf_index``): shingling + hashing the CORPUS is paid at build
+    time; each incoming batch only hashes ITSELF and equi-joins the
+    stored (band, bhash) rows — ``bands`` rows of 3 longs per corpus
+    doc, a few hundred bytes, vs re-reading and re-shingling corpus
+    text every batch. Maintain it by appending the kept batch's bands
+    after each run. Parameters are stored in a sidecar and validated
+    at probe time — a probe hashed with different (n, hashes, bands)
+    would silently generate garbage candidates.
+    """
+    import json
+    import os
+
+    b = minhash_bands(corpus, id_col, text_col, n, num_hashes, bands)
+    b.write.mode("overwrite").parquet(f"{path}/bands")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/params.json", "w") as fh:
+        json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, fh)
+
+
+def dedup_against_corpus_lsh(
+    spark,
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """Incremental near-dedup through a prebuilt MinHash band index:
+    screen with the stored bands, verify exactly — the per-batch scale
+    path of :func:`dedup_against_corpus`.
+
+    The screen narrows the CORPUS side to docs band-colliding with any
+    new doc (an equi-join on (band, bhash) against the index, then a
+    left-semi onto corpus text), so the exact-Jaccard verification
+    shingles only the candidate subset, not the corpus. Recall is the
+    banding curve (1-(1-s^r)^b; ~1.0 at s >= 0.8 with 64/16): a true
+    near-dup pair missed by every band keeps its new doc — tune bands
+    upward for stricter recall.
+    """
+    import json
+
+    with open(f"{index_path}/params.json") as fh:
+        params = json.load(fh)
+    new_bands = minhash_bands(
+        new_df, id_col, text_col,
+        params["n"], params["num_hashes"], params["bands"],
+    )
+    idx = spark.read.parquet(f"{index_path}/bands")
+    cand_ids = (
+        idx.join(
+            new_bands.select("band", "bhash").distinct(), ["band", "bhash"]
+        )
+        .select(F.col("__id").alias("__cand_id"))
+        .distinct()
+    )
+    corpus_cand = corpus_df.join(
+        cand_ids, corpus_df[id_col] == F.col("__cand_id"), "left_semi"
+    )
+    return dedup_against_corpus(
+        new_df, corpus_cand, id_col, text_col,
+        n=params["n"], threshold=threshold, max_shingle_df=max_shingle_df,
     )

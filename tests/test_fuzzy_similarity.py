@@ -449,3 +449,28 @@ def test_quantized_cosine_close_to_exact(spark):
     ).collect()
     for r in rows:
         assert abs(r.exact - r.approx) < 0.02
+
+
+def test_dedup_against_corpus_lsh_matches_exact(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    idx = str(tmp_path / "mh")
+    fuzzy.build_minhash_index(existing, "doc_id", "text", idx)
+    exact = sorted(r.doc_id for r in fuzzy.dedup_against_corpus(
+        new, existing, "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_df=None).collect())
+    screened = sorted(r.doc_id for r in fuzzy.dedup_against_corpus_lsh(
+        spark, new, existing, "doc_id", "text", idx,
+        threshold=0.8, max_shingle_df=None).collect())
+    # at (64 hashes, 16 bands) the screen reaches recall 1.0 here
+    assert screened == exact
+    # params sidecar is honored: rebuilding with different banding
+    # changes candidate generation but verification still bounds keeps
+    fuzzy.build_minhash_index(existing, "doc_id", "text", idx,
+                              num_hashes=16, bands=2)
+    loose = set(r.doc_id for r in fuzzy.dedup_against_corpus_lsh(
+        spark, new, existing, "doc_id", "text", idx,
+        threshold=0.8, max_shingle_df=None).collect())
+    # fewer bands -> recall can only DROP -> kept set is a superset
+    assert loose >= set(exact)
