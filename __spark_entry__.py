@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema extended this round (BPE token column) — re-prove
         "t_token_count", "dq_profile_orders", "emb_quantize_int8",
         "j12_snapshot_diff", "corpus_mix_sources", "w12_funnel_conversion",
-        "dedup_incremental_lsh",
+        "dedup_incremental_lsh", "s15_sorted_compact_roundtrip",
         # red in r4 via the same loader bug, fixed this round
         "a8_dq_null_stats", "w6_trailing_average", "f_json_extract",
         # stale-broken: green in r3 but events consumers, must re-prove

@@ -320,3 +320,61 @@ def publish_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def compact(
+    spark,
+    path: str,
+    target_files: int,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Small-file compaction: rewrite a parquet location into
+    ``target_files`` files (per partition, if partitioned).
+
+    The maintenance job every streaming/incremental sink eventually
+    needs — micro-batches and per-run appends accrete thousands of
+    KB-sized files whose open/seek overhead dominates scans long
+    before data volume does. Rewrite goes through a temp location and
+    an atomic-as-possible swap (rename) rather than read-and-overwrite
+    in place, which would read its own partial output on failure.
+    """
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix="compact_") + "/out"
+    write_parquet(df, tmp, partition_by=partition_by, target_files=target_files)
+    old = path.rstrip("/") + ".compact_old"
+    shutil.move(path, old)
+    try:
+        shutil.move(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    except Exception:
+        shutil.move(old, path)  # restore on failed swap
+        raise
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    target_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-sorted parquet layout: ``repartitionByRange`` on
+    ``sort_cols`` + ``sortWithinPartitions``, so each output file
+    covers a DISJOINT range of the sort key.
+
+    The scan-pruning lever for range predicates at 100 TB: parquet
+    row-group min/max stats let a ``ts BETWEEN ...`` scan skip every
+    file whose range doesn't overlap (pinned by
+    ``test_plans::test_write_sorted_disjoint_file_ranges`` via the
+    footers). Range partitioning samples the key to build balanced
+    boundaries — no driver-side sort, no single reducer; this is
+    single-dimension Z-ordering, the 80% case.
+    """
+    parted = df.repartitionByRange(
+        *([target_files] if target_files else []),
+        *[F.col(c) for c in sort_cols],
+    ).sortWithinPartitions(*sort_cols)
+    parted.write.mode(mode).option("compression", "snappy").parquet(path)

@@ -3026,6 +3026,37 @@ def w12_funnel_conversion(spark, sf_dir):
     )
 
 
+@query(
+    "s15_sorted_compact_roundtrip",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def s15_sorted_compact_roundtrip(spark, sf_dir):
+    """Data-layout sinks proven semantics-neutral (S15): the events
+    table is rewritten range-SORTED on ts (``io.write_sorted`` —
+    disjoint per-file key ranges for row-group pruning, layout pinned
+    by pytest via the parquet footers) and then COMPACTED
+    (``io.compact`` — the small-file maintenance rewrite), and the
+    hourly histogram read back from the final layout must equal the
+    plain-scan oracle: layout changes storage, never answers."""
+    import shutil
+
+    from aws_medallion_etl_spark import io as eio
+
+    ev = _events(spark, sf_dir)
+    out = _scratch("s15sorted", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    eio.write_sorted(ev, out, ["ts"], target_files=4)
+    eio.compact(spark, out, target_files=2)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 _STR2_SQL = """
     WITH o AS (
         SELECT user_id, ts,

@@ -289,3 +289,41 @@ def test_ngram_repetition_partial_agg_and_doc_partitioned_window(spark, sf_dir):
     # a Window with an empty partition spec logs/plans a global sort;
     # partitioned windows hash-partition on the key instead
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_write_sorted_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range-sorted layout: each parquet file covers a disjoint range
+    of the sort key (the property row-group pruning relies on), and
+    compact() preserves rows while cutting the file count."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from aws_medallion_etl_spark import io as eio
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "sorted")
+    eio.write_sorted(orders, out, ["o_totalprice"], target_files=4)
+    ranges = []
+    for f in _glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_totalprice"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (touching boundaries allowed)
+
+    n_before = spark.read.parquet(out).count()
+    eio.compact(spark, out, target_files=1)
+    files_after = _glob.glob(f"{out}/*.parquet")
+    assert len(files_after) == 1
+    assert spark.read.parquet(out).count() == n_before
