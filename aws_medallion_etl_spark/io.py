@@ -102,7 +102,15 @@ def write_parquet(
     partitions (128 MB advisory target).
     """
     if target_files:
-        df = df.repartition(target_files, *(partition_by or []) or [F.lit(1)])
+        # with partition columns, co-locate rows of a partition so each
+        # gets ~target_files files; without, plain round-robin spreads
+        # rows evenly (hashing a constant would funnel EVERY row into
+        # one task — the serialization point this function exists to
+        # avoid)
+        df = (
+            df.repartition(target_files, *partition_by)
+            if partition_by else df.repartition(target_files)
+        )
     writer = df.write.mode(mode).option("compression", "snappy")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -334,17 +342,21 @@ def compact(
     The maintenance job every streaming/incremental sink eventually
     needs — micro-batches and per-run appends accrete thousands of
     KB-sized files whose open/seek overhead dominates scans long
-    before data volume does. Rewrite goes through a temp location and
-    an atomic-as-possible swap (rename) rather than read-and-overwrite
-    in place, which would read its own partial output on failure.
+    before data volume does. The rewrite stages into SIBLING
+    directories of ``path`` (same filesystem, so the swap is a real
+    rename, never a cross-device copy through /tmp that could ENOSPC
+    a tmpfs), and stale staging dirs from a previously crashed run are
+    cleared first — ``shutil.move`` into an EXISTING directory would
+    nest the live data a level down instead of renaming.
     """
     import shutil
-    import tempfile
 
-    df = spark.read.parquet(path)
-    tmp = tempfile.mkdtemp(prefix="compact_") + "/out"
-    write_parquet(df, tmp, partition_by=partition_by, target_files=target_files)
+    tmp = path.rstrip("/") + ".compact_tmp"
     old = path.rstrip("/") + ".compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df = spark.read.parquet(path)
+    write_parquet(df, tmp, partition_by=partition_by, target_files=target_files)
     shutil.move(path, old)
     try:
         shutil.move(tmp, path)

@@ -523,6 +523,7 @@ def dedup_against_corpus(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = 10_000,
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: keep the NEW batch's rows whose n-gram
     Jaccard against every EXISTING corpus document stays below
@@ -536,7 +537,11 @@ def dedup_against_corpus(
     candidates. ``max_shingle_df`` (document frequency counted across
     BOTH sides) drops stop-shingles exactly as
     :func:`ngram_jaccard_pairs` does, same default, same ``None``
-    escape for the strictly-exact contract.
+    escape for the strictly-exact contract. A caller that has already
+    narrowed ``corpus_df`` (e.g. the LSH screen) passes
+    ``stop_shingles`` — a 1-column ``shingle`` frame computed over the
+    FULL corpus — so the cap's df statistics don't silently change
+    with the narrowing.
 
     At 100 TB the corpus shingle index (``shingles(corpus)``) is the
     thing to MATERIALIZE once and reuse per batch — it only grows by
@@ -546,7 +551,14 @@ def dedup_against_corpus(
     """
     sh_new = shingles(new_df, id_col, text_col, n)
     sh_old = shingles(corpus_df, id_col, text_col, n)
-    if max_shingle_df is not None:
+    if stop_shingles is not None:
+        sh_new = sh_new.join(
+            F.broadcast(stop_shingles.select("shingle")), "shingle", "left_anti"
+        )
+        sh_old = sh_old.join(
+            F.broadcast(stop_shingles.select("shingle")), "shingle", "left_anti"
+        )
+    elif max_shingle_df is not None:
         rare = (
             sh_new.select("shingle").unionAll(sh_old.select("shingle"))
             .groupBy("shingle")
@@ -604,8 +616,17 @@ def build_minhash_index(
     b = minhash_bands(corpus, id_col, text_col, n, num_hashes, bands)
     b.write.mode("overwrite").parquet(f"{path}/bands")
     os.makedirs(path, exist_ok=True)
-    with open(f"{path}/params.json", "w") as fh:
+    # Sidecar replaced ATOMICALLY (os.replace) after the bands write
+    # succeeds: a crash in between leaves new bands + old sidecar,
+    # which the probe's band-count sanity check rejects instead of
+    # silently generating mismatched candidates. (A rebuild changing
+    # only n or num_hashes at the same band count is the residual
+    # undetectable window — rebuild into a fresh path when changing
+    # those.)
+    tmp = f"{path}/params.json.tmp"
+    with open(tmp, "w") as fh:
         json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, fh)
+    os.replace(tmp, f"{path}/params.json")
 
 
 def dedup_against_corpus_lsh(
@@ -628,17 +649,29 @@ def dedup_against_corpus_lsh(
     shingles only the candidate subset, not the corpus. Recall is the
     banding curve (1-(1-s^r)^b; ~1.0 at s >= 0.8 with 64/16): a true
     near-dup pair missed by every band keeps its new doc — tune bands
-    upward for stricter recall.
+    upward for stricter recall. The stop-shingle cap's document
+    frequencies are computed over the FULL corpus + batch (not the
+    band-narrowed subset) so the verification matches
+    :func:`dedup_against_corpus` exactly on surviving candidates.
     """
     import json
 
     with open(f"{index_path}/params.json") as fh:
         params = json.load(fh)
+    idx = spark.read.parquet(f"{index_path}/bands")
+    # cheap sidecar-vs-data sanity check: a crash between the bands
+    # write and the sidecar replace can pair mismatched generations,
+    # which would silently produce garbage candidates
+    n_bands_in_data = idx.agg(F.max("band")).collect()[0][0] + 1
+    if n_bands_in_data != params["bands"]:
+        raise ValueError(
+            f"minhash index at {index_path} is inconsistent: sidecar says "
+            f"{params['bands']} bands, data has {n_bands_in_data} — rebuild it"
+        )
     new_bands = minhash_bands(
         new_df, id_col, text_col,
         params["n"], params["num_hashes"], params["bands"],
     )
-    idx = spark.read.parquet(f"{index_path}/bands")
     cand_ids = (
         idx.join(
             new_bands.select("band", "bhash").distinct(), ["band", "bhash"]
@@ -649,7 +682,19 @@ def dedup_against_corpus_lsh(
     corpus_cand = corpus_df.join(
         cand_ids, corpus_df[id_col] == F.col("__cand_id"), "left_semi"
     )
+    stop = None
+    if max_shingle_df is not None:
+        sh_all = shingles(new_df, id_col, text_col, params["n"]).unionAll(
+            shingles(corpus_df, id_col, text_col, params["n"])
+        )
+        stop = (
+            sh_all.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
     return dedup_against_corpus(
         new_df, corpus_cand, id_col, text_col,
-        n=params["n"], threshold=threshold, max_shingle_df=max_shingle_df,
+        n=params["n"], threshold=threshold,
+        max_shingle_df=None, stop_shingles=stop,
     )

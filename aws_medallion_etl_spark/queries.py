@@ -60,15 +60,23 @@ def _events_probe(spark: SparkSession, sf_dir: str):
       The escape hatch is flipped here on a failed first read (Spark
       rejects NANOS columns outright without it) — scoped to this read
       path, not a session default.
-    * TIMESTAMP_NTZ — cast to TIMESTAMP. The cast interprets the wall
-      clock in the SESSION timezone, so the engine's UTC contract
-      (reference ``requirements/...:21``) is asserted first — a driver
-      session left on a non-UTC zone would otherwise shift every
-      epoch-aligned window boundary away from the oracle's naive-UTC
-      reading.
+    * TIMESTAMP_NTZ — cast to TIMESTAMP (the cast interprets the wall
+      clock in the SESSION timezone).
+
+    Every branch first PINS ``spark.sql.session.timeZone=UTC`` — the
+    engine's documented end-to-end contract (reference
+    ``requirements/...:21``, our session factory default). This is a
+    deliberate session-wide setting, not a scoped one: a driver
+    session left on any other zone would render epoch-aligned window
+    boundaries (``window``, ``date_trunc``) shifted away from the
+    oracle's naive-UTC reading on EVERY encoding (micros included,
+    not just the NTZ cast), and pinning it in the probe makes all
+    events consumers order-independent. Non-events tables in this
+    engine carry DATE columns, which the pin does not affect.
     """
     from pyspark.sql.types import LongType, TimestampNTZType
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     except Exception:
@@ -79,8 +87,6 @@ def _events_probe(spark: SparkSession, sf_dir: str):
         def rebuild(df: DataFrame) -> DataFrame:
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(ts_type, TimestampNTZType):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-
         def rebuild(df: DataFrame) -> DataFrame:
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:

@@ -307,6 +307,8 @@ def test_write_sorted_disjoint_file_ranges(spark, sf_dir, tmp_path):
     ranges = []
     for f in _glob.glob(f"{out}/*.parquet"):
         md = pq.ParquetFile(f).metadata
+        if md.num_row_groups == 0:
+            continue  # range partitioning may emit an empty partition
         mins, maxs = [], []
         for rg in range(md.num_row_groups):
             col = next(
@@ -318,7 +320,7 @@ def test_write_sorted_disjoint_file_ranges(spark, sf_dir, tmp_path):
             maxs.append(col.statistics.max)
         ranges.append((min(mins), max(maxs)))
     ranges.sort()
-    assert len(ranges) == 4
+    assert 2 <= len(ranges) <= 4
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (touching boundaries allowed)
 
