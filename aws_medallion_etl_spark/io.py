@@ -345,15 +345,31 @@ def compact(
     before data volume does. The rewrite stages into SIBLING
     directories of ``path`` (same filesystem, so the swap is a real
     rename, never a cross-device copy through /tmp that could ENOSPC
-    a tmpfs), and stale staging dirs from a previously crashed run are
-    cleared first — ``shutil.move`` into an EXISTING directory would
-    nest the live data a level down instead of renaming.
+    a tmpfs).
+
+    Crash recovery: the only window where ``path`` itself is missing
+    is between the two renames of the swap, when the data lives in
+    ``.compact_old`` (and a complete copy in ``.compact_tmp`` — the
+    tmp write finished before the first rename). On entry that state
+    is detected and the original is restored BEFORE any staging
+    cleanup; staging dirs are only cleared once ``path`` is confirmed
+    to exist, so no crash point loses data. ``shutil.move`` into an
+    EXISTING directory would nest the live data a level down instead
+    of renaming, hence the explicit clears.
     """
+    import os
     import shutil
 
     tmp = path.rstrip("/") + ".compact_tmp"
     old = path.rstrip("/") + ".compact_old"
+    if os.path.exists(old) and not os.path.exists(path.rstrip("/")):
+        # previous run died between `path -> old` and `tmp -> path`:
+        # the dataset survives only in the staging dirs — restore it
+        # first, then recompact from scratch below
+        shutil.move(old, path.rstrip("/"))
     shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(path.rstrip("/")):
+        raise FileNotFoundError(f"compact: no dataset at {path}")
     shutil.rmtree(old, ignore_errors=True)
     df = spark.read.parquet(path)
     write_parquet(df, tmp, partition_by=partition_by, target_files=target_files)

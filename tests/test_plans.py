@@ -329,3 +329,32 @@ def test_write_sorted_disjoint_file_ranges(spark, sf_dir, tmp_path):
     files_after = _glob.glob(f"{out}/*.parquet")
     assert len(files_after) == 1
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
+    """compact() must not destroy data when rerun after a crash that
+    landed between its two renames (path moved to .compact_old, tmp
+    not yet promoted): the rerun restores the original and completes
+    the compaction instead of rmtree-ing the only surviving copies."""
+    import glob as _glob
+    import shutil
+
+    from aws_medallion_etl_spark import io as eio
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = str(tmp_path / "ds")
+    region.repartition(4).write.parquet(out)
+    n = spark.read.parquet(out).count()
+
+    # simulate the crash window: tmp fully written, path renamed away,
+    # promotion never happened
+    shutil.copytree(out, out + ".compact_tmp")
+    shutil.move(out, out + ".compact_old")
+    assert not _glob.glob(out)
+
+    eio.compact(spark, out, target_files=1)
+    assert spark.read.parquet(out).count() == n
+    assert len(_glob.glob(f"{out}/*.parquet")) == 1
+    # staging dirs cleaned up after the successful swap
+    assert not _glob.glob(out + ".compact_old")
+    assert not _glob.glob(out + ".compact_tmp")
