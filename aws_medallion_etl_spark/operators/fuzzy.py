@@ -16,7 +16,7 @@ dedup at 100 TB. Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -92,13 +92,18 @@ def ngram_jaccard_pairs(
         blocks = df.select(F.col(id_col).alias("__id"), F.col(block_col).alias("__blk"))
         sh = sh.join(blocks, "__id")
     if max_shingle_df is not None:
-        rare = (
+        # Broadcast the STOP set (df > cap) and left-anti, never the
+        # complement: the rare side is essentially the whole shingle
+        # vocabulary (data-proportional — would blow the broadcast limit
+        # at scale) while the stop side is bounded by
+        # total_shingle_rows / cap regardless of corpus size.
+        stop = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_shingle_df)
+            .where(F.col("__df") > max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(rare), "shingle")
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
 
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("__id").alias("id_a"), "shingle", *(["__blk"] if block_col else []))
@@ -353,38 +358,93 @@ def simhash_pairs_portable(
     )
 
 
+def simhash_pairs_from_signatures(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    rotations: int = 1,
+) -> DataFrame:
+    """SimHash near-dup pairs over a precomputed (__id, simhash)
+    signature frame — the amortized path when signatures are stored.
+
+    Candidates share the top ``prefix_bits`` of the signature under at
+    least one of ``rotations`` bit-rotations (the Manku et al. prefix
+    permutation scheme: a pair within hamming k disagrees on at most k
+    bits, so with enough rotations some prefix window avoids them all;
+    rotations=1 is the single-prefix block with its documented recall
+    gap). Each rotation is one equi-join on its bucket — never
+    all-pairs; candidate pairs found by several rotations dedup on
+    bare (id_a, id_b, sig) before the hamming verify, and hamming is
+    ``bit_count(xor)`` in codegen.
+    """
+    if not 1 <= rotations <= 64:
+        raise ValueError("rotations must be in [1, 64]")
+    shift = 64 // rotations
+
+    def rotated(rot: int):
+        if rot == 0:
+            return F.col("simhash")
+        return F.shiftleft("simhash", rot).bitwiseOR(
+            F.shiftrightunsigned("simhash", 64 - rot)
+        )
+
+    # All rotations' buckets in ONE projection + posexplode (the same
+    # banded shape as minhash_bands) — a per-rotation unionAll would
+    # re-run the signature aggregation `rotations` times.
+    buckets = F.array(
+        *[
+            F.shiftrightunsigned(rotated(r * shift), 64 - prefix_bits)
+            for r in range(rotations)
+        ]
+    )
+    bucketed = sig.select(
+        "__id", "simhash", F.posexplode(buckets).alias("__rot", "bucket")
+    )
+    a = bucketed.select(
+        F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "__rot", "bucket",
+    )
+    b = bucketed.select(
+        F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "__rot", "bucket",
+    )
+    cand = (
+        a.join(b, ["__rot", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+    if rotations > 1:
+        # signatures are functionally dependent on the ids, so distinct
+        # on the full row collapses multi-rotation collisions to one
+        # hamming computation per pair
+        cand = cand.distinct()
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    rotations: int = 1,
 ) -> DataFrame:
-    """SimHash near-dup pairs: same ``prefix_bits`` bucket, hamming <= k.
+    """SimHash near-dup pairs: same ``prefix_bits`` bucket (under any
+    of ``rotations`` bit-rotations), hamming <= k.
 
     Bucketing on the top bits blocks the candidate space (near-dups
-    agree on most bits, so they usually share the prefix; production
-    systems rotate prefixes for recall — one rotation here keeps the
-    example honest about its recall tradeoff). Hamming distance is
-    ``bit_count(xor)`` in codegen.
+    agree on most bits, so they usually share the prefix); raising
+    ``rotations`` recovers the recall a single prefix window loses
+    when the few differing bits land inside it — see
+    :func:`simhash_pairs_from_signatures` for the mechanics. Hamming
+    distance is ``bit_count(xor)`` in codegen.
     """
-    sh = simhash(df, id_col, text_col)
-    bucketed = sh.withColumn(
-        "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    )
-    a = bucketed.select(
-        F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"), "bucket"
-    )
-    b = bucketed.select(
-        F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"), "bucket"
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(ham <= max_hamming)
-        .select("id_a", "id_b", ham.alias("hamming"))
-    )
+    sig = simhash(df, id_col, text_col)
+    return simhash_pairs_from_signatures(sig, max_hamming, prefix_bits, rotations)
 
 
 def cluster_pairs(
@@ -559,15 +619,18 @@ def dedup_against_corpus(
             F.broadcast(stop_shingles.select("shingle")), "shingle", "left_anti"
         )
     elif max_shingle_df is not None:
-        rare = (
+        # Broadcast the bounded stop set (df > cap, at most
+        # total_shingle_rows / cap entries) and left-anti — broadcasting
+        # the rare complement would ship the whole shingle vocabulary.
+        stop = (
             sh_new.select("shingle").unionAll(sh_old.select("shingle"))
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_shingle_df)
+            .where(F.col("__df") > max_shingle_df)
             .select("shingle")
         )
-        sh_new = sh_new.join(F.broadcast(rare), "shingle")
-        sh_old = sh_old.join(F.broadcast(rare), "shingle")
+        sh_new = sh_new.join(F.broadcast(stop), "shingle", "left_anti")
+        sh_old = sh_old.join(F.broadcast(stop), "shingle", "left_anti")
     size_new = sh_new.groupBy("__id").agg(F.count(F.lit(1)).alias("__nn"))
     size_old = sh_old.groupBy("__id").agg(F.count(F.lit(1)).alias("__no"))
     inter = (

@@ -69,6 +69,50 @@ def test_simhash_identical_and_distinct(spark):
     _no_cartesian(out)
 
 
+def test_simhash_rotations_recover_prefix_recall(spark):
+    """A near-dup pair whose few differing bits all land in the top-16
+    prefix window is provably invisible to the single-rotation block
+    (the buckets differ) but is found once the rotations spread the
+    prefix window across the word."""
+    x = 0x0123456789ABCDEF
+    y = x ^ (1 << 62) ^ (1 << 55)  # hamming 2, both flips inside the top 16 bits
+    sig = spark.createDataFrame([(1, x), (2, y)], "__id int, simhash long")
+    single = fuzzy.simhash_pairs_from_signatures(
+        sig, max_hamming=3, prefix_bits=16, rotations=1
+    ).collect()
+    assert single == []  # the recall gap the docstring documents
+    multi = fuzzy.simhash_pairs_from_signatures(
+        sig, max_hamming=3, prefix_bits=16, rotations=4
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in multi] == [(1, 2, 2)]
+
+
+def test_simhash_rotations_consistent_on_text(spark):
+    """rotations > 1 only ADDS candidate pairs: on a real corpus the
+    rotations=4 pair set is a superset of rotations=1, and every pair
+    still satisfies the hamming bound."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon"),
+            (4, "completely different words entirely here"),
+        ],
+        "doc_id int, text string",
+    )
+    one = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in fuzzy.simhash_pairs(docs, "doc_id", "text", rotations=1).collect()
+    }
+    four = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in fuzzy.simhash_pairs(docs, "doc_id", "text", rotations=4).collect()
+    }
+    assert one <= four
+    assert (1, 3, 0) in one
+    assert all(h <= 3 for _, _, h in four)
+
+
 def test_simhash_portable_finds_exact_dups(spark, sf_dir):
     """Both SimHash variants must find every exact-duplicate pair
     (identical token streams -> identical signature -> hamming 0).
