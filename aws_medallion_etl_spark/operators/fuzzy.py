@@ -136,6 +136,13 @@ def minhash_signatures(
     per doc (map-side partial min), never the shingle stream.
     """
     sh = shingles(df, id_col, text_col, n)
+    return _signatures_from_shingles(sh, num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signatures from an existing (__id, shingle) frame — lets
+    index builds reuse ONE shingling pass for both signatures and the
+    persisted shingle-DF statistics."""
     # Hash the string shingle ONCE; derive the hash family from the
     # 8-byte value (xxhash64(long, seed) is far cheaper than re-hashing
     # the string num_hashes times) — the same trick MLlib's MinHashLSH
@@ -165,6 +172,11 @@ def minhash_bands(
     incremental index (:func:`build_minhash_index`)."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    return _bands_from_signatures(sig, num_hashes, bands)
+
+
+def _bands_from_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    rows = num_hashes // bands
     band_struct = F.explode(
         F.array(
             *[
@@ -668,16 +680,38 @@ def build_minhash_index(
     time; each incoming batch only hashes ITSELF and equi-joins the
     stored (band, bhash) rows — ``bands`` rows of 3 longs per corpus
     doc, a few hundred bytes, vs re-reading and re-shingling corpus
-    text every batch. Maintain it by appending the kept batch's bands
+    text every batch. Maintain it with :func:`append_to_minhash_index`
     after each run. Parameters are stored in a sidecar and validated
     at probe time — a probe hashed with different (n, hashes, bands)
     would silently generate garbage candidates.
+
+    Alongside the bands, the corpus per-shingle document frequencies
+    are persisted under ``{path}/shingle_df`` (computed from the SAME
+    shingling pass that feeds the signatures). They are what lets the
+    probe's stop-shingle cap work WITHOUT re-shingling the corpus
+    every batch: the probe aggregates the stored increments, folds in
+    the batch's own counts, and gets exactly the full-corpus+batch
+    statistics :func:`dedup_against_corpus` would compute from text.
+    The table is an increment log — appends add rows, readers
+    group-sum by shingle — so maintenance is O(batch), never a
+    vocabulary rewrite.
     """
     import json
     import os
 
-    b = minhash_bands(corpus, id_col, text_col, n, num_hashes, bands)
-    b.write.mode("overwrite").parquet(f"{path}/bands")
+    # One shingling pass feeds BOTH outputs: the (disk-spillable)
+    # persist keeps the scan+explode+distinct from running twice —
+    # build cost is amortized, but not doubling it is still free.
+    sh = shingles(corpus, id_col, text_col, n).persist()
+    try:
+        sig = _signatures_from_shingles(sh, num_hashes)
+        b = _bands_from_signatures(sig, num_hashes, bands)
+        b.write.mode("overwrite").parquet(f"{path}/bands")
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/shingle_df")
+    finally:
+        sh.unpersist()
     os.makedirs(path, exist_ok=True)
     # Sidecar replaced ATOMICALLY (os.replace) after the bands write
     # succeeds: a crash in between leaves new bands + old sidecar,
@@ -690,6 +724,42 @@ def build_minhash_index(
     with open(tmp, "w") as fh:
         json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, fh)
     os.replace(tmp, f"{path}/params.json")
+
+
+def append_to_minhash_index(
+    spark,
+    kept_batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+) -> None:
+    """Fold a kept batch into an existing MinHash band index so the
+    NEXT batch dedups against corpus + this batch — the maintenance
+    step that makes :func:`dedup_against_corpus_lsh` a continuous-
+    ingestion loop. Cost is O(batch): the batch is shingled once;
+    its bands and its shingle-DF increments are APPENDED (the DF
+    table is an increment log readers group-sum, so no vocabulary
+    rewrite). Hash parameters come from the stored sidecar, so the
+    appended bands are always generation-compatible.
+
+    Not transactional: a crash between the two appends (or duplicate
+    retries) leaves bands and DF stats inconsistent — rebuild the
+    index with :func:`build_minhash_index` after a failed append.
+    """
+    import json
+
+    with open(f"{path}/params.json") as fh:
+        params = json.load(fh)
+    sh = shingles(kept_batch, id_col, text_col, params["n"]).persist()
+    try:
+        sig = _signatures_from_shingles(sh, params["num_hashes"])
+        b = _bands_from_signatures(sig, params["num_hashes"], params["bands"])
+        b.write.mode("append").parquet(f"{path}/bands")
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).write.mode(
+            "append"
+        ).parquet(f"{path}/shingle_df")
+    finally:
+        sh.unpersist()
 
 
 def dedup_against_corpus_lsh(
@@ -713,11 +783,17 @@ def dedup_against_corpus_lsh(
     banding curve (1-(1-s^r)^b; ~1.0 at s >= 0.8 with 64/16): a true
     near-dup pair missed by every band keeps its new doc — tune bands
     upward for stricter recall. The stop-shingle cap's document
-    frequencies are computed over the FULL corpus + batch (not the
+    frequencies are still the FULL corpus + batch statistics (not the
     band-narrowed subset) so the verification matches
-    :func:`dedup_against_corpus` exactly on surviving candidates.
+    :func:`dedup_against_corpus` exactly on surviving candidates —
+    but they come from the index's persisted ``shingle_df`` table
+    (group-summed increments + the batch's own counts), so outside
+    the candidate verify NO corpus text is read per batch. Indexes
+    built before the stats table existed fall back to re-shingling
+    the corpus for the cap.
     """
     import json
+    import os
 
     with open(f"{index_path}/params.json") as fh:
         params = json.load(fh)
@@ -725,12 +801,15 @@ def dedup_against_corpus_lsh(
     # cheap sidecar-vs-data sanity check: a crash between the bands
     # write and the sidecar replace can pair mismatched generations,
     # which would silently produce garbage candidates
-    n_bands_in_data = idx.agg(F.max("band")).collect()[0][0] + 1
-    if n_bands_in_data != params["bands"]:
+    max_band = idx.agg(F.max("band")).collect()[0][0]
+    if max_band is not None and max_band + 1 != params["bands"]:
         raise ValueError(
             f"minhash index at {index_path} is inconsistent: sidecar says "
-            f"{params['bands']} bands, data has {n_bands_in_data} — rebuild it"
+            f"{params['bands']} bands, data has {max_band + 1} — rebuild it"
         )
+    # max_band is None on an EMPTY index (empty corpus) — a legitimate
+    # state: the band join below yields no candidates and the whole
+    # batch is kept, so no special-casing beyond skipping the check.
     new_bands = minhash_bands(
         new_df, id_col, text_col,
         params["n"], params["num_hashes"], params["bands"],
@@ -747,12 +826,29 @@ def dedup_against_corpus_lsh(
     )
     stop = None
     if max_shingle_df is not None:
-        sh_all = shingles(new_df, id_col, text_col, params["n"]).unionAll(
-            shingles(corpus_df, id_col, text_col, params["n"])
-        )
-        stop = (
-            sh_all.groupBy("shingle")
+        batch_df = (
+            shingles(new_df, id_col, text_col, params["n"])
+            .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
+        )
+        df_path = f"{index_path}/shingle_df"
+        if os.path.isdir(df_path):
+            # stored corpus DF increments + the batch's counts = the
+            # exact full corpus+batch document frequencies, with zero
+            # corpus-text reads (the stored table is pre-aggregated
+            # per generation; group-sum merges the increment log)
+            corpus_stats = spark.read.parquet(df_path)
+        else:
+            # index predates the stats table: legacy full re-shingle
+            corpus_stats = (
+                shingles(corpus_df, id_col, text_col, params["n"])
+                .groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+            )
+        stop = (
+            corpus_stats.unionAll(batch_df)
+            .groupBy("shingle")
+            .agg(F.sum("__df").alias("__df"))
             .where(F.col("__df") > max_shingle_df)
             .select("shingle")
         )

@@ -518,3 +518,81 @@ def test_dedup_against_corpus_lsh_matches_exact(spark, tmp_path):
         threshold=0.8, max_shingle_df=None).collect())
     # fewer bands -> recall can only DROP -> kept set is a superset
     assert loose >= set(exact)
+
+
+def test_dedup_lsh_stop_shingles_from_stored_stats(spark, tmp_path):
+    """With a stop-shingle cap the probe must (a) agree with the
+    unindexed dedup_against_corpus under the same cap — the stored
+    DF increments + batch counts reproduce the full-text statistics —
+    and (b) not add any corpus-text scan beyond the cap-less plan."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    idx = str(tmp_path / "mh")
+    fuzzy.build_minhash_index(existing, "doc_id", "text", idx)
+    cap = 5  # small enough to actually drop shingles at sf0.001
+    unindexed = sorted(r.doc_id for r in fuzzy.dedup_against_corpus(
+        new, existing, "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_df=cap).collect())
+    probe = fuzzy.dedup_against_corpus_lsh(
+        spark, new, existing, "doc_id", "text", idx,
+        threshold=0.8, max_shingle_df=cap)
+    assert sorted(r.doc_id for r in probe.collect()) == unindexed
+
+    # the cap must not reintroduce a per-batch CORPUS-text scan (batch
+    # text may be scanned freely — the batch is small by design): with
+    # corpus and batch in separate files, the capped plan reads the
+    # corpus file exactly as often as the cap-less plan (its DF stats
+    # come from the index tables instead)
+    cpath, bpath = str(tmp_path / "corpus"), str(tmp_path / "batch")
+    existing.write.parquet(cpath)
+    new.write.parquet(bpath)
+    corpus2, batch2 = spark.read.parquet(cpath), spark.read.parquet(bpath)
+    plan = lambda cap: fuzzy.dedup_against_corpus_lsh(
+        spark, batch2, corpus2, "doc_id", "text", idx,
+        threshold=0.8, max_shingle_df=cap,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan(cap).count(cpath) == plan(None).count(cpath)
+
+
+def test_append_to_minhash_index_equals_rebuild(spark, tmp_path):
+    """build(b1) + append(b2) must behave exactly like build(b1 ∪ b2):
+    same band set, same aggregated shingle stats, same probe result."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.filter("doc_id % 4 = 0")
+    b2 = docs.filter("doc_id % 4 = 2")
+    corpus = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    fuzzy.build_minhash_index(b1, "doc_id", "text", inc)
+    fuzzy.append_to_minhash_index(spark, b2, "doc_id", "text", inc)
+    fuzzy.build_minhash_index(corpus, "doc_id", "text", full)
+
+    read = lambda p, t: spark.read.parquet(f"{p}/{t}")
+    assert sorted(map(tuple, read(inc, "bands").collect())) == sorted(
+        map(tuple, read(full, "bands").collect()))
+    agg = lambda df: sorted(map(tuple, df.groupBy("shingle").agg(
+        F.sum("__df").alias("d")).collect()))
+    assert agg(read(inc, "shingle_df")) == agg(read(full, "shingle_df"))
+
+    kept_inc = sorted(r.doc_id for r in fuzzy.dedup_against_corpus_lsh(
+        spark, new, corpus, "doc_id", "text", inc,
+        threshold=0.8, max_shingle_df=5).collect())
+    kept_full = sorted(r.doc_id for r in fuzzy.dedup_against_corpus_lsh(
+        spark, new, corpus, "doc_id", "text", full,
+        threshold=0.8, max_shingle_df=5).collect())
+    assert kept_inc == kept_full
+
+
+def test_dedup_lsh_empty_index_keeps_batch(spark, tmp_path):
+    """An index built over an EMPTY corpus is a reachable state: the
+    probe must keep the whole batch, not crash on the null max(band)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    empty = docs.filter("doc_id < 0")
+    new = docs.filter("doc_id % 17 = 0")
+    idx = str(tmp_path / "mh0")
+    fuzzy.build_minhash_index(empty, "doc_id", "text", idx)
+    kept = fuzzy.dedup_against_corpus_lsh(
+        spark, new, empty, "doc_id", "text", idx, threshold=0.8)
+    assert kept.count() == new.count()
