@@ -195,17 +195,24 @@ def cosine_near_dup_pairs(
     if method == "exact":
         pairs = c.join(F.broadcast(d), F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        ca = _with_table_buckets(c, "__va", planes, dim, tables)
-        cb = _with_table_buckets(d, "__vb", planes, dim, tables)
-        pairs = (
+        # Bucket frames carry BARE ids: the explode multiplies rows by
+        # `tables` and the bucket join by the collision count, so a
+        # vector riding along would cross those shuffles ~dim*8 bytes
+        # per row times the blowup. Dedup collisions on (id_a, id_b)
+        # alone, then re-join each side's (id -> vec, norm) frame once.
+        ca = _with_table_buckets(c, "__va", planes, dim, tables).select(
+            "id_a", "__tbl", "__bkt"
+        )
+        cb = _with_table_buckets(d, "__vb", planes, dim, tables).select(
+            "id_b", "__tbl", "__bkt"
+        )
+        cand = (
             ca.join(cb, ["__tbl", "__bkt"])
             .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(
-                F.first("__va").alias("__va"), F.first("__nb").alias("__nb"),
-                F.first("__vb").alias("__vb"), F.first("__na").alias("__na"),
-            )
+            .select("id_a", "id_b")
+            .distinct()
         )
+        pairs = cand.join(c, "id_a").join(d, "id_b")
     else:
         raise ValueError(f"unknown method {method!r}")
     cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
@@ -240,13 +247,17 @@ def cosine_topk_lsh(
 
     The join is an equi-join on (table, bucket) — never a cross join;
     colliding-in-many-tables pairs dedup BEFORE scoring so each
-    candidate pair costs exactly one dot product.
+    candidate pair costs exactly one dot product. Corpus vectors do
+    NOT ride through the bucket join or the collision dedup (both
+    multiply rows — by `tables` and by the collision count): the
+    dedup runs on bare (query_id, neighbor_id) and the corpus
+    (id -> vec, norm) frame joins back once per surviving candidate.
     """
-    c = _with_table_buckets(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
-        ),
-        "__cv", planes, dim, tables,
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    c = _with_table_buckets(cvec, "__cv", planes, dim, tables).select(
+        "neighbor_id", "__tbl", "__bkt"
     )
     q = _with_table_buckets(
         queries.select(
@@ -258,13 +269,16 @@ def cosine_topk_lsh(
     if exclude_self:
         cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
     # one scoring row per (query, neighbor) no matter how many tables collide
-    cand = cand.groupBy("query_id", "neighbor_id").agg(F.first("__cv").alias("__cv"))
+    cand = cand.select("query_id", "neighbor_id").distinct()
     qvec = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
-    )
-    scored = cand.join(F.broadcast(qvec), "query_id").withColumn(
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    # per-row norms precomputed on the keyed frames — computing them per
+    # candidate pair would redo the corpus-side norm once per query hit
+    nvec = cvec.withColumn("__cn", l2_norm(F.col("__cv")))
+    scored = cand.join(nvec, "neighbor_id").join(F.broadcast(qvec), "query_id").withColumn(
         "cosine",
-        dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

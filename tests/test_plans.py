@@ -358,3 +358,25 @@ def test_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
     # staging dirs cleaned up after the successful swap
     assert not _glob.glob(out + ".compact_old")
     assert not _glob.glob(out + ".compact_tmp")
+
+
+def test_lsh_candidate_dedup_carries_no_vectors(spark, sf_dir):
+    """The LSH candidate-dedup exchanges must move bare id pairs, not
+    dim-64 double arrays: the collision dedup is a distinct over
+    (id_a, id_b) / (query_id, neighbor_id), and vectors join back from
+    keyed frames afterwards. A first(vector) aggregate in the plan
+    means the wide columns are riding the multiplied shuffle again."""
+    from aws_medallion_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, method="lsh"
+    )
+    plan = _physical(pairs)
+    assert "first(__va" not in plan and "first(__vb" not in plan
+
+    topk = similarity.cosine_topk_lsh(
+        emb, emb.limit(4), "vec_id", "embedding", k=3
+    )
+    plan_topk = _physical(topk)
+    assert "first(__cv" not in plan_topk
