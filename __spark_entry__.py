@@ -62,43 +62,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history run FIRST — the harness records ~50 verdicts per round, so
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
-    first verdict. Head of the list for round 5: the 9 events
-    consumers broken by round 4's loader bug (the two never-green ones
-    — ``w8_sessionize``, ``fact_tag_usage_daily`` — first, loader fix
-    landed this round); then every query whose only green is round 3
-    (longest-unrefreshed); the round-4-refreshed rows sit at the back.
+    first verdict. Round 6 head: the six A-family provers whose last
+    green is round 3 (the only verdicts two rounds stale), then every
+    query whose code paths changed THIS round (fuzzy stop-shingle
+    broadcast direction, persisted index stats, SimHash refactor, LSH
+    candidate-dedup slimming, compact crash recovery), then the
+    round-4-green block; the fully-fresh round-5 rows sit at the back.
     """
     first = [
-        # never green in ANY round (events loader broke them in r4),
-        # plus the round-5 additions awaiting their first verdict — first
-        "w8_sessionize", "fact_tag_usage_daily", "sim_topk_ivf_indexed",
-        "t_repetition_ngrams", "corpus_source_cap", "dedup_incremental",
-        "str2_stream_sessionize", "str3_stream_running_totals",
-        # schema extended this round (BPE token column) — re-prove
-        "t_token_count", "dq_profile_orders", "emb_quantize_int8",
-        "j12_snapshot_diff", "corpus_mix_sources", "w12_funnel_conversion",
-        "dedup_incremental_lsh", "s15_sorted_compact_roundtrip",
-        # red in r4 via the same loader bug, fixed this round
-        "a8_dq_null_stats", "w6_trailing_average", "f_json_extract",
-        # stale-broken: green in r3 but events consumers, must re-prove
-        "j8_asof_prior_event", "w2w3_scd2_from_history", "w11_range_frame",
-        "str1_stream_windowed_counts",
-        # green only in round 3 — longest-unrefreshed verdicts next
-        "e2e_medallion_gold", "s1_csv_roundtrip", "s45_sink_roundtrip",
-        "s6_reject_quarantine_roundtrip", "s13_sql_subqueries",
-        "corpus_hash_split", "corpus_pack_sequences", "corpus_tfidf_top_terms",
-        "corpus_vocab_topk", "corpus_redact_pii", "corpus_cluster_representatives",
-        "corpus_stratified_sample", "corpus_prepare_shards",
-        "mm_binary_features", "mm_frame_sampling",
-        "j9_range_join_price_bands", "j10_upsert_snapshot", "j11_salted_skew_join",
-        "a13_grouping_sets", "w9_ntile_quartiles", "w10_distribution_ranks",
-        "u4_intersect_except", "sketch_distinct_bounds",
-        "dedup_levenshtein_names",
-        # green only in round 2 — oldest verdicts of all
-        "dedup_minhash_lsh", "dedup_simhash", "sim_topk_lsh",
-        # single r3 green for the A-row family
+        # last green in round 3 — the stalest verdicts in the book
         "a1_topk_customers", "a2_conditional_agg_owner", "a3_yearly_rollup",
         "a4_distinct_counts", "a5_global_minmax", "a6_frequency_classify",
+        # code touched this round; re-prove even though green in r5
+        "dedup_incremental_lsh", "dedup_incremental", "dedup_minhash_lsh",
+        "dedup_simhash", "sim_topk_lsh", "s15_sorted_compact_roundtrip",
+        "corpus_cluster_representatives",
+        # round-4 greens whose code also changed this round
+        "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
+        "dedup_exact_docs", "dedup_levenshtein_names",
+        # remaining round-4-green block, one round stale
+        "a7_exact_dedup", "a9_share_of_total", "a10_rollup_status_year",
+        "a11_pivot_status_by_year", "a12_percentiles",
+        "c1_circuit_breaker_stats", "dim_date_calendar",
+        "f_array_funcs", "f_boolean_parse", "f_date_funcs", "f_math_funcs",
+        "f_string_funcs",
+        "j1_enrich_left_defaults", "j2_referential_semi", "j3_orphans_anti",
+        "j4_fk_resolve_fallback", "j5_scd2_apply_changes",
+        "j6_joinback_aggregate", "j7_scalar_stats_zscore",
+        "o2_rank_multikey", "o3_diagnostics_sample",
+        "p5_validation_reject_reasons", "p6_validation_split_rejects",
+        "p_projection_family",
+        "s8_provenance_by_file", "s12_sql_endpoint", "s14_bucketed_join",
+        "sim_topk_bruteforce", "sim_topk_ivf",
+        "t_document_filter", "t_fingerprint", "t_lang_id", "t_quality_score",
+        "tags_explode_normalize",
+        "u2_unknown_row", "u3_union_all_report",
+        "w1_dedup_keep_newest", "w1b_dedup_max_by", "w4_hash_sk_distinct",
+        "w5_yoy_growth",
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"
