@@ -295,13 +295,14 @@ def test_cluster_pairs_transitive_components(spark):
 
 
 def test_cluster_pairs_long_chain_converges(spark):
-    # path graph of 40 nodes: pointer jumping must converge well under
-    # max_iter (O(log n) rounds), all nodes labeled with the min id
+    # path graph of diameter 2^7: plain hash-min propagation would need
+    # ~128 rounds, so full convergence within max_iter=12 pins that the
+    # pointer jump actually delivers the O(log diameter) bound
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+        [(i, i + 1) for i in range(128)], "id_a bigint, id_b bigint"
     )
     out = fuzzy.cluster_pairs(pairs, max_iter=12).collect()
-    assert len(out) == 41
+    assert len(out) == 129
     assert {r.cluster_id for r in out} == {0}
 
 
