@@ -335,9 +335,14 @@ def compact(
     path: str,
     target_files: int,
     partition_by: list[str] | None = None,
+    transform=None,
 ) -> None:
     """Small-file compaction: rewrite a parquet location into
     ``target_files`` files (per partition, if partitioned).
+    ``transform`` optionally rewrites the DataFrame during the copy —
+    the hook increment-log tables (append-only rows readers
+    group-sum, e.g. the MinHash index's shingle-DF stats) use to merge
+    their generations in the same crash-safe swap.
 
     The maintenance job every streaming/incremental sink eventually
     needs — micro-batches and per-run appends accrete thousands of
@@ -372,6 +377,8 @@ def compact(
         raise FileNotFoundError(f"compact: no dataset at {path}")
     shutil.rmtree(old, ignore_errors=True)
     df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     write_parquet(df, tmp, partition_by=partition_by, target_files=target_files)
     shutil.move(path, old)
     try:

@@ -762,6 +762,30 @@ def append_to_minhash_index(
         sh.unpersist()
 
 
+def compact_minhash_index(spark, path: str, target_files: int = 32) -> None:
+    """Periodic maintenance for an appended MinHash index: merge the
+    shingle-DF increment log back into one row per shingle and compact
+    the accreted small band files.
+
+    Probes stay correct WITHOUT this (readers group-sum the
+    increments), but after many :func:`append_to_minhash_index` calls
+    the DF table carries one generation per batch and the bands dir
+    one file set per batch — this folds both back to a bounded file
+    count with ``io.compact``'s crash-safe sibling staging.
+    """
+    from aws_medallion_etl_spark import io as _io
+
+    _io.compact(
+        spark,
+        f"{path}/shingle_df",
+        target_files,
+        transform=lambda df: df.groupBy("shingle").agg(
+            F.sum("__df").alias("__df")
+        ),
+    )
+    _io.compact(spark, f"{path}/bands", target_files)
+
+
 def dedup_against_corpus_lsh(
     spark,
     new_df: DataFrame,

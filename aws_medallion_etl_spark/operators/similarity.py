@@ -466,6 +466,36 @@ def build_ivf_index(
     return cents
 
 
+def append_to_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+) -> None:
+    """Fold new vectors into an existing :func:`build_ivf_index` layout
+    without re-training: assign each to its nearest STORED centroid and
+    append into that cell's partition directory — the FAISS ``add()``
+    semantics, O(batch) per call.
+
+    Because assignment uses the stored centroids, probe results over
+    the appended index are exactly what a same-centroid full build
+    would produce; what appends canNOT do is follow distribution
+    drift — after enough growth, rebuild to re-train the centroids
+    (and fix cell skew). Appends also accrete one file set per batch
+    inside each cell dir; compact cells periodically
+    (``io.compact(..., partition_by=["__cid"])``).
+    """
+    import json
+
+    with open(f"{path}/centroids.json") as fh:
+        cents = json.load(fh)
+    c = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
+    ).withColumn("__cid", _assign_centroid(cents)(F.col("__cv")))
+    c.write.mode("append").partitionBy("__cid").parquet(f"{path}/cells")
+
+
 def cosine_topk_ivf_indexed(
     spark,
     index_path: str,

@@ -355,6 +355,38 @@ def test_ivf_indexed_matches_unindexed(spark, tmp_path):
     assert sorted(map(tuple, indexed)) == sorted(map(tuple, inline))
 
 
+def test_append_to_ivf_index_exact_at_full_probe(spark, tmp_path):
+    """build(half) + append(other half): every appended vector must
+    land in its stored-centroid cell, and an exhaustive probe over the
+    appended index equals brute force over the full corpus — i.e. the
+    appended rows are present, scoreable, and correctly partitioned."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b1 = emb.filter("vec_id % 2 = 0")
+    b2 = emb.filter("vec_id % 2 = 1")
+    q = emb.filter("vec_id % 250 = 0")
+    idx = str(tmp_path / "ivf")
+    cents = similarity.build_ivf_index(b1, "vec_id", "embedding", idx,
+                                       n_centroids=8, iters=3)
+    similarity.append_to_ivf_index(spark, b2, "vec_id", "embedding", idx)
+
+    # appended rows carry the stored-centroid assignment
+    cells = spark.read.parquet(f"{idx}/cells")
+    got = {r["neighbor_id"]: r["__cid"] for r in
+           cells.join(b2.select(F.col("vec_id").alias("neighbor_id")),
+                      "neighbor_id").select("neighbor_id", "__cid").collect()}
+    want = {r.vec_id: r.cid for r in b2.select(
+        "vec_id",
+        similarity._assign_centroid(cents)(
+            similarity.as_double_vec("embedding")).alias("cid")).collect()}
+    assert got == want and len(got) == b2.count()
+
+    exhaustive = similarity.cosine_topk_ivf_indexed(
+        spark, idx, q, "vec_id", "embedding", k=5, nprobe=8)
+    brute = similarity.cosine_topk_bruteforce(emb, q, "vec_id", "embedding", k=5)
+    assert sorted(map(tuple, exhaustive.collect())) == sorted(
+        map(tuple, brute.collect()))
+
+
 def test_ngram_repetition_scores_edges(spark):
     df = spark.createDataFrame(
         [
@@ -584,6 +616,38 @@ def test_append_to_minhash_index_equals_rebuild(spark, tmp_path):
         spark, new, corpus, "doc_id", "text", full,
         threshold=0.8, max_shingle_df=5).collect())
     assert kept_inc == kept_full
+
+
+def test_compact_minhash_index_merges_increment_log(spark, tmp_path):
+    """After appends the shingle-DF table holds one generation per
+    batch; compaction folds it to one row per shingle with identical
+    aggregate stats, and the probe result is unchanged."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.filter("doc_id % 4 = 0")
+    b2 = docs.filter("doc_id % 4 = 2")
+    corpus = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    idx = str(tmp_path / "mh")
+    fuzzy.build_minhash_index(b1, "doc_id", "text", idx)
+    fuzzy.append_to_minhash_index(spark, b2, "doc_id", "text", idx)
+
+    stats = lambda: sorted(map(tuple, spark.read.parquet(f"{idx}/shingle_df")
+                               .groupBy("shingle").agg(F.sum("__df")).collect()))
+    before = stats()
+    n_rows_before = spark.read.parquet(f"{idx}/shingle_df").count()
+    fuzzy.compact_minhash_index(spark, idx, target_files=1)
+    assert stats() == before
+    # merged: exactly one row per shingle now
+    assert spark.read.parquet(f"{idx}/shingle_df").count() == len(before)
+    assert n_rows_before >= len(before)
+
+    kept = sorted(r.doc_id for r in fuzzy.dedup_against_corpus_lsh(
+        spark, new, corpus, "doc_id", "text", idx,
+        threshold=0.8, max_shingle_df=5).collect())
+    unindexed = sorted(r.doc_id for r in fuzzy.dedup_against_corpus(
+        new, corpus, "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_df=5).collect())
+    assert kept == unindexed
 
 
 def test_dedup_lsh_empty_index_keeps_batch(spark, tmp_path):
