@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-4-green block; the fully-fresh round-5 rows sit at the back.
     """
     first = [
+        # brand-new this round — no verdict in any round yet
+        "dedup_incremental_lsh_appended", "sim_topk_ivf_appended",
         # last green in round 3 — the stalest verdicts in the book
         "a1_topk_customers", "a2_conditional_agg_owner", "a3_yearly_rollup",
         "a4_distinct_counts", "a5_global_minmax", "a6_frequency_classify",

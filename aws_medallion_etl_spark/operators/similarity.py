@@ -156,13 +156,37 @@ def _bucket_udf(planes: int, dim: int, tables: int):
 
 
 def _with_table_buckets(
-    df: DataFrame, vec: str, planes: int, dim: int, tables: int
+    df: DataFrame, vec: str, planes: int, dim: int, tables: int,
+    keep_all: bool = False,
 ) -> DataFrame:
-    """Explode each row into one (table, bucket) entry per hash table."""
+    """Explode each row into one (table, bucket) entry per hash table.
+    ``keep_all`` also carries the full ``__bkts`` array (``tables``
+    longs — a few hundred bytes, vs kilobytes for a vector), which
+    :func:`_first_collision_only` needs for shuffle-free dedup."""
     bucketed = df.withColumn("__bkts", _bucket_udf(planes, dim, tables)(F.col(vec)))
+    cols = [*df.columns] + (["__bkts"] if keep_all else [])
     return bucketed.select(
-        *df.columns, F.posexplode("__bkts").alias("__tbl", "__bkt")
+        *cols, F.posexplode("__bkts").alias("__tbl", "__bkt")
     )
+
+
+def _first_collision_only(a_bkts: Column, b_bkts: Column, tables: int) -> Column:
+    """True iff the current row's ``__tbl`` is the FIRST table where the
+    two sides' buckets collide — the OR-amplification dedup WITHOUT a
+    shuffle: a pair colliding in several tables passes the filter for
+    exactly one of them, so no distinct/groupBy stage is needed and
+    vectors never ride a dedup exchange.
+
+    Expressed as ONE zip_with + array_position over the two
+    ``tables``-long arrays. An equivalent unrolled when-chain of
+    O(tables²) comparisons measures 3x SLOWER end-to-end: Catalyst
+    pushes the predicate into the join condition, and the giant
+    expression blows whole-stage codegen's method size limit (janino
+    failure → seconds of failed compilation + interpreted fallback).
+    Small expression trees beat big "codegen-friendly" ones here.
+    """
+    matches = F.zip_with(a_bkts, b_bkts, lambda x, y: x == y)
+    return F.array_position(matches, F.lit(True)) == F.col("__tbl") + 1
 
 
 def cosine_near_dup_pairs(
@@ -195,22 +219,25 @@ def cosine_near_dup_pairs(
     if method == "exact":
         pairs = c.join(F.broadcast(d), F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        # Bucket frames carry BARE ids: the explode multiplies rows by
-        # `tables` and the bucket join by the collision count, so a
-        # vector riding along would cross those shuffles ~dim*8 bytes
-        # per row times the blowup. Dedup collisions on (id_a, id_b)
-        # alone, then re-join each side's (id -> vec, norm) frame once.
-        ca = _with_table_buckets(c, "__va", planes, dim, tables).select(
-            "id_a", "__tbl", "__bkt"
-        )
-        cb = _with_table_buckets(d, "__vb", planes, dim, tables).select(
-            "id_b", "__tbl", "__bkt"
-        )
+        # Bucket frames carry ids + the bucket ARRAY (tables longs, a
+        # few hundred bytes), never vectors: the explode multiplies
+        # rows by `tables` and the bucket join by the collision count,
+        # so a vector riding along would cross those shuffles ~dim*8
+        # bytes per row times the blowup. Multi-table collisions are
+        # emitted exactly once by the first-colliding-table filter —
+        # no distinct/groupBy dedup stage — and each side's
+        # (id -> vec, norm) frame joins back once per candidate.
+        ca = _with_table_buckets(
+            c, "__va", planes, dim, tables, keep_all=True
+        ).select("id_a", F.col("__bkts").alias("__ba"), "__tbl", "__bkt")
+        cb = _with_table_buckets(
+            d, "__vb", planes, dim, tables, keep_all=True
+        ).select("id_b", F.col("__bkts").alias("__bb"), "__tbl", "__bkt")
         cand = (
             ca.join(cb, ["__tbl", "__bkt"])
             .where(F.col("id_a") < F.col("id_b"))
+            .where(_first_collision_only(F.col("__ba"), F.col("__bb"), tables))
             .select("id_a", "id_b")
-            .distinct()
         )
         pairs = cand.join(c, "id_a").join(d, "id_b")
     else:
@@ -246,39 +273,37 @@ def cosine_topk_lsh(
     clusters → more planes, fewer tables.
 
     The join is an equi-join on (table, bucket) — never a cross join;
-    colliding-in-many-tables pairs dedup BEFORE scoring so each
-    candidate pair costs exactly one dot product. Corpus vectors do
-    NOT ride through the bucket join or the collision dedup (both
-    multiply rows — by `tables` and by the collision count): the
-    dedup runs on bare (query_id, neighbor_id) and the corpus
-    (id -> vec, norm) frame joins back once per surviving candidate.
+    colliding-in-many-tables pairs are emitted exactly ONCE via the
+    first-colliding-table filter (:func:`_first_collision_only`), so
+    each candidate pair costs exactly one dot product with NO dedup
+    shuffle at all. The whole pipeline is one shuffle: corpus scan →
+    bucket projection → broadcast join with the (small) query side →
+    filter → map-side scoring → windowed top-k, and the window's
+    exchange carries only (query_id, neighbor_id, cosine) — the
+    corpus and its vectors never shuffle.
     """
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
-    )
-    c = _with_table_buckets(cvec, "__cv", planes, dim, tables).select(
-        "neighbor_id", "__tbl", "__bkt"
+    c = _with_table_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
+        ).withColumn("__cn", l2_norm(F.col("__cv"))),
+        "__cv", planes, dim, tables, keep_all=True,
     )
     q = _with_table_buckets(
         queries.select(
             F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
-        ),
-        "__qv", planes, dim, tables,
+        ).withColumn("__qn", l2_norm(F.col("__qv"))),
+        "__qv", planes, dim, tables, keep_all=True,
+    ).withColumnRenamed("__bkts", "__qbkts")
+    cand = c.join(F.broadcast(q), ["__tbl", "__bkt"]).where(
+        _first_collision_only(F.col("__bkts"), F.col("__qbkts"), tables)
     )
-    cand = c.join(F.broadcast(q.select("query_id", "__tbl", "__bkt")), ["__tbl", "__bkt"])
     if exclude_self:
         cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
-    # one scoring row per (query, neighbor) no matter how many tables collide
-    cand = cand.select("query_id", "neighbor_id").distinct()
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
-    ).withColumn("__qn", l2_norm(F.col("__qv")))
-    # per-row norms precomputed on the keyed frames — computing them per
-    # candidate pair would redo the corpus-side norm once per query hit
-    nvec = cvec.withColumn("__cn", l2_norm(F.col("__cv")))
-    scored = cand.join(nvec, "neighbor_id").join(F.broadcast(qvec), "query_id").withColumn(
-        "cosine",
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -1701,6 +1701,44 @@ def dedup_incremental_lsh(spark, sf_dir):
     return kept.select("doc_id")
 
 
+@query(
+    "dedup_incremental_lsh_appended",
+    f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND NOT EXISTS (
+            SELECT 1 FROM jpairs j
+            WHERE (j.id_a = d.doc_id AND j.id_b % 2 = 0)
+               OR (j.id_b = d.doc_id AND j.id_a % 2 = 0)
+          )
+    """,
+)
+def dedup_incremental_lsh_appended(spark, sf_dir):
+    """The FULL incremental-index lifecycle under one oracle: build the
+    MinHash band index on half the corpus, fold the other half in with
+    ``append_to_minhash_index`` (O(batch), bands + DF increments
+    appended), merge the increment log with ``compact_minhash_index``
+    (crash-safe staged rewrite), then probe the batch. The kept set
+    must equal ``dedup_incremental_lsh``'s one-shot build — same exact
+    n-gram-Jaccard oracle — proving append+compact are
+    semantics-neutral, not just pytest-equal."""
+    docs = _t(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 4 == 0)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = _scratch("mhidx_app", sf_dir)
+    fuzzy.build_minhash_index(b1, "doc_id", "text", idx)
+    fuzzy.append_to_minhash_index(spark, b2, "doc_id", "text", idx)
+    fuzzy.compact_minhash_index(spark, idx, target_files=4)
+    kept = fuzzy.dedup_against_corpus_lsh(
+        spark, new, existing, "doc_id", "text", idx,
+        threshold=0.8, max_shingle_df=None,
+    )
+    return kept.select("doc_id")
+
+
 @query("dedup_clusters", _DEDUP_CLUSTERS_SQL)
 def dedup_clusters(spark, sf_dir):
     """Near-dup pairs → connected components → canonical doc per cluster.
@@ -1971,6 +2009,36 @@ def sim_topk_ivf_indexed(spark, sf_dir):
     )
     return similarity.cosine_topk_ivf_indexed(
         spark, idx, queries_df, "vec_id", "embedding", k=5, nprobe=6,
+    )
+
+
+@query("sim_topk_ivf_appended", _SIM_TOPK_SQL)
+def sim_topk_ivf_appended(spark, sf_dir):
+    """IVF index GROWTH under the exact oracle: build on half the
+    corpus (centroids train on that half only), ``append_to_ivf_index``
+    the other half into its stored-centroid cells (FAISS ``add()``
+    semantics, no re-training), probe exhaustively (nprobe = all
+    cells, where IVF is provably exact through the same partitioned
+    plumbing). Matching the exact top-k oracle over the FULL corpus
+    proves every appended vector landed in a scannable cell with
+    correct scores — an appended row lost by the layout or assigned
+    junk would break the hash."""
+    import shutil
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    queries_df = emb.filter(F.col("vec_id") % 250 == 0)
+    idx = _scratch("ivfidx_app", sf_dir)
+    # a rerun's dynamic partition overwrite could leave stale appended
+    # rows in cells the rebuild doesn't touch — start clean
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.build_ivf_index(
+        b1, "vec_id", "embedding", idx, n_centroids=8, iters=3,
+    )
+    similarity.append_to_ivf_index(spark, b2, "vec_id", "embedding", idx)
+    return similarity.cosine_topk_ivf_indexed(
+        spark, idx, queries_df, "vec_id", "embedding", k=5, nprobe=8,
     )
 
 
