@@ -362,3 +362,98 @@ def mix_sources(
         .where(bucket < F.round(F.col("__keep_frac") * 10_000))
         .drop("__keep_frac")
     )
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_hits(
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_id_col: str,
+    eval_text_col: str,
+    n: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-training-doc overlap with an evaluation benchmark, by word n-gram.
+
+    The standard pre-training hygiene step (GPT-3 appendix C / PaLM /
+    Llama practice): a training document is CONTAMINATED if it shares
+    any length-``n`` word n-gram (n=13 is the literature default) with
+    any benchmark document, because exact long-gram overlap is
+    near-certain verbatim inclusion rather than chance.
+
+    Returns one row per contaminated training doc:
+    ``(id_col, n_hit_grams, n_eval_docs)`` — distinct overlapping
+    grams and distinct benchmark docs matched. Clean docs are absent.
+
+    Scale shape: benchmarks are tiny next to a 100 TB corpus, so the
+    eval side's distinct grams are BROADCAST and the training side is
+    scan -> n-gram explode -> broadcast semi-hash-join -> hash-agg:
+    the corpus text itself is never shuffled, and the only exchange
+    carries (id, gram) rows that survived the broadcast join — i.e.
+    hits only, a vanishing fraction. If the "benchmark" is itself huge
+    (cross-split decontamination of a 5%-sized validation cut), pass
+    ``broadcast_eval=False`` to fall back to a shuffled equi-join on
+    the gram; both sides then exchange only (id, gram) pairs, never
+    document text. Docs shorter than ``n`` tokens yield no grams and
+    can never be flagged — by construction they cannot contain a
+    verbatim benchmark span of length ``n``.
+    """
+    from aws_medallion_etl_spark.operators.text import word_ngrams
+
+    tg = word_ngrams(train_df, id_col, text_col, n=n, out_col="__gram").distinct()
+    eg = word_ngrams(
+        eval_df.select(
+            F.col(eval_id_col).alias("__eval_id"),
+            F.col(eval_text_col).alias("__eval_text"),
+        ),
+        "__eval_id",
+        "__eval_text",
+        n=n,
+        out_col="__gram",
+    ).distinct()
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "__gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__gram").alias("n_hit_grams"),
+            F.countDistinct("__eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_id_col: str,
+    eval_text_col: str,
+    n: int = 13,
+    max_hit_grams: int = 0,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop training docs whose benchmark overlap exceeds the allowance.
+
+    ``max_hit_grams=0`` (default) removes every doc sharing even one
+    length-``n`` gram with the benchmark; raise it to tolerate a few
+    incidental collisions (boilerplate, licenses) at large ``n``.
+    Implemented as :func:`contamination_hits` -> threshold filter ->
+    LEFT ANTI join on the id — the training data is filtered, never
+    rewritten, so columns and row identity pass through untouched.
+    """
+    flagged = (
+        contamination_hits(
+            train_df, id_col, text_col,
+            eval_df, eval_id_col, eval_text_col,
+            n=n, broadcast_eval=broadcast_eval,
+        )
+        .where(F.col("n_hit_grams") > max_hit_grams)
+        .select(id_col)
+    )
+    return train_df.join(flagged, id_col, "left_anti")

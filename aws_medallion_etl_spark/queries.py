@@ -2567,6 +2567,79 @@ def corpus_mix_sources(spark, sf_dir):
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+# Benchmark decontamination CTEs: 13-gram (literature default) overlap
+# between a training cut (doc_id % 5 != 0) and a held-out "benchmark"
+# cut (doc_id % 5 = 0) of the documents table. The planted near-dup
+# pairs that straddle the split are exactly what decontamination must
+# catch. Mirrors text.word_ngrams: lowercase, whitespace split, docs
+# with < n tokens yield no grams.
+_DECONTAM_CTES = r"""
+    words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 11),
+                       i -> array_to_string(list_slice(w, i, i + 12), ' '))) AS s
+            FROM words WHERE len(w) >= 13
+        )
+    ),
+    train_g AS (SELECT * FROM grams WHERE doc_id % 5 <> 0),
+    eval_g AS (SELECT * FROM grams WHERE doc_id % 5 = 0),
+    hits AS (
+        SELECT t.doc_id,
+               CAST(count(DISTINCT t.s) AS BIGINT) AS n_hit_grams,
+               CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+        FROM train_g t JOIN eval_g e ON t.s = e.s
+        GROUP BY 1
+    )
+"""
+
+
+@query(
+    "corpus_contamination_report",
+    f"WITH {_DECONTAM_CTES} SELECT doc_id, n_hit_grams, n_eval_docs FROM hits",
+)
+def corpus_contamination_report(spark, sf_dir):
+    """Benchmark-contamination report (``corpus.contamination_hits``):
+    per-training-doc count of distinct 13-grams shared with the eval
+    cut and of distinct eval docs matched. The eval side's grams are
+    broadcast, so the corpus never shuffles — the scale shape for
+    decontaminating 100 TB against a benchmark suite."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.contamination_hits(
+        docs.where(F.col("doc_id") % 5 != 0), "doc_id", "text",
+        docs.where(F.col("doc_id") % 5 == 0), "doc_id", "text",
+        n=13,
+    )
+
+
+@query(
+    "corpus_decontaminate",
+    f"""
+    WITH {_DECONTAM_CTES}
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id % 5 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hit_grams > 0)
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Decontaminated training cut (``corpus.decontaminate``): drop
+    every training doc sharing any 13-gram with the eval cut (LEFT
+    ANTI on the flagged ids). Surviving (doc_id, source) rows prove
+    both the hit detection and the anti-join pass-through."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = corpus.decontaminate(
+        docs.where(F.col("doc_id") % 5 != 0), "doc_id", "text",
+        docs.where(F.col("doc_id") % 5 == 0), "doc_id", "text",
+        n=13,
+    )
+    return cleaned.select("doc_id", "source")
+
+
 _PII_RAW_SQL = (
     "'reach ' || c_name || ' at ' || "
     "lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || "

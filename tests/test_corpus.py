@@ -174,3 +174,62 @@ def test_mix_sources_targets_and_determinism(spark):
     b = sorted(r.doc_id for r in corpus.mix_sources(
         df, "source", weights, "doc_id").collect())
     assert a == b
+
+
+def test_contamination_planted_ngram(spark):
+    span = " ".join(f"tok{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [
+            (1, f"clean document with entirely different words {' '.join('x%d' % i for i in range(13))}"),
+            (2, f"prefix words then {span} then suffix words"),
+            (3, "short doc"),  # < 13 tokens: can never be flagged
+        ],
+        "id long, body string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark question containing {span} verbatim")],
+        "eid long, etext string",
+    )
+    hits = corpus.contamination_hits(
+        train, "id", "body", ev, "eid", "etext", n=13
+    ).collect()
+    assert {r["id"] for r in hits} == {2}
+    row = hits[0]
+    assert row["n_hit_grams"] >= 1 and row["n_eval_docs"] == 1
+
+    cleaned = corpus.decontaminate(train, "id", "body", ev, "eid", "etext", n=13)
+    assert {r["id"] for r in cleaned.collect()} == {1, 3}
+    # schema passes through untouched
+    assert cleaned.columns == train.columns
+
+
+def test_contamination_case_insensitive_and_threshold(spark):
+    span = " ".join(f"w{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [(1, span.upper() + " trailing tail")], "id long, body string"
+    )
+    ev = spark.createDataFrame([(9, span)], "eid long, etext string")
+    # case-folded match is found
+    assert corpus.contamination_hits(
+        train, "id", "body", ev, "eid", "etext", n=13
+    ).count() == 1
+    # allowance: one shared gram tolerated at max_hit_grams=5
+    kept = corpus.decontaminate(
+        train, "id", "body", ev, "eid", "etext", n=13, max_hit_grams=5
+    )
+    assert kept.count() == 1
+
+
+def test_contamination_plan_broadcasts_eval(spark):
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma " * 10) for i in range(20)],
+        "id long, body string",
+    )
+    ev = spark.createDataFrame([(1, "alpha beta gamma " * 5)], "eid long, etext string")
+    plan = corpus.contamination_hits(
+        train, "id", "body", ev, "eid", "etext", n=5
+    )._jdf.queryExecution().executedPlan().toString()
+    # eval grams arrive via broadcast: the corpus side never shuffles
+    # before the join (the only exchange feeds the post-join hash-agg)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
