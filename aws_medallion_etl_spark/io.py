@@ -413,3 +413,270 @@ def write_sorted(
         *[F.col(c) for c in sort_cols],
     ).sortWithinPartitions(*sort_cols)
     parted.write.mode(mode).option("compression", "snappy").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# File-level min/max skipping (Iceberg/Delta-style manifest)
+# ---------------------------------------------------------------------------
+
+_FILE_STATS_NAME = "_file_stats.json"
+
+# stat kinds the pruner understands; anything else keeps the file
+# (conservative: unknown stats can only cost I/O, never correctness)
+_COMPARABLE_KINDS = {"int", "float", "str", "date", "timestamp"}
+
+
+def _stat_encode(v):
+    """Normalize a footer stat to a JSON-safe, ORDER-PRESERVING value.
+
+    ints/floats/strs pass through; date/datetime become ISO-8601
+    strings (lexicographic order == chronological order); bytes and
+    anything exotic return ``(None, None)`` -> the file is never
+    skipped on that column.
+    """
+    import datetime
+
+    if isinstance(v, bool):
+        return None, None
+    if isinstance(v, int):
+        return "int", v
+    if isinstance(v, float):
+        return "float", v
+    if isinstance(v, str):
+        return "str", v
+    if isinstance(v, datetime.datetime):
+        return "timestamp", v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return "date", v.isoformat()
+    return None, None
+
+
+def collect_file_stats(path: str, columns: list[str]) -> list[dict]:
+    """Per-file min/max for ``columns`` from parquet FOOTERS only.
+
+    One row-group-stat merge per file — no data pages are read, so the
+    cost is one footer fetch per file. On a 1000-executor cluster this
+    loop belongs in a job over the file list (each footer read is
+    independent); at manifest scale (one dict per file) the driver
+    holds the RESULT comfortably even at 100k files.
+
+    A column with a missing/untyped stat in ANY row group gets
+    ``null`` bounds for that file — the pruner then always keeps it.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = path.rstrip("/")
+    files = []
+    for dirpath, _dirs, names in os.walk(root):
+        for name in sorted(names):
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                files.append(os.path.join(dirpath, name))
+    out = []
+    for f in sorted(files):
+        meta = pq.ParquetFile(f).metadata
+        schema = meta.schema.to_arrow_schema()
+        idx = {schema.names[i]: i for i in range(len(schema.names))}
+        entry = {"file": os.path.relpath(f, root), "rows": meta.num_rows, "stats": {}}
+        for col in columns:
+            ci = idx.get(col)
+            lo = hi = None
+            kind = None
+            ok = ci is not None
+            if ok:
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    k1, mn = _stat_encode(st.min)
+                    k2, mx = _stat_encode(st.max)
+                    if k1 is None or k1 != k2 or (kind and k1 != kind):
+                        ok = False
+                        break
+                    kind = k1
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+            entry["stats"][col] = (
+                {"kind": kind, "min": lo, "max": hi} if ok else None
+            )
+        out.append(entry)
+    return out
+
+
+def build_file_stats_index(path: str, columns: list[str]) -> str:
+    """Write the skipping manifest as ``_file_stats.json`` INSIDE the
+    dataset directory (Spark ignores ``_``-prefixed files, so the
+    location stays a valid plain-parquet table for every reader).
+
+    What this buys beyond parquet's own row-group skipping: Spark must
+    still LIST, schedule, and open the footer of every file before
+    row-group stats can prune — at 100k-file scale that is the
+    planning bottleneck. A one-JSON-row-per-file manifest lets
+    :func:`pruned_read` hand Spark ONLY the overlapping files, so
+    listing/scheduling cost scales with the files that matter. Same
+    contract as Iceberg manifests / Delta add-file stats, on plain
+    parquet. Rebuild after every write/compact (cheap: footers only);
+    :func:`compact` callers should rebuild as part of the swap.
+    """
+    import json
+    import os
+
+    stats = collect_file_stats(path, columns)
+    out = os.path.join(path.rstrip("/"), _FILE_STATS_NAME)
+    tmp = out + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"columns": columns, "files": stats}, fh)
+    os.replace(tmp, out)  # atomic: readers see old or new, never half
+    return out
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+) -> DataFrame:
+    """Range scan with FILE-level skipping off the stats manifest.
+
+    ``ranges`` maps column -> (lo, hi) inclusive bounds (either side
+    ``None`` for open). Semantically identical to
+    ``spark.read.parquet(path).where(lo <= c <= hi ...)`` — the range
+    predicate is still applied row-level (files are kept on ANY
+    overlap) and still reaches the parquet reader for row-group
+    skipping inside kept files. The manifest only shrinks the file
+    list Spark plans over. Files without usable stats for a column,
+    or datasets with no manifest at all, degrade to the full scan —
+    skipping is an optimization, never a correctness dependency.
+    """
+    root = path.rstrip("/")
+    manifest = os.path.join(root, _FILE_STATS_NAME)
+    files = None
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            data = json.load(fh)
+        known = set(data.get("columns", []))
+        keep = []
+        for entry in data["files"]:
+            ok = True
+            for col, (lo, hi) in ranges.items():
+                if col not in known:
+                    continue
+                st = entry["stats"].get(col)
+                if not st:
+                    continue
+                _, lo_n = _stat_encode(lo) if lo is not None else (None, None)
+                _, hi_n = _stat_encode(hi) if hi is not None else (None, None)
+                try:
+                    if lo_n is not None and st["max"] < lo_n:
+                        ok = False
+                        break
+                    if hi_n is not None and st["min"] > hi_n:
+                        ok = False
+                        break
+                except TypeError:
+                    # bound/stat kind mismatch: keep the file, let the
+                    # row-level predicate decide
+                    continue
+            if ok:
+                keep.append(os.path.join(root, entry["file"]))
+        files = keep
+    if files is None:
+        df = spark.read.parquet(root)
+    elif not files:
+        # every file pruned: preserve the schema via an empty frame
+        df = spark.read.parquet(root).limit(0)
+    else:
+        df = spark.read.parquet(*files)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Z-order (multi-column) layout
+# ---------------------------------------------------------------------------
+
+def zorder_value(
+    scaled_cols: list,
+    bits: int = 12,
+) -> "F.Column":
+    """Interleave the low ``bits`` bits of pre-scaled integer columns
+    into one Morton (Z-curve) key.
+
+    Callers pass columns ALREADY scaled to ``[0, 2**bits)`` (see
+    :func:`write_zorder` for the min/max scaling). Bit ``i`` of column
+    ``j`` lands at position ``i * k + j`` — the interleaving that makes
+    the curve visit space locally in EVERY dimension at once. Pure
+    unrolled shift/mask column arithmetic (shift amounts are Python
+    ints, as Spark requires): ``bits * k`` terms in a single
+    projection, well inside codegen's method limit and nowhere near a
+    join condition.
+    """
+    k = len(scaled_cols)
+    terms = []
+    for j, c in enumerate(scaled_cols):
+        lc = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(lc, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * k + j))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    target_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ordered parquet layout: multi-column :func:`write_sorted`.
+
+    Linear sort gives perfect skipping on the LEADING key and none on
+    the others; the Z-curve trades a little of the first dimension's
+    locality to make file min/max ranges tight in ALL ``cols`` — so a
+    stats manifest (:func:`build_file_stats_index`) prunes files for a
+    predicate on ANY of them (Delta ``OPTIMIZE ZORDER BY`` semantics,
+    on plain parquet).
+
+    Each column is min/max-scaled to ``[0, 2**bits)`` from ONE global
+    agg (a 2k-value driver collect); numeric and timestamp/date
+    columns are supported via a cast to double. The Z key is used only
+    for ``repartitionByRange`` + in-file sort and is dropped before
+    the write — the layout carries the benefit, not a column. Skew
+    note: ``repartitionByRange`` samples the Z key, so heavily
+    duplicated (col tuple) values still spread across files; a file
+    then covers a degenerate range and skipping degrades gracefully,
+    never incorrectly.
+    """
+    if not cols:
+        raise ValueError("write_zorder needs at least one column")
+    lo_hi = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = lo_hi[f"__mn_{c}"], lo_hi[f"__mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            scaled.append(F.lit(0))
+            continue
+        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+        # nulls first: a null key scales to 0, keeping the file range
+        # honest (stats min/max ignore nulls anyway)
+        scaled.append(
+            F.coalesce(F.floor(frac * top), F.lit(0)).cast("long")
+        )
+    zed = df.withColumn("__z", zorder_value(scaled, bits=bits))
+    parted = zed.repartitionByRange(
+        *([target_files] if target_files else []), F.col("__z")
+    ).sortWithinPartitions("__z").drop("__z")
+    parted.write.mode(mode).option("compression", "snappy").parquet(path)

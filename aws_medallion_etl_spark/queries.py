@@ -3204,6 +3204,82 @@ def s15_sorted_compact_roundtrip(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+@query(
+    "s16_file_skipping_scan",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31'
+    GROUP BY 1
+    """,
+)
+def s16_file_skipping_scan(spark, sf_dir):
+    """File-level min/max skipping (S16): orders rewritten range-sorted
+    on o_orderdate, a stats manifest built from the parquet FOOTERS
+    (``io.build_file_stats_index`` — Iceberg/Delta-style, on plain
+    parquet), then a year slice read via ``io.pruned_read``, which
+    hands Spark ONLY the overlapping files. The monthly rollup must
+    equal the plain-scan oracle: losing any file to over-pruning would
+    break both the count and the revenue hash. Pruning factor is
+    pinned by ``test_plans::test_file_skipping_prunes_files``."""
+    import shutil
+
+    from aws_medallion_etl_spark import io as eio
+
+    orders = _t(spark, sf_dir, "orders")
+    out = _scratch("s16skip", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    eio.write_sorted(orders, out, ["o_orderdate"], target_files=8)
+    eio.build_file_stats_index(out, ["o_orderdate"])
+    sliced = eio.pruned_read(
+        spark, out, {"o_orderdate": ("1997-01-01", "1997-12-31 23:59:59")}
+    )
+    return sliced.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "s17_zorder_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice >= 400000 AND o_totalprice <= 450000
+    """,
+)
+def s17_zorder_scan(spark, sf_dir):
+    """Z-order layout (S17): orders rewritten on the Morton
+    interleaving of (o_custkey, o_totalprice) (``io.write_zorder``),
+    manifest built on BOTH raw columns, then a price-band slice — a
+    predicate on the SECOND z-dimension, where a linear sort would
+    prune nothing — read via ``io.pruned_read``. The aggregate must
+    equal the plain-scan oracle; two-dimensional pruning is pinned by
+    ``test_plans::test_zorder_prunes_both_dimensions``."""
+    import shutil
+
+    from aws_medallion_etl_spark import io as eio
+
+    orders = _t(spark, sf_dir, "orders")
+    out = _scratch("s17z", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    eio.write_zorder(orders, out, ["o_custkey", "o_totalprice"], target_files=16)
+    eio.build_file_stats_index(out, ["o_custkey", "o_totalprice"])
+    sliced = eio.pruned_read(spark, out, {"o_totalprice": (400000.0, 450000.0)})
+    return sliced.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 _STR2_SQL = """
     WITH o AS (
         SELECT user_id, ts,

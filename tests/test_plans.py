@@ -380,3 +380,73 @@ def test_lsh_candidate_dedup_carries_no_vectors(spark, sf_dir):
     )
     plan_topk = _physical(topk)
     assert "first(__cv" not in plan_topk
+
+
+def test_file_skipping_prunes_files(spark, sf_dir, tmp_path):
+    """The stats manifest hands Spark only overlapping files: a narrow
+    range on the sorted key reads a strict subset, the result matches
+    the full scan, and a disjoint range reads zero files (empty frame
+    with the table's schema)."""
+    from aws_medallion_etl_spark import io as eio
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "skip")
+    eio.write_sorted(orders, out, ["o_totalprice"], target_files=8)
+    eio.build_file_stats_index(out, ["o_totalprice"])
+    total_files = len(spark.read.parquet(out).inputFiles())
+    sliced = eio.pruned_read(spark, out, {"o_totalprice": (1000.0, 20000.0)})
+    assert 0 < len(sliced.inputFiles()) < total_files
+    expect = orders.where(F.col("o_totalprice").between(1000.0, 20000.0))
+    assert sliced.count() == expect.count()
+    none = eio.pruned_read(spark, out, {"o_totalprice": (-50.0, -1.0)})
+    assert none.count() == 0
+    assert none.columns == orders.columns
+    # a column the manifest doesn't know about never over-prunes
+    other = eio.pruned_read(spark, out, {"o_custkey": (0, 10)})
+    assert other.count() == orders.where(F.col("o_custkey").between(0, 10)).count()
+
+
+def test_file_skipping_manifest_missing_falls_back(spark, sf_dir, tmp_path):
+    from aws_medallion_etl_spark import io as eio
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "noman")
+    eio.write_sorted(orders, out, ["o_totalprice"], target_files=4)
+    got = eio.pruned_read(spark, out, {"o_totalprice": (1000.0, 20000.0)})
+    assert got.count() == orders.where(
+        F.col("o_totalprice").between(1000.0, 20000.0)
+    ).count()
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The Morton layout keeps file min/max tight in BOTH columns: a
+    range predicate on either dimension alone skips files, where the
+    linear sort skips only on its leading key."""
+    from aws_medallion_etl_spark import io as eio
+
+    grid = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        F.floor(F.col("id") / 200).alias("y"),
+    )
+    pz = str(tmp_path / "z")
+    pl = str(tmp_path / "lin")
+    eio.write_zorder(grid, pz, ["x", "y"], target_files=16)
+    eio.write_sorted(grid, pl, ["x", "y"], target_files=16)
+    for p in (pz, pl):
+        eio.build_file_stats_index(p, ["x", "y"])
+    n_z = len(spark.read.parquet(pz).inputFiles())
+    n_l = len(spark.read.parquet(pl).inputFiles())
+
+    def files(p, col):
+        return len(eio.pruned_read(spark, p, {col: (10, 20)}).inputFiles())
+
+    # z-order: strict pruning on each dimension independently
+    assert files(pz, "x") < n_z
+    assert files(pz, "y") < n_z
+    # linear: leading key prunes, trailing key cannot
+    assert files(pl, "x") < n_l
+    assert files(pl, "y") == n_l
+    # and the answers agree with the raw frame either way
+    for p in (pz, pl):
+        got = eio.pruned_read(spark, p, {"y": (10, 20)}).count()
+        assert got == grid.where(F.col("y").between(10, 20)).count()
