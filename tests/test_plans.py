@@ -450,3 +450,30 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     for p in (pz, pl):
         got = eio.pruned_read(spark, p, {"y": (10, 20)}).count()
         assert got == grid.where(F.col("y").between(10, 20)).count()
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning (on by default, gated
+    on a 10 GB application-side scan in production) injects a
+    might_contain filter on the fact side when the dim side is
+    selectively filtered and the join must shuffle. Thresholds are
+    lowered here so the local-scale plan exercises the same path a
+    100 TB scan takes for free."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_totalprice") > 500000
+        )
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
