@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # brand-new this round — no verdict in any round yet
         "corpus_contamination_report", "corpus_decontaminate",
         "s16_file_skipping_scan", "s17_zorder_scan",
+        "str4_stream_dedup", "str5_stream_static_join",
+        "str6_stream_stream_join",
         "dedup_incremental_lsh_appended", "sim_topk_ivf_appended",
         # last green in round 3 — the stalest verdicts in the book
         "a1_topk_customers", "a2_conditional_agg_owner", "a3_yearly_rollup",

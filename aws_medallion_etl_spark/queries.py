@@ -3354,6 +3354,144 @@ def str3_stream_running_totals(spark, sf_dir):
     )
 
 
+@query(
+    "str4_stream_dedup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(coalesce(value, 0.0)), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def str4_stream_dedup(spark, sf_dir):
+    """Streaming dedup proven by oracle (STR4): the source directory
+    holds the events file TWICE, so the stream delivers every row
+    twice across micro-batches; ``streaming.stream_dedup``
+    (``dropDuplicatesWithinWatermark`` on event_id, 60-day watermark —
+    past the data's 30-day span, so no key's state evicts during the
+    bounded drain) must emit each exactly once. The per-type rollup of
+    the append-mode sink equals the batch aggregate over the
+    SINGLE-copy table — any dup leaking through or row over-dropped
+    breaks count and sum."""
+    import os
+
+    from aws_medallion_etl_spark import streaming
+
+    _schema, rebuild = _events_probe(spark, sf_dir)
+    src_dir = _scratch("str4src", sf_dir)
+    os.makedirs(src_dir, exist_ok=True)
+    for name in ("events.parquet", "events_copy.parquet"):
+        link = f"{src_dir}/{name}"
+        if not os.path.exists(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = rebuild(spark.readStream.schema(_schema).parquet(src_dir))
+    deduped = streaming.stream_dedup(stream, ["event_id"], "ts", watermark="60 days")
+    streaming.to_memory_sink(deduped, "str4_dedup", output_mode="append")
+    return (
+        spark.table("str4_dedup")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "str5_stream_static_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(sum(coalesce(e.value, 0.0)), 2) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def str5_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment proven by oracle (STR5): the events
+    stream joins the customer dim per micro-batch
+    (``streaming.enrich_stream`` — broadcast static side, zero
+    streaming state), drained append-mode; the per-segment rollup must
+    equal the batch join. The pattern every streaming silver layer
+    uses for dimension lookup."""
+    from aws_medallion_etl_spark import streaming
+
+    stream = _events_stream(spark, sf_dir, "str5src")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = streaming.enrich_stream(
+        stream, cust, stream["user_id"] == cust["c_custkey"]
+    ).select("c_mktsegment", "user_id", "value")
+    streaming.to_memory_sink(joined, "str5_joined", output_mode="append")
+    return (
+        spark.table("str5_joined")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "str6_stream_stream_join",
+    """
+    WITH v AS (
+        SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+    ), c AS (
+        SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM v JOIN c ON c.user_id = v.user_id
+     AND c.c_ts > v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def str6_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join proven by oracle (STR6): views and
+    clicks as two watermarked streams, inner-joined on user with the
+    click inside (view_ts, view_ts + 1h] (``streaming.interval_join``
+    — the time bound is what lets Spark EVICT buffered join state once
+    the watermark passes view_ts + 1h). Per-user pair counts from the
+    append sink must equal the batch interval join — a pair dropped by
+    premature eviction or emitted twice across micro-batches breaks
+    the hash."""
+    from aws_medallion_etl_spark import streaming
+
+    views = (
+        _events_stream(spark, sf_dir, "str6vsrc")
+        .where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+    )
+    clicks = (
+        _events_stream(spark, sf_dir, "str6csrc")
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    clicks = clicks.withColumnRenamed("c_user", "user_id")
+    pairs = streaming.interval_join(
+        views, clicks, "user_id", "v_ts", "c_ts", "1 HOUR", watermark="2 hours"
+    ).select(views["user_id"].alias("user_id"), "v_ts", "c_ts")
+    # State-store tasks dominate wall time here (every micro-batch
+    # touches every state partition of BOTH join sides, data or not) —
+    # size state partitions to key cardinality, the standard streaming
+    # tuning, instead of inheriting the batch shuffle width. Set at
+    # query START: the checkpoint pins it for the query's lifetime.
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        streaming.to_memory_sink(pairs, "str6_pairs", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return (
+        spark.table("str6_pairs")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composed corpus pipeline: quality filter -> reproducible split ->
 # per-split sequence packing, in one oracle-checked query.

@@ -191,3 +191,54 @@ def running_totals(
     return df.groupBy(*[F.col(k) for k in key_cols]).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    join_expr,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the
+    CURRENT snapshot of the static side.
+
+    Stateless — no streaming state at all, because the static side is
+    re-resolved per micro-batch (a dim refreshed mid-stream applies to
+    the NEXT batch, the standard slowly-refreshing-dim contract). With
+    ``broadcast_dim`` the 100 TB stream side never shuffles; leave it
+    True unless the dim is genuinely too big, in which case a
+    stream-side shuffle per micro-batch is the honest cost.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, join_expr, how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    watermark: str,
+) -> DataFrame:
+    """Stream-stream inner join: same ``key``, right event inside
+    ``(left_ts, left_ts + upper]``.
+
+    Both sides carry the SAME watermark and the join condition bounds
+    event-time distance, which is exactly what lets Spark evict join
+    state: a buffered left row can stop waiting once the watermark
+    passes ``left_ts + upper``. Without the time bound (or without
+    watermarks) stream-stream state grows forever — the join predicate
+    IS the state-retention policy. Inner joins emit exactly the
+    matched pairs regardless of how the drain was micro-batched.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] > lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner")

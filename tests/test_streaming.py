@@ -139,3 +139,57 @@ def test_running_totals_state_across_microbatches(spark, tmp_path):
     assert any(len(v) > 1 for v in per_key.values())
     finals = {k: max(v) for k, v in per_key.items()}  # running => max is last
     assert finals == {"a": (3, 7.0), "b": (2, 15.0)}
+
+
+def test_enrich_stream_is_stateless_broadcast(spark, event_dir):
+    """Stream-static join: no streaming state, dim broadcast."""
+    from aws_medallion_etl_spark import streaming
+
+    path, schema = event_dir
+    stream = streaming.stream_from_directory(spark, path, schema)
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver")], "k string, seg string"
+    )
+    joined = streaming.enrich_stream(stream, dim, stream["user_id"] == dim["k"])
+    streaming.to_memory_sink(joined, "t_enrich", output_mode="append")
+    got = spark.table("t_enrich")
+    batch = spark.read.parquet(path)
+    expect = batch.join(dim, batch["user_id"] == dim["k"]).count()
+    assert got.count() == expect
+    # left-out user u3 contributes nothing on an inner join
+    assert got.where(F.col("user_id") == "u3").count() == 0
+
+
+def test_interval_join_bounds_and_emission(spark, tmp_path):
+    """Planted pairs: only clicks strictly inside (v_ts, v_ts+1h] join;
+    a boundary click at exactly +1h joins, at +1h1s does not."""
+    import datetime
+
+    from aws_medallion_etl_spark import streaming
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows, name, cols):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, cols).write.parquet(p)
+        return p
+
+    vdir = mk([(1, base), (2, base)], "views", "user_id long, v_ts timestamp")
+    cdir = mk(
+        [
+            (1, base + datetime.timedelta(minutes=30)),   # in window
+            (1, base + datetime.timedelta(hours=1)),      # boundary: joins
+            (1, base + datetime.timedelta(hours=1, seconds=1)),  # out
+            (2, base),                                    # not strictly after
+            (3, base + datetime.timedelta(minutes=5)),    # no view user
+        ],
+        "clicks", "user_id long, c_ts timestamp",
+    )
+    views = spark.readStream.schema("user_id long, v_ts timestamp").parquet(vdir)
+    clicks = spark.readStream.schema("user_id long, c_ts timestamp").parquet(cdir)
+    pairs = streaming.interval_join(
+        views, clicks, "user_id", "v_ts", "c_ts", "1 HOUR", watermark="1 day"
+    ).select(views["user_id"].alias("user_id"), "c_ts")
+    streaming.to_memory_sink(pairs, "t_pairs", output_mode="append")
+    got = [(r["user_id"],) for r in spark.table("t_pairs").collect()]
+    assert sorted(got) == [(1,), (1,)]
