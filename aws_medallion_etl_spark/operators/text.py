@@ -220,3 +220,49 @@ def token_count_bpe(col: Column | str) -> Column:
     pre-token maps to >= 1 BPE token, so this is a tight lower bound).
     One ``regexp_extract_all`` + ``size``: codegen, no Python."""
     return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def unigram_logprob_scores(
+    df,
+    id_col: str,
+    text_col: Column | str,
+    ndigits: int = 4,
+):
+    """Per-document mean token log-likelihood under the corpus's own
+    unigram language model — the classic cheap "does this read like
+    the rest of the corpus" score (the KenLM-perplexity filter's
+    one-gram little sibling). Gibberish, character soup, and
+    boilerplate-free random strings score far below prose because
+    their tokens are corpus-rare.
+
+    Self-trained: P(t) = count(t) / total over THIS corpus, so there
+    is no OOV and no external model. Returns
+    ``(id_col, n_tokens, avg_logprob)`` with natural-log probabilities.
+
+    Plan shape: one explode to (doc, token) (lowercased, whitespace),
+    one hash-aggregate for the global counts (map-side combined: the
+    shuffle carries (token, partial) pairs), the count table joined
+    BACK by token, then a per-doc mean. The count table is
+    vocabulary-sized — broadcast it and the (doc, token) side never
+    shuffles for the join; the only data-proportional exchange is the
+    final per-doc aggregation keyed by id. At 100 TB floor the
+    vocabulary first (min_count) if broadcast size is a concern —
+    rare-token mass then folds into an explicit floor probability.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(_c(text_col))), r"\s+")
+        ).alias("__tok"),
+    ).where(F.col("__tok") != "")
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tc"))
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        toks.join(F.broadcast(counts), "__tok")
+        .join(F.broadcast(total))
+        .withColumn("__lp", F.log(F.col("__tc") / F.col("__n")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__lp"), ndigits).alias("avg_logprob"),
+    )

@@ -2157,6 +2157,36 @@ def t_repetition_ngrams(spark, sf_dir):
 
 
 @query(
+    "t_unigram_logprob",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), t2 AS (
+        SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), counts AS (
+        SELECT tok, count(*) AS tc FROM t2 GROUP BY tok
+    ), total AS (SELECT count(*) AS n FROM t2)
+    SELECT t2.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(tc * 1.0 / (SELECT n FROM total))), 4) AS avg_logprob
+    FROM t2 JOIN counts USING (tok)
+    GROUP BY t2.doc_id
+    """,
+)
+def t_unigram_logprob(spark, sf_dir):
+    """Corpus-self-trained unigram LM score per document
+    (``text.unigram_logprob_scores``): mean natural-log token
+    probability — the cheap perplexity-filter stand-in that separates
+    prose from gibberish. Vocabulary-sized count table broadcast back
+    onto the token explode; only the per-doc aggregation shuffles."""
+    return text.unigram_logprob_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
     "corpus_source_cap",
     """
     SELECT source, CAST(count(*) AS BIGINT) AS n_kept,

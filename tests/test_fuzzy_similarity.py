@@ -661,3 +661,32 @@ def test_dedup_lsh_empty_index_keeps_batch(spark, tmp_path):
     kept = fuzzy.dedup_against_corpus_lsh(
         spark, new, empty, "doc_id", "text", idx, threshold=0.8)
     assert kept.count() == new.count()
+
+
+def test_unigram_logprob_separates_gibberish(spark):
+    """Prose built from repeated common tokens scores higher than a doc
+    of corpus-unique gibberish tokens; the math pins P(t)=count/total."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat again"),
+            (3, "zxqv kjhw pqrs"),  # every token unique in the corpus
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in text.unigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["n_tokens"] == 6 and rows[3]["n_tokens"] == 3
+    assert rows[1]["avg_logprob"] > rows[3]["avg_logprob"]
+    # unique tokens: P = 1/16 each -> mean ln(1/16)
+    import math
+
+    assert abs(rows[3]["avg_logprob"] - round(math.log(1 / 16), 4)) < 1e-9
+    # plan: count table broadcast, token side never shuffle-joins
+    plan = (
+        text.unigram_logprob_scores(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
