@@ -1,0 +1,162 @@
+"""Scale-stress bench: replicate the sf0.1 testdata ~10x (sf1-equivalent)
+with decorrelated keys/text/vectors and time the heaviest queries, to
+confirm the sf0.1 plan rankings survive an order-of-magnitude scale-up.
+
+Replication is workload-preserving, not byte-duplication:
+
+* star-schema keys shift by ``replica * (max_key + 1)`` so joins keep
+  their selectivity and no cross-replica FK ever matches;
+* document text gets a per-replica token SUFFIX on every token, so
+  shingles/minhashes never collide across replicas — the near-dup
+  rate per replica is exactly the generator's, not an artificial
+  10x-duplicate corpus that would blow up every LSH bucket;
+* embeddings flip signs per (replica, dimension) parity — norms and
+  intra-replica geometry are preserved, cross-replica cosine decays.
+
+Usage: python tools/stress_bench.py [query ...]   (default: heavy set)
+Writes STRESS_local.json {query: {sf01_sec, sf1_sec, ratio}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "dedup_incremental_lsh",
+    "e2e_medallion_gold",
+    "corpus_cluster_representatives",
+    "dedup_clusters",
+    "sim_topk_ivf_indexed",
+]
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/mdl_stress_sf1"
+REPLICAS = 10
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(OUT, exist_ok=True)
+    done_marker = os.path.join(OUT, "_built")
+    if os.path.exists(done_marker):
+        return
+
+    def reps(df, fn):
+        parts = [fn(df, i) for i in range(REPLICAS)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def shift(col, step, i):
+        return (F.col(col) + F.lit(i * step)).alias(col)
+
+    # key steps from the source maxima (one tiny agg per table)
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    k_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    k_cust = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    k_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    k_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    k_evt = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    k_user = ev.agg(F.max("user_id")).collect()[0][0] + 1
+
+    reps(orders, lambda d, i: d.select(
+        shift("o_orderkey", k_ord, i), shift("o_custkey", k_cust, i),
+        *[c for c in d.columns if c not in ("o_orderkey", "o_custkey")],
+    )).write.mode("overwrite").parquet(f"{OUT}/orders.parquet")
+
+    reps(li, lambda d, i: d.select(
+        shift("l_orderkey", k_ord, i),
+        *[c for c in d.columns if c != "l_orderkey"],
+    )).write.mode("overwrite").parquet(f"{OUT}/lineitem.parquet")
+
+    reps(cust, lambda d, i: d.select(
+        shift("c_custkey", k_cust, i),
+        *[c for c in d.columns if c != "c_custkey"],
+    )).write.mode("overwrite").parquet(f"{OUT}/customer.parquet")
+
+    # every token suffixed `_rI`: intra-replica structure identical,
+    # zero cross-replica shingle collisions
+    reps(docs, lambda d, i: d.select(
+        shift("doc_id", k_doc, i),
+        F.regexp_replace("text", r"(\S+)", r"$1_r%d" % i).alias("text"),
+        *[c for c in d.columns if c not in ("doc_id", "text")],
+    )).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+
+    # per-(replica, dim) sign flips preserve norms; transform index
+    # parity keyed by replica
+    reps(emb, lambda d, i: d.select(
+        shift("vec_id", k_vec, i),
+        F.transform(
+            "embedding",
+            lambda x, j: F.when(((j + F.lit(i)) % 2) == 0, x).otherwise(-x),
+        ).alias("embedding"),
+        *[c for c in d.columns if c not in ("vec_id", "embedding")],
+    )).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+
+    reps(ev, lambda d, i: d.select(
+        shift("event_id", k_evt, i), shift("user_id", k_user, i),
+        *[c for c in d.columns if c not in ("event_id", "user_id")],
+    )).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+
+    for small in ("region", "nation", "supplier", "part"):
+        link = f"{OUT}/{small}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{small}.parquet", link)
+    open(done_marker, "w").write("ok")
+
+
+def main() -> int:
+    names = sys.argv[1:] or HEAVY
+
+    # local-mode executors share the driver JVM; the sf1-equivalent
+    # shingle joins need real heap (must be set BEFORE the JVM starts)
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell"
+    )
+
+    import __spark_entry__ as entrymod
+    from aws_medallion_etl_spark import get_spark
+
+    spark = get_spark(app_name="stress-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    build(spark)
+    print(f"build: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        fn = qs[name]
+        res = {}
+        # untimed warmup: JVM/codegen/page-cache costs must not land in
+        # the sf01 denominator and fake a sublinear ratio
+        fn(spark, SRC).write.mode("overwrite").format("noop").save()
+        for tag, sf_dir in (("sf01", SRC), ("sf1", OUT)):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            res[f"{tag}_sec"] = round(time.time() - t0, 2)
+        res["ratio"] = round(res["sf1_sec"] / max(res["sf01_sec"], 1e-9), 2)
+        out[name] = res
+        print(name, res, file=sys.stderr)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "STRESS_local.json")
+    with open(path, "w") as fh:
+        json.dump({"replicas": REPLICAS, "queries": out}, fh, indent=1)
+    print(json.dumps({"replicas": REPLICAS, "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
