@@ -73,7 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # brand-new this round — no verdict in any round yet
         "corpus_contamination_report", "corpus_decontaminate",
         "s16_file_skipping_scan", "s17_zorder_scan",
-        "t_unigram_logprob",
+        "t_unigram_logprob", "corpus_bm25",
         "str4_stream_dedup", "str5_stream_static_join",
         "str6_stream_stream_join",
         "dedup_incremental_lsh_appended", "sim_topk_ivf_appended",

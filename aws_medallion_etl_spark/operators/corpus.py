@@ -457,3 +457,79 @@ def decontaminate(
         .select(id_col)
     )
     return train_df.join(flagged, id_col, "left_anti")
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query terms
+    — the lexical-retrieval baseline every corpus search/eval pipeline
+    needs next to the embedding ANN path.
+
+    Lucene-variant idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
+    positive) with the standard tf saturation / length normalization.
+    Returns ``(id_col, bm25)`` for documents matching at least one
+    term.
+
+    Plan shape — one pass, no explode-join: the per-doc aggregate
+    computes document length AND each query term's tf as conditional
+    sums in a single hash aggregate over the token explode (query
+    bags are small — tens of terms — so |terms| conditional columns
+    beat materializing (doc, term, tf) and joining). Corpus constants
+    (N, avgdl, per-term df) reduce to ONE broadcast row. The only
+    data-proportional shuffle is the per-doc aggregation.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__dl"),
+        *[
+            F.sum((F.col("__tok") == t).cast("long")).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    consts = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(consts))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}") + 0.5)
+        )
+        tf = F.col(f"__tf_{i}").cast("double")
+        part = idf * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+        )
+        score = part if score is None else score + part
+    hit = None
+    for i in range(len(terms)):
+        h = F.col(f"__tf_{i}") > 0
+        hit = h if hit is None else hit | h
+    return (
+        scored.where(hit)
+        .select(F.col(id_col), F.round(score, ndigits).alias("bm25"))
+    )

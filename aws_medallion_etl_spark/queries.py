@@ -2187,6 +2187,52 @@ def t_unigram_logprob(spark, sf_dir):
 
 
 @query(
+    "corpus_bm25",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), per_doc AS (
+        SELECT doc_id,
+               count(*) AS dl,
+               sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf0,
+               sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf1,
+               sum(CASE WHEN tok = 'shuffle' THEN 1 ELSE 0 END) AS tf2
+        FROM toks WHERE tok <> '' GROUP BY doc_id
+    ), consts AS (
+        SELECT count(*) * 1.0 AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) * 1.0 AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) * 1.0 AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) * 1.0 AS df2
+        FROM per_doc
+    )
+    SELECT doc_id,
+           round(
+             ln(1 + (n - df0 + 0.5)/(df0 + 0.5))
+               * (tf0 * 2.2 / (tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))
+           + ln(1 + (n - df1 + 0.5)/(df1 + 0.5))
+               * (tf1 * 2.2 / (tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))
+           + ln(1 + (n - df2 + 0.5)/(df2 + 0.5))
+               * (tf2 * 2.2 / (tf2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))), 4
+           ) AS bm25
+    FROM per_doc, consts
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    """,
+)
+def corpus_bm25(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (``corpus.bm25_scores``) for the
+    bag {hash, join, shuffle} over the documents table — one
+    conditional hash-aggregate per doc, corpus constants reduced to a
+    single broadcast row; per-doc scores hash-checked against the
+    formula in SQL."""
+    return corpus.bm25_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        ["hash", "join", "shuffle"],
+    )
+
+
+@query(
     "corpus_source_cap",
     """
     SELECT source, CAST(count(*) AS BIGINT) AS n_kept,

@@ -233,3 +233,39 @@ def test_contamination_plan_broadcasts_eval(spark):
     # before the join (the only exchange feeds the post-join hash-agg)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_hand_computed(spark):
+    """Two-doc corpus, single-term query, scores checked against the
+    Lucene-variant formula by hand; non-matching docs absent."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark flies"),   # tf=2, dl=3
+            (2, "spark"),               # tf=1, dl=1
+            (3, "duck goose"),          # no match
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bm25"]
+            for r in corpus.bm25_scores(df, "doc_id", "text", ["spark"]).collect()}
+    assert set(rows) == {1, 2}
+    n, dfreq, avgdl, k1, b = 3.0, 2.0, 2.0, 1.2, 0.75
+    idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def s(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 4)
+
+    assert abs(rows[1] - s(2, 3)) < 1e-9
+    assert abs(rows[2] - s(1, 1)) < 1e-9
+    # rarer-term ranking: doc with the rare term outranks common-term doc
+    df2 = spark.createDataFrame(
+        [(1, "rare word here"), (2, "common word here"), (3, "common stuff also")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"]
+           for r in corpus.bm25_scores(df2, "doc_id", "text", ["rare", "common"]).collect()}
+    assert got[1] > got[2]
+    with pytest.raises(ValueError):
+        corpus.bm25_scores(df, "doc_id", "text", [])
