@@ -680,3 +680,55 @@ def write_zorder(
         *([target_files] if target_files else []), F.col("__z")
     ).sortWithinPartitions("__z").drop("__z")
     parted.write.mode(mode).option("compression", "snappy").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Columnar/row interchange formats beyond parquet (S-extension)
+# ---------------------------------------------------------------------------
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (zlib), the Hive-ecosystem twin of the parquet sink.
+
+    Same dynamic-partition-overwrite semantics as
+    :func:`write_parquet`; ORC carries its own column statistics and
+    bloom-filter support, so downstream ORC scans get predicate
+    pushdown exactly like parquet (Spark's OrcScan reports
+    ``PushedFilters`` the same way).
+    """
+    writer = df.write.mode(mode).option("compression", "zlib")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — vectorized reader, filter/column pushdown intact."""
+    return spark.read.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Newline-delimited JSON sink (one object per line, gzip).
+
+    The interchange format for corpus work — every public text corpus
+    ships as JSONL. Timestamps serialize as ISO-8601 strings; binary
+    columns base64 — both reversible with an explicit read schema.
+    """
+    df.write.mode(mode).option("compression", "gzip").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSONL scan with an ENFORCED schema — never ``inferSchema``.
+
+    Schema inference requires an extra full pass over the data and
+    silently widens types on dirty rows; at 100 TB both are
+    unacceptable. Same contract stance as :func:`read_csv_contract`.
+    Rows that do not parse land as all-NULL (PERMISSIVE mode) and are
+    the caller's reject-path problem — use a ``_corrupt_record``
+    column in the schema to quarantine them explicitly.
+    """
+    return spark.read.schema(schema).json(path)

@@ -533,3 +533,93 @@ def bm25_scores(
         scored.where(hit)
         .select(F.col(id_col), F.round(score, ndigits).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (C4 / RefinedWeb line-dedup, token-window form)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Explode documents into fixed-size token-window chunks.
+
+    C4 and RefinedWeb deduplicate at line/paragraph granularity; for
+    corpora without layout markers the portable unit is a fixed
+    window of whitespace tokens. Returns one row per (doc, chunk):
+    ``(id_col, __cpos, __chunk)``.
+
+    Scale notes: the token array is materialized ONCE in a projection
+    and only referenced (never recomputed) inside the higher-order
+    ``transform`` lambda — HOF lambdas are interpreted, so a computed
+    expression inside one re-evaluates per element. The explode output
+    carries (id, int, ~chunk_tokens words), not the whole document,
+    so the downstream shuffle is chunk-sized.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    n_chunks = F.ceil(F.size("__toks") / F.lit(float(chunk_tokens))).cast("int")
+    chunks = toks.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice("__toks", i * chunk_tokens + 1, chunk_tokens), " "
+            ),
+        ).alias("__chunks"),
+    )
+    out = chunks.select(
+        F.col(id_col), F.posexplode("__chunks").alias("__cpos", "__chunk")
+    )
+    return out.where(F.length("__chunk") > 0)
+
+
+def dedup_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Corpus-global exact chunk dedup with document reassembly.
+
+    Every duplicated token-window chunk is kept ONLY at its first
+    occurrence in (id, position) order — the C4 rule ("keep one of
+    every three-sentence span") at token-window granularity. Documents
+    are reassembled from their surviving chunks in original order;
+    documents whose every chunk was seen earlier vanish entirely.
+
+    Returns ``(id_col, text_deduped, n_chunks_kept)``.
+
+    Scale notes: the keep-first decision is a ``row_number`` window
+    partitioned by the chunk md5 — a hash-partitioned shuffle keyed on
+    the 32-char digest, never a global sort. Reassembly is a second
+    hash aggregate on the doc id whose input is only the SURVIVING
+    chunks. Both shuffles carry chunk-sized rows; nothing is
+    quadratic and nothing collects. At 100 TB the chunk hash space is
+    uniform (md5), so no skew salting is needed.
+    """
+    chunks = chunk_documents(df, id_col, text_col, chunk_tokens)
+    w = Window.partitionBy(F.md5("__chunk")).orderBy(id_col, "__cpos")
+    kept = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__cpos", "__chunk"))),
+                    lambda s: s["__chunk"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_chunks_kept"),
+        )
+    )

@@ -3765,3 +3765,196 @@ def s14_bucketed_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.sum("l_quantity").cast("long").alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (C4/RefinedWeb line dedup, token-window form)
+# ---------------------------------------------------------------------------
+
+_CHUNK_DEDUP_SQL = r"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i - 1 AS cpos,
+               array_to_string(toks[(i-1)*20+1:(i-1)*20+20], ' ') AS chunk
+        FROM base, LATERAL (
+            SELECT unnest(range(1, CAST(ceil(len(toks)/20.0) AS INT) + 1)) AS i
+        ) g
+        WHERE len(array_to_string(toks[(i-1)*20+1:(i-1)*20+20], ' ')) > 0
+    ),
+    ranked AS (
+        SELECT doc_id, cpos, chunk,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cpos) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY cpos) AS text_deduped,
+           CAST(count(*) AS BIGINT) AS n_chunks_kept
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id
+"""
+
+
+@query("corpus_dedup_chunks", _CHUNK_DEDUP_SQL)
+def corpus_dedup_chunks(spark, sf_dir):
+    """C4-style sub-document exact dedup: every 20-token chunk is kept
+    only at its corpus-global first (doc_id, position) occurrence;
+    documents are reassembled from survivors.
+
+    The oracle rebuilds the same chunking with DuckDB list slicing and
+    ranks by the chunk STRING where Spark ranks by its md5 — equal
+    chunks rank identically either way, so the keep-first sets match
+    bit-for-bit while Spark's shuffle key stays a fixed 32-char
+    digest. See ``corpus.dedup_chunks`` scale notes.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.dedup_chunks(docs, "doc_id", "text", chunk_tokens=20)
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling — resample, LOCF, linear interpolation
+# ---------------------------------------------------------------------------
+
+_TS_GAPFILL_SQL = """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               round(sum(value), 2) AS day_value
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    cal AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    ),
+    filled AS (
+        SELECT c.user_id, c.day, d.day_value,
+               (d.day_value IS NULL) AS is_gap
+        FROM cal c LEFT JOIN daily d USING (user_id, day)
+    ),
+    marked AS (
+        SELECT *,
+               last_value(day_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+               first_value(day_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               last_value(CASE WHEN NOT is_gap THEN day END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+               first_value(CASE WHEN NOT is_gap THEN day END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        FROM filled
+    )
+    SELECT user_id, day, is_gap, locf_value,
+           round(CASE
+               WHEN NOT is_gap THEN day_value
+               WHEN locf_value IS NULL THEN next_v
+               WHEN next_v IS NULL THEN locf_value
+               ELSE locf_value + (next_v - locf_value)
+                    * (day - prev_d) / (next_d - prev_d)
+           END, 4) AS interp_value
+    FROM marked
+"""
+
+
+@query("ts_gapfill_interp", _TS_GAPFILL_SQL)
+def ts_gapfill_interp(spark, sf_dir):
+    """Hypertable-style regularization of the event stream: per-user
+    daily sums, every missing day materialized inside the user's own
+    span, then LOCF **and** linear interpolation across the gaps.
+
+    Per-key calendars (``sequence``+``explode`` over each user's
+    [min,max]) keep the dense grid at sum-of-spans rows; the fill is a
+    (user, day) hash join; LOCF/interp are per-user ordered windows —
+    see ``operators/timeseries.py`` scale notes.
+    """
+    from aws_medallion_etl_spark.operators import timeseries as ts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = ts.resample_daily(ev, "user_id", "ts", "value")
+    filled = ts.gapfill(daily, "user_id")
+    filled = ts.locf(filled, "user_id")
+    filled = ts.interpolate_linear(filled, "user_id")
+    return filled.select(
+        "user_id", "day", "is_gap", "locf_value", "interp_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC and JSONL interchange roundtrips (S-extensions)
+# ---------------------------------------------------------------------------
+
+_S18_SQL = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("s18_orc_roundtrip", _S18_SQL)
+def s18_orc_roundtrip(spark, sf_dir):
+    """ORC sink -> ORC scan -> aggregate, proven against the oracle on
+    the ORIGINAL parquet: any type drift, row loss, or partition
+    mishandling through the ORC layer breaks the hash compare.
+    Partitioned by status to exercise partition discovery on read.
+    """
+    from aws_medallion_etl_spark import io as eio
+
+    path = _scratch("s18orc", sf_dir)
+    eio.write_orc(
+        _t(spark, sf_dir, "orders"), path, partition_by=["o_orderstatus"]
+    )
+    back = eio.read_orc(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
+
+
+_S19_SQL = """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS text_chars
+    FROM documents GROUP BY lang, source
+"""
+
+
+@query("s19_jsonl_roundtrip", _S19_SQL)
+def s19_jsonl_roundtrip(spark, sf_dir):
+    """JSONL (gzip) sink -> schema-enforced JSONL scan -> aggregate
+    vs the oracle on the original parquet. ``sum(length(text))``
+    catches any quoting/escaping corruption through the JSON layer;
+    the enforced read schema (never inferSchema) is the S1 contract
+    stance applied to the corpus interchange format.
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from aws_medallion_etl_spark import io as eio
+
+    path = _scratch("s19jsonl", sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    eio.write_jsonl(docs, path)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    back = eio.read_jsonl(spark, path, schema)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+    )

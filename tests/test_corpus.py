@@ -269,3 +269,47 @@ def test_bm25_hand_computed(spark):
     assert got[1] > got[2]
     with pytest.raises(ValueError):
         corpus.bm25_scores(df, "doc_id", "text", [])
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "  x   y  "), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = corpus.chunk_documents(df, "doc_id", "text", chunk_tokens=3)
+    got = {(r["doc_id"], r["__cpos"]): r["__chunk"] for r in rows.collect()}
+    assert got == {
+        (1, 0): "a b c", (1, 1): "d e f", (1, 2): "g",
+        (2, 0): "x y",
+    }  # doc 3 (empty) produces no chunks; multi-space collapses
+
+
+def test_dedup_chunks_keep_first_and_reassembly(spark):
+    # doc 1 owns both chunks; doc 2 repeats chunk "a b c" then adds a
+    # fresh one; doc 3 is ENTIRELY chunks seen earlier -> vanishes
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "d e f a b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.text_deduped, r.n_chunks_kept)
+        for r in corpus.dedup_chunks(df, "doc_id", "text", chunk_tokens=3)
+        .collect()
+    }
+    assert out == {
+        1: ("a b c d e f", 2),
+        2: ("x y z", 1),
+    }
+
+
+def test_dedup_chunks_within_doc_repeat(spark):
+    # the SAME chunk repeated inside one doc keeps only the first copy
+    df = spark.createDataFrame([(7, "p q r p q r")], ["doc_id", "text"])
+    out = corpus.dedup_chunks(df, "doc_id", "text", chunk_tokens=3).collect()
+    assert len(out) == 1
+    assert out[0].text_deduped == "p q r"
+    assert out[0].n_chunks_kept == 1
