@@ -623,3 +623,52 @@ def dedup_chunks(
             F.count(F.lit(1)).alias("n_chunks_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus-global shuffle into training shards
+# ---------------------------------------------------------------------------
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 64,
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Assign every document a shard and a within-shard position, both
+    pure functions of (id, seed).
+
+    Pretraining wants the corpus globally shuffled but REPRODUCIBLY so:
+    a re-run, a backfill, or a resume from shard 410 must see the same
+    order. Shard = md5 bucket of the id; within-shard order = md5 of
+    (id, seed, 'order') with the id as tiebreaker — no RNG, no
+    coordination, the same answer from any engine.
+
+    Scale notes: shard assignment is a stateless projection; the
+    position is a ``row_number`` window partitioned by shard, so the
+    shuffle is hash-partitioned on the shard id and each shard sorts
+    locally. Size ``n_shards`` so one shard's rows fit an executor
+    (at 100 TB: tens of thousands of shards, not 64). No global sort,
+    no driver involvement.
+    """
+    okey = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(f":{seed}:order")
+        )
+    )
+    with_shard = df.select(
+        F.col(id_col),
+        split_bucket(id_col, seed=seed, buckets=n_shards).alias("shard"),
+        okey.alias("__okey"),
+    )
+    w = Window.partitionBy("shard").orderBy("__okey", id_col)
+    return (
+        with_shard.withColumn(
+            "pos", (F.row_number().over(w) - 1).cast("long")
+        )
+        .withColumn(
+            "n_in_shard",
+            F.count(F.lit(1)).over(Window.partitionBy("shard")).cast("long"),
+        )
+        .drop("__okey")
+    )

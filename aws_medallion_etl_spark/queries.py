@@ -3958,3 +3958,86 @@ def s19_jsonl_roundtrip(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum(F.length("text")).cast("long").alias("text_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle-sharding + duplicated-n-gram report
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SHARDS_SQL = """
+    WITH s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 8))
+                    AS BIGINT) % 8 AS shard,
+               md5(CAST(doc_id AS VARCHAR) || ':shuffle:order') AS okey
+        FROM documents
+    ),
+    r AS (
+        SELECT shard, doc_id,
+               row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) - 1 AS pos,
+               count(*) OVER (PARTITION BY shard) AS n_in_shard
+        FROM s
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos,
+           doc_id, CAST(n_in_shard AS BIGINT) AS n_in_shard
+    FROM r WHERE pos < 5
+"""
+
+
+@query("corpus_shuffle_shards", _SHUFFLE_SHARDS_SQL)
+def corpus_shuffle_shards(spark, sf_dir):
+    """Reproducible global shuffle into 8 training shards; the oracle
+    re-derives shard, order, and position from the same md5 facts and
+    must agree on the first five documents of every shard — i.e. the
+    exact serving order a trainer would read. See
+    ``corpus.shuffle_shards`` scale notes.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.shuffle_shards(docs, "doc_id", n_shards=8, seed="shuffle")
+    return out.where(F.col("pos") < 5).select(
+        F.col("shard").cast("long").alias("shard"),
+        "pos", "doc_id", "n_in_shard",
+    )
+
+
+_TOP_DUP_NGRAMS_SQL = r"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS ngram
+        FROM base, LATERAL (
+            SELECT unnest(range(1, len(toks) - 3)) AS i
+        ) g
+    )
+    SELECT ngram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM grams GROUP BY ngram
+    ORDER BY n_docs DESC, ngram
+    LIMIT 20
+"""
+
+
+@query("t_top_dup_ngrams", _TOP_DUP_NGRAMS_SQL)
+def t_top_dup_ngrams(spark, sf_dir):
+    """Most-duplicated 5-grams across the corpus — the dup-analysis
+    report that drives chunk-dedup / contamination thresholds.
+
+    Explode → hash aggregate with map-side combine (the shuffle
+    carries (gram, partial count) pairs, not token streams), then a
+    ``TakeOrdered`` top-20 with the gram itself as the total-order
+    tiebreaker. No global sort of the gram space.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    grams = text.word_ngrams(docs, "doc_id", "text", n=5)
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(20)
+    )

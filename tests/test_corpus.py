@@ -313,3 +313,23 @@ def test_dedup_chunks_within_doc_repeat(spark):
     assert len(out) == 1
     assert out[0].text_deduped == "p q r"
     assert out[0].n_chunks_kept == 1
+
+
+def test_shuffle_shards_deterministic_partition(spark):
+    df = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    a = corpus.shuffle_shards(df, "doc_id", n_shards=4, seed="s").collect()
+    b = corpus.shuffle_shards(df, "doc_id", n_shards=4, seed="s").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append((r.pos, r.doc_id))
+    assert sum(len(v) for v in by_shard.values()) == 40
+    for shard, rows in by_shard.items():
+        poss = sorted(p for p, _ in rows)
+        assert poss == list(range(len(rows)))  # dense 0..n-1 positions
+        assert all(r.n_in_shard == len(rows) for r in a if r.shard == shard)
+    # a different seed must produce a different assignment
+    c = corpus.shuffle_shards(df, "doc_id", n_shards=4, seed="t").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in a} != {
+        (r.doc_id, r.shard, r.pos) for r in c
+    }
