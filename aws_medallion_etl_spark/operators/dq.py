@@ -111,3 +111,66 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         F.round(F.col("n_nulls") / F.col("n_rows"), 4).alias("null_frac"),
         "n_distinct",
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    nbins: int = 10,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Equi-width histogram with data-driven bounds in two passes.
+
+    Pass 1 computes global (min, max) — a 1-row all-reduce; pass 2
+    assigns ``bin = floor((x - min) / width)`` clamped to
+    ``nbins - 1`` (so ``x = max`` lands in the last bin) and
+    hash-aggregates counts. The stats row rides a broadcast cross
+    join (the J7 pattern) — nothing collects, both passes are one
+    scan each, and the bin math is plain double arithmetic any engine
+    reproduces bit-for-bit.
+    """
+    stats = df.agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    binned = df.select(value_col).crossJoin(F.broadcast(stats))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
+    raw_bin = F.floor((F.col(value_col) - F.col("__lo")) / width)
+    bin_id = F.least(raw_bin, F.lit(nbins - 1)).cast("long")
+    return (
+        binned.groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(value_col), ndigits).alias("bin_min"),
+            F.round(F.max(value_col), ndigits).alias("bin_max"),
+        )
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Heavy-key diagnosis: the top-k hottest join/agg keys plus the
+    global skew ratio (hottest key count / mean key count).
+
+    This is the report that decides whether a join needs salting
+    (``enrich.salted_join``) or AQE skew handling. One hash aggregate
+    over the keys, a 1-row stats reduce over THAT (key-cardinality
+    rows, not data rows), and a TakeOrdered top-k — safe at any scale.
+    """
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("key_count"))
+    stats = per_key.agg(
+        F.round(F.avg("key_count"), ndigits).alias("mean_count"),
+        F.max("key_count").alias("max_count"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "skew_ratio",
+            F.round(F.col("max_count") / F.col("mean_count"), ndigits),
+        )
+        .orderBy(F.desc("key_count"), F.asc(key_col))
+        .limit(k)
+    )

@@ -4041,3 +4041,63 @@ def t_top_dup_ngrams(spark, sf_dir):
         .orderBy(F.desc("n_docs"), F.asc("ngram"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ extensions: equi-width histogram + heavy-key skew report
+# ---------------------------------------------------------------------------
+
+_A14_HIST_SQL = """
+    WITH s AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    )
+    SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10.0)), 9)
+                AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(l_extendedprice), 4) AS bin_min,
+           round(max(l_extendedprice), 4) AS bin_max
+    FROM lineitem, s
+    GROUP BY 1
+"""
+
+
+@query("a14_histogram", _A14_HIST_SQL)
+def a14_histogram(spark, sf_dir):
+    """Equi-width 10-bin histogram of line item prices with
+    data-driven bounds — two single-scan passes (1-row min/max
+    all-reduce riding a broadcast cross join, then a hash aggregate).
+    See ``dq.histogram``.
+    """
+    from aws_medallion_etl_spark.operators import dq
+
+    return dq.histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", nbins=10)
+
+
+_DQ_SKEW_SQL = """
+    WITH per_key AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS key_count
+        FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT round(avg(key_count), 4) AS mean_count, max(key_count) AS max_count
+        FROM per_key
+    )
+    SELECT o_custkey, key_count, mean_count, max_count,
+           round(max_count / mean_count, 4) AS skew_ratio
+    FROM per_key, s
+    ORDER BY key_count DESC, o_custkey
+    LIMIT 10
+"""
+
+
+@query("dq_skew_report", _DQ_SKEW_SQL)
+def dq_skew_report(spark, sf_dir):
+    """Hottest-key report over the orders FK — the diagnosis that
+    decides between a plain, salted (J11), or AQE-skew join. Key-space
+    aggregate → 1-row stats reduce → TakeOrdered top-10; never touches
+    data-sized frames after the first aggregate. See ``dq.skew_report``.
+    """
+    from aws_medallion_etl_spark.operators import dq
+
+    return dq.skew_report(_t(spark, sf_dir, "orders"), "o_custkey", k=10)

@@ -123,3 +123,17 @@ def test_frequency_classify(spark):
     df = spark.createDataFrame(vals, "v string")
     out = {r.v: r.frequency_class for r in clean.frequency_classify(df, "v", popular_pct=50.0, rare_count=2).collect()}
     assert out == {"a": "popular", "b": "common", "c": "rare"}
+
+
+def test_histogram_bins_and_clamp(spark):
+    from aws_medallion_etl_spark.operators import dq
+
+    # values 0..10 with nbins=5, width 2: 0-1 -> bin0 ... 8-9 -> bin4,
+    # and the max value 10 CLAMPS into bin 4 instead of spilling to 5
+    df = spark.createDataFrame([(float(i),) for i in range(11)], ["v"])
+    got = {r.bin: (r.n, r.bin_min, r.bin_max)
+           for r in dq.histogram(df, "v", nbins=5).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0] == (2, 0.0, 1.0)
+    assert got[4] == (3, 8.0, 10.0)  # 8, 9, and clamped 10
+    assert sum(n for n, _, _ in got.values()) == 11
