@@ -4101,3 +4101,46 @@ def dq_skew_report(spark, sf_dir):
     from aws_medallion_etl_spark.operators import dq
 
     return dq.skew_report(_t(spark, sf_dir, "orders"), "o_custkey", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (merge a delta rollup into history)
+# ---------------------------------------------------------------------------
+
+_INC_ROLLUP_SQL = """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY o_custkey
+"""
+
+
+@query("inc_rollup_merge", _INC_ROLLUP_SQL)
+def inc_rollup_merge(spark, sf_dir):
+    """Incremental fact maintenance proven equal to a from-scratch
+    rebuild: history (orders before 2000) is rolled up once, the
+    "new batch" (2000 onward) is rolled up separately, and
+    ``facts.merge_rollup`` folds the two — the oracle aggregates the
+    WHOLE table in one pass. Measures are integer cents, so the merge
+    is exact (doubles would drift by addition order).
+
+    This is the daily-gold pattern at 100 TB: never recompute
+    history, pre-aggregate the day, merge, dynamic-overwrite only the
+    touched partitions (S5).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cut = F.lit("2000-01-01").cast("timestamp")
+
+    def rollup(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    history = rollup(orders.where(F.col("o_orderdate") < cut))
+    batch = rollup(orders.where(F.col("o_orderdate") >= cut))
+    return facts.merge_rollup(
+        history, batch, ["o_custkey"], ["n_orders", "total_cents"]
+    )

@@ -270,3 +270,17 @@ def test_funnel_strict_ordering(spark):
     assert got[2] == (2.0, None, None)
     assert got[3] == (5.0, None, None)
     assert got[4] == (2.0, 4.0, None)
+
+
+def test_merge_rollup_overlap_and_new_keys(spark):
+    from aws_medallion_etl_spark.operators import facts
+
+    existing = spark.createDataFrame(
+        [(1, 2, 100), (2, 1, 50)], ["k", "n", "total"]
+    )
+    delta = spark.createDataFrame(
+        [(2, 3, 25), (3, 1, 10)], ["k", "n", "total"]
+    )
+    got = {r.k: (r.n, r.total) for r in facts.merge_rollup(
+        existing, delta, ["k"], ["n", "total"]).collect()}
+    assert got == {1: (2, 100), 2: (4, 75), 3: (1, 10)}

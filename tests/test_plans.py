@@ -477,3 +477,56 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    """Both windows (position row_number, per-shard count) reuse ONE
+    hash exchange on the shard id — the plan a 100 TB shuffle-shard
+    assignment needs."""
+    from aws_medallion_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.shuffle_shards(docs, "doc_id", n_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_gapfill_no_cartesian_no_global_partition(spark, sf_dir):
+    """Per-key calendars join back with a hash equi-join — never a
+    cartesian/nested-loop against a global calendar, never a
+    single-partition window."""
+    from aws_medallion_etl_spark.queries import QUERIES
+
+    df = QUERIES["ts_gapfill_interp"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "NestedLoop" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_chunk_dedup_two_chunk_sized_exchanges(spark, sf_dir):
+    """Chunk dedup = exactly two hash exchanges (keep-first window on
+    the chunk digest, reassembly agg on the doc id); nothing global."""
+    from aws_medallion_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.dedup_chunks(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+    assert "SinglePartition" not in plan
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    """The ORC path keeps parquet's pushdown story: a filtered read
+    shows PushedFilters at the scan."""
+    from aws_medallion_etl_spark import io as eio
+
+    p = str(tmp_path / "orc")
+    src = spark.range(1000).withColumn("v", F.col("id") * 2)
+    eio.write_orc(src, p)
+    scan = eio.read_orc(spark, p).where(F.col("id") > 990).select("v")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,990)]" in plan \
+        or "GreaterThan(id,990)" in plan
+    assert scan.count() == 9
