@@ -4144,3 +4144,40 @@ def inc_rollup_merge(spark, sf_dir):
     return facts.merge_rollup(
         history, batch, ["o_custkey"], ["n_orders", "total_cents"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python Data Source (Spark 4 DataSource API) — S20
+# ---------------------------------------------------------------------------
+
+_S20_SQL = """
+    WITH ids AS (SELECT unnest(range(0, 1000)) AS doc_id),
+    docs AS (
+        SELECT doc_id,
+               array_to_string(['w' || CAST((doc_id*7 + i*3) % 13 AS VARCHAR)
+                                FOR i IN range(0, CAST(5 + doc_id % 7 AS BIGINT))],
+                               ' ') AS text
+        FROM ids
+    )
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM docs
+"""
+
+
+@query("s20_python_datasource", _S20_SQL)
+def s20_python_datasource(spark, sf_dir):
+    """A NON-FILE source verified end-to-end: the Spark 4 Python
+    DataSource API generates a partitioned relation whose every row is
+    a pure function of its id, and the oracle rebuilds the identical
+    rows from ``generate_series`` arithmetic — proving the custom
+    source's partitioning, iteration, and schema handling lose
+    nothing. See ``datasources.SyntheticDocsDataSource`` scale notes.
+    """
+    from aws_medallion_etl_spark import datasources
+
+    datasources.register(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 1000)
+        .option("num_partitions", 8)
+        .load()
+    )

@@ -152,9 +152,19 @@ def main() -> int:
         print(name, res, file=sys.stderr)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "STRESS_local.json")
+    # merge with prior runs so per-query invocations accumulate
+    merged = {}
+    if os.path.exists(path):
+        try:
+            prior = json.load(open(path))
+            if prior.get("replicas") == REPLICAS:
+                merged = prior.get("queries", {})
+        except (ValueError, OSError):
+            pass
+    merged.update(out)
     with open(path, "w") as fh:
-        json.dump({"replicas": REPLICAS, "queries": out}, fh, indent=1)
-    print(json.dumps({"replicas": REPLICAS, "queries": out}))
+        json.dump({"replicas": REPLICAS, "queries": merged}, fh, indent=1)
+    print(json.dumps({"replicas": REPLICAS, "queries": merged}))
     return 0
 
 
