@@ -75,7 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s18_orc_roundtrip", "s19_jsonl_roundtrip",
         "corpus_shuffle_shards", "t_top_dup_ngrams",
         "a14_histogram", "dq_skew_report", "inc_rollup_merge",
-        "s20_python_datasource",
+        "s20_python_datasource", "f_variant_extract",
         "corpus_contamination_report", "corpus_decontaminate",
         "s16_file_skipping_scan", "s17_zorder_scan",
         "t_unigram_logprob", "corpus_bm25",

@@ -4181,3 +4181,48 @@ def s20_python_datasource(spark, sf_dir):
         .option("num_partitions", 8)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured type (Spark 4) — scalar family extension
+# ---------------------------------------------------------------------------
+
+_VARIANT_SQL = """
+    SELECT event_id,
+           event_type AS meta_type,
+           round(value, 2) AS meta_value,
+           event_id AS second_id
+    FROM events WHERE event_id % 50 = 0
+"""
+
+
+@query("f_variant_extract", _VARIANT_SQL)
+def f_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT path: serialize a nested document per event,
+    ``parse_json`` it into the binary VARIANT encoding, then extract
+    typed values back out with ``variant_get`` path expressions
+    (nested object field, array index). The oracle selects the same
+    values straight off the columns — any loss, coercion, or path
+    mis-resolution through the VARIANT layer breaks the hash.
+
+    VARIANT is Spark's answer to schema-on-read JSON at scale: the
+    binary encoding is parsed ONCE at ingest, then every
+    ``variant_get`` is a cheap typed access instead of a re-parse —
+    the right 100 TB shape for heterogeneous event payloads.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 50 == 0)
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("t"), F.col("value").alias("v")
+            ).alias("meta"),
+            F.array(F.col("user_id"), F.col("event_id")).alias("ids"),
+        )
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.meta.t", "string").alias("meta_type"),
+        F.round(F.variant_get(v, "$.meta.v", "double"), 2).alias("meta_value"),
+        F.variant_get(v, "$.ids[1]", "long").alias("second_id"),
+    )
