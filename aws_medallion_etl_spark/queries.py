@@ -4226,3 +4226,153 @@ def f_variant_extract(spark, sf_dir):
         F.round(F.variant_get(v, "$.meta.v", "double"), 2).alias("meta_value"),
         F.variant_get(v, "$.ids[1]", "long").alias("second_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE, UNPIVOT/melt, MAP functions, OOV-rate (coverage extensions)
+# ---------------------------------------------------------------------------
+
+_A15_CUBE_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+               AS grouping_level
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("a15_cube", _A15_CUBE_SQL)
+def a15_cube(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping sets — both
+    margins, the cross table, and the grand total — in ONE Expand +
+    hash aggregate (map-side combine intact, no extra scans).
+    ``grouping_id`` disambiguates subtotal NULLs from data NULLs."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+_A16_UNPIVOT_SQL = """
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        FROM lineitem WHERE l_orderkey % 500 = 0
+    )
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+"""
+
+
+@query("a16_unpivot", _A16_UNPIVOT_SQL)
+def a16_unpivot(spark, sf_dir):
+    """Wide → long reshape with the native ``unpivot`` (a11's pivot
+    inverse): one row per (id, measure). Spark plans this as a single
+    Expand — one scan, no joins, no UDFs; at 100 TB the output is
+    k× the input rows but each row is (ids, name, value)-narrow."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 500 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure", "__v",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure",
+        F.round("__v", 2).alias("val"),
+    )
+
+
+_F_MAP_SQL = """
+    SELECT n_nationkey,
+           CAST(len(map_keys(m)) AS BIGINT) AS n_keys,
+           map_extract(m, 'name')[1] AS name_val,
+           map_extract(m, 'region')[1] AS region_val
+    FROM (
+        SELECT n_nationkey,
+               map(['name', 'region'],
+                   [n_name, CAST(n_regionkey AS VARCHAR)]) AS m
+        FROM nation
+    )
+"""
+
+
+@query("f_map_funcs", _F_MAP_SQL)
+def f_map_funcs(spark, sf_dir):
+    """MAP-type family: build a map from arrays, introspect its size,
+    extract by key — all codegen column expressions (the map never
+    leaves the JVM). Scalars are returned (not the map itself) so the
+    cross-engine compare is representation-independent."""
+    n = _t(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("region")),
+        F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+    )
+    return n.select(
+        "n_nationkey",
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.element_at(m, "name").alias("name_val"),
+        F.element_at(m, "region").alias("region_val"),
+    )
+
+
+_T_OOV_SQL = r"""
+    WITH vocab AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        ) GROUP BY tok HAVING count(*) >= 200
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (tok)
+    GROUP BY doc_id
+"""
+
+
+@query("t_oov_rate", _T_OOV_SQL)
+def t_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against a corpus-derived
+    vocabulary (min frequency 200) — the coverage check run before
+    committing to a tokenizer.
+
+    Vocabulary is an explode → hash-agg (map-side combined) whose
+    result is tiny (≤ distinct frequent tokens) and BROADCAST to the
+    token stream's left join — the 100 TB token explosion never
+    shuffles; only per-doc partial counts do.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 200)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.round(oov * 1.0 / F.count(F.lit(1)), 4).alias("oov_rate"),
+    )
