@@ -4376,3 +4376,61 @@ def t_oov_rate(spark, sf_dir):
         oov.alias("n_oov"),
         F.round(oov * 1.0 / F.count(F.lit(1)), 4).alias("oov_rate"),
     )
+
+
+_DEDUP_AUDIT_SQL = f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM jpairs
+        UNION
+        SELECT id_b, id_a FROM jpairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    assigned AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    csizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM assigned GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_removable
+    FROM csizes GROUP BY cluster_size
+"""
+
+
+@query("dedup_audit_cluster_sizes", _DEDUP_AUDIT_SQL)
+def dedup_audit_cluster_sizes(spark, sf_dir):
+    """The dedup AUDIT report: cluster-size distribution plus how many
+    documents dedup would remove at each size (size − 1 per cluster) —
+    the number a data-curation run publishes before anyone deletes
+    anything.
+
+    Composes the oracle-proven pair→component path
+    (``fuzzy.cluster_pairs``) with two key-space aggregates; the
+    frames aggregated are (doc, cluster) ids, never text.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+    clusters = fuzzy.cluster_pairs(pairs)
+    assigned = fuzzy.canonical_docs(
+        docs.select("doc_id"), "doc_id", clusters
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        (F.sum("cluster_size") - F.count(F.lit(1))).alias("n_removable"),
+    )
