@@ -77,7 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_histogram", "dq_skew_report", "inc_rollup_merge",
         "s20_python_datasource", "f_variant_extract",
         "a15_cube", "a16_unpivot", "f_map_funcs", "t_oov_rate",
-        "dedup_audit_cluster_sizes",
+        "dedup_audit_cluster_sizes", "emb_centroid_coherence",
+        "dedup_cross_source_matrix",
         "corpus_contamination_report", "corpus_decontaminate",
         "s16_file_skipping_scan", "s17_zorder_scan",
         "t_unigram_logprob", "corpus_bm25",

@@ -4434,3 +4434,95 @@ def dedup_audit_cluster_sizes(spark, sf_dir):
         F.sum("cluster_size").alias("n_docs"),
         (F.sum("cluster_size") - F.count(F.lit(1))).alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid coherence + cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+_EMB_CENTROID_SQL = """
+    WITH elems AS (
+        SELECT label, i - 1 AS pos, embedding[i] AS x
+        FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) g
+    ),
+    cent AS (
+        SELECT label, pos, avg(x) AS m FROM elems GROUP BY label, pos
+    )
+    SELECT label,
+           round(sqrt(sum(m * m)), 4) AS centroid_norm,
+           CAST(count(*) AS BIGINT) AS dims
+    FROM cent GROUP BY label
+"""
+
+
+@query("emb_centroid_coherence", _EMB_CENTROID_SQL)
+def emb_centroid_coherence(spark, sf_dir):
+    """Per-label centroid norm over unit vectors — the intra-cluster
+    coherence stat (1.0 = identical members, → 0 = isotropic spread)
+    that validates embedding labels before semantic dedup trusts them.
+
+    ``posexplode`` → (label, dim) hash aggregate: the shuffle carries
+    64 partial (sum, count) pairs per label per map task, not vectors;
+    the second aggregate runs on label × 64 rows. No driver math.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    cent = elems.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias(
+            "centroid_norm"
+        ),
+        F.count(F.lit(1)).alias("dims"),
+    )
+
+
+_CROSS_SOURCE_SQL = f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM jpairs j
+    JOIN documents da ON da.doc_id = j.id_a
+    JOIN documents db ON db.doc_id = j.id_b
+    GROUP BY 1, 2
+"""
+
+
+@query("dedup_cross_source_matrix", _CROSS_SOURCE_SQL)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Which sources duplicate each other: near-dup pairs annotated
+    with both documents' sources, symmetrized (least/greatest) and
+    counted — the report that catches one feed mirroring another.
+
+    The pair set is the oracle-proven blocked Jaccard join; the source
+    lookups are two broadcast-sized joins on bare ids.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+    src = docs.select("doc_id", "source")
+    annotated = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        annotated.select(
+            F.least("__sa", "__sb").alias("source_x"),
+            F.greatest("__sa", "__sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
