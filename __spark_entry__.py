@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s20_python_datasource", "f_variant_extract",
         "a15_cube", "a16_unpivot", "f_map_funcs", "t_oov_rate",
         "dedup_audit_cluster_sizes", "emb_centroid_coherence",
-        "dedup_cross_source_matrix",
+        "dedup_cross_source_matrix", "e2e_corpus_curation",
         "corpus_contamination_report", "corpus_decontaminate",
         "s16_file_skipping_scan", "s17_zorder_scan",
         "t_unigram_logprob", "corpus_bm25",

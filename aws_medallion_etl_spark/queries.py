@@ -4526,3 +4526,89 @@ def dedup_cross_source_matrix(spark, sf_dir):
         .groupBy("source_x", "source_y")
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation with sub-document dedup in the chain
+# ---------------------------------------------------------------------------
+
+_E2E_CURATION_SQL = r"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i - 1 AS cpos,
+               array_to_string(toks[(i-1)*20+1:(i-1)*20+20], ' ') AS chunk
+        FROM base, LATERAL (
+            SELECT unnest(range(1, CAST(ceil(len(toks)/20.0) AS INT) + 1)) AS i
+        ) g
+        WHERE len(array_to_string(toks[(i-1)*20+1:(i-1)*20+20], ' ')) > 0
+    ),
+    ranked AS (
+        SELECT doc_id, cpos, chunk,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cpos) AS rn
+        FROM chunks
+    ),
+    deduped AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS text_deduped
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text_deduped), '\s+')) AS n_tok
+        FROM deduped
+        WHERE len(string_split_regex(trim(text_deduped), '\s+')) >= 25
+    ),
+    s AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN bkt < 9000 THEN 'train'
+                    WHEN bkt < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, n_tok,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || ':split'), 1, 8)) AS BIGINT) % 10000 AS bkt
+            FROM kept
+        )
+    ),
+    c AS (
+        SELECT split, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS cum_before
+        FROM s
+    )
+    SELECT split, CAST(floor(cum_before / 2000.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM c GROUP BY split, bin_id
+"""
+
+
+@query("e2e_corpus_curation", _E2E_CURATION_SQL)
+def e2e_corpus_curation(spark, sf_dir):
+    """The full curation chain WITH sub-document dedup inline, under
+    one oracle: C4-style chunk dedup -> min-length filter ON THE
+    DEDUPED TEXT (shrunk docs can fall below threshold — ordering
+    matters and is pinned here) -> reproducible hash split ->
+    token-budget packing per split -> (split, bin) shard report.
+
+    Every stage is individually oracle-proven; this pins their
+    composition and the dedup-before-filter ordering a real pipeline
+    must get right.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    deduped = corpus.dedup_chunks(docs, "doc_id", "text", chunk_tokens=20)
+    with_tok = deduped.select(
+        "doc_id", text.token_count("text_deduped").alias("n_tok")
+    )
+    kept = with_tok.where(F.col("n_tok") >= 25)
+    split = corpus.hash_split(kept, "doc_id")
+    packed = corpus.pack_sequences(
+        split, "doc_id", "n_tok", budget=2000, partition_by=["split"]
+    )
+    return packed.groupBy("split", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
