@@ -4612,3 +4612,85 @@ def e2e_corpus_curation(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key linear trend from integer-exact moments
+# ---------------------------------------------------------------------------
+
+_TS_TREND_SQL = """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    xy AS (
+        SELECT user_id,
+               CAST(day - DATE '2024-01-01' AS BIGINT) AS x,
+               cents AS y
+        FROM daily
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM xy GROUP BY user_id
+    )
+    SELECT user_id, n AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 4) AS slope,
+           round(CAST(sy AS DOUBLE) / n / 100.0, 4) AS mean_level
+    FROM m WHERE n * sxx - sx * sx <> 0
+"""
+
+
+@query("ts_trend_slope", _TS_TREND_SQL)
+def ts_trend_slope(spark, sf_dir):
+    """Per-user activity trend (least-squares slope of daily spend
+    over day number) from INTEGER-EXACT moment sums: x is the day
+    number, y the daily sum in cents, so (n, Σx, Σy, Σx², Σxy) are
+    bigints any engine agrees on bit-for-bit, and the slope is one
+    double division at the end — the cross-engine-stable form of
+    "fit a line per key" (native ``regr_slope`` differs across
+    engines in the 4th decimal from float accumulation order).
+
+    One hash aggregate per user after the daily rollup; moments
+    combine map-side, so a 100 TB event log shuffles one 5-long row
+    per (user, map task).
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    xy = daily.select(
+        "user_id",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    m = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.where(den != 0).select(
+        "user_id",
+        F.col("n").alias("n_days"),
+        F.round(num.cast("double") / den.cast("double") / 100.0, 4).alias(
+            "slope"
+        ),
+        F.round(
+            F.col("sy").cast("double") / F.col("n") / 100.0, 4
+        ).alias("mean_level"),
+    )
