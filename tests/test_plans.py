@@ -530,3 +530,41 @@ def test_orc_scan_pushes_filters(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,990)]" in plan \
         or "GreaterThan(id,990)" in plan
     assert scan.count() == 9
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join handling (on by default) splits a
+    hot partition at runtime: the final adaptive plan marks the join
+    ``skew=true`` with a skewed AQEShuffleRead. Thresholds are lowered
+    so local data crosses the gate — the same path a genuinely skewed
+    100 TB key takes for free; ``enrich.salted_join`` (J11) remains
+    the manual fallback when one key exceeds even a split partition."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 200_000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(0, 1000).select(
+                (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        dim = spark.range(0, 51).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(dim, "k")
+        assert len(j.collect()) == 201_000  # forces THIS plan to finalize
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
