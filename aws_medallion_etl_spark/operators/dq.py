@@ -135,7 +135,13 @@ def histogram(
     binned = df.select(value_col).crossJoin(F.broadcast(stats))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
     raw_bin = F.floor((F.col(value_col) - F.col("__lo")) / width)
-    bin_id = F.least(raw_bin, F.lit(nbins - 1)).cast("long")
+    # degenerate distribution (min == max): width 0 makes raw_bin
+    # null; every row belongs in bin 0, not the clamp bin
+    bin_id = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(F.least(raw_bin, F.lit(nbins - 1)))
+        .cast("long")
+    )
     return (
         binned.groupBy(bin_id.alias("bin"))
         .agg(

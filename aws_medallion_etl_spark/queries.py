@@ -4497,7 +4497,9 @@ def dedup_cross_source_matrix(spark, sf_dir):
     counted — the report that catches one feed mirroring another.
 
     The pair set is the oracle-proven blocked Jaccard join; the source
-    lookups are two broadcast-sized joins on bare ids.
+    lookups are two hash equi-joins carrying only (id, source) — at
+    100 TB the id→source map shuffles narrow rows, never text, and
+    AQE broadcasts it when it fits.
     """
     docs = _t(spark, sf_dir, "documents")
     pairs = fuzzy.ngram_jaccard_pairs(

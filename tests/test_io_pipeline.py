@@ -346,3 +346,32 @@ def test_dq_profile_single_pass(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/orders.parquet")
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """The documented JSONL reject path: a schema with _corrupt_record
+    captures unparseable lines instead of silently nulling them."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from aws_medallion_etl_spark import io as eio
+
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "good"}\n')
+        f.write('this is not json\n')
+        f.write('{"doc_id": 2, "text": "also good"}\n')
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    back = eio.read_jsonl(spark, p, schema).cache()
+    try:
+        good = back.where(F.col("_corrupt_record").isNull())
+        bad = back.where(F.col("_corrupt_record").isNotNull())
+        assert sorted(r.doc_id for r in good.collect()) == [1, 2]
+        assert [r["_corrupt_record"] for r in bad.collect()] == [
+            "this is not json"
+        ]
+    finally:
+        back.unpersist()

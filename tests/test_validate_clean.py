@@ -137,3 +137,14 @@ def test_histogram_bins_and_clamp(spark):
     assert got[0] == (2, 0.0, 1.0)
     assert got[4] == (3, 8.0, 10.0)  # 8, 9, and clamped 10
     assert sum(n for n, _, _ in got.values()) == 11
+
+
+def test_histogram_degenerate_single_value(spark):
+    from aws_medallion_etl_spark.operators import dq
+
+    df = spark.createDataFrame([(5.0,)] * 7, ["v"])
+    got = dq.histogram(df, "v", nbins=4).collect()
+    assert len(got) == 1
+    assert (got[0].bin, got[0].n, got[0].bin_min, got[0].bin_max) == (
+        0, 7, 5.0, 5.0,
+    )
