@@ -459,6 +459,31 @@ def simhash_pairs(
     return simhash_pairs_from_signatures(sig, max_hamming, prefix_bits, rotations)
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of RDDs currently persisted in this context's BlockManager.
+
+    Used to delta-track the blocks our own ``localCheckpoint`` calls
+    create so dead iteration rounds can be freed (there is no public
+    Dataset-level handle to a local checkpoint's storage).
+    """
+    out = set()
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        out.add(it.next()._1())
+    return out
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    """Non-blocking unpersist of the given persistent RDD ids."""
+    if not ids:
+        return
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            t._2().unpersist(False)
+
+
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -490,6 +515,8 @@ def cluster_pairs(
     proportional to the number of *docs in >=1 pair*, far smaller
     than the corpus.
     """
+    sc = pairs.sparkSession.sparkContext
+    base_ids = _persistent_rdd_ids(sc)
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # Checkpoint the symmetric edge list ONCE: every propagation round
     # joins against it, and without this each round would re-run the
@@ -500,8 +527,10 @@ def cluster_pairs(
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
+    setup_ids = _persistent_rdd_ids(sc) - base_ids
 
     prev_sum = None
+    round_ids: set[int] = set()
     for _ in range(max_iter):
         neigh = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("id"), F.col("comp")
@@ -513,16 +542,28 @@ def cluster_pairs(
             .agg(F.min("comp").alias("comp"))
         )
         ptr = new.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
+        before_ids = _persistent_rdd_ids(sc)
         jumped = (
             new.join(ptr, new.comp == ptr.pid, "left")
             .select(new.id, F.coalesce(ptr.pcomp, new.comp).alias("comp"))
             .localCheckpoint(eager=True)
         )
         s = jumped.agg(F.sum("comp")).collect()[0][0]
+        # the PREVIOUS round's checkpoint blocks are dead once this
+        # round is materialized — free them, or every invocation leaks
+        # one block set per round into the BlockManager and repeated
+        # CC runs in one session degrade under eviction pressure.
+        # (Delta-tracking assumes the driver thread isn't concurrently
+        # checkpointing elsewhere — true for this engine's callers.)
+        _unpersist_rdd_ids(sc, round_ids)
+        round_ids = _persistent_rdd_ids(sc) - before_ids
         labels = jumped
         if s == prev_sum:
             break
         prev_sum = s
+    # the edge list and round-0 labels are likewise dead now; only the
+    # final round's checkpoint backs the returned frame
+    _unpersist_rdd_ids(sc, setup_ids - round_ids)
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
 

@@ -144,9 +144,16 @@ def main() -> int:
         # the sf01 denominator and fake a sublinear ratio
         fn(spark, SRC).write.mode("overwrite").format("noop").save()
         for tag, sf_dir in (("sf01", SRC), ("sf1", OUT)):
-            t0 = time.time()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            res[f"{tag}_sec"] = round(time.time() - t0, 2)
+            # best-of-2: iterative queries (connected components) have
+            # noisy wall-times from checkpoint/GC state; the MINIMUM is
+            # the honest algorithmic cost at this scale
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            res[f"{tag}_sec"] = round(best, 2)
         res["ratio"] = round(res["sf1_sec"] / max(res["sf01_sec"], 1e-9), 2)
         out[name] = res
         print(name, res, file=sys.stderr)
