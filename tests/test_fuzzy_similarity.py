@@ -690,3 +690,23 @@ def test_unigram_logprob_separates_gibberish(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_cluster_pairs_releases_round_checkpoints(spark):
+    """Repeated CC runs must not accumulate checkpoint blocks: each
+    invocation may keep ONE live block set (backing its returned
+    frame), never its intermediate rounds'."""
+    from aws_medallion_etl_spark.operators import fuzzy
+
+    sc = spark.sparkContext
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(100, 101)], ["id_a", "id_b"]
+    )
+    counts = []
+    for _ in range(3):
+        out = {r.id: r.cluster_id for r in fuzzy.cluster_pairs(pairs).collect()}
+        assert all(out[i] == 0 for i in range(10)) and out[100] == 100
+        counts.append(len(fuzzy._persistent_rdd_ids(sc)))
+    # growth bounded to one block set per invocation (strictly less
+    # than the ~3 sets per ROUND the unfixed version leaked)
+    assert counts[2] - counts[0] <= 2, counts
