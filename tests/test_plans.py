@@ -568,3 +568,56 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sorted_bucketed_join_eliminates_sort(spark, sf_dir):
+    """Bucketed + sortBy tables can merge-join with ZERO exchanges AND
+    ZERO sorts — the write-time shuffle and sort are both amortized.
+    Conditions (documented, both required): exactly one file per
+    bucket (repartition on the bucket key before writing) and
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (since
+    Spark 3.0 the scan only reports file sort order under this flag).
+    """
+    from aws_medallion_etl_spark import io
+
+    confs = {
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+            8, "o_custkey"
+        )
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").repartition(
+            8, "c_custkey"
+        )
+        io.write_bucketed(
+            orders, "sbj_orders", ["o_custkey"], num_buckets=8,
+            sort_cols=["o_custkey"],
+        )
+        io.write_bucketed(
+            cust, "sbj_customer", ["c_custkey"], num_buckets=8,
+            sort_cols=["c_custkey"],
+        )
+        joined = spark.table("sbj_orders").join(
+            spark.table("sbj_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _physical(joined)
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        sort_nodes = [
+            l for l in plan.splitlines()
+            if "Sort [" in l and "SortMergeJoin" not in l
+        ]
+        assert not sort_nodes, sort_nodes
+        assert joined.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS sbj_orders")
+        spark.sql("DROP TABLE IF EXISTS sbj_customer")
