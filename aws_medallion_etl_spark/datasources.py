@@ -49,6 +49,8 @@ class SyntheticDocsReader(DataSourceReader):
         self.num_partitions = int(options.get("num_partitions", 4))
 
     def partitions(self):
+        if self.n_docs <= 0:
+            return [_RangePartition(0, 0)]  # empty relation, one no-op split
         step = -(-self.n_docs // self.num_partitions)  # ceil div
         return [
             _RangePartition(lo, min(lo + step, self.n_docs))

@@ -35,3 +35,14 @@ def test_synthetic_docs_ceil_partitioning():
     spans = [(p.start, p.end) for p in r.partitions()]
     covered = sorted(x for s, e in spans for x in range(s, e))
     assert covered == list(range(10))
+
+
+def test_synthetic_docs_empty_relation(spark):
+    datasources.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 0)
+        .load()
+    )
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["doc_id", "text", "n_chars"]
