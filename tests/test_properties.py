@@ -202,3 +202,82 @@ def test_pack_sequences_partitioned_matches_naive(spark, case):
         for i, t in enumerate(toks):
             assert got[(s, i)] == cum // budget
             cum += t
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup vs a naive Python reference
+# ---------------------------------------------------------------------------
+
+WORDS = st.sampled_from(["aa", "bb", "cc", "dd"])
+
+
+def _naive_dedup_chunks(docs, k):
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        toks = text.split()
+        kept = []
+        for i in range(0, len(toks), k):
+            chunk = " ".join(toks[i:i + k])
+            if chunk and chunk not in seen:
+                seen.add(chunk)
+                kept.append(chunk)
+        if kept:
+            out[doc_id] = (" ".join(kept), len(kept))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(WORDS, min_size=0, max_size=9).map(" ".join),
+        min_size=1, max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_chunks_matches_naive(spark, docs):
+    from aws_medallion_etl_spark.operators import corpus
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_deduped, r.n_chunks_kept)
+        for r in corpus.dedup_chunks(df, "doc_id", "text", chunk_tokens=3)
+        .collect()
+    }
+    assert got == _naive_dedup_chunks(rows, 3)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-sharding vs a naive md5 reference
+# ---------------------------------------------------------------------------
+
+@given(ids=st.sets(st.integers(min_value=0, max_value=10_000),
+                   min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_shuffle_shards_matches_naive(spark, ids):
+    import hashlib
+
+    from aws_medallion_etl_spark.operators import corpus
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    n_shards, seed = 4, "s"
+    naive = {}
+    per_shard = {}
+    for i in sorted(ids):
+        shard = bucket(f"{i}:{seed}") % n_shards
+        okey = hashlib.md5(f"{i}:{seed}:order".encode()).hexdigest()
+        per_shard.setdefault(shard, []).append((okey, i))
+    for shard, items in per_shard.items():
+        for pos, (_, i) in enumerate(sorted(items)):
+            naive[i] = (shard, pos, len(items))
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: (r.shard, r.pos, r.n_in_shard)
+        for r in corpus.shuffle_shards(
+            df, "doc_id", n_shards=n_shards, seed=seed
+        ).collect()
+    }
+    assert got == naive
