@@ -78,3 +78,32 @@ def test_resample_daily_sums(spark):
         for r in ts.resample_daily(df, "user_id", "ts", "value").collect()
     }
     assert got == {dt.date(2024, 1, 1): 3.75, dt.date(2024, 1, 2): 4.0}
+
+
+def test_interpolate_matches_pandas(spark):
+    """Independent reference: pandas interpolate(limit_direction='both')
+    over a randomized-ish gap pattern must agree with the Spark
+    windows to 1e-9."""
+    import datetime as dt
+
+    import pandas as pd
+
+    vals = [10.0, None, None, 4.0, None, 7.5, None, None, None, 1.0, None]
+    days = [dt.date(2024, 5, d + 1) for d in range(len(vals))]
+    rows = [(1, d, v) for d, v in zip(days, vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, day date, day_value double"
+    )
+    from pyspark.sql import functions as F
+
+    filled = df.withColumn("is_gap", F.col("day_value").isNull())
+    got = {
+        r.day: r.interp_value
+        for r in ts.interpolate_linear(filled, "user_id", ndigits=9).collect()
+    }
+    ref = (
+        pd.Series(vals, index=pd.to_datetime(days), dtype="float64")
+        .interpolate(method="time", limit_direction="both")
+    )
+    for d, expect in ref.items():
+        assert abs(got[d.date()] - float(expect)) < 1e-9, (d, got[d.date()], expect)
