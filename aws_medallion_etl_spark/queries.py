@@ -4696,3 +4696,39 @@ def ts_trend_slope(spark, sf_dir):
             F.col("sy").cast("double") / F.col("n") / 100.0, 4
         ).alias("mean_level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL scalar family (host/path/query extraction — web-corpus curation)
+# ---------------------------------------------------------------------------
+
+_F_URL_SQL = """
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@query("f_url_funcs", _F_URL_SQL)
+def f_url_funcs(spark, sf_dir):
+    """URL parsing family: documents get a synthesized canonical URL
+    and ``parse_url`` must recover HOST, PATH, and a QUERY parameter
+    — the primitives behind per-domain caps, host-level dedup, and
+    provenance tracking in web-corpus pipelines. The oracle computes
+    the components straight from the source columns the URL was built
+    from, so any extraction drift fails the hash. All codegen
+    (``parse_url`` is a JVM builtin), no UDFs.
+    """
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
