@@ -79,7 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_cube", "a16_unpivot", "f_map_funcs", "t_oov_rate",
         "dedup_audit_cluster_sizes", "emb_centroid_coherence",
         "dedup_cross_source_matrix", "e2e_corpus_curation",
-        "ts_trend_slope", "f_url_funcs",
+        "ts_trend_slope", "f_url_funcs", "str7_stream_jsonl_ingest",
         "corpus_contamination_report", "corpus_decontaminate",
         "s16_file_skipping_scan", "s17_zorder_scan",
         "t_unigram_logprob", "corpus_bm25",

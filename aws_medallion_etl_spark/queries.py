@@ -4732,3 +4732,52 @@ def f_url_funcs(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest of the JSONL interchange format (STR7)
+# ---------------------------------------------------------------------------
+
+_STR7_SQL = """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS text_chars
+    FROM documents GROUP BY lang, source
+"""
+
+
+@query("str7_stream_jsonl_ingest", _STR7_SQL)
+def str7_stream_jsonl_ingest(spark, sf_dir):
+    """Streaming corpus ingest: the documents table serialized to gzip
+    JSONL, consumed back as a schema-enforced FILE-SOURCE STREAM
+    (micro-batches via ``availableNow``), aggregated per (lang,
+    source) — byte-equal to the batch oracle on the original parquet.
+    Proves the streaming path of the S19 interchange contract: text
+    byte counts survive quoting/escaping through stream ingestion.
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from aws_medallion_etl_spark import io as eio
+    from aws_medallion_etl_spark import streaming
+
+    path = _scratch("str7src", sf_dir)
+    eio.write_jsonl(_t(spark, sf_dir, "documents"), path)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    stream = streaming.stream_from_directory(spark, path, schema, fmt="json")
+    agged = stream.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("text_chars"),
+    )
+    streaming.to_memory_sink(agged, "str7_jsonl", output_mode="complete")
+    return spark.table("str7_jsonl").select(
+        "lang", "source", "n_docs", "total_chars", "text_chars"
+    )
