@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_audit_cluster_sizes", "emb_centroid_coherence",
         "dedup_cross_source_matrix", "e2e_corpus_curation",
         "ts_trend_slope", "f_url_funcs", "str7_stream_jsonl_ingest",
+        "dq_mad_outliers",
         "corpus_contamination_report", "corpus_decontaminate",
         "s16_file_skipping_scan", "s17_zorder_scan",
         "t_unigram_logprob", "corpus_bm25",

@@ -4781,3 +4781,61 @@ def str7_stream_jsonl_ingest(spark, sf_dir):
     return spark.table("str7_jsonl").select(
         "lang", "source", "n_docs", "total_chars", "text_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD modified z-score)
+# ---------------------------------------------------------------------------
+
+_DQ_MAD_SQL = """
+    WITH med AS (
+        SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders
+    ),
+    dev AS (
+        SELECT quantile_cont(abs(o_totalprice - m), 0.5) AS mad, m
+        FROM orders, med GROUP BY m
+    )
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS price,
+           round(0.6745 * (o_totalprice - m) / mad, 4) AS modified_z
+    FROM orders, dev
+    WHERE abs(0.6745 * (o_totalprice - m) / mad) > 1.2
+"""
+
+
+@query("dq_mad_outliers", _DQ_MAD_SQL)
+def dq_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: modified z-score over median/MAD
+    (Iglewicz-Hoaglin) — unlike j7's mean/stddev z-score, one wild
+    value cannot mask others by inflating the spread estimate. The
+    classic cut is 3.5; the synthetic uniform prices top out at
+    |mz| ~ 1.35, so the prover flags the robust tails at 1.2 —
+    same operator, threshold as the parameter it is.
+
+    Two 1-row percentile reductions (median, then median absolute
+    deviation) ride broadcast cross joins; the flagging pass is a
+    single scan with the scalars inlined. Exact ``percentile`` keeps
+    the oracle parity; at 100 TB swap ``percentile_approx`` for the
+    reductions (same shape, mergeable sketch, no sort buffer).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    med = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("m")
+    )
+    dev = (
+        orders.crossJoin(F.broadcast(med))
+        .groupBy("m")
+        .agg(
+            F.expr("percentile(abs(o_totalprice - m), 0.5)").alias("mad")
+        )
+    )
+    mz = 0.6745 * (F.col("o_totalprice") - F.col("m")) / F.col("mad")
+    return (
+        orders.crossJoin(F.broadcast(dev))
+        .where(F.abs(mz) > 1.2)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round(mz, 4).alias("modified_z"),
+        )
+    )
