@@ -625,3 +625,131 @@ def dequantize_int8(qstruct: Column) -> Column:
     reconstruction error = 0.5 / scale per component)."""
     s = qstruct["scale"]
     return F.transform(qstruct["q"], lambda q: q / s)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bucketed semantic deduplication
+# ---------------------------------------------------------------------------
+
+def assign_seed_clusters(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Assign every vector to its max-cosine seed centroid — as a pure
+    codegen column expression, ZERO shuffle.
+
+    ``seeds`` is a bounded driver-side list of ``(seed_id, vector)``
+    (k x dim floats — the same sanctioned tiny collect the IVF path
+    uses for centroids). Each seed becomes a constant-folded literal
+    array; the argmax is ``array_max`` over ``struct(cosine, -seed_id)``
+    (ties break toward the SMALLEST seed id), so cluster assignment is
+    a deterministic function of the vector alone and the plan stays a
+    single scan + project — the corpus never moves for assignment.
+    """
+    v = as_double_vec(vec_col)
+    nrm = l2_norm(v)
+    entries = []
+    for seed_id, svec in seeds:
+        acc = 0.0
+        for x in svec:
+            acc += float(x) * float(x)  # sequential fold, matches SQL sum order
+        snrm = acc ** 0.5
+        lit_vec = F.array(*[F.lit(float(x)) for x in svec])
+        cos = dot(v, lit_vec) / (nrm * F.lit(snrm))
+        entries.append(
+            F.struct(cos.alias("c"), F.lit(-int(seed_id)).alias("negid"))
+        )
+    best = F.array_max(F.array(*entries))
+    return corpus.withColumn("cluster", -best["negid"])
+
+
+def lowest_id_seeds(
+    corpus: DataFrame, id_col: str, vec_col: str, n_seeds: int
+) -> list[tuple[int, list[float]]]:
+    """The ``n_seeds`` lowest-id vectors as deterministic seed
+    centroids (TakeOrdered + bounded collect of k x dim floats).
+
+    The oracle-checkable seeding contract: a production run would feed
+    :func:`assign_seed_clusters` the output of
+    :func:`kmeans_centroids` instead — the pairing/keep logic is
+    identical either way.
+    """
+    rows = (
+        corpus.select(F.col(id_col), as_double_vec(vec_col).alias("__v"))
+        .orderBy(F.col(id_col))
+        .limit(n_seeds)
+        .collect()
+    )
+    return [(int(r[0]), list(r[1])) for r in rows]
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_seeds: int = 8,
+    seeds: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): confine the quadratic pairwise
+    cosine check to CLUSTERS instead of the whole corpus.
+
+    All-pairs near-dup detection is O(N^2); SemDeDup's observation is
+    that semantic duplicates land in the same embedding-space cluster,
+    so pairing within clusters costs O(N^2 / k) with recall loss only
+    for cross-cluster near-dups (bounded by cluster coherence). Plan:
+    one scan assigns clusters via codegen argmax (no shuffle), then a
+    single equi-join shuffle keyed on ``cluster`` generates candidate
+    pairs — exactly the partitioning a 1000-executor run wants, since
+    each cluster's pairs build on one executor from co-located rows.
+
+    Returns ``(cluster, id_a < id_b, cosine >= threshold)`` with
+    cosine rounded to 4 digits.
+    """
+    if seeds is None:
+        seeds = lowest_id_seeds(corpus, id_col, vec_col, n_seeds)
+    assigned = assign_seed_clusters(corpus, id_col, vec_col, seeds)
+    base = assigned.select(
+        F.col(id_col).alias("__id"),
+        as_double_vec(vec_col).alias("__v"),
+        "cluster",
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "cluster",
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "cluster",
+    )
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("cluster", "id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_seeds: int = 8,
+    seeds: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup keep-set: drop every vector that has a LOWER-id
+    semantic duplicate in its cluster (greedy keep-first policy, the
+    paper's 'keep one random exemplar' made deterministic).
+
+    LEFT ANTI against the distinct ``id_b`` side of
+    :func:`semantic_dedup_pairs` — survivors keep their full rows.
+    """
+    pairs = semantic_dedup_pairs(
+        corpus, id_col, vec_col, threshold, n_seeds=n_seeds, seeds=seeds
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(drop, id_col, "left_anti")

@@ -4839,3 +4839,57 @@ def dq_mad_outliers(spark, sf_dir):
             F.round(mz, 4).alias("modified_z"),
         )
     )
+
+
+_SEMANTIC_DEDUP_SQL = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         n AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS nrm
+            FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+                  FROM embeddings)
+            GROUP BY vec_id
+         ),
+         seeds AS (
+            SELECT v.vec_id AS seed_id, v.vec AS svec, n.nrm AS snrm
+            FROM v JOIN n USING (vec_id) ORDER BY vec_id LIMIT 8
+         ),
+         scored AS (
+            SELECT v.vec_id, s.seed_id,
+                   list_dot_product(v.vec, s.svec) / (n.nrm * s.snrm) AS cos
+            FROM v CROSS JOIN seeds s
+            JOIN n ON n.vec_id = v.vec_id
+         ),
+         cl AS (
+            SELECT vec_id, seed_id AS cluster
+            FROM (SELECT vec_id, seed_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos DESC, seed_id ASC) AS rn
+                  FROM scored)
+            WHERE rn = 1
+         )
+    SELECT ca.cluster, ca.vec_id AS id_a, cb.vec_id AS id_b,
+           round(list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm), 4) AS cosine
+    FROM cl ca JOIN cl cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+    JOIN v a ON a.vec_id = ca.vec_id JOIN v b ON b.vec_id = cb.vec_id
+    JOIN n na ON na.vec_id = ca.vec_id JOIN n nb ON nb.vec_id = cb.vec_id
+    WHERE list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm) >= 0.35
+"""
+
+
+@query("dedup_semantic_clusters", _SEMANTIC_DEDUP_SQL)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup cluster-bucketed semantic dedup (Abbas et al. 2023).
+
+    The scale answer to all-pairs embedding dedup: cluster assignment
+    is a zero-shuffle codegen argmax over constant-folded seed
+    centroids, and the quadratic pairwise cosine is confined to one
+    equi-join shuffle keyed on ``cluster`` — O(N^2/k) work laid out
+    exactly as a 1000-executor cluster wants it (each cluster's pairs
+    build from co-located rows). Seeds here are the 8 lowest-id
+    vectors (the deterministic, oracle-checkable contract); production
+    feeds ``kmeans_centroids`` into the same assignment/pairing path.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, n_seeds=8
+    )

@@ -710,3 +710,65 @@ def test_cluster_pairs_releases_round_checkpoints(spark):
     # growth bounded to one block set per invocation (strictly less
     # than the ~3 sets per ROUND the unfixed version leaked)
     assert counts[2] - counts[0] <= 2, counts
+
+
+def test_semantic_dedup_assignment_matches_numpy_argmax(spark):
+    """Codegen cluster argmax == numpy brute-force argmax (ties -> lowest seed)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = similarity.lowest_id_seeds(emb, "vec_id", "embedding", 4)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.assign_seed_clusters(
+            emb, "vec_id", "embedding", seeds
+        ).select("vec_id", "cluster").collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    S = np.array([s[1] for s in seeds], dtype=np.float64)
+    sids = np.array([s[0] for s in seeds])
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        cos = Sn @ (v / np.linalg.norm(v))
+        best = sids[np.lexsort((sids, -cos))[0]]
+        assert got[r["vec_id"]] == best, r["vec_id"]
+
+
+def test_semantic_dedup_planted_duplicate_and_keep_policy(spark):
+    """A planted near-identical vector pairs with its source inside one
+    cluster, and the keep-set drops exactly the higher id."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.orderBy("vec_id").limit(20)
+    dup = src.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+        "label",
+    )
+    corpus = src.unionByName(dup)
+    pairs = similarity.semantic_dedup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.99, n_seeds=4
+    ).collect()
+    src_id = src.orderBy("vec_id").first()["vec_id"]
+    assert any(
+        p["id_a"] == src_id and p["id_b"] == src_id + 1_000_000 for p in pairs
+    )
+    kept = similarity.semantic_dedup_keep(
+        corpus, "vec_id", "embedding", threshold=0.99, n_seeds=4
+    )
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert src_id in kept_ids and src_id + 1_000_000 not in kept_ids
+    assert kept.count() == corpus.count() - len(
+        {p["id_b"] for p in pairs}
+    )
+
+
+def test_semantic_dedup_assignment_plan_has_no_shuffle(spark):
+    """Cluster assignment must stay scan+project — no Exchange."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = similarity.lowest_id_seeds(emb, "vec_id", "embedding", 4)
+    plan = (
+        similarity.assign_seed_clusters(emb, "vec_id", "embedding", seeds)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
