@@ -71,7 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     first = [
         # brand-new this round — no verdict in any round yet
-        "dedup_semantic_clusters",
+        "dedup_semantic_clusters", "corpus_weighted_sample",
         "corpus_dedup_chunks", "ts_gapfill_interp",
         "s18_orc_roundtrip", "s19_jsonl_roundtrip",
         "corpus_shuffle_shards", "t_top_dup_ngrams",

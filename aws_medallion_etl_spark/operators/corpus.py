@@ -672,3 +672,58 @@ def shuffle_shards(
         )
         .drop("__okey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (priority sampling, Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+def priority_key(
+    id_col: Column | str, weight_col: Column | str, seed: str = "wsample"
+) -> Column:
+    """Deterministic priority q = w / u for weight-proportional
+    sampling without replacement (priority sampling, Duffield, Lund &
+    Thorup 2007): taking the k largest priorities samples items with
+    probability ~ min(1, w/tau) and supports unbiased subset-sum
+    estimation via max(w, tau) with tau = the (k+1)-th priority.
+
+    u is NOT an RNG draw — it's the portable md5 construction
+    ``split_bucket`` uses, widened to 48 bits so (h + 0.5) / 2^48 is
+    exact in a double. Every arithmetic op involved (int-to-double,
+    add, two divides) is IEEE correctly-rounded, so ANY engine ranks
+    the corpus identically: the sample is a reproducible fact about
+    (id, weight, seed), the property a training-data pipeline needs
+    for audits and incremental re-runs.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = F.concat(c.cast("string"), F.lit(":" + seed))
+    h48 = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+    u = (h48 + F.lit(0.5)) / F.lit(float(1 << 48))
+    return w.cast("double") / u
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows: the k
+    largest priorities (ties -> lowest id; priorities are 48-bit
+    distinct in practice).
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrdered — per-partition
+    top-k heaps and a driver merge of k rows per partition, never a
+    global sort: the 100 TB plan. Heavier docs are proportionally more
+    likely to survive; re-runs, other engines, and late-arriving
+    shards (union then re-take) reproduce the selection exactly.
+    """
+    out = df.withColumn("__priority", priority_key(id_col, weight_col, seed))
+    return (
+        out.orderBy(F.desc("__priority"), F.asc(id_col))
+        .limit(k)
+        .withColumn("priority", F.round("__priority", 4))
+        .drop("__priority")
+    )

@@ -4893,3 +4893,35 @@ def dedup_semantic_clusters(spark, sf_dir):
     return similarity.semantic_dedup_pairs(
         emb, "vec_id", "embedding", threshold=0.35, n_seeds=8
     )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+    WITH u AS (
+        SELECT doc_id, source, CAST(n_chars + 1 AS DOUBLE) AS weight,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 12))
+                     AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, source, weight, round(weight / u, 4) AS priority
+    FROM u
+    ORDER BY weight / u DESC, doc_id ASC
+    LIMIT 25
+"""
+
+
+@query("corpus_weighted_sample", _WEIGHTED_SAMPLE_SQL)
+def corpus_weighted_sample(spark, sf_dir):
+    """Weight-proportional corpus sampling via priority sampling
+    (Duffield-Lund-Thorup): top-25 docs by q = weight / u with the
+    portable 48-bit md5 uniform — char count (+1) as the weight, so
+    longer documents are proportionally likelier.
+
+    No RNG anywhere: the sample is a pure function of (doc_id, weight,
+    seed) that DuckDB reproduces bit-for-bit (every op is IEEE
+    correctly-rounded). The plan is one scan + TakeOrdered — no global
+    sort, no shuffle of the corpus.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("n_chars") + 1).cast("double").alias("weight")
+    )
+    return corpus.weighted_sample(docs, "doc_id", "weight", k=25)

@@ -333,3 +333,62 @@ def test_shuffle_shards_deterministic_partition(spark):
     assert {(r.doc_id, r.shard, r.pos) for r in a} != {
         (r.doc_id, r.shard, r.pos) for r in c
     }
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """The Spark top-k by priority equals a pure-Python recomputation."""
+    import hashlib
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", (F.col("n_chars") + 1).cast("double").alias("weight")
+    )
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in corpus.weighted_sample(docs, "doc_id", "weight", k=10).collect()
+    ]
+    rows = docs.collect()
+    ref = []
+    for r in rows:
+        h = int(
+            hashlib.md5(f"{r['doc_id']}:wsample".encode()).hexdigest()[:12], 16
+        )
+        u = (h + 0.5) / float(1 << 48)
+        ref.append((r["doc_id"], r["weight"] / u))
+    ref.sort(key=lambda t: (-t[1], t[0]))
+    assert [g[0] for g in got] == [t[0] for t in ref[:10]]
+    for (gid, gpri), (rid, rpri) in zip(got, ref[:10]):
+        assert gpri == round(rpri, 4), (gid, gpri, rpri)
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """Repartitioning never changes the sample; an overwhelming weight
+    forces inclusion."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", (F.col("n_chars") + 1).cast("double").alias("weight")
+    )
+    a = {r["doc_id"] for r in corpus.weighted_sample(docs, "doc_id", "weight", 10).collect()}
+    b = {
+        r["doc_id"]
+        for r in corpus.weighted_sample(
+            docs.repartition(7), "doc_id", "weight", 10
+        ).collect()
+    }
+    assert a == b
+    heavy = docs.withColumn(
+        "weight",
+        F.when(F.col("doc_id") == 3, F.lit(1e18)).otherwise(F.col("weight")),
+    )
+    c = {r["doc_id"] for r in corpus.weighted_sample(heavy, "doc_id", "weight", 10).collect()}
+    assert 3 in c
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """Top-k must compile to TakeOrdered, never a global sort."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", (F.col("n_chars") + 1).cast("double").alias("weight")
+    )
+    plan = (
+        corpus.weighted_sample(docs, "doc_id", "weight", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrdered" in plan
