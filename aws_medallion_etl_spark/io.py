@@ -732,3 +732,28 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     column in the schema to quarantine them explicitly.
     """
     return spark.read.schema(schema).json(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    drop_content: bool = False,
+) -> DataFrame:
+    """Opaque-blob ingest via Spark's ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content).
+
+    The realistic 100 TB multimodal ingest path (reference stages raw
+    objects the same way, ``Meta_Guideline.md`` bronze layer): images /
+    audio / video land as whole-file binary rows that downstream
+    ``mapInPandas`` decoders (operators/multimodal.py) consume in Arrow
+    batches. ``pathGlobFilter`` prunes at LISTING time — non-matching
+    files are never opened — and ``drop_content=True`` gives a
+    metadata-only scan (the source only reads bytes when ``content``
+    is projected, so listings/audits cost no I/O per blob).
+    """
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    return df.drop("content") if drop_content else df

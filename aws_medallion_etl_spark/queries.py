@@ -4925,3 +4925,48 @@ def corpus_weighted_sample(spark, sf_dir):
         "doc_id", "source", (F.col("n_chars") + 1).cast("double").alias("weight")
     )
     return corpus.weighted_sample(docs, "doc_id", "weight", k=25)
+
+
+_S21_BINARYFILE_SQL = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+@query("s21_binaryfile_scan", _S21_BINARYFILE_SQL)
+def s21_binaryfile_scan(spark, sf_dir):
+    """Whole-file binary ingest (`binaryFile` source) — the multimodal
+    bronze layer: every 25th document is staged as a raw .bin object,
+    scanned back as (path, length, content) rows, and proven lossless
+    byte-for-byte (length + md5 digest vs the source table).
+
+    `pathGlobFilter` prunes non-matching files at listing time; the
+    digest/length projection is codegen over the binary column. This
+    is the ingest shape image/audio corpora use at 100 TB — opaque
+    blobs + typed metadata, decoded downstream by the Arrow-batched
+    multimodal operators.
+    """
+    import os
+    import shutil
+
+    from aws_medallion_etl_spark import io as eio
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    out = _scratch("binfiles", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    # bounded fixture staging (one file per sampled doc); the operator
+    # under test is the distributed binaryFile SCAN below
+    for r in docs.select("doc_id", "text").collect():
+        with open(f"{out}/{r['doc_id']}.bin", "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    with open(f"{out}/ignored.tmp", "wb") as fh:
+        fh.write(b"must be pruned by the glob at listing time")
+    blobs = eio.read_binary_files(spark, out, glob="*.bin")
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )

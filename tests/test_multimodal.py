@@ -67,3 +67,41 @@ def test_resize_uniform_batch_shape(packaged):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError, match="codec libraries"):
         multimodal.decode_stub(b"\x89PNG...")
+
+
+def test_read_binary_files_glob_and_lossless(spark, tmp_path):
+    """binaryFile scan: glob prunes at listing, bytes survive intact,
+    metadata-only mode drops the content column."""
+    from aws_medallion_etl_spark import io as eio
+
+    payload = "héllo wörld é".encode("utf-8")
+    (tmp_path / "a.bin").write_bytes(payload)
+    (tmp_path / "b.bin").write_bytes(b"\x00\x01\xff")
+    (tmp_path / "skip.tmp").write_bytes(b"pruned")
+    df = eio.read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["content"]) == payload
+    assert rows["b.bin"]["length"] == 3
+    meta = eio.read_binary_files(spark, str(tmp_path), glob="*.bin", drop_content=True)
+    assert "content" not in meta.columns
+    assert meta.count() == 2
+
+
+def test_binary_files_feed_multimodal_pipeline(spark, tmp_path):
+    """binaryFile rows slot straight into the Arrow-batched feature
+    extractor — the ingest-to-decode path end to end."""
+    from aws_medallion_etl_spark import io as eio
+
+    (tmp_path / "7.bin").write_bytes(b"some fake image bytes")
+    blobs = eio.read_binary_files(spark, str(tmp_path), glob="*.bin").select(
+        F.regexp_extract("path", r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.col("length").alias("payload_bytes"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    feats = multimodal.extract_features(blobs).collect()
+    assert len(feats) == 1
+    assert feats[0]["sha256"] == hashlib.sha256(
+        b"some fake image bytes"
+    ).hexdigest()
