@@ -180,3 +180,35 @@ def skew_report(
         .orderBy(F.desc("key_count"), F.asc(key_col))
         .limit(k)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Winsorization: clamp ``col`` into its [lo, hi] percentile band —
+    the standard robust pre-processing for heavy-tailed numeric
+    features (unlike dropping outliers, row count and grain are
+    preserved).
+
+    One 1-row percentile reduction rides a broadcast cross join onto a
+    single clamping scan — the same scalar-stats shape as
+    ``enrich.with_scalar_stats`` / ``dq_mad_outliers``. Exact
+    ``percentile`` keeps oracle parity; pass ``approx=True`` at 100 TB
+    for the mergeable-sketch reduction (same plan, no sort buffer).
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    bounds = df.agg(
+        F.expr(f"{fn}({col}, {lo})").alias("__wlo"),
+        F.expr(f"{fn}({col}, {hi})").alias("__whi"),
+    )
+    clipped = F.least(F.greatest(F.col(col), F.col("__wlo")), F.col("__whi"))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col or f"{col}_winsorized", clipped)
+        .drop("__wlo", "__whi")
+    )

@@ -4970,3 +4970,58 @@ def s21_binaryfile_scan(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("digest"),
     )
+
+
+_DQ_WINSORIZE_SQL = """
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.05) AS wlo,
+               quantile_cont(o_totalprice, 0.95) AS whi
+        FROM orders
+    ),
+    c AS (
+        SELECT o_orderstatus,
+               least(greatest(o_totalprice, b.wlo), b.whi) AS w,
+               b.wlo, b.whi
+        FROM orders CROSS JOIN b
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(w), 2) AS min_w, round(max(w), 2) AS max_w,
+           round(sum(w), 2) AS sum_w,
+           round(any_value(wlo), 2) AS lo_bound,
+           round(any_value(whi), 2) AS hi_bound
+    FROM c GROUP BY 1
+"""
+
+
+@query("dq_winsorize", _DQ_WINSORIZE_SQL)
+def dq_winsorize(spark, sf_dir):
+    """Winsorized price stats: clamp o_totalprice into its exact
+    [p05, p95] band, then roll up per status — heavy-tail robustness
+    without dropping rows (grain preserved, unlike outlier deletion).
+
+    One exact-percentile 1-row reduction broadcast onto a single
+    clamping scan, then a hash aggregate: two passes total. The
+    ``approx=True`` switch in ``dq.winsorize`` is the 100 TB variant
+    (mergeable sketch, identical plan shape).
+    """
+    from aws_medallion_etl_spark.operators import dq
+
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("__wlo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("__whi"),
+    )
+    w = dq.winsorize(orders, "o_totalprice", 0.05, 0.95, out_col="w")
+    return (
+        w.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("w"), 2).alias("min_w"),
+            F.round(F.max("w"), 2).alias("max_w"),
+            F.round(F.sum("w"), 2).alias("sum_w"),
+            F.round(F.any_value("__wlo"), 2).alias("lo_bound"),
+            F.round(F.any_value("__whi"), 2).alias("hi_bound"),
+        )
+    )

@@ -148,3 +148,39 @@ def test_histogram_degenerate_single_value(spark):
     assert (got[0].bin, got[0].n, got[0].bin_min, got[0].bin_max) == (
         0, 7, 5.0, 5.0,
     )
+
+
+def test_winsorize_clamps_and_preserves_grain(spark):
+    """Winsorize must clamp exactly to the percentile band, keep every
+    row, and leave interior values untouched."""
+    from aws_medallion_etl_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])],
+        "id long, x double",
+    )
+    out = dq.winsorize(df, "x", 0.10, 0.90, out_col="xw")
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 10
+    import numpy as np
+
+    xs = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+    lo = float(np.percentile(xs, 10))
+    hi = float(np.percentile(xs, 90))
+    for i, v in enumerate(xs):
+        assert rows[i]["xw"] == min(max(float(v), lo), hi)
+    # interior values untouched, tail clamped
+    assert rows[9]["xw"] == hi and rows[9]["x"] == 1000.0
+    assert rows[4]["xw"] == 5.0
+
+
+def test_winsorize_approx_close_to_exact(spark):
+    """The sketch-based variant lands within the accuracy envelope."""
+    from aws_medallion_etl_spark.operators import dq
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exact = dq.winsorize(orders, "o_totalprice", out_col="w")
+    approx = dq.winsorize(orders, "o_totalprice", out_col="w", approx=True)
+    e = exact.agg(F.sum("w")).first()[0]
+    a = approx.agg(F.sum("w")).first()[0]
+    assert abs(e - a) / e < 0.01
