@@ -266,3 +266,79 @@ def unigram_logprob_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("__lp"), ndigits).alias("avg_logprob"),
     )
+
+
+def bigram_logprob_scores(
+    df,
+    id_col: str,
+    text_col: Column | str,
+    lam: float = 0.7,
+    ndigits: int = 4,
+):
+    """Per-document mean bigram log-likelihood under a corpus-self-
+    trained Jelinek-Mercer interpolated model:
+
+        P(w2 | w1) = lam * c(w1 w2) / c(w1 .) + (1 - lam) * c(w2) / N
+
+    The next step up from :func:`unigram_logprob_scores` toward the
+    KenLM-style perplexity filter: word-salad whose TOKENS are common
+    but whose TRANSITIONS are not (shuffled prose, keyword stuffing)
+    scores low here while passing the unigram screen. Interpolation
+    with the unigram term means no zero probabilities and no OOV
+    (self-trained), so every document gets a finite score.
+
+    Plan: one projection materializes the token array (HOF lambdas
+    re-evaluate computed inputs per element, so the split is pinned
+    first), adjacent pairs come from a ``transform(sequence(...))``
+    over that array — no positional self-join — and three count
+    tables (bigram, left-context, unigram) broadcast back onto the
+    pair stream; the only data-proportional shuffle is the final
+    per-doc aggregation. At 100 TB the bigram table outgrows
+    broadcast: floor the vocabulary first (min_count) or let that one
+    join shuffle — the stream stays (id, w1, w2) either way.
+
+    Returns ``(id_col, n_bigrams, avg_logprob)`` over documents with
+    >= 2 tokens, natural log, rounded to ``ndigits``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(_c(text_col))), r"\s+"), lambda x: x != ""
+        ).alias("__t"),
+    )
+    # adjacent pairs via zip_with over two slices — TOTAL expression
+    # (empty result for 0/1-token docs), so no filter-ordering hazard:
+    # the optimizer may evaluate projections before a preceding where,
+    # which crashes any formulation doing positional element_at
+    pairs = (
+        toks.withColumn(
+            "__bg",
+            F.expr(
+                "zip_with("
+                " slice(__t, 1, greatest(size(__t) - 1, 0)),"
+                " slice(__t, 2, greatest(size(__t) - 1, 0)),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            ),
+        )
+        .select(F.col(id_col), F.explode("__bg").alias("__p"))
+        .select(F.col(id_col), F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
+    )
+    uni = toks.select(F.explode("__t").alias("__w"))
+    cb = pairs.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__cb"))
+    c1 = pairs.groupBy("__w1").agg(F.count(F.lit(1)).alias("__ctx"))
+    cu = uni.groupBy("__w").agg(F.count(F.lit(1)).alias("__uc"))
+    n = uni.agg((F.count(F.lit(1)) * 1.0).alias("__nn"))
+    p = F.lit(lam) * (F.col("__cb") / F.col("__ctx")) + F.lit(1.0 - lam) * (
+        F.col("__uc") / F.col("__nn")
+    )
+    scored = (
+        pairs.join(F.broadcast(cb), ["__w1", "__w2"])
+        .join(F.broadcast(c1), "__w1")
+        .join(F.broadcast(cu), pairs["__w2"] == F.col("__w"))
+        .join(F.broadcast(n))
+        .withColumn("__lp", F.log(p))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__lp"), ndigits).alias("avg_logprob"),
+    )

@@ -5025,3 +5025,44 @@ def dq_winsorize(spark, sf_dir):
             F.round(F.any_value("__whi"), 2).alias("hi_bound"),
         )
     )
+
+
+_T_BIGRAM_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    b AS (
+        SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2
+        FROM (SELECT doc_id,
+                     unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+                             FOR i IN range(1, len(t))]) AS bg
+              FROM toks WHERE len(t) >= 2)
+    ),
+    cb AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS ctx FROM b GROUP BY 1),
+    cu AS (SELECT w, count(*) AS uc FROM uni GROUP BY 1),
+    n AS (SELECT count(*) * 1.0 AS nn FROM uni)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(0.7 * (cnt / ctx) + 0.3 * (uc / nn))), 4) AS avg_logprob
+    FROM b
+    JOIN cb USING (w1, w2) JOIN c1 USING (w1) JOIN cu ON cu.w = b.w2
+    CROSS JOIN n
+    GROUP BY doc_id
+"""
+
+
+@query("t_bigram_logprob", _T_BIGRAM_SQL)
+def t_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM quality score
+    (``text.bigram_logprob_scores``): mean ln P(w2|w1) under the
+    corpus's own Jelinek-Mercer model (lam=0.7) — catches shuffled
+    prose whose unigrams look fine but whose transitions are rare.
+    Three broadcast count tables over one pair stream; only the
+    per-doc aggregation shuffles."""
+    return text.bigram_logprob_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )

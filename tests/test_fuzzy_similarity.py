@@ -772,3 +772,38 @@ def test_semantic_dedup_assignment_plan_has_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_bigram_logprob_penalizes_scrambled_transitions(spark):
+    """Token-identical documents: the one with corpus-common TRANSITIONS
+    outscores its scrambled twin — the signal unigram scoring cannot see."""
+    base = "the cat sat on the mat"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base),
+            (4, "mat the on sat cat the"),  # same bag of tokens, rare bigrams
+            (5, "ab cd"),
+        ],
+        "doc_id long, text string",
+    )
+    uni = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in text.unigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+    assert uni[1] == uni[4]  # unigram is blind to word order
+    rows = {
+        r["doc_id"]: r
+        for r in text.bigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["n_bigrams"] == 5
+    assert rows[1]["avg_logprob"] > rows[4]["avg_logprob"]
+    # single-bigram doc: P = 0.7 * 1/1 + 0.3 * c('cd')/N = 0.7 + 0.3/26
+    import math
+
+    n_tok = 6 * 4 + 2
+    assert rows[5]["avg_logprob"] == round(math.log(0.7 + 0.3 * (1 / n_tok)), 4)
+    # docs with < 2 tokens are excluded
+    one = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    assert text.bigram_logprob_scores(one, "doc_id", "text").count() == 0
