@@ -193,3 +193,46 @@ def test_interval_join_bounds_and_emission(spark, tmp_path):
     streaming.to_memory_sink(pairs, "t_pairs", output_mode="append")
     got = [(r["user_id"],) for r in spark.table("t_pairs").collect()]
     assert sorted(got) == [(1,), (1,)]
+
+
+def test_watermark_drops_late_rows_and_bounds_state(spark, tmp_path):
+    """An event arriving after the watermark has passed its window is
+    DROPPED — the bounded-state contract that makes streaming
+    aggregation safe at unbounded throughput. Batch order is forced by
+    writing the late file only after the first batch commits."""
+    path = str(tmp_path / "late_in")
+    schema = "event_id long, ts timestamp"
+    spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10, 0)), (2, TS(2024, 1, 1, 10, 2)),
+         (3, TS(2024, 1, 1, 11, 0))],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(path)
+    stream = streaming.stream_from_directory(
+        spark, path, spark.read.parquet(path).schema
+    )
+    agged = streaming.windowed_counts(
+        stream, "ts", window_duration="10 minutes", watermark="10 minutes"
+    )
+    q = (
+        agged.writeStream.format("memory").queryName("late_counts")
+        .outputMode("append").start()
+    )
+    try:
+        # batch 1: only file 1 -> max event time 11:00, watermark 10:50
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(4, TS(2024, 1, 1, 10, 5)),   # LATE: watermark is already 10:50
+             (5, TS(2024, 1, 1, 11, 30))],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(path)
+        # batch 2 sees the advanced watermark and must drop event 4
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        str(r.window_start): r.n
+        for r in spark.sql("SELECT * FROM late_counts").collect()
+    }
+    # the 10:00 window finalized with 2 rows: event 4 was dropped
+    assert got.get("2024-01-01 10:00:00") == 2
+    assert "2024-01-01 10:05:00" not in str(got)
