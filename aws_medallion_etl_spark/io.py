@@ -757,3 +757,29 @@ def read_binary_files(
         r = r.option("pathGlobFilter", glob)
     df = r.load(path)
     return df.drop("content") if drop_content else df
+
+
+def register_sql_function(
+    spark: SparkSession,
+    name: str,
+    params: str,
+    returns: str,
+    body: str,
+    temporary: bool = True,
+) -> None:
+    """Register a SQL UDF (``CREATE FUNCTION ... RETURN <expr>``) — the
+    zero-cost UDF surface: Catalyst inlines the body into the calling
+    plan, so pruning/pushdown/whole-stage codegen all see through it
+    (no Python worker, no serialization boundary, unlike ``F.udf``).
+
+    The right way to share business expressions (discounted price,
+    fiscal-year mapping, reject-reason logic) across SQL-endpoint
+    users: one definition, every call site optimized as if the
+    expression were written inline. ``temporary=False`` persists the
+    function into the current catalog for cross-session reuse.
+    """
+    scope = "TEMPORARY " if temporary else ""
+    spark.sql(
+        f"CREATE OR REPLACE {scope}FUNCTION {name}({params}) "
+        f"RETURNS {returns} RETURN {body}"
+    )

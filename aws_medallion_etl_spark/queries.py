@@ -5066,3 +5066,43 @@ def t_bigram_logprob(spark, sf_dir):
     return text.bigram_logprob_scores(
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+@query(
+    "f_sql_udf",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bulk
+    FROM lineitem GROUP BY 1
+    """,
+)
+def f_sql_udf(spark, sf_dir):
+    """SQL UDFs (Catalyst-inlined `CREATE FUNCTION ... RETURN expr`):
+    shared business expressions with ZERO call overhead — the body is
+    inlined into the caller's plan, so codegen/pruning/pushdown see
+    through it (the plan is pinned shuffle-for-shuffle identical to
+    writing the expression inline; contrast with `F.udf`, which walls
+    off the optimizer behind a Python worker).
+    """
+    from aws_medallion_etl_spark import io as eio
+
+    eio.register_sql_function(
+        spark, "disc_price", "p DOUBLE, d DOUBLE", "DOUBLE", "p * (1 - d)"
+    )
+    eio.register_sql_function(
+        spark, "is_bulk", "q DOUBLE", "INT",
+        "CASE WHEN q >= 30 THEN 1 ELSE 0 END",
+    )
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+               CAST(sum(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+        FROM __li_sqludf GROUP BY l_returnflag
+        """
+    )

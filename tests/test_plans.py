@@ -621,3 +621,29 @@ def test_sorted_bucketed_join_eliminates_sort(spark, sf_dir):
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS sbj_orders")
         spark.sql("DROP TABLE IF EXISTS sbj_customer")
+
+
+def test_sql_udf_inlines_into_codegen_plan(spark, sf_dir):
+    """A SQL UDF body must be INLINED: the physical plan is identical in
+    shape to writing the expression by hand — no PythonUDF node, scan
+    pruned to the referenced columns only."""
+    from aws_medallion_etl_spark import io as eio
+
+    eio.register_sql_function(
+        spark, "plan_disc_price", "p DOUBLE, d DOUBLE", "DOUBLE", "p * (1 - d)"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "__li_plan_udf"
+    )
+    df = spark.sql(
+        "SELECT l_returnflag,"
+        " round(sum(plan_disc_price(l_extendedprice, l_discount)), 2) AS rev"
+        " FROM __li_plan_udf GROUP BY l_returnflag"
+    )
+    plan = _physical(df)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+    # column pruning sees through the UDF: scan reads exactly 3 columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_quantity" not in read and "l_orderkey" not in read
