@@ -727,3 +727,74 @@ def weighted_sample(
         .withColumn("priority", F.round("__priority", 4))
         .drop("__priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-corpus provenance dedup)
+# ---------------------------------------------------------------------------
+
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "mc_cid", "mc_eid", "ref")
+
+
+def canonical_url(
+    col: Column | str,
+    strip_params: tuple = TRACKING_PARAMS,
+    strip_www: bool = True,
+) -> Column:
+    """Canonical form of a URL for provenance-level dedup: lowercase
+    scheme+host, ``www.`` stripped, fragment dropped, tracking query
+    params removed, surviving params SORTED, trailing path slash
+    trimmed. Path/param VALUES keep their case (case-sensitive by
+    spec); only scheme and host fold.
+
+    The standard first pass of web-corpus dedup — the same page
+    arrives under utm-tagged, fragment-suffixed, www/apex, and
+    case-jittered variants, and byte-level text dedup only catches it
+    after a full fetch+extract. Entirely codegen (``parse_url`` +
+    regexp/array builtins), no UDF; at 100 TB this runs in the scan
+    projection for free.
+    """
+    u = F.regexp_replace(_cc(col), "#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, "/$", "")
+    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda kv: (F.length(kv) > 0)
+            & ~F.exists(
+                F.array(*[F.lit(p) for p in strip_params]),
+                lambda p: kv.startswith(p),
+            ),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def _cc(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dedup_by_canonical_url(
+    df: DataFrame, url_col: str, order_by: list
+) -> DataFrame:
+    """Keep one row per canonical URL (deterministic ``order_by``
+    preference, e.g. fetch-time desc or id asc) — one window keyed on
+    the canonical form; the canonicalization itself is free in the
+    scan projection."""
+    w = Window.partitionBy("__curl").orderBy(*order_by)
+    return (
+        df.withColumn("__curl", canonical_url(url_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("__curl", "canonical_url")
+    )

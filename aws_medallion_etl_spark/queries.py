@@ -5161,3 +5161,44 @@ def graph_pagerank_hubs(spark, sf_dir):
         docs.select("doc_id"), graph.symmetrize(pairs), "doc_id",
         iterations=3, damping=0.85,
     )
+
+
+_URL_DEDUP_SQL = """
+    SELECT 'https://mirror.example.com/docs/'
+               || CAST(doc_id - doc_id % 2 AS VARCHAR) AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc_id
+    FROM documents
+    GROUP BY 1
+"""
+
+
+@query("dedup_url_canonical", _URL_DEDUP_SQL)
+def dedup_url_canonical(spark, sf_dir):
+    """Canonical-URL dedup (``corpus.canonical_url``): the same page
+    arriving as utm-tagged, fragment-suffixed, www-prefixed, and
+    case-jittered variants collapses to one canonical form BEFORE any
+    text-level dedup spends a byte. Adjacent doc pairs here synthesize
+    two noisy variants of one logical URL; the oracle computes the
+    expected canonical straight from the source columns, so any
+    canonicalization drift fails the hash. All codegen in the scan
+    projection; the only shuffle is the canonical-key aggregation.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+    noisy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://Mirror.Example.COM/docs/"), base,
+                 F.lit("?utm_source=feed&utm_medium=rss")),
+    ).otherwise(
+        F.concat(F.lit("https://www.mirror.example.com/docs/"), base,
+                 F.lit("/?fbclid=abc123#section-2")),
+    )
+    return (
+        docs.withColumn("__curl", corpus.canonical_url(noisy))
+        .groupBy(F.col("__curl").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("kept_doc_id"),
+        )
+    )

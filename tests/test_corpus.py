@@ -392,3 +392,38 @@ def test_weighted_sample_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrdered" in plan
+
+
+def test_canonical_url_rules(spark):
+    """Case folding scheme/host only, www strip, fragment drop,
+    tracking-param removal, surviving-param sort, trailing slash."""
+    cases = [
+        ("HTTPS://WWW.Site.COM/Docs/A?b=2&utm_source=x&a=1#frag",
+         "https://site.com/Docs/A?a=1&b=2"),
+        ("http://site.com/path/", "http://site.com/path"),
+        ("https://site.com/?fbclid=zz", "https://site.com"),
+        ("https://site.com/p?ref=home&keep=1", "https://site.com/p?keep=1"),
+        ("https://site.com/p", "https://site.com/p"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "id long, url string")
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", corpus.canonical_url("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_dedup_by_canonical_url_keeps_preferred(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.site.com/a?utm_source=x", 5),
+            (2, "HTTPS://site.com/a#top", 9),          # same page, higher quality
+            (3, "https://site.com/b", 1),
+        ],
+        "id long, url string, quality int",
+    )
+    kept = corpus.dedup_by_canonical_url(
+        df, "url", [F.desc("quality"), F.asc("id")]
+    )
+    rows = {r["canonical_url"]: r["id"] for r in kept.collect()}
+    assert rows == {"https://site.com/a": 2, "https://site.com/b": 3}
