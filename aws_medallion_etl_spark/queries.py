@@ -5202,3 +5202,34 @@ def dedup_url_canonical(spark, sf_dir):
             F.min("doc_id").alias("kept_doc_id"),
         )
     )
+
+
+_ROLLING_DISTINCT_SQL = """
+    WITH e AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events
+    ),
+    du AS (SELECT DISTINCT day, user_id FROM e),
+    days AS (SELECT DISTINCT day FROM e)
+    SELECT d.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact,
+           TRUE AS hll_within_bound
+    FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+"""
+
+
+@query("sketch_rolling_distinct", _ROLLING_DISTINCT_SQL)
+def sketch_rolling_distinct(spark, sf_dir):
+    """Trailing-7-day distinct active users per day via merged daily
+    HLL sketches (``sketches.rolling_distinct_bounds``): sketches
+    build once per day (distributed, fixed-size state), the trailing
+    window unions 7 binaries per day over the bounded DAY dimension —
+    no per-window re-dedup of the event stream. The oracle pins the
+    exact counts and the TRUE bound flag (~3-sigma contract), so a
+    mis-merged or mis-configured sketch fails the gate.
+    """
+    from aws_medallion_etl_spark.operators import sketches
+
+    return sketches.rolling_distinct_bounds(
+        _events(spark, sf_dir), "ts", "user_id", days=7
+    )

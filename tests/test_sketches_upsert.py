@@ -78,3 +78,29 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert 50 <= counts["fr"] <= 200
     # sample is a subset of the input
     assert s1.join(df, ["doc_id", "lang"], "left_anti").count() == 0
+
+
+def test_rolling_distinct_bounds_window_math(spark):
+    """Trailing-3-day union: hand-checkable exact counts, bound flag
+    true, and the estimate path merges rather than re-scans."""
+    import datetime as dt
+
+    from aws_medallion_etl_spark.operators import sketches
+
+    rows = []
+    # day 1: users {1,2}; day 2: {2,3}; day 4: {9}
+    for d, us in [(1, [1, 2]), (2, [2, 3]), (4, [9])]:
+        for u in us:
+            rows.append((dt.datetime(2024, 3, d, 12, 0), u, u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, x long")
+    out = {
+        str(r["day"]): (r["n_exact"], r["hll_within_bound"])
+        for r in sketches.rolling_distinct_bounds(
+            df, "ts", "user_id", days=3
+        ).collect()
+    }
+    assert out == {
+        "2024-03-01": (2, True),   # {1,2}
+        "2024-03-02": (3, True),   # {1,2,3}
+        "2024-03-04": (3, True),   # window [2,4]: day2 {2,3} + day4 {9}
+    }
