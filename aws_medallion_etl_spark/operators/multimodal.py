@@ -144,3 +144,54 @@ def resize_stub(packaged: DataFrame, target_bytes: int = 256) -> DataFrame:
             yield res
 
     return packaged.select("doc_id", "payload").mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Container-header metadata: dimensions WITHOUT a codec
+# ---------------------------------------------------------------------------
+
+def _be32(payload, pos: int):
+    """Big-endian uint32 at 1-based byte offset ``pos`` of a binary col."""
+    return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("long")
+
+
+def _le16(payload, pos: int):
+    """Little-endian uint16 at 1-based byte offset ``pos``."""
+    lo = F.conv(F.hex(F.substring(payload, pos, 1)), 16, 10).cast("long")
+    hi = F.conv(F.hex(F.substring(payload, pos + 1, 1)), 16, 10).cast("long")
+    return lo + hi * 256
+
+
+def image_metadata(payload) -> "F.Column":
+    """(format, width, height) parsed straight from container-header
+    BYTES — pure codegen substring/hex arithmetic, NO codec library.
+
+    The fixed-offset formats a 100 TB media lake can triage for free
+    during ingest (corrupt-blob quarantine, aspect-ratio filters,
+    thumbnail-vs-full routing) before any decoder ever runs:
+
+    * PNG: 8-byte signature, then the IHDR chunk puts width/height as
+      big-endian uint32 at byte offsets 17/21 (1-based).
+    * GIF87a/89a: 6-byte signature, then logical-screen width/height
+      as little-endian uint16 at offsets 7/9.
+
+    Variable-segment formats (JPEG) need a real scan — that belongs in
+    the Arrow-batched decode stage, not the header triage. Non-image
+    payloads yield (NULL, NULL, NULL), which doubles as the
+    corrupt-blob detector for the two supported formats.
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+    sig8 = F.hex(F.substring(p, 1, 8))
+    sig6 = F.hex(F.substring(p, 1, 6))
+    is_png = sig8 == "89504E470D0A1A0A"
+    is_gif = (sig6 == "474946383761") | (sig6 == "474946383961")
+    fmt = F.when(is_png, "png").when(is_gif, "gif").otherwise(F.lit(None))
+    width = (
+        F.when(is_png, _be32(p, 17)).when(is_gif, _le16(p, 7)).otherwise(F.lit(None))
+    )
+    height = (
+        F.when(is_png, _be32(p, 21)).when(is_gif, _le16(p, 9)).otherwise(F.lit(None))
+    )
+    return F.struct(
+        fmt.alias("format"), width.alias("width"), height.alias("height")
+    )

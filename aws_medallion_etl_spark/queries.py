@@ -5233,3 +5233,41 @@ def sketch_rolling_distinct(spark, sf_dir):
     return sketches.rolling_distinct_bounds(
         _events(spark, sf_dir), "ts", "user_id", days=7
     )
+
+
+_MM_IMAGE_META_SQL = """
+    SELECT doc_id, 'png' AS format,
+           CAST(n_chars % 1000 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 500 + 1 AS BIGINT) AS height
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@query("mm_image_metadata", _MM_IMAGE_META_SQL)
+def mm_image_metadata(spark, sf_dir):
+    """Codec-free image-header triage (``multimodal.image_metadata``):
+    width/height/format parsed from PNG container BYTES with pure
+    codegen substring/hex arithmetic — the ingest-time filter (aspect
+    ratios, corrupt blobs, thumbnail routing) that runs before any
+    decoder. Payloads here are REAL PNG headers synthesized from the
+    table's own columns, so the oracle knows exactly what the parser
+    must recover; a one-byte offset error fails the hash.
+    """
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    w = (F.col("n_chars") % 1000 + 1).cast("long")
+    h = (F.col("doc_id") % 500 + 1).cast("long")
+    payload = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+            F.lit("0806000000"),
+        )
+    )
+    m = multimodal.image_metadata(payload)
+    return docs.select(
+        "doc_id",
+        m["format"].alias("format"),
+        m["width"].alias("width"),
+        m["height"].alias("height"),
+    )

@@ -105,3 +105,38 @@ def test_binary_files_feed_multimodal_pipeline(spark, tmp_path):
     assert feats[0]["sha256"] == hashlib.sha256(
         b"some fake image bytes"
     ).hexdigest()
+
+
+def test_image_metadata_from_real_headers(spark):
+    """Real PNG/GIF header bytes parse to their true dimensions; other
+    payloads yield NULLs (the corrupt-blob signal)."""
+    import struct
+
+    def png(w, h):
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00")
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 5
+
+    rows = [
+        (1, png(640, 480)),
+        (2, gif(320, 200)),
+        (3, b"\xff\xd8\xff\xe0 jpeg-ish"),
+        (4, b"plain text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {
+        r["id"]: (r["m"]["format"], r["m"]["width"], r["m"]["height"])
+        for r in df.select(
+            "id", multimodal.image_metadata("payload").alias("m")
+        ).collect()
+    }
+    assert out[1] == ("png", 640, 480)
+    assert out[2] == ("gif", 320, 200)
+    assert out[3] == (None, None, None)
+    assert out[4] == (None, None, None)
+    # large dimensions survive the big-endian path (no sign issues)
+    big = spark.createDataFrame([(9, png(70000, 3))], "id long, payload binary")
+    r = big.select(multimodal.image_metadata("payload").alias("m")).first()
+    assert (r["m"]["width"], r["m"]["height"]) == (70000, 3)
