@@ -711,11 +711,15 @@ def semantic_dedup_pairs(
     if seeds is None:
         seeds = lowest_id_seeds(corpus, id_col, vec_col, n_seeds)
     assigned = assign_seed_clusters(corpus, id_col, vec_col, seeds)
+    # ship the RAW float32 vectors through the cluster exchange (half
+    # the bytes of doubles) and widen after the join — float->double
+    # is exact, so the pair cosine is bit-identical to the all-double
+    # formulation; norms are doubles computed once pre-shuffle
     base = assigned.select(
         F.col(id_col).alias("__id"),
-        as_double_vec(vec_col).alias("__v"),
+        F.col(vec_col).alias("__v"),
         "cluster",
-    ).withColumn("__n", l2_norm(F.col("__v")))
+    ).withColumn("__n", l2_norm(as_double_vec(F.col("__v"))))
     a = base.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "cluster",
@@ -725,7 +729,9 @@ def semantic_dedup_pairs(
         F.col("__n").alias("__nb"), "cluster",
     )
     pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
-    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    cos = dot(as_double_vec(F.col("__va")), as_double_vec(F.col("__vb"))) / (
+        F.col("__na") * F.col("__nb")
+    )
     return (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
