@@ -275,3 +275,41 @@ def snapshot_diff(
         ],
         change.alias(out_col),
     )
+
+
+def inferred_members(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    defaults: dict[str, object],
+    flag_col: str = "is_inferred",
+) -> DataFrame:
+    """Late-arriving-dimension handling, step up from the single
+    Unknown row: every fact FK with NO dim member gets a PLACEHOLDER
+    row carrying its natural key (Kimball "inferred member"), so facts
+    join to a real key instead of collapsing into one Unknown bucket —
+    and when the true dimension row finally arrives, a normal SCD1/
+    SCD2 merge overwrites the placeholder in place.
+
+    Returns ``dim`` + one inferred row per distinct unmatched FK,
+    flagged with ``flag_col`` (existing rows get ``false``). Plan:
+    distinct unmatched keys via LEFT ANTI against the dim (broadcast
+    the dim key column — it is one narrow column even when the full
+    dim is wide), defaults applied as typed literals, one union.
+    """
+    missing = (
+        fact.select(F.col(fact_key).alias(dim_key))
+        .where(F.col(dim_key).isNotNull())
+        .distinct()
+        .join(F.broadcast(dim.select(dim_key)), dim_key, "left_anti")
+    )
+    inferred = missing.select(
+        *[
+            F.col(dim_key).alias(f.name)
+            if f.name == dim_key
+            else F.lit(defaults.get(f.name)).cast(f.dataType).alias(f.name)
+            for f in dim.schema.fields
+        ]
+    ).withColumn(flag_col, F.lit(True))
+    return dim.withColumn(flag_col, F.lit(False)).unionByName(inferred)

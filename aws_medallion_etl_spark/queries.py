@@ -5271,3 +5271,48 @@ def mm_image_metadata(spark, sf_dir):
         m["width"].alias("width"),
         m["height"].alias("height"),
     )
+
+
+_J14_INFERRED_SQL = """
+    WITH dim AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0),
+    missing AS (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)
+    )
+    SELECT c_custkey, c_name, c_mktsegment, is_inferred,
+           CAST(count(*) OVER () AS BIGINT) AS dim_rows
+    FROM (
+        SELECT c_custkey, c_name, c_mktsegment, FALSE AS is_inferred FROM dim
+        UNION ALL
+        SELECT c_custkey, 'Inferred Member' AS c_name,
+               'UNKNOWN' AS c_mktsegment, TRUE AS is_inferred
+        FROM missing
+    )
+"""
+
+
+@query("j14_inferred_members", _J14_INFERRED_SQL)
+def j14_inferred_members(spark, sf_dir):
+    """Kimball inferred members — late-arriving dimension rows: every
+    fact FK with no dim match gets a flagged placeholder carrying its
+    natural key (``scd.inferred_members``), so facts join to REAL keys
+    instead of collapsing into one Unknown bucket, and the eventual
+    true row overwrites the placeholder via the normal SCD merge.
+    A seventh of the customers is hidden to manufacture late arrivals.
+    Plan: distinct unmatched keys -> LEFT ANTI vs the broadcast dim
+    key column -> typed-literal defaults -> one union.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    dim = cust.where(F.col("c_custkey") % 7 != 0)
+    orders = _t(spark, sf_dir, "orders")
+    out = scd.inferred_members(
+        orders, dim, "o_custkey", "c_custkey",
+        {"c_name": "Inferred Member", "c_mktsegment": "UNKNOWN"},
+    )
+    from pyspark.sql import Window
+
+    return out.withColumn(
+        "dim_rows", F.count(F.lit(1)).over(Window.partitionBy())
+    )

