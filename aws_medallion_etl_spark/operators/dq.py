@@ -9,7 +9,7 @@ fact-specific invariants (grain / balance / non-negative) live in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -211,4 +211,42 @@ def winsorize(
         df.crossJoin(F.broadcast(bounds))
         .withColumn(out_col or f"{col}_winsorized", clipped)
         .drop("__wlo", "__whi")
+    )
+
+
+def date_gaps(df: DataFrame, date_col: str) -> DataFrame:
+    """Missing-date ranges inside [min, max] of ``date_col`` — the
+    backfill planner: a scheduler diffing "what should exist" against
+    "what landed" gets contiguous (gap_start, gap_end, n_days) runs it
+    can submit as backfill jobs, instead of a raw date list.
+
+    Plan: one 1-row min/max reduction rides a broadcast cross join
+    onto an exploded calendar (the calendar is bounded by the DATE
+    span, never data volume), LEFT ANTI against the distinct observed
+    dates, then gaps-and-islands (date - row_number) groups runs. The
+    only data-proportional work is the distinct over observed dates —
+    map-side combined, shrinks to the span size immediately.
+    """
+    bounds = df.agg(
+        F.min(F.col(date_col)).alias("__lo"), F.max(F.col(date_col)).alias("__hi")
+    )
+    cal = (
+        df.sparkSession.range(1)
+        .crossJoin(F.broadcast(bounds))
+        .select(F.explode(F.sequence("__lo", "__hi")).alias("__day"))
+    )
+    observed = df.select(F.col(date_col).alias("__day")).distinct()
+    missing = cal.join(observed, "__day", "left_anti")
+    w = Window.orderBy("__day")
+    runs = missing.withColumn(
+        "__grp", F.date_sub(F.col("__day"), F.row_number().over(w))
+    )
+    return (
+        runs.groupBy("__grp")
+        .agg(
+            F.min("__day").alias("gap_start"),
+            F.max("__day").alias("gap_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("__grp")
     )

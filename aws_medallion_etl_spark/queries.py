@@ -5316,3 +5316,41 @@ def j14_inferred_members(spark, sf_dir):
     return out.withColumn(
         "dim_rows", F.count(F.lit(1)).over(Window.partitionBy())
     )
+
+
+_DQ_DATE_GAPS_SQL = """
+    WITH obs AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+        WHERE dayofmonth(CAST(o_orderdate AS DATE)) % 5 <> 0
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+    cal AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    missing AS (
+        SELECT day, CAST(day - CAST(row_number() OVER (ORDER BY day) AS INT)
+                         AS DATE) AS grp
+        FROM cal WHERE day NOT IN (SELECT day FROM obs)
+    )
+    SELECT min(day) AS gap_start, max(day) AS gap_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM missing GROUP BY grp
+"""
+
+
+@query("dq_date_gaps", _DQ_DATE_GAPS_SQL)
+def dq_date_gaps(spark, sf_dir):
+    """Backfill planner (``dq.date_gaps``): contiguous missing-date
+    ranges between the observed min and max — exactly what a scheduler
+    resubmits as backfill jobs. Every 5th day-of-month is hidden from
+    the orders calendar to manufacture deterministic gaps. Bounded
+    calendar explode + LEFT ANTI + gaps-and-islands; the only
+    data-proportional work is the distinct over observed dates.
+    """
+    from aws_medallion_etl_spark.operators import dq
+
+    orders = _t(spark, sf_dir, "orders").where(
+        F.dayofmonth("o_orderdate") % 5 != 0
+    )
+    return dq.date_gaps(orders.select(F.to_date("o_orderdate").alias("d")), "d")

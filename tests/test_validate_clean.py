@@ -184,3 +184,28 @@ def test_winsorize_approx_close_to_exact(spark):
     e = exact.agg(F.sum("w")).first()[0]
     a = approx.agg(F.sum("w")).first()[0]
     assert abs(e - a) / e < 0.01
+
+
+def test_date_gaps_islands(spark):
+    """Hand-built calendar with two gaps: ranges, sizes, and a
+    gapless frame yields zero rows."""
+    import datetime as dt
+
+    from aws_medallion_etl_spark.operators import dq
+
+    days = [1, 2, 3, 6, 7, 10]  # gaps: 4-5 (2 days), 8-9 (2 days)
+    df = spark.createDataFrame(
+        [(dt.date(2024, 5, d),) for d in days], "d date"
+    )
+    got = {
+        str(r["gap_start"]): (str(r["gap_end"]), r["n_days"])
+        for r in dq.date_gaps(df, "d").collect()
+    }
+    assert got == {
+        "2024-05-04": ("2024-05-05", 2),
+        "2024-05-08": ("2024-05-09", 2),
+    }
+    dense = spark.createDataFrame(
+        [(dt.date(2024, 5, d),) for d in (1, 2, 3)], "d date"
+    )
+    assert dq.date_gaps(dense, "d").count() == 0
