@@ -5354,3 +5354,61 @@ def dq_date_gaps(spark, sf_dir):
         F.dayofmonth("o_orderdate") % 5 != 0
     )
     return dq.date_gaps(orders.select(F.to_date("o_orderdate").alias("d")), "d")
+
+
+@query(
+    "str8_stream_incremental_dedup",
+    f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND NOT EXISTS (
+            SELECT 1 FROM jpairs j
+            WHERE (j.id_a = d.doc_id AND j.id_b % 2 = 0)
+               OR (j.id_b = d.doc_id AND j.id_a % 2 = 0)
+          )
+    """,
+)
+def str8_stream_incremental_dedup(spark, sf_dir):
+    """STREAMING incremental dedup against the persisted MinHash band
+    index — the production 100 TB ingest shape end-to-end: new
+    documents arrive as micro-batches, each batch hashes ONLY itself,
+    screens against the stored corpus bands, exact-verifies the
+    colliding subset, and appends its survivors to the kept sink via
+    ``foreachBatch`` (idempotent, checkpointed). Two real micro-
+    batches drain here; the union of their survivors must equal the
+    one-shot batch answer (the same exact-Jaccard oracle as
+    ``dedup_incremental``), proving batch-size invariance.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import streaming as stx
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = _scratch("mhidx_str", sf_dir)
+    fuzzy.build_minhash_index(existing, "doc_id", "text", idx)
+    base = _scratch("strdedup", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src, sink, ckpt = f"{base}/in", f"{base}/kept", f"{base}/ckpt"
+    # two arrival waves -> two micro-batches
+    new.where(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    new.where(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = stx.stream_from_directory(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+
+    def _dedup_batch(batch_df, _bid):
+        kept = fuzzy.dedup_against_corpus_lsh(
+            batch_df.sparkSession, batch_df, existing, "doc_id", "text", idx,
+            threshold=0.8, max_shingle_df=None,
+        )
+        kept.select("doc_id").write.mode("append").parquet(sink)
+
+    stx.run_available_now(stream, _dedup_batch, ckpt)
+    return spark.read.parquet(sink)
