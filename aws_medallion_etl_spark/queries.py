@@ -4841,8 +4841,8 @@ def dq_mad_outliers(spark, sf_dir):
     )
 
 
-_SEMANTIC_DEDUP_SQL = """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+_SEMANTIC_CTES = """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          n AS (
             SELECT vec_id, sqrt(sum(x * x)) AS nrm
             FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
@@ -4866,13 +4866,21 @@ _SEMANTIC_DEDUP_SQL = """
                                             ORDER BY cos DESC, seed_id ASC) AS rn
                   FROM scored)
             WHERE rn = 1
+         ),
+         sem_pairs AS (
+            SELECT ca.cluster, ca.vec_id AS id_a, cb.vec_id AS id_b,
+                   list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm) AS cosraw
+            FROM cl ca JOIN cl cb ON ca.cluster = cb.cluster
+                                 AND ca.vec_id < cb.vec_id
+            JOIN v a ON a.vec_id = ca.vec_id JOIN v b ON b.vec_id = cb.vec_id
+            JOIN n na ON na.vec_id = ca.vec_id JOIN n nb ON nb.vec_id = cb.vec_id
+            WHERE list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm) >= 0.35
          )
-    SELECT ca.cluster, ca.vec_id AS id_a, cb.vec_id AS id_b,
-           round(list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm), 4) AS cosine
-    FROM cl ca JOIN cl cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
-    JOIN v a ON a.vec_id = ca.vec_id JOIN v b ON b.vec_id = cb.vec_id
-    JOIN n na ON na.vec_id = ca.vec_id JOIN n nb ON nb.vec_id = cb.vec_id
-    WHERE list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm) >= 0.35
+"""
+
+_SEMANTIC_DEDUP_SQL = f"""
+    WITH {_SEMANTIC_CTES}
+    SELECT cluster, id_a, id_b, round(cosraw, 4) AS cosine FROM sem_pairs
 """
 
 
@@ -5412,3 +5420,47 @@ def str8_stream_incremental_dedup(spark, sf_dir):
 
     stx.run_available_now(stream, _dedup_batch, ckpt)
     return spark.read.parquet(sink)
+
+
+_E2E_SEMANTIC_SAMPLE_SQL = f"""
+    WITH {_SEMANTIC_CTES},
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM sem_pairs),
+    survivors AS (
+        SELECT d.doc_id, d.source, CAST(d.n_chars + 1 AS DOUBLE) AS weight
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    pri AS (
+        SELECT doc_id, source, weight,
+               weight / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                               || ':wsample'), 1, 12))
+                               AS BIGINT) + 0.5) / 281474976710656.0)
+                   AS priority
+        FROM survivors
+    )
+    SELECT doc_id, source, weight, round(priority, 4) AS priority
+    FROM pri ORDER BY pri.priority DESC, doc_id ASC LIMIT 30
+"""
+
+
+@query("e2e_semantic_curation", _E2E_SEMANTIC_SAMPLE_SQL)
+def e2e_semantic_curation(spark, sf_dir):
+    """Round-6 curation chain composed END TO END under one oracle:
+    SemDeDup drops every doc with a lower-id semantic duplicate in its
+    embedding cluster, then priority sampling selects the 30 heaviest-
+    weighted survivors deterministically. Three operators, one lineage
+    — the zero-shuffle cluster argmax feeds the pair join feeds a
+    LEFT ANTI feeds TakeOrdered; nothing materializes in between.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kept_emb = similarity.semantic_dedup_keep(
+        emb, "vec_id", "embedding", threshold=0.35, n_seeds=8
+    )
+    survivors = docs.join(
+        kept_emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    ).select(
+        "doc_id", "source", (F.col("n_chars") + 1).cast("double").alias("weight")
+    )
+    return corpus.weighted_sample(survivors, "doc_id", "weight", k=30)
