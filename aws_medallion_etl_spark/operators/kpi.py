@@ -202,3 +202,62 @@ def funnel(
         out = out.join(reached, user_col, "left")
         prev = name
     return out
+
+
+def clean_path_conversions(
+    df,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    start_event: str,
+    goal_event: str,
+    blocker_event: str,
+    within_seconds: int,
+    tiebreak_col: str = "event_id",
+):
+    """MATCH_RECOGNIZE-style pattern `A (no C)* B within T`: for every
+    start event, the next goal event by the same user counts as a
+    CLEAN conversion only if it lands within the window and no blocker
+    event fired in between — w12's funnel answers "did B ever follow
+    A"; this answers "did B follow A before anything went wrong",
+    the attribution/incident-analysis contract.
+
+    One window per user (ROWS 1 FOLLOWING .. UNBOUNDED) computing two
+    conditional minima — next goal ts, next blocker ts — so the whole
+    pattern is two frame scans, no self-join, no explode. Per-user
+    partitions are session-sized; aggregate-keyed skew handled by the
+    same per-user sharding every window op here uses. Returns per-user
+    (n_starts, n_clean, total_latency_us as exact integer microseconds).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t = F.col(type_col)
+    next_goal = F.min(F.when(t == goal_event, F.col(ts_col))).over(w)
+    next_block = F.min(F.when(t == blocker_event, F.col(ts_col))).over(w)
+    starts = (
+        df.withColumn("__ng", next_goal)
+        .withColumn("__nb", next_block)
+        .where(t == start_event)
+    )
+    # exact integer MICROSECONDS: fractional-second epochs truncate
+    # differently across engines; unix_micros is lossless
+    lat = F.unix_micros(F.col("__ng")) - F.unix_micros(F.col(ts_col))
+    clean = (
+        F.col("__ng").isNotNull()
+        & (lat <= within_seconds * 1_000_000)
+        & (F.col("__nb").isNull() | (F.col("__nb") >= F.col("__ng")))
+    )
+    return (
+        starts.withColumn("__clean", clean)
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_starts"),
+            F.sum(F.col("__clean").cast("long")).alias("n_clean"),
+            F.sum(F.when(F.col("__clean"), lat).otherwise(F.lit(0))).alias(
+                "total_latency_us"
+            ),
+        )
+    )

@@ -5464,3 +5464,49 @@ def e2e_semantic_curation(spark, sf_dir):
         "doc_id", "source", (F.col("n_chars") + 1).cast("double").alias("weight")
     )
     return corpus.weighted_sample(survivors, "doc_id", "weight", k=30)
+
+
+_W13_CLEAN_PATH_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_type, ts,
+               min(ts) FILTER (event_type = 'purchase') OVER w AS ng,
+               min(ts) FILTER (event_type = 'error') OVER w AS nb
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    starts AS (
+        SELECT user_id,
+               (ng IS NOT NULL
+                AND epoch_us(ng) - epoch_us(ts) <= 1800 * 1000000
+                AND (nb IS NULL OR nb >= ng)) AS clean,
+               epoch_us(ng) - epoch_us(ts) AS lat
+        FROM marked WHERE event_type = 'view'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_starts,
+           CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN clean THEN lat ELSE 0 END) AS BIGINT)
+               AS total_latency_us
+    FROM starts GROUP BY 1
+"""
+
+
+@query("w13_clean_path_conversions", _W13_CLEAN_PATH_SQL)
+def w13_clean_path_conversions(spark, sf_dir):
+    """Pattern matching `view (no error)* purchase within 30 min`
+    (``kpi.clean_path_conversions``): w12 asks "did a purchase ever
+    follow the view"; this asks "did it follow BEFORE anything went
+    wrong" — the attribution/incident contract MATCH_RECOGNIZE covers
+    in other engines, expressed as two conditional frame minima per
+    user. No self-join, no explode; latency kept as exact integer
+    seconds for cross-engine parity.
+    """
+    return kpi.clean_path_conversions(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        "view", "purchase", "error", within_seconds=1800,
+    )

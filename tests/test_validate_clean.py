@@ -209,3 +209,42 @@ def test_date_gaps_islands(spark):
         [(dt.date(2024, 5, d),) for d in (1, 2, 3)], "d date"
     )
     assert dq.date_gaps(dense, "d").count() == 0
+
+
+def test_clean_path_conversions_blocker_and_window(spark):
+    """Hand-built sequences: blocker between A and B kills the match,
+    out-of-window B kills it, blocker after B does not."""
+    import datetime as dt
+
+    from aws_medallion_etl_spark.operators import kpi
+
+    T = dt.datetime
+    rows = [
+        # u1: view -> purchase in 10 min, error AFTER purchase: clean
+        (1, 1, "view", T(2024, 1, 1, 10, 0)),
+        (2, 1, "purchase", T(2024, 1, 1, 10, 10)),
+        (3, 1, "error", T(2024, 1, 1, 10, 20)),
+        # u2: view -> error -> purchase: blocked
+        (4, 2, "view", T(2024, 1, 1, 10, 0)),
+        (5, 2, "error", T(2024, 1, 1, 10, 5)),
+        (6, 2, "purchase", T(2024, 1, 1, 10, 10)),
+        # u3: view -> purchase after 40 min: out of window
+        (7, 3, "view", T(2024, 1, 1, 10, 0)),
+        (8, 3, "purchase", T(2024, 1, 1, 10, 40)),
+        # u4: view, never purchases
+        (9, 4, "view", T(2024, 1, 1, 10, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r["user_id"]: (r["n_starts"], r["n_clean"], r["total_latency_us"])
+        for r in kpi.clean_path_conversions(
+            df, "user_id", "ts", "event_type", "view", "purchase", "error",
+            within_seconds=1800,
+        ).collect()
+    }
+    assert out[1] == (1, 1, 600 * 1_000_000)
+    assert out[2] == (1, 0, 0)
+    assert out[3] == (1, 0, 0)
+    assert out[4] == (1, 0, 0)
