@@ -5510,3 +5510,37 @@ def w13_clean_path_conversions(spark, sf_dir):
         _events(spark, sf_dir), "user_id", "ts", "event_type",
         "view", "purchase", "error", within_seconds=1800,
     )
+
+
+@query(
+    "f_pandas_udaf_median",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS udaf_median,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS builtin_median
+    FROM orders GROUP BY 1
+    """,
+)
+def f_pandas_udaf_median(spark, sf_dir):
+    """Grouped-agg pandas UDAF (``udx.grouped_median``): the custom-
+    aggregate escape hatch — one Arrow batch per group — pinned
+    AGAINST the built-in ``percentile`` in the same result row, so the
+    oracle proves both that the UDAF plumbing delivers whole correct
+    groups AND that the built-in (the preferred 100 TB path: JVM-side,
+    partial-aggregable) agrees with it.
+    """
+    from aws_medallion_etl_spark.operators import udx
+
+    orders = _t(spark, sf_dir, "orders")
+    udaf = udx.grouped_median(orders, ["o_orderstatus"], "o_totalprice")
+    builtin = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("__bm")
+    )
+    return (
+        udaf.join(builtin, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.round("median", 2).alias("udaf_median"),
+            F.round("__bm", 2).alias("builtin_median"),
+        )
+    )

@@ -248,3 +248,24 @@ def test_clean_path_conversions_blocker_and_window(spark):
     assert out[2] == (1, 0, 0)
     assert out[3] == (1, 0, 0)
     assert out[4] == (1, 0, 0)
+
+
+def test_grouped_median_udaf_matches_builtin(spark):
+    """UDAF median == builtin percentile(0.5) on odd and even groups."""
+    from aws_medallion_etl_spark.operators import udx
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("a", 100.0),
+         ("b", 2.0), ("b", 4.0)],
+        "k string, v double",
+    )
+    got = {r["k"]: r["median"]
+           for r in udx.grouped_median(df, ["k"], "v").collect()}
+    assert got == {"a": 5.0, "b": 3.0}
+    builtin = {
+        r["k"]: r["m"]
+        for r in df.groupBy("k")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+        .collect()
+    }
+    assert got == builtin
