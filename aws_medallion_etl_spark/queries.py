@@ -5544,3 +5544,49 @@ def f_pandas_udaf_median(spark, sf_dir):
             F.round("__bm", 2).alias("builtin_median"),
         )
     )
+
+
+_S22_SCHEMA_EVOLUTION_SQL = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(priority_score) AS BIGINT) AS n_with_new_col,
+           round(sum(coalesce(priority_score, 0.0)), 2) AS score_sum
+    FROM (
+        SELECT o_orderstatus, CAST(NULL AS DOUBLE) AS priority_score
+        FROM orders WHERE year(o_orderdate) < 1996
+        UNION ALL
+        SELECT o_orderstatus, round(o_totalprice / 1000.0, 2) AS priority_score
+        FROM orders WHERE year(o_orderdate) >= 1996
+    ) GROUP BY 1
+"""
+
+
+@query("s22_schema_evolution_scan", _S22_SCHEMA_EVOLUTION_SQL)
+def s22_schema_evolution_scan(spark, sf_dir):
+    """Schema evolution across partition generations: early partitions
+    lack a column later ones carry; ``mergeSchema`` reconciles the
+    footers at read time and old rows surface NULLs — the additive-
+    column contract every long-lived lake table eventually needs
+    (re-writing 100 TB of history to add a column is not an option).
+    The oracle reconstructs the same union semantics from the source
+    table, pinning both the NULL back-fill and the merged values.
+    """
+    import shutil
+
+    orders = _t(spark, sf_dir, "orders")
+    out = _scratch("schemaevo", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    old_gen = orders.where(F.year("o_orderdate") < 1996)
+    new_gen = orders.where(F.year("o_orderdate") >= 1996).withColumn(
+        "priority_score", F.round(F.col("o_totalprice") / 1000.0, 2)
+    )
+    old_gen.write.mode("overwrite").parquet(f"{out}/gen=1")
+    new_gen.write.mode("overwrite").parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("priority_score").alias("n_with_new_col"),
+        F.round(F.sum(F.coalesce("priority_score", F.lit(0.0))), 2).alias(
+            "score_sum"
+        ),
+    )

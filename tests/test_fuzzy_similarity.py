@@ -807,3 +807,31 @@ def test_bigram_logprob_penalizes_scrambled_transitions(spark):
     # docs with < 2 tokens are excluded
     one = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
     assert text.bigram_logprob_scores(one, "doc_id", "text").count() == 0
+
+
+def test_semantic_dedup_with_kmeans_seeds_production_path(spark):
+    """The production seeding (kmeans_centroids -> seeds=) yields pairs
+    that are a SUBSET of exact all-pairs at the threshold, and still
+    catches a planted duplicate."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup = emb.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.9999)).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(dup)
+    cents = similarity.kmeans_centroids(
+        corpus, "vec_id", "embedding", n_centroids=4, iters=2
+    )
+    seeds = [(i, list(c)) for i, c in enumerate(cents)]
+    pairs = similarity.semantic_dedup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.5, seeds=seeds
+    )
+    got = {(p["id_a"], p["id_b"]) for p in pairs.collect()}
+    exact = similarity.cosine_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.5, method="exact"
+    )
+    allowed = {(p["id_a"], p["id_b"]) for p in exact.collect()}
+    assert got <= allowed
+    src_id = emb.orderBy("vec_id").first()["vec_id"]
+    assert (src_id, src_id + 1_000_000) in got
