@@ -427,3 +427,11 @@ def test_dedup_by_canonical_url_keeps_preferred(spark):
     )
     rows = {r["canonical_url"]: r["id"] for r in kept.collect()}
     assert rows == {"https://site.com/a": 2, "https://site.com/b": 3}
+
+
+def test_weighted_sample_k_exceeds_n_and_null_url(spark):
+    """k > n returns everything (no crash); canonical_url of NULL is NULL."""
+    docs = spark.createDataFrame([(1, 2.0), (2, 3.0)], "doc_id long, weight double")
+    assert corpus.weighted_sample(docs, "doc_id", "weight", 10).count() == 2
+    nul = spark.createDataFrame([(None,)], "url string")
+    assert nul.select(corpus.canonical_url("url").alias("c")).first()["c"] is None

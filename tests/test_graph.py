@@ -66,3 +66,12 @@ def test_pagerank_edge_lineage_materialized_once(spark, star):
     # the union that builds the symmetrized edge list must not appear
     # once per iteration (3x) in the physical plan
     assert plan.count("Union") <= 1, plan.count("Union")
+
+
+def test_pagerank_no_edges_all_floor(spark):
+    """Edge-free graph: every vertex sits on the (1-d)/N floor."""
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {r["id"]: r["pagerank"]
+           for r in graph.pagerank(nodes, edges, "id", iterations=3).collect()}
+    assert set(got.values()) == {round(0.15 / 4, 6)}

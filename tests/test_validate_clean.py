@@ -269,3 +269,16 @@ def test_grouped_median_udaf_matches_builtin(spark):
         .collect()
     }
     assert got == builtin
+
+
+def test_winsorize_and_gaps_degenerate_inputs(spark):
+    """Single-value winsorize is identity; single-day frame has no gaps."""
+    import datetime as dt
+
+    from aws_medallion_etl_spark.operators import dq
+
+    one = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id long, x double")
+    out = dq.winsorize(one, "x", out_col="w").collect()
+    assert all(r["w"] == 7.0 for r in out)
+    d1 = spark.createDataFrame([(dt.date(2024, 1, 1),)], "d date")
+    assert dq.date_gaps(d1, "d").count() == 0
