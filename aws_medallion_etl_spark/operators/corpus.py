@@ -760,7 +760,9 @@ def canonical_url(
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
-    path = F.regexp_replace(path, "/$", "")
+    # ALL trailing slashes at once — "//" stripped one-at-a-time would
+    # break idempotence (found by the hypothesis property test)
+    path = F.regexp_replace(path, "/+$", "")
     q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
     kept = F.array_sort(
         F.filter(
