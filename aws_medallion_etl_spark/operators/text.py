@@ -359,3 +359,68 @@ def bigram_logprob_scores(
             "avg_logprob"
         ),
     )
+
+
+def source_divergence(
+    df,
+    source_col: str,
+    text_col: Column | str,
+    ndigits: int = 4,
+):
+    """Per-source Jensen-Shannon divergence of the token distribution
+    vs the WHOLE corpus — the data-mixture drift monitor: a source
+    whose language suddenly shifts (spam influx, scraper breakage,
+    template change) moves away from the corpus mixture long before
+    human review notices, and JS (unlike KL) is finite, symmetric and
+    bounded in [0, ln 2].
+
+        JSD(P_s || P_c) = 0.5 * KL(P_s || M) + 0.5 * KL(P_c || M),
+        M = (P_s + P_c) / 2
+
+    Token support is the corpus vocabulary, P_s is 0 on tokens the
+    source never uses (those terms drop out of KL(P_s||M) and appear
+    only via P_c in KL(P_c||M)), so no smoothing is needed.
+
+    Plan: one token explode -> one (source, token) hash aggregate (the
+    data-proportional shuffle, map-side combined) -> corpus totals
+    derived FROM that aggregate (no second pass) -> per-source sum.
+    State after the first aggregate is vocabulary x sources, never the
+    corpus.
+    """
+    toks = df.select(
+        F.col(source_col).alias("__src"),
+        F.explode(
+            F.split(F.trim(F.lower(_c(text_col))), r"\s+")
+        ).alias("__tok"),
+    ).where(F.col("__tok") != "")
+    st = toks.groupBy("__src", "__tok").agg(F.count(F.lit(1)).alias("__sc"))
+    src_tot = st.groupBy("__src").agg(F.sum("__sc").alias("__sn"))
+    corp = st.groupBy("__tok").agg(F.sum("__sc").alias("__cc"))
+    corp_tot = corp.agg(F.sum("__cc").cast("double").alias("__cn"))
+    # full support per source: (sources x corpus vocab) grid, LEFT JOIN
+    # the source's own counts — both factors are metadata-sized
+    st2 = st.select(
+        F.col("__src").alias("__s2"), F.col("__tok").alias("__t2"), "__sc"
+    )
+    grid = (
+        src_tot.crossJoin(corp)
+        .crossJoin(F.broadcast(corp_tot))
+        .join(
+            st2,
+            (F.col("__src") == F.col("__s2")) & (F.col("__tok") == F.col("__t2")),
+            "left",
+        )
+        .select(
+            "__src",
+            "__tok",
+            (F.coalesce(F.col("__sc"), F.lit(0)) / F.col("__sn")).alias("__p"),
+            (F.col("__cc") / F.col("__cn")).alias("__q"),
+        )
+    )
+    m = (F.col("__p") + F.col("__q")) / F.lit(2.0)
+    term = F.when(F.col("__p") > 0, F.col("__p") * F.log(F.col("__p") / m)).otherwise(
+        F.lit(0.0)
+    ) * F.lit(0.5) + F.lit(0.5) * (F.col("__q") * F.log(F.col("__q") / m))
+    return grid.groupBy(F.col("__src").alias(source_col)).agg(
+        F.round(F.sum(term), ndigits).alias("js_divergence")
+    )

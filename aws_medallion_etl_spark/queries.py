@@ -5590,3 +5590,44 @@ def s22_schema_evolution_scan(spark, sf_dir):
             "score_sum"
         ),
     )
+
+
+_T_JS_DIVERGENCE_SQL = r"""
+    WITH toks AS (
+        SELECT source AS src,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT src, tok, count(*) AS sc FROM toks WHERE tok <> ''
+           GROUP BY 1, 2),
+    stot AS (SELECT src, CAST(sum(sc) AS BIGINT) AS sn FROM tf GROUP BY 1),
+    corp AS (SELECT tok, CAST(sum(sc) AS BIGINT) AS cc FROM tf GROUP BY 1),
+    ctot AS (SELECT sum(cc) * 1.0 AS cn FROM corp),
+    grid AS (
+        SELECT s.src, c.tok,
+               coalesce(tf.sc, 0) / s.sn AS p,
+               c.cc / cn AS q
+        FROM stot s CROSS JOIN corp c CROSS JOIN ctot
+        LEFT JOIN tf ON tf.src = s.src AND tf.tok = c.tok
+    )
+    SELECT src AS source,
+           round(sum(CASE WHEN p > 0
+                          THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END * 0.5
+                     + 0.5 * (q * ln(q / ((p + q) / 2.0)))), 4)
+               AS js_divergence
+    FROM grid GROUP BY 1
+"""
+
+
+@query("t_js_divergence", _T_JS_DIVERGENCE_SQL)
+def t_js_divergence(spark, sf_dir):
+    """Data-mixture drift monitoring (``text.source_divergence``):
+    per-source Jensen-Shannon divergence of token distributions vs the
+    whole corpus — finite, symmetric, bounded in [0, ln 2], so a
+    source whose content shifts (spam influx, scraper breakage) is a
+    single threshold alert. One token explode + one (source, token)
+    hash aggregate; everything after is vocabulary-sized.
+    """
+    return text.source_divergence(
+        _t(spark, sf_dir, "documents"), "source", "text"
+    )

@@ -835,3 +835,29 @@ def test_semantic_dedup_with_kmeans_seeds_production_path(spark):
     assert got <= allowed
     src_id = emb.orderBy("vec_id").first()["vec_id"]
     assert (src_id, src_id + 1_000_000) in got
+
+
+def test_js_divergence_drift_detection(spark):
+    """A source matching the corpus mixture scores near 0; a divergent
+    source scores higher; all values within [0, ln 2]."""
+    import math
+
+    rows = (
+        [(i, "common", "the cat sat on the mat") for i in range(10)]
+        + [(100 + i, "drifted", "zzz qqq xxx vvv www yyy") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r["js_divergence"]
+        for r in text.source_divergence(df, "source", "text").collect()
+    }
+    assert 0.0 <= out["common"] <= math.log(2) + 1e-9
+    assert 0.0 <= out["drifted"] <= math.log(2) + 1e-9
+    assert out["drifted"] > out["common"]
+    # a corpus with ONE source diverges ~0 from itself
+    solo = spark.createDataFrame(
+        [(1, "only", "a b c"), (2, "only", "a b d")],
+        "doc_id long, source string, text string",
+    )
+    got = text.source_divergence(solo, "source", "text").first()
+    assert got["js_divergence"] == 0.0
