@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j14_inferred_members", "dq_date_gaps",
         "str8_stream_incremental_dedup", "e2e_semantic_curation",
         "w13_clean_path_conversions", "f_pandas_udaf_median",
-        "s22_schema_evolution_scan", "t_js_divergence",
+        "s22_schema_evolution_scan", "t_js_divergence", "w14_max_drawdown",
         "corpus_dedup_chunks", "ts_gapfill_interp",
         "s18_orc_roundtrip", "s19_jsonl_roundtrip",
         "corpus_shuffle_shards", "t_top_dup_ngrams",

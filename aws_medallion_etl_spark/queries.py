@@ -5631,3 +5631,44 @@ def t_js_divergence(spark, sf_dir):
     return text.source_divergence(
         _t(spark, sf_dir, "documents"), "source", "text"
     )
+
+
+_W14_DRAWDOWN_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    peaks AS (
+        SELECT user_id,
+               max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - value AS dd
+        FROM e
+    )
+    SELECT user_id, round(max(dd), 4) AS max_drawdown
+    FROM peaks GROUP BY 1
+"""
+
+
+@query("w14_max_drawdown", _W14_DRAWDOWN_SQL)
+def w14_max_drawdown(spark, sf_dir):
+    """Running-peak drawdown per key: the largest drop of ``value``
+    below its running maximum in event order — the monitoring shape
+    behind "metric fell X below its all-time high" alerts (and the
+    finance max-drawdown). One running-max window per key + one
+    aggregate; subtraction against the prefix max is exact double
+    arithmetic, so cross-engine parity needs no tricks beyond a
+    deterministic (ts, event_id) order.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = F.max("value").over(w) - F.col("value")
+    return (
+        e.withColumn("__dd", dd)
+        .groupBy("user_id")
+        .agg(F.round(F.max("__dd"), 4).alias("max_drawdown"))
+    )
