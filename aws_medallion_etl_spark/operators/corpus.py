@@ -736,6 +736,10 @@ def weighted_sample(
 TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "mc_cid", "mc_eid", "ref")
 
 
+def _cc(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
 def canonical_url(
     col: Column | str,
     strip_params: tuple = TRACKING_PARAMS,
@@ -779,10 +783,6 @@ def canonical_url(
         scheme, F.lit("://"), host, path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
-
-
-def _cc(col: Column | str) -> Column:
-    return F.col(col) if isinstance(col, str) else col
 
 
 def dedup_by_canonical_url(

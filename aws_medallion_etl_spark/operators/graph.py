@@ -18,7 +18,7 @@ goal), so there is no driver-side convergence probe at all — contrast
 ``fuzzy.cluster_pairs``, which needs one scalar per round.
 
 Reference scope: the reference engine has no graph operators
-(SURVEY.md SS2 has no graph family); this composes with its dedup
+(SURVEY.md §2 has no graph family); this composes with its dedup
 story the way ``fuzzy.cluster_pairs`` does.
 """
 
