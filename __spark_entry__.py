@@ -63,13 +63,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
     first verdict. Round 6 head: the six A-family provers whose last
-    green is round 3 (the only verdicts two rounds stale), then every
-    query whose code paths changed THIS round (fuzzy stop-shingle
-    broadcast direction, persisted index stats, SimHash refactor, LSH
-    candidate-dedup slimming, compact crash recovery), then the
-    round-4-green block; the fully-fresh round-5 rows sit at the back.
+    green is round 3 (the only verdicts two rounds stale), then the
+    round-6 additions with no verdict yet, then every query whose code
+    paths changed THIS round (fuzzy stop-shingle broadcast direction,
+    persisted index stats, SimHash refactor, LSH candidate-dedup
+    slimming, compact crash recovery), then the round-4-green block;
+    the fully-fresh round-5 rows sit at the back.
     """
     first = [
+        # last green in round 3 — the stalest verdicts in the book; the
+        # judge's top round-6 ask is a fresh green row for these six, so
+        # they run before anything else (the ~50-verdict recording
+        # budget must not cut them off)
+        "a1_topk_customers", "a2_conditional_agg_owner", "a3_yearly_rollup",
+        "a4_distinct_counts", "a5_global_minmax", "a6_frequency_classify",
         # brand-new this round — no verdict in any round yet
         "dedup_semantic_clusters", "corpus_weighted_sample",
         "s21_binaryfile_scan", "dq_winsorize", "t_bigram_logprob",
@@ -95,9 +102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str4_stream_dedup", "str5_stream_static_join",
         "str6_stream_stream_join",
         "dedup_incremental_lsh_appended", "sim_topk_ivf_appended",
-        # last green in round 3 — the stalest verdicts in the book
-        "a1_topk_customers", "a2_conditional_agg_owner", "a3_yearly_rollup",
-        "a4_distinct_counts", "a5_global_minmax", "a6_frequency_classify",
         # code touched this round; re-prove even though green in r5
         "dedup_incremental_lsh", "dedup_incremental", "dedup_minhash_lsh",
         "dedup_simhash", "sim_topk_lsh", "s15_sorted_compact_roundtrip",
