@@ -126,6 +126,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: for each candidate pair
+    (id_a < id_b), ``containment_a`` = |A∩B| / |A| and ``containment_b``
+    = |A∩B| / |B|; pairs where EITHER direction reaches ``threshold``
+    are kept.
+
+    Containment (Broder's resemblance companion measure, PAPERS.md) is
+    what Jaccard structurally misses at size mismatch: a 50-shingle
+    document quoted verbatim inside a 5,000-shingle one has
+    containment 1.0 but Jaccard ~0.01 — no symmetric threshold finds
+    it. The training-data cases are exactly that shape: boilerplate
+    inclusion, licence blocks, article-in-digest duplication, and
+    benchmark questions embedded in web pages.
+
+    Same scale contract as :func:`ngram_jaccard_pairs` — candidates
+    come from the blocking shingle self-join (never all-pairs) and the
+    ``max_shingle_df`` stop-shingle cap bounds the hot-shingle
+    quadratic blowup; the shuffle beyond the shingle stream carries
+    only (id_a, id_b, count) triples.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        # broadcast the bounded STOP set (df > cap), never the
+        # data-proportional rare complement
+        stop = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__id").alias("id_a"), "shingle")
+    b = sh.select(F.col("__id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    ca = F.col("__c") / F.col("__na")
+    cb = F.col("__c") / F.col("__nb")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.greatest(ca, cb) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ca, 4).alias("containment_a"),
+            F.round(cb, 4).alias("containment_b"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:

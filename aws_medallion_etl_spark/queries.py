@@ -1623,6 +1623,32 @@ _DEDUP_CLUSTERS_SQL = f"""
 """
 
 
+@query(
+    "dedup_containment",
+    f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT id_a, id_b,
+           round(c * 1.0 / sa.n, 4) AS containment_a,
+           round(c * 1.0 / sb.n, 4) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(c * 1.0 / sa.n, c * 1.0 / sb.n) >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment at 0.8 — the quote/subset-dup
+    screen Jaccard structurally misses at size mismatch.
+
+    ``max_shingle_df=None`` for the strictly-exact contract, mirroring
+    ``dedup_ngram_jaccard`` (the stop-shingle cap is the scale lever).
+    """
+    return fuzzy.containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_df=None,
+    )
+
+
 @query("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (blocked on shared shingles).

@@ -39,6 +39,50 @@ def test_ngram_jaccard_exact_pairs(spark):
     _no_cartesian(out)
 
 
+def test_containment_finds_quote_inclusion_jaccard_misses(spark):
+    """A short doc verbatim inside a long one: containment 1.0, but
+    Jaccard far below any useful threshold — the asymmetric measure's
+    reason to exist."""
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.upper()),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id int, text string",
+    )
+    out = fuzzy.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    rows = out.collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].containment_a == 1.0  # every shingle of 1 is in 2
+    assert rows[0].containment_b < 0.1
+    jac = fuzzy.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    assert jac.collect() == []  # symmetric threshold provably misses it
+    _no_cartesian(out)
+
+
+def test_containment_stop_shingle_cap_drops_hot_shingles(spark):
+    """With a cap, a shingle present in every doc stops generating
+    candidates: docs related ONLY through it pair without the cap and
+    do not pair with it."""
+    boiler = "all rights reserved by the original author"
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} {boiler}") for i in range(6)],
+        "doc_id int, text string",
+    )
+    uncapped = fuzzy.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=None
+    )
+    capped = fuzzy.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=5
+    )
+    assert uncapped.count() == 15  # all pairs share the boilerplate run
+    assert capped.count() == 0
+    _no_cartesian(capped)
+
+
 def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     """On real documents, banded-LSH + verify == the exact path."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
