@@ -250,3 +250,43 @@ def date_gaps(df: DataFrame, date_col: str) -> DataFrame:
         )
         .drop("__grp")
     )
+
+
+def dataset_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent content fingerprint: one row ``(n_rows,
+    fingerprint)`` where the fingerprint is the SUM of a 60-bit
+    md5-derived value per row over the canonicalized column text.
+
+    The cheap answer to "did the incremental path produce the same
+    table as the rebuild?" — compare two 1-row results instead of
+    anti-joining terabytes. Because the combiner is addition:
+
+    * row order and partitioning never matter (no sort needed);
+    * fingerprints of DISJOINT parts add up to the whole's, so a
+      backfill can be verified shard-by-shard and folded;
+    * any single-row change moves the sum with probability
+      ~1 - 2^-60.
+
+    It is NOT a multiset equality proof (adversarial collisions
+    exist) — it is a drift tripwire, the same contract as a checksum.
+
+    Canonicalization is ``cast(col as string)`` joined with a 0x1f
+    separator, NULL as 0x00 — portable to any engine with md5 (the
+    oracle recomputes it in DuckDB). Pass integer/string/date columns;
+    float columns should be rounded/scaled to exact decimals first
+    (float-to-string formatting is engine-specific).
+
+    Plan: one scan, one md5 + hex-to-decimal conversion per row in
+    the projection (all codegen), one 1-row hash aggregate with
+    map-side partial sums — the cheapest full-table statement there
+    is, and the shuffle carries one decimal per partition.
+    """
+    cols = cols or df.columns
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).alias("fingerprint"),
+    )

@@ -5373,6 +5373,36 @@ _DQ_DATE_GAPS_SQL = """
 """
 
 
+@query(
+    "dq_dataset_fingerprint",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || chr(31) ||
+               CAST(o_custkey AS VARCHAR) || chr(31) ||
+               o_orderstatus || chr(31) ||
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+           ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint
+    FROM orders
+    """,
+)
+def dq_dataset_fingerprint(spark, sf_dir):
+    """Order-independent additive content checksum over orders
+    (``dq.dataset_fingerprint``): the 1-row compare that validates an
+    incremental rebuild against the from-scratch table without
+    anti-joining the data. Portable md5 construction, so the oracle
+    reproduces the exact decimal on another engine; the additive/
+    order-invariance/sensitivity properties are pytest-pinned.
+    """
+    from aws_medallion_etl_spark.operators import dq
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.to_date("o_orderdate").cast("string").alias("o_orderdate_day"),
+    )
+    return dq.dataset_fingerprint(orders)
+
+
 @query("dq_date_gaps", _DQ_DATE_GAPS_SQL)
 def dq_date_gaps(spark, sf_dir):
     """Backfill planner (``dq.date_gaps``): contiguous missing-date

@@ -282,3 +282,39 @@ def test_winsorize_and_gaps_degenerate_inputs(spark):
     assert all(r["w"] == 7.0 for r in out)
     d1 = spark.createDataFrame([(dt.date(2024, 1, 1),)], "d date")
     assert dq.date_gaps(d1, "d").count() == 0
+
+
+def test_dataset_fingerprint_properties(spark):
+    """Additivity over disjoint parts, order/partitioning invariance,
+    and single-row sensitivity — the contract that makes the 1-row
+    checksum usable as an incremental-vs-rebuild gate."""
+    from aws_medallion_etl_spark.operators import dq
+
+    rows = [(i, f"v{i}", None if i % 3 == 0 else f"w{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+
+    whole = dq.dataset_fingerprint(df).collect()[0]
+    assert whole["n_rows"] == 100
+
+    # order/partitioning invariance
+    shuffled = dq.dataset_fingerprint(
+        df.orderBy(F.desc("a")).repartition(7)).collect()[0]
+    assert shuffled["fingerprint"] == whole["fingerprint"]
+
+    # additivity: disjoint halves sum to the whole
+    lo = dq.dataset_fingerprint(df.where("id < 50")).collect()[0]
+    hi = dq.dataset_fingerprint(df.where("id >= 50")).collect()[0]
+    assert lo["fingerprint"] + hi["fingerprint"] == whole["fingerprint"]
+
+    # sensitivity: one changed value moves the sum
+    tweaked = df.withColumn(
+        "b", F.when(F.col("id") == 42, F.lit("CHANGED")).otherwise(F.col("b"))
+    )
+    assert (dq.dataset_fingerprint(tweaked).collect()[0]["fingerprint"]
+            != whole["fingerprint"])
+
+    # NULL is distinct from the empty string (0x00 canonical token)
+    empt = spark.createDataFrame([(1, "", "x")], "id long, a string, b string")
+    null = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
+    assert (dq.dataset_fingerprint(empt).collect()[0]["fingerprint"]
+            != dq.dataset_fingerprint(null).collect()[0]["fingerprint"])
