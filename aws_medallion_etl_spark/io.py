@@ -336,6 +336,7 @@ def compact(
     target_files: int,
     partition_by: list[str] | None = None,
     transform=None,
+    verify: bool = False,
 ) -> None:
     """Small-file compaction: rewrite a parquet location into
     ``target_files`` files (per partition, if partitioned).
@@ -343,6 +344,16 @@ def compact(
     the hook increment-log tables (append-only rows readers
     group-sum, e.g. the MinHash index's shingle-DF stats) use to merge
     their generations in the same crash-safe swap.
+
+    ``verify=True`` computes ``dq.dataset_fingerprint`` (additive,
+    order-independent — layout changes cannot perturb it) over the
+    original and the staged rewrite and refuses to swap on mismatch,
+    leaving the original untouched. Costs one extra scan per side, so
+    it's opt-in; only valid without ``transform`` (a transform changes
+    content by design). The guard this buys: any rewrite bug —
+    engine, filesystem, or a partition column silently dropping rows
+    — surfaces as a raised error instead of corrupted data under an
+    atomic-looking swap.
 
     The maintenance job every streaming/incremental sink eventually
     needs — micro-batches and per-run appends accrete thousands of
@@ -376,10 +387,32 @@ def compact(
     if not os.path.exists(path.rstrip("/")):
         raise FileNotFoundError(f"compact: no dataset at {path}")
     shutil.rmtree(old, ignore_errors=True)
+    if verify and transform is not None:
+        raise ValueError("compact: verify=True is only valid without transform "
+                         "(a transform changes content by design)")
     df = spark.read.parquet(path)
     if transform is not None:
         df = transform(df)
     write_parquet(df, tmp, partition_by=partition_by, target_files=target_files)
+    if verify:
+        from aws_medallion_etl_spark.operators.dq import dataset_fingerprint
+
+        # partition columns come back LAST on read-back — canonicalize
+        # the column order so layout alone can't fail the compare
+        src = spark.read.parquet(path)
+        cols = sorted(src.columns)
+        before = dataset_fingerprint(src, cols).collect()[0]
+        after = dataset_fingerprint(spark.read.parquet(tmp), cols).collect()[0]
+        if (before["n_rows"], before["fingerprint"]) != (
+            after["n_rows"], after["fingerprint"]
+        ):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact: rewrite of {path} does not match the original "
+                f"(rows {before['n_rows']} -> {after['n_rows']}, fingerprint "
+                f"{before['fingerprint']} -> {after['fingerprint']}); "
+                "original left untouched"
+            )
     shutil.move(path, old)
     try:
         shutil.move(tmp, path)

@@ -360,6 +360,44 @@ def test_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
     assert not _glob.glob(out + ".compact_tmp")
 
 
+def test_compact_verify_passes_clean_and_refuses_corrupt(spark, sf_dir, tmp_path, monkeypatch):
+    """verify=True: a clean rewrite (even partitioned, with reordered
+    read-back columns) swaps; a rewrite that loses rows refuses the
+    swap and leaves the original untouched."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from aws_medallion_etl_spark import io as eio
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "ds")
+    nation.repartition(8).write.partitionBy("n_regionkey").parquet(out)
+    n = spark.read.parquet(out).count()
+
+    eio.compact(spark, out, target_files=1, partition_by=["n_regionkey"],
+                verify=True)
+    assert spark.read.parquet(out).count() == n
+    assert not _glob.glob(out + ".compact_tmp")
+
+    # sabotage the rewrite: drop a row during the staged write
+    real_write = eio.write_parquet
+
+    def lossy_write(df, path, **kw):
+        real_write(df.where(F.col("n_nationkey") != 0), path, **kw)
+
+    monkeypatch.setattr(eio, "write_parquet", lossy_write)
+    with _pytest.raises(RuntimeError, match="does not match the original"):
+        eio.compact(spark, out, target_files=1, partition_by=["n_regionkey"],
+                    verify=True)
+    assert spark.read.parquet(out).count() == n  # original intact
+    assert not _glob.glob(out + ".compact_tmp")  # staging cleaned
+
+    with _pytest.raises(ValueError, match="only valid without transform"):
+        eio.compact(spark, out, target_files=1, transform=lambda d: d,
+                    verify=True)
+
+
 def test_lsh_candidate_dedup_carries_no_vectors(spark, sf_dir):
     """The LSH candidate-dedup exchanges must move bare id pairs, not
     dim-64 double arrays: the collision dedup is a distinct over
