@@ -45,11 +45,10 @@ _DEFAULTS: dict[str, str] = {
     # default here previously encouraged loaders to hard-code one
     # encoding, which broke when the testdata switched NANOS -> MICROS.
     "spark.ui.enabled": "false",
-    # NOTE: JVM sizing (spark.driver.memory etc.) is deliberately NOT set
-    # here — builder.config silently no-ops once a JVM exists, so memory
-    # must come from launch-time config (spark-submit / env), not library
-    # defaults. The same applies to every _DEFAULTS entry when getOrCreate
-    # returns a pre-existing session.
+    # NOTE: JVM sizing is handled in get_spark(), not here: it only
+    # applies when THIS builder launches the JVM (measured: honored at
+    # gateway launch, silently a no-op once any JVM exists — as is every
+    # _DEFAULTS entry when getOrCreate returns a pre-existing session).
 }
 
 
@@ -73,6 +72,19 @@ def get_spark(
         shuffle_partitions = max(2 * int(cpus), 32) if master.startswith("local") else 200
 
     builder = SparkSession.builder.appName(app_name).master(master)
+    if master.startswith("local") and SparkSession.getActiveSession() is None:
+        # Local mode runs driver AND all executor threads in ONE JVM,
+        # whose heap defaults to 1 GiB — 32 task slots sharing
+        # ~400 MB of execution memory, so sorts/aggregates spill at
+        # data sizes the machine holds in page cache many times over
+        # (measured: 70 MB of sort spill at sf0.1 before this).
+        # Applies only when this builder is about to LAUNCH the JVM;
+        # against an existing session it would silently no-op, and on
+        # a real cluster spark-submit owns the sizing.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     for key, value in _DEFAULTS.items():
         builder = builder.config(key, value)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
