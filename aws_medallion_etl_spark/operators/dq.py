@@ -165,7 +165,17 @@ def skew_report(
     (``enrich.salted_join``) or AQE skew handling. One hash aggregate
     over the keys, a 1-row stats reduce over THAT (key-cardinality
     rows, not data rows), and a TakeOrdered top-k — safe at any scale.
+
+    ``recommended_salt`` closes the loop to the remediation lever: the
+    salt factor that splits THIS key into sub-keys of roughly mean key
+    size — ``ceil(key_count / mean_count)``, 1 for non-hot keys — i.e.
+    the ``salt`` argument to pass ``enrich.salted_join`` so the
+    hottest post-salt partition lands near the average one. Capped at
+    ``max_salt`` (default 256): beyond that the replicated build side
+    costs more than residual skew, and a key hotter than
+    256x mean wants the broadcast/AQE path instead.
     """
+    max_salt = 256
     per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("key_count"))
     stats = per_key.agg(
         F.round(F.avg("key_count"), ndigits).alias("mean_count"),
@@ -176,6 +186,13 @@ def skew_report(
         .withColumn(
             "skew_ratio",
             F.round(F.col("max_count") / F.col("mean_count"), ndigits),
+        )
+        .withColumn(
+            "recommended_salt",
+            F.least(
+                F.lit(max_salt),
+                F.ceil(F.col("key_count") / F.col("mean_count")),
+            ).cast("long"),
         )
         .orderBy(F.desc("key_count"), F.asc(key_col))
         .limit(k)

@@ -4110,7 +4110,9 @@ _DQ_SKEW_SQL = """
         FROM per_key
     )
     SELECT o_custkey, key_count, mean_count, max_count,
-           round(max_count / mean_count, 4) AS skew_ratio
+           round(max_count / mean_count, 4) AS skew_ratio,
+           CAST(least(256, CAST(ceil(key_count / mean_count) AS BIGINT))
+                AS BIGINT) AS recommended_salt
     FROM per_key, s
     ORDER BY key_count DESC, o_custkey
     LIMIT 10

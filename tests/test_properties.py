@@ -325,3 +325,53 @@ def test_canonical_url_idempotent_and_tracking_free(
     sch, rest = c1.split("://", 1)
     assert sch == sch.lower()
     assert rest.split("/", 1)[0].split("?", 1)[0] == host.lower()
+
+
+WORDS = st.sampled_from(["red", "big", "dog", "cat", "run", "sky"])
+
+
+@st.composite
+def doc_corpus(draw):
+    docs = draw(st.lists(st.lists(WORDS, min_size=1, max_size=8),
+                         min_size=2, max_size=6))
+    return [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+
+def _shingle_set(text, n=3):
+    toks = text.split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(doc_corpus())
+@settings(**SETTINGS)
+def test_containment_matches_naive_and_dominates_jaccard(spark, docs):
+    """containment_pairs == the set-arithmetic reference, and every
+    pair Jaccard keeps at threshold t, containment also keeps at t
+    (jaccard <= max(containment) always — the measure is strictly
+    more permissive)."""
+    from aws_medallion_etl_spark.operators import fuzzy
+
+    t = 0.5
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {(r.id_a, r.id_b): (r.containment_a, r.containment_b)
+           for r in fuzzy.containment_pairs(
+               df, "doc_id", "text", n=3, threshold=t,
+               max_shingle_df=None).collect()}
+
+    sets = {i: _shingle_set(txt) for i, txt in docs}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            ca, cb = inter / len(sets[a]), inter / len(sets[b])
+            if max(ca, cb) >= t:
+                want[(a, b)] = (round(ca, 4), round(cb, 4))
+    assert got == want
+
+    jac = {(r.id_a, r.id_b) for r in fuzzy.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=t, max_shingle_df=None).collect()}
+    assert jac <= set(got)

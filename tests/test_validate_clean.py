@@ -318,3 +318,18 @@ def test_dataset_fingerprint_properties(spark):
     null = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
     assert (dq.dataset_fingerprint(empt).collect()[0]["fingerprint"]
             != dq.dataset_fingerprint(null).collect()[0]["fingerprint"])
+
+
+def test_skew_report_salt_recommendation(spark):
+    """A key 10x hotter than the mean gets salt ~= its count/mean;
+    uniform keys get salt 1 — directly usable as enrich.salted_join's
+    salt argument."""
+    from aws_medallion_etl_spark.operators import dq
+
+    rows = [(1,)] * 40 + [(k,) for k in range(2, 10) for _ in range(5)]
+    df = spark.createDataFrame(rows, "k long")
+    out = {r["k"]: r for r in dq.skew_report(df, "k", k=9).collect()}
+    # mean = 80/9 ≈ 8.9; hot key 40 -> ceil(40/8.9) = 5
+    assert out[1]["recommended_salt"] == 5
+    assert all(out[k]["recommended_salt"] == 1 for k in range(2, 10))
+    assert out[1]["skew_ratio"] > 4
