@@ -816,3 +816,61 @@ def register_sql_function(
         f"CREATE OR REPLACE {scope}FUNCTION {name}({params}) "
         f"RETURNS {returns} RETURN {body}"
     )
+
+
+def expire_partitions(
+    path: str,
+    partition_col: str,
+    keep: int | None = None,
+    before: str | None = None,
+) -> list[str]:
+    """Retention for a ``partitionBy`` layout: delete whole
+    ``<col>=<value>`` partition directories past the retention point
+    and return the expired values.
+
+    The maintenance half of every run_date-partitioned sink in this
+    engine (bronze/silver/gold tables, reject quarantines, report
+    sidecars accrete one directory per run forever otherwise). Policy
+    is one of:
+
+    * ``keep=N`` — retain the N newest partitions by value sort;
+    * ``before='2024-06-01'`` — drop every value strictly below.
+
+    Values compare as STRINGS, which for the ``YYYY-MM-DD`` /
+    zero-padded values all engine sinks produce equals temporal order
+    (the caller owns that property for custom layouts). Directory
+    delete is partition-pruned retention at its cheapest — no data
+    scan, no rewrite; readers of live partitions never see a partial
+    state because each directory vanishes atomically at the rename
+    level. Expiring EVERYTHING is refused (keep >= 1; a ``before``
+    past every value raises) — deleting the dataset is ``rmtree``'s
+    job, and asking retention to do it is almost always a bug.
+    """
+    import os
+    import shutil
+
+    if (keep is None) == (before is None):
+        raise ValueError("expire_partitions: pass exactly one of keep/before")
+    if keep is not None and keep < 1:
+        raise ValueError("expire_partitions: keep must be >= 1")
+    root = path.rstrip("/")
+    prefix = f"{partition_col}="
+    parts = sorted(
+        d for d in os.listdir(root)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(root, d))
+    )
+    if not parts:
+        return []
+    if keep is not None:
+        doomed = parts[:-keep]
+    else:
+        doomed = [d for d in parts if d[len(prefix):] < before]
+        if len(doomed) == len(parts):
+            raise ValueError(
+                f"expire_partitions: before={before!r} would expire every "
+                f"partition of {path} — refusing (delete the dataset "
+                "explicitly if that is intended)"
+            )
+    for d in doomed:
+        shutil.rmtree(os.path.join(root, d))
+    return [d[len(prefix):] for d in doomed]

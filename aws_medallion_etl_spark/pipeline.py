@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_medallion_etl_spark import io
-from aws_medallion_etl_spark.operators import dedup, validate
+from aws_medallion_etl_spark.operators import dedup, dq, validate
 
 
 class GateFailure(RuntimeError):
@@ -176,13 +176,19 @@ def run_silver_table(
     written = io.read_parquet(spark, _table_path(out_dir, "silver", spec.name)).where(
         F.col("run_date") == run_date
     )
-    n_out = written.count()
+    # one read-back scan yields BOTH the row count and the additive
+    # content checksum (dq.dataset_fingerprint): run-over-run drift in
+    # this partition is a 1-row compare of consecutive reports, no
+    # data re-read
+    fp = dq.dataset_fingerprint(written).collect()[0]
+    n_out = fp["n_rows"]
     report = {
         "status": "ok",
         "layer": "silver",
         "rows_in": n_in,
         "rows_out": n_out,
         "deduped": n_in - n_out,
+        "fingerprint": str(fp["fingerprint"]),
     }
     # Per-strategy counters (reference silver reports,
     # Meta_Guideline.md:1643-1650): any *_was_imputed flag the clean
@@ -210,7 +216,7 @@ def run_gold(
     returning the frame to write (dims, facts, KPIs).
     """
     require_layer_ok(out_dir, "silver", upstream_tables, run_date)
-    report: dict = {"status": "ok", "layer": "gold", "tables": {}}
+    report: dict = {"status": "ok", "layer": "gold", "tables": {}, "fingerprints": {}}
     for name, build in builders.items():
         df = build(spark, out_dir, run_date)
         if "run_date" not in df.columns:
@@ -218,11 +224,15 @@ def run_gold(
         io.write_parquet(
             df, _table_path(out_dir, "gold", name), partition_by=["run_date"]
         )
-        report["tables"][name] = (
-            io.read_parquet(spark, _table_path(out_dir, "gold", name))
-            .where(F.col("run_date") == run_date)
-            .count()
-        )
+        # count + content checksum in the same read-back scan (see
+        # run_silver_table); gold KPI drift surfaces as a report diff
+        fp = dq.dataset_fingerprint(
+            io.read_parquet(spark, _table_path(out_dir, "gold", name)).where(
+                F.col("run_date") == run_date
+            )
+        ).collect()[0]
+        report["tables"][name] = fp["n_rows"]
+        report["fingerprints"][name] = str(fp["fingerprint"])
     io.write_json_report(report, f"{out_dir}/gold", "_all", run_date)
     return report
 

@@ -159,12 +159,20 @@ def test_pipeline_end_to_end_and_idempotent(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{out}/gold/fact_orders_by_segment").collect()
     )
     # full re-run of the same run_date: byte-identical gold, no duplicates
-    pipeline.run_pipeline(spark, sources, _specs(), _gold_builders(), out, "2024-06-01")
+    reports2 = pipeline.run_pipeline(
+        spark, sources, _specs(), _gold_builders(), out, "2024-06-01"
+    )
     gold2 = sorted(
         tuple(r)
         for r in spark.read.parquet(f"{out}/gold/fact_orders_by_segment").collect()
     )
     assert gold1 == gold2
+    # the report-level checksums agree run-over-run too — the 1-row
+    # drift compare the fingerprints exist for
+    assert (reports["gold"]["fingerprints"] == reports2["gold"]["fingerprints"])
+    for t in reports["silver"]:
+        assert (reports["silver"][t]["fingerprint"]
+                == reports2["silver"][t]["fingerprint"])
 
 
 def test_silver_clean_hook_reports_strategy_counts(spark, tmp_path):
@@ -375,3 +383,35 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
         ]
     finally:
         back.unpersist()
+
+
+def test_expire_partitions_retention(spark, sf_dir, tmp_path):
+    """keep=N retains the newest run_dates; before= drops older ones;
+    expiring everything is refused; live partitions stay readable."""
+    import os
+
+    import pytest as _pytest
+
+    from aws_medallion_etl_spark import io as eio
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = str(tmp_path / "ds")
+    for d in ["2024-06-01", "2024-06-02", "2024-06-03", "2024-06-04"]:
+        eio.write_parquet(
+            region.withColumn("run_date", F.lit(d)), out, partition_by=["run_date"]
+        )
+
+    gone = eio.expire_partitions(out, "run_date", keep=2)
+    assert gone == ["2024-06-01", "2024-06-02"]
+    left = sorted(x for x in os.listdir(out) if x.startswith("run_date="))
+    assert left == ["run_date=2024-06-03", "run_date=2024-06-04"]
+    assert spark.read.parquet(out).select("run_date").distinct().count() == 2
+
+    assert eio.expire_partitions(out, "run_date", before="2024-06-04") == ["2024-06-03"]
+
+    with _pytest.raises(ValueError, match="every\\s+partition"):
+        eio.expire_partitions(out, "run_date", before="2099-01-01")
+    with _pytest.raises(ValueError, match="exactly one"):
+        eio.expire_partitions(out, "run_date")
+    with _pytest.raises(ValueError, match="keep must be"):
+        eio.expire_partitions(out, "run_date", keep=0)
