@@ -685,3 +685,40 @@ def test_sql_udf_inlines_into_codegen_plan(spark, sf_dir):
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_extendedprice" in read and "l_discount" in read
     assert "l_quantity" not in read and "l_orderkey" not in read
+
+
+def test_plan_audit_clean_on_headline_queries(spark, sf_dir):
+    """The audit tool's anti-pattern screen stays green for a
+    representative slice of the inventory: no cartesian products, no
+    nested-loop joins outside the reviewed bounded-broadcast list, no
+    Python eval nodes outside the sanctioned vectorized queries —
+    in-suite, so a join-strategy regression fails CI, not the 100 TB
+    run."""
+    import importlib.util as _ilu
+    import os as _os
+    import sys as _sys
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    spec = _ilu.spec_from_file_location(
+        "plan_audit", _os.path.join(root, "tools", "plan_audit.py"))
+    pa = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+    _sys.path.insert(0, root)
+    import __spark_entry__ as entrymod
+
+    sample = [
+        "e2e_medallion_gold", "j5_scd2_apply_changes", "j1_enrich_left_defaults",
+        "dedup_minhash_lsh", "dedup_containment", "dedup_clusters",
+        "sim_topk_bruteforce", "w8_sessionize", "a13_grouping_sets",
+        "corpus_bm25", "t_bigram_logprob", "dq_skew_report",
+    ]
+    queries = entrymod.queries()
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for name in sample:
+        text = queries[name](spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        rec = pa.audit_plan(text)
+        assert not rec["cartesian_products"], f"{name}: CartesianProduct"
+        if name not in pa.SANCTIONED_NESTED_LOOP:
+            assert not rec["nested_loop_joins"], f"{name}: unsanctioned BNLJ"
+        assert not rec["python_eval_nodes"], f"{name}: Python eval node"
