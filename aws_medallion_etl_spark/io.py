@@ -873,4 +873,18 @@ def expire_partitions(
             )
     for d in doomed:
         shutil.rmtree(os.path.join(root, d))
+    # keep the file-skipping manifest (S16) consistent: entries are
+    # root-relative paths, so drop those under a deleted partition dir
+    # — otherwise pruned_read would plan files that no longer exist
+    manifest = os.path.join(root, _FILE_STATS_NAME)
+    if doomed and os.path.exists(manifest):
+        with open(manifest) as fh:
+            m = json.load(fh)
+        gone = tuple(d + os.sep for d in doomed)
+        m["files"] = [e for e in m.get("files", [])
+                      if not e["file"].startswith(gone)]
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, manifest)
     return [d[len(prefix):] for d in doomed]

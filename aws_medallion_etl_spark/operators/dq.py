@@ -157,6 +157,7 @@ def skew_report(
     key_col: str,
     k: int = 10,
     ndigits: int = 4,
+    max_salt: int = 256,
 ) -> DataFrame:
     """Heavy-key diagnosis: the top-k hottest join/agg keys plus the
     global skew ratio (hottest key count / mean key count).
@@ -175,7 +176,6 @@ def skew_report(
     costs more than residual skew, and a key hotter than
     256x mean wants the broadcast/AQE path instead.
     """
-    max_salt = 256
     per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("key_count"))
     stats = per_key.agg(
         F.round(F.avg("key_count"), ndigits).alias("mean_count"),

@@ -87,16 +87,35 @@ def ngram_jaccard_pairs(
       documenting the intent; a bounded-divergence test pins what the
       cap may change).
     """
+    sized = _blocked_pair_counts(df, id_col, text_col, n, max_shingle_df, block_col)
+    jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
+    return sized.where(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def _blocked_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Shared candidate machinery for the pairwise shingle measures
+    (Jaccard, containment): the blocking shingle self-join, producing
+    (id_a < id_b, __c shared-shingle count, __na, __nb per-doc shingle
+    counts). Every scale property lives HERE once: candidates come from
+    an equi-join on the shingle (never all-pairs), the ``max_shingle_df``
+    cap broadcasts the bounded STOP set (df > cap) and left-antis — never
+    the rare complement, which is the data-proportional whole vocabulary
+    — and the post-shingle shuffles carry bare id pairs and counts.
+    """
     sh = shingles(df, id_col, text_col, n)
     if block_col is not None:
         blocks = df.select(F.col(id_col).alias("__id"), F.col(block_col).alias("__blk"))
         sh = sh.join(blocks, "__id")
     if max_shingle_df is not None:
-        # Broadcast the STOP set (df > cap) and left-anti, never the
-        # complement: the rare side is essentially the whole shingle
-        # vocabulary (data-proportional — would blow the broadcast limit
-        # at scale) while the stop side is bounded by
-        # total_shingle_rows / cap regardless of corpus size.
         stop = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -117,13 +136,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
-    jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 def containment_pairs(
@@ -133,6 +146,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = 10_000,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric shingle-containment pairs: for each candidate pair
     (id_a < id_b), ``containment_a`` = |A∩B| / |A| and ``containment_b``
@@ -147,40 +161,15 @@ def containment_pairs(
     inclusion, licence blocks, article-in-digest duplication, and
     benchmark questions embedded in web pages.
 
-    Same scale contract as :func:`ngram_jaccard_pairs` — candidates
-    come from the blocking shingle self-join (never all-pairs) and the
-    ``max_shingle_df`` stop-shingle cap bounds the hot-shingle
-    quadratic blowup; the shuffle beyond the shingle stream carries
-    only (id_a, id_b, count) triples.
+    Candidate generation is :func:`_blocked_pair_counts` — the same
+    blocking self-join, stop-shingle cap, and ``block_col`` lever as
+    :func:`ngram_jaccard_pairs`; only the final measure differs.
     """
-    sh = shingles(df, id_col, text_col, n)
-    if max_shingle_df is not None:
-        # broadcast the bounded STOP set (df > cap), never the
-        # data-proportional rare complement
-        stop = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col("__id").alias("id_a"), "shingle")
-    b = sh.select(F.col("__id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    sized = _blocked_pair_counts(df, id_col, text_col, n, max_shingle_df, block_col)
     ca = F.col("__c") / F.col("__na")
     cb = F.col("__c") / F.col("__nb")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(F.greatest(ca, cb) >= threshold)
+        sized.where(F.greatest(ca, cb) >= threshold)
         .select(
             "id_a",
             "id_b",

@@ -407,7 +407,19 @@ def test_expire_partitions_retention(spark, sf_dir, tmp_path):
     assert left == ["run_date=2024-06-03", "run_date=2024-06-04"]
     assert spark.read.parquet(out).select("run_date").distinct().count() == 2
 
+    # a file-skipping manifest must shed entries for expired partitions
+    eio.build_file_stats_index(out, ["r_regionkey"])
+    import json as _json
+    with open(f"{out}/_file_stats.json") as fh:
+        n_before = len(_json.load(fh)["files"])
+
     assert eio.expire_partitions(out, "run_date", before="2024-06-04") == ["2024-06-03"]
+    with open(f"{out}/_file_stats.json") as fh:
+        files_after = [e["file"] for e in _json.load(fh)["files"]]
+    assert 0 < len(files_after) < n_before
+    assert not any(f.startswith("run_date=2024-06-03/") for f in files_after)
+    # pruned_read plans only live files
+    assert eio.pruned_read(spark, out, {"r_regionkey": (0, 10)}).count() > 0
 
     with _pytest.raises(ValueError, match="every\\s+partition"):
         eio.expire_partitions(out, "run_date", before="2099-01-01")

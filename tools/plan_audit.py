@@ -116,7 +116,10 @@ def main() -> int:
     records: dict[str, dict] = {}
     flags: list[str] = []
     errors: dict[str, str] = {}
-    for name, fn in entrymod.queries().items():
+    all_queries = entrymod.queries()
+    for name in only - set(all_queries):
+        errors[name] = "unknown query"
+    for name, fn in all_queries.items():
         if only and name not in only:
             continue
         try:
@@ -132,6 +135,14 @@ def main() -> int:
         if rec["nested_loop_joins"] and name not in SANCTIONED_NESTED_LOOP:
             flags.append(f"{name}: BroadcastNestedLoopJoin outside the "
                          "sanctioned broadcast-scalar list")
+
+    if only and os.path.exists(OUT):
+        # a partial run (explicit names) refreshes those rows in place —
+        # never clobbers the full committed audit with a near-empty one
+        with open(OUT) as fh:
+            prev = json.load(fh).get("queries", {})
+        prev.update(records)
+        records = prev
 
     summary = {
         "sf_dir": sf_dir,
@@ -149,7 +160,9 @@ def main() -> int:
         json.dump({"summary": summary, "queries": records}, fh, indent=1, sort_keys=True)
     print(json.dumps(summary, indent=1))
     print(f"-> {OUT}")
-    return 1 if errors else 0
+    # flags ARE the tripwire — a flagged plan must fail scripted runs,
+    # not just color the JSON
+    return 1 if errors or flags else 0
 
 
 if __name__ == "__main__":

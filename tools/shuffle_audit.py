@@ -125,11 +125,29 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — audit the rest regardless
             errors[name] = f"{type(e).__name__}: {e}"
             continue
+        # the action returns when jobs finish, but SQLExecutionEnd and
+        # the final accumulator updates post to the listener bus
+        # ASYNCHRONOUSLY — drain only after the bus settles or the
+        # metrics silently under-report
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+        except Exception:  # noqa: BLE001 — older/newer signature
+            import time as _time
+
+            _time.sleep(1.0)
         rec = drain_since(next_id)
         rec = {k: round(v, 1) for k, v in sorted(rec.items())}
         rec["shuffle_mib_written"] = round(
             rec.get("shuffle_bytes_written", 0.0) / (1 << 20), 2)
         results[name] = rec
+
+    if sys.argv[1:] and os.path.exists(OUT):
+        # a partial run (explicit names) refreshes those rows in place —
+        # never clobbers the full committed audit with a near-empty one
+        with open(OUT) as fh:
+            prev = json.load(fh).get("queries", {})
+        prev.update(results)
+        results = prev
 
     out = {"sf_dir": sf_dir, "queries": results, "errors": errors}
     with open(OUT, "w") as fh:
