@@ -620,6 +620,63 @@ def cluster_pairs(
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
 
+def merge_clusters(clusters: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Incremental connected components: fold a batch of NEW near-dup
+    pairs into an existing ``(id, cluster_id)`` labeling without
+    re-touching the edges that produced it.
+
+    The continuous-ingestion companion of :func:`cluster_pairs`: after
+    the LSH screen finds batch-vs-corpus and batch-vs-batch pairs,
+    re-clustering from scratch would re-run CC over the corpus edge
+    set. Instead each existing cluster CONTRACTS to its label
+    (supernode): new-pair endpoints project onto their cluster ids
+    (unlabeled ids stand for themselves), CC runs on that contracted
+    graph — sized by the clusters the batch touches, never the corpus
+    — and the resulting relabeling joins back onto the stored frame.
+
+    Because ``cluster_id`` is canonically the min member id, and every
+    member of a cluster is >= its label, the contracted minimum equals
+    the true minimum of each merged component: the output is EXACTLY
+    the labeling ``cluster_pairs`` would produce over the union of all
+    edges (pinned by ``test_merge_clusters_equals_from_scratch``).
+
+    Per batch the data-proportional work is ONE join of the new pairs
+    against the (id, cluster_id) frame; the CC iteration happens on
+    the contracted graph.
+    """
+    lab = clusters.select(F.col("id").alias("__nid"), F.col("cluster_id").alias("__lbl"))
+    ends = new_pairs.select(F.col("id_a").alias("__a"), F.col("id_b").alias("__b"))
+    proj = (
+        ends.join(lab.withColumnsRenamed({"__nid": "__a", "__lbl": "__la"}), "__a", "left")
+        .join(lab.withColumnsRenamed({"__nid": "__b", "__lbl": "__lb"}), "__b", "left")
+        .select(
+            F.coalesce("__la", "__a").alias("id_a"),
+            F.coalesce("__lb", "__b").alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    meta = cluster_pairs(proj).select(
+        F.col("id").alias("__old"), F.col("cluster_id").alias("__new")
+    )
+    # every id that should carry a label afterwards: previously labeled
+    # ones, plus new-pair endpoints (their base label is themselves)
+    base = lab.unionByName(
+        ends.select(F.col("__a").alias("__nid"))
+        .union(ends.select("__b"))
+        .distinct()
+        .join(lab, "__nid", "left_anti")
+        .select("__nid", F.col("__nid").alias("__lbl"))
+    )
+    return (
+        base.join(meta, base["__lbl"] == F.col("__old"), "left")
+        .select(
+            F.col("__nid").alias("id"),
+            F.coalesce("__new", "__lbl").alias("cluster_id"),
+        )
+    )
+
+
 def canonical_docs(
     df: DataFrame, id_col: str, clusters: DataFrame
 ) -> DataFrame:

@@ -1785,6 +1785,32 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+@query("dedup_clusters_merged", _DEDUP_CLUSTERS_SQL)
+def dedup_clusters_merged(spark, sf_dir):
+    """Incremental clustering (``fuzzy.merge_clusters``): even docs are
+    the pre-clustered corpus; pairs touching odd docs are the batch,
+    folded in by supernode contraction — never re-running CC over the
+    corpus edges. The oracle is the SAME full-graph recursive closure
+    as ``dedup_clusters``: the merged labeling must equal from-scratch
+    exactly (min-id labels are canonical under contraction).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    corpus_pairs = fuzzy.ngram_jaccard_pairs(
+        even, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+    all_pairs = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+    batch_pairs = all_pairs.where(
+        (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
+    )
+    merged = fuzzy.merge_clusters(fuzzy.cluster_pairs(corpus_pairs), batch_pairs)
+    return fuzzy.canonical_docs(docs.select("doc_id"), "doc_id", merged).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 @query("dedup_minhash_lsh", _NGRAM_JACCARD_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + banded LSH near-dup pairs, candidates verified by exact Jaccard.

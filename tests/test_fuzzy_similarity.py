@@ -905,3 +905,32 @@ def test_js_divergence_drift_detection(spark):
     )
     got = text.source_divergence(solo, "source", "text").first()
     assert got["js_divergence"] == 0.0
+
+
+def test_merge_clusters_equals_from_scratch(spark):
+    """Folding the second half of an edge list into the first half's
+    clustering reproduces the from-scratch labeling EXACTLY (min-id
+    labels are canonical, so contraction loses nothing) — including a
+    chain whose halves only connect through a batch edge, absorbed
+    clusters, and brand-new nodes."""
+    edges = [
+        (1, 2), (2, 3),          # chain -> cluster 1
+        (10, 11),                # cluster 10
+        (20, 21), (21, 22),      # cluster 20
+        (30, 31),                # batch-only cluster
+        (3, 10),                 # batch edge merging cluster 1 + 10
+        (22, 40),                # batch edge adding a NEW node to cluster 20
+    ]
+    first = spark.createDataFrame(edges[:5], "id_a long, id_b long")
+    second = spark.createDataFrame(edges[5:], "id_a long, id_b long")
+    both = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    incremental = fuzzy.merge_clusters(fuzzy.cluster_pairs(first), second)
+    scratch = fuzzy.cluster_pairs(both)
+    assert (sorted(tuple(r) for r in incremental.collect())
+            == sorted(tuple(r) for r in scratch.collect()))
+
+    # idempotent: re-merging the same batch changes nothing
+    again = fuzzy.merge_clusters(incremental, second)
+    assert (sorted(tuple(r) for r in again.collect())
+            == sorted(tuple(r) for r in incremental.collect()))
