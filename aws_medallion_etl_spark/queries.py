@@ -5506,6 +5506,74 @@ def str8_stream_incremental_dedup(spark, sf_dir):
     return spark.read.parquet(sink)
 
 
+@query("str9_stream_incremental_clusters", _DEDUP_CLUSTERS_SQL)
+def str9_stream_incremental_clusters(spark, sf_dir):
+    """STREAMING cluster maintenance: near-dup components kept current
+    across micro-batches with ``fuzzy.merge_clusters`` — the labels
+    frame is the only cross-batch state that ever rewrites, and CC
+    per batch runs on the contracted touched-cluster graph, not the
+    corpus. Even docs are pre-clustered; odd docs arrive in two real
+    micro-batches; each batch pairs against everything seen so far,
+    folds its edges into the stored labels, and appends itself to the
+    seen set. The final labeling must equal the one-shot closure over
+    ALL docs (the same recursive-CTE oracle as ``dedup_clusters``) —
+    arrival order provably doesn't matter.
+
+    (Pair generation here re-shingles the seen set per batch — the
+    deliberate exact mode matching the oracle; the production screen
+    is the persisted band index of ``str8``.)
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import streaming as stx
+
+    docs = _t(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    base = _scratch("strclusters", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src, seen_p, labels_p, ckpt = (
+        f"{base}/in", f"{base}/seen", f"{base}/labels", f"{base}/ckpt"
+    )
+    even.write.parquet(seen_p)
+    seed_pairs = fuzzy.ngram_jaccard_pairs(
+        even, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+    fuzzy.cluster_pairs(seed_pairs).write.parquet(labels_p)
+    new.where(F.col("doc_id") % 4 == 1).coalesce(1).write.mode("append").parquet(src)
+    new.where(F.col("doc_id") % 4 == 3).coalesce(1).write.mode("append").parquet(src)
+    stream = stx.stream_from_directory(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+
+    def _cluster_batch(batch_df, _bid):
+        s = batch_df.sparkSession
+        seen = s.read.parquet(seen_p)
+        pairs = fuzzy.ngram_jaccard_pairs(
+            seen.unionByName(batch_df), "doc_id", "text",
+            n=3, threshold=0.8, max_shingle_df=None,
+        )
+        bids = batch_df.select("doc_id")
+        batch_pairs = (
+            pairs.join(bids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+            .unionByName(
+                pairs.join(bids.withColumnRenamed("doc_id", "id_b"), "id_b",
+                           "left_semi")
+            )
+            .distinct()
+        )
+        merged = fuzzy.merge_clusters(
+            s.read.parquet(labels_p), batch_pairs
+        ).localCheckpoint(eager=True)  # materialize BEFORE overwriting its source
+        merged.write.mode("overwrite").parquet(labels_p)
+        batch_df.write.mode("append").parquet(seen_p)
+
+    stx.run_available_now(stream, _cluster_batch, ckpt)
+    return fuzzy.canonical_docs(
+        docs.select("doc_id"), "doc_id", spark.read.parquet(labels_p)
+    ).select("doc_id", "cluster_id", "is_canonical")
+
+
 _E2E_SEMANTIC_SAMPLE_SQL = f"""
     WITH {_SEMANTIC_CTES},
     dropped AS (SELECT DISTINCT id_b AS doc_id FROM sem_pairs),
