@@ -747,10 +747,14 @@ def dedup_against_corpus(
     threshold: float = 0.8,
     max_shingle_df: int | None = 10_000,
     stop_shingles: DataFrame | None = None,
+    return_pairs: bool = False,
 ) -> DataFrame:
     """Incremental near-dedup: keep the NEW batch's rows whose n-gram
     Jaccard against every EXISTING corpus document stays below
-    ``threshold``.
+    ``threshold``. With ``return_pairs=True``, return the verified
+    cross edges ``(id_a=new, id_b=corpus, jaccard)`` instead — the
+    input :func:`merge_clusters` needs to keep stored components
+    current as batches land.
 
     The continuous-ingestion shape: a daily/streaming batch must not
     re-pair the corpus with itself (that work is already done), only
@@ -803,13 +807,20 @@ def dedup_against_corpus(
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     jac = F.col("__c") / (F.col("__nn") + F.col("__no") - F.col("__c"))
-    matched = (
+    verified = (
         inter.join(size_new.select(F.col("__id").alias("__new_id"), "__nn"), "__new_id")
         .join(size_old.select(F.col("__id").alias("__old_id"), "__no"), "__old_id")
         .where(jac >= threshold)
-        .select(F.col("__new_id").alias("__dup_id"))
-        .distinct()
     )
+    if return_pairs:
+        # the cross edges themselves — what cluster maintenance
+        # (merge_clusters) consumes; id_a is always the NEW side
+        return verified.select(
+            F.col("__new_id").alias("id_a"),
+            F.col("__old_id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    matched = verified.select(F.col("__new_id").alias("__dup_id")).distinct()
     return new_df.join(
         matched, new_df[id_col] == F.col("__dup_id"), "left_anti"
     )
@@ -946,10 +957,13 @@ def dedup_against_corpus_lsh(
     index_path: str,
     threshold: float = 0.8,
     max_shingle_df: int | None = 10_000,
+    return_pairs: bool = False,
 ) -> DataFrame:
     """Incremental near-dedup through a prebuilt MinHash band index:
     screen with the stored bands, verify exactly — the per-batch scale
-    path of :func:`dedup_against_corpus`.
+    path of :func:`dedup_against_corpus`. ``return_pairs=True``
+    returns the verified cross edges instead of the kept rows (for
+    :func:`merge_clusters`), at the same banding recall.
 
     The screen narrows the CORPUS side to docs band-colliding with any
     new doc (an equi-join on (band, bhash) against the index, then a
@@ -1031,4 +1045,5 @@ def dedup_against_corpus_lsh(
         new_df, corpus_cand, id_col, text_col,
         n=params["n"], threshold=threshold,
         max_shingle_df=None, stop_shingles=stop,
+        return_pairs=return_pairs,
     )

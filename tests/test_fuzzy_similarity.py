@@ -934,3 +934,33 @@ def test_merge_clusters_equals_from_scratch(spark):
     again = fuzzy.merge_clusters(incremental, second)
     assert (sorted(tuple(r) for r in again.collect())
             == sorted(tuple(r) for r in incremental.collect()))
+
+
+def test_dedup_against_corpus_return_pairs(spark, sf_dir, tmp_path):
+    """return_pairs=True yields exactly the cross edges whose absence
+    keeps a row (kept-mode parity), and the band-index screen returns
+    the same edge set at recall-1.0 parameters."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    pairs = fuzzy.dedup_against_corpus(
+        batch, corpus, "doc_id", "text", threshold=0.8, max_shingle_df=None,
+        return_pairs=True,
+    ).collect()
+    assert pairs, "fixture should contain cross near-dups"
+    assert all(r.id_a % 2 == 1 and r.id_b % 2 == 0 for r in pairs)
+    kept = {r.doc_id for r in fuzzy.dedup_against_corpus(
+        batch, corpus, "doc_id", "text", threshold=0.8, max_shingle_df=None,
+    ).collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert batch_ids - kept == {r.id_a for r in pairs}
+
+    idx = str(tmp_path / "mhidx")
+    fuzzy.build_minhash_index(corpus, "doc_id", "text", idx)
+    lsh = fuzzy.dedup_against_corpus_lsh(
+        spark, batch, corpus, "doc_id", "text", idx, threshold=0.8,
+        max_shingle_df=None, return_pairs=True,
+    ).collect()
+    assert ({(r.id_a, r.id_b, r.jaccard) for r in lsh}
+            == {(r.id_a, r.id_b, r.jaccard) for r in pairs})
