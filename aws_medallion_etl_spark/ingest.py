@@ -1,0 +1,149 @@
+"""Continuous corpus ingestion: one call per arriving batch, against
+persisted state only.
+
+This module packages the incremental primitives (persisted MinHash
+band index, ``fuzzy.dedup_against_corpus_lsh``, ``fuzzy.merge_clusters``,
+``dq.dataset_fingerprint``) into the loop a production training-data
+pipeline actually runs. Per batch, corpus-proportional work is:
+
+* ONE equi-join of the batch's bands against the stored band index
+  (candidate screen), plus exact verification on the colliding
+  candidate subset — no corpus text is read outside the verify;
+* with the ``cluster`` policy, ONE join of the verified edges against
+  the stored ``(id, cluster_id)`` frame (supernode contraction).
+
+Everything else — shingling, signatures, within-batch pairing — is
+O(batch). State lives in three parquet locations the caller owns:
+
+``corpus_path``    the document table (appended per batch)
+``index_path``     the MinHash band index (bands + shingle-DF log)
+``clusters_path``  the (id, cluster_id) labeling (cluster policy only)
+
+Two policies, matching the two streaming proofs (str8/str9):
+
+* ``policy="filter"`` — drop batch docs with a near-dup already in
+  the corpus (within-batch dups are kept: the contract of
+  ``fuzzy.dedup_against_corpus``, matching its oracle). First-seen
+  wins across batches; the kept set equals what the sequential
+  text-mode loop would keep (pinned by
+  ``test_ingest_filter_matches_naive_sequential``).
+* ``policy="cluster"`` — keep everything, maintain duplicate-group
+  labels instead; export-time dedup picks canonical docs
+  (``fuzzy.canonical_docs``). Labels after any batch split equal the
+  from-scratch clustering of all documents (pinned by
+  ``test_ingest_cluster_matches_from_scratch``).
+
+Maintenance: after many batches, ``fuzzy.compact_minhash_index`` and
+``io.compact`` fold the appended generations back to bounded file
+counts; ``io.expire_partitions`` handles retention where the corpus
+is run_date-partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from aws_medallion_etl_spark.operators import dq, fuzzy
+
+
+def init_corpus(
+    spark,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_path: str,
+    index_path: str,
+    clusters_path: str | None = None,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> None:
+    """One-time bootstrap: write the corpus table, build the band
+    index, and (for the cluster policy) the initial labeling from the
+    corpus's own near-dup pairs."""
+    docs.write.mode("overwrite").parquet(corpus_path)
+    fuzzy.build_minhash_index(
+        docs, id_col, text_col, index_path,
+        n=n, num_hashes=num_hashes, bands=bands,
+    )
+    if clusters_path is not None:
+        pairs = fuzzy.minhash_lsh_pairs(
+            docs, id_col, text_col,
+            n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+        fuzzy.cluster_pairs(pairs).write.mode("overwrite").parquet(clusters_path)
+
+
+def ingest_batch(
+    spark,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_path: str,
+    index_path: str,
+    clusters_path: str | None = None,
+    policy: str = "filter",
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 10_000,
+) -> dict:
+    """Process one arriving batch against the persisted corpus state.
+
+    Returns a report dict: ``n_batch``, ``n_kept``, ``n_dropped``
+    (filter) / ``n_edges`` (cluster), and the additive content
+    ``fingerprint`` of the appended rows (``str``), so consecutive
+    reports double as the drift ledger the pipeline layer keeps.
+    """
+    if policy not in ("filter", "cluster"):
+        raise ValueError(f"ingest_batch: unknown policy {policy!r}")
+    corpus = spark.read.parquet(corpus_path)
+    n_batch = batch.count()
+    report: dict = {"policy": policy, "n_batch": n_batch}
+
+    if policy == "filter":
+        kept = fuzzy.dedup_against_corpus_lsh(
+            spark, batch, corpus, id_col, text_col, index_path,
+            threshold=threshold, max_shingle_df=max_shingle_df,
+        ).localCheckpoint(eager=True)  # sever lineage BEFORE appending
+        # to corpus_path — the screen's plan reads that same location
+        kept.write.mode("append").parquet(corpus_path)
+        fuzzy.append_to_minhash_index(spark, kept, id_col, text_col, index_path)
+        fp = dq.dataset_fingerprint(kept.select(id_col, text_col)).collect()[0]
+        report.update(
+            n_kept=fp["n_rows"],
+            n_dropped=n_batch - fp["n_rows"],
+            fingerprint=str(fp["fingerprint"]),
+        )
+        return report
+
+    # cluster policy: keep everything, fold edges into stored labels
+    import json
+
+    with open(os.path.join(index_path, "params.json")) as fh:
+        params = json.load(fh)
+    cross = fuzzy.dedup_against_corpus_lsh(
+        spark, batch, corpus, id_col, text_col, index_path,
+        threshold=threshold, max_shingle_df=max_shingle_df,
+        return_pairs=True,
+    )
+    internal = fuzzy.minhash_lsh_pairs(
+        batch, id_col, text_col, n=params["n"],
+        num_hashes=params["num_hashes"], bands=params["bands"],
+        threshold=threshold,
+    )
+    edges = (
+        cross.select("id_a", "id_b")
+        .unionByName(internal.select("id_a", "id_b"))
+        .distinct()
+    )
+    labels = spark.read.parquet(clusters_path)
+    merged = fuzzy.merge_clusters(labels, edges).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    merged.write.mode("overwrite").parquet(clusters_path)
+    batch.write.mode("append").parquet(corpus_path)
+    fuzzy.append_to_minhash_index(spark, batch, id_col, text_col, index_path)
+    fp = dq.dataset_fingerprint(batch.select(id_col, text_col)).collect()[0]
+    report.update(n_kept=n_batch, n_edges=n_edges, fingerprint=str(fp["fingerprint"]))
+    return report

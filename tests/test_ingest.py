@@ -1,0 +1,85 @@
+"""Continuous-ingestion loop (aws_medallion_etl_spark.ingest): the
+packaged per-batch step must reproduce, through the PERSISTED state
+path (band index + appends + stored labels), exactly what the naive
+text-mode references compute from scratch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark import ingest
+from aws_medallion_etl_spark.operators import fuzzy
+
+
+def _paths(tmp_path):
+    b = str(tmp_path)
+    return f"{b}/corpus", f"{b}/mhidx", f"{b}/clusters"
+
+
+def test_ingest_filter_matches_naive_sequential(spark, sf_dir, tmp_path):
+    """Two filter-policy batches through the index path keep exactly
+    the docs the sequential text-mode loop keeps (first-seen wins),
+    and the reports account for every row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 3)
+    corpus_p, idx_p, _ = _paths(tmp_path)
+
+    ingest.init_corpus(spark, corpus0, "doc_id", "text", corpus_p, idx_p)
+    r1 = ingest.ingest_batch(
+        spark, b1, "doc_id", "text", corpus_p, idx_p,
+        policy="filter", max_shingle_df=None,
+    )
+    r2 = ingest.ingest_batch(
+        spark, b2, "doc_id", "text", corpus_p, idx_p,
+        policy="filter", max_shingle_df=None,
+    )
+    got = {r.doc_id for r in spark.read.parquet(corpus_p).select("doc_id").collect()}
+
+    # naive reference: text-mode dedup, batch by batch
+    seen = corpus0
+    for b in (b1, b2):
+        kept = fuzzy.dedup_against_corpus(
+            b, seen, "doc_id", "text", threshold=0.8, max_shingle_df=None
+        )
+        seen = seen.unionByName(kept)
+    want = {r.doc_id for r in seen.select("doc_id").collect()}
+
+    assert got == want
+    assert r1["n_kept"] + r1["n_dropped"] == r1["n_batch"]
+    assert r2["n_kept"] + r2["n_dropped"] == r2["n_batch"]
+    assert r1["n_dropped"] + r2["n_dropped"] > 0, "fixture should drop near-dups"
+    assert int(r1["fingerprint"]) != int(r2["fingerprint"])
+
+
+def test_ingest_cluster_matches_from_scratch(spark, sf_dir, tmp_path):
+    """Two cluster-policy batches leave the stored labels equal to the
+    from-scratch clustering of ALL docs at the same parameters —
+    the index path + supernode merge lose nothing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 3)
+    corpus_p, idx_p, clu_p = _paths(tmp_path)
+
+    ingest.init_corpus(
+        spark, corpus0, "doc_id", "text", corpus_p, idx_p, clusters_path=clu_p
+    )
+    for b in (b1, b2):
+        r = ingest.ingest_batch(
+            spark, b, "doc_id", "text", corpus_p, idx_p, clusters_path=clu_p,
+            policy="cluster", max_shingle_df=None,
+        )
+        assert r["n_kept"] == r["n_batch"]  # cluster policy drops nothing
+
+    got = {(r.id, r.cluster_id)
+           for r in spark.read.parquet(clu_p).collect()}
+    scratch = fuzzy.cluster_pairs(
+        fuzzy.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    )
+    want = {(r.id, r.cluster_id) for r in scratch.collect()}
+    assert got == want
+    # every doc landed in the corpus table
+    assert spark.read.parquet(corpus_p).count() == docs.count()
