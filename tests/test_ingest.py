@@ -83,3 +83,35 @@ def test_ingest_cluster_matches_from_scratch(spark, sf_dir, tmp_path):
     assert got == want
     # every doc landed in the corpus table
     assert spark.read.parquet(corpus_p).count() == docs.count()
+
+
+def test_ingest_edge_cases(spark, sf_dir, tmp_path):
+    """An EMPTY batch is a clean no-op for both policies (state
+    unchanged, zero counts); unknown policies are rejected."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    corpus_p, idx_p, clu_p = _paths(tmp_path)
+    ingest.init_corpus(
+        spark, docs, "doc_id", "text", corpus_p, idx_p, clusters_path=clu_p
+    )
+    empty = docs.where(F.lit(False))
+    n0 = spark.read.parquet(corpus_p).count()
+    labels0 = sorted(tuple(r) for r in spark.read.parquet(clu_p).collect())
+
+    r = ingest.ingest_batch(
+        spark, empty, "doc_id", "text", corpus_p, idx_p, policy="filter"
+    )
+    assert (r["n_batch"], r["n_kept"], r["n_dropped"]) == (0, 0, 0)
+    r = ingest.ingest_batch(
+        spark, empty, "doc_id", "text", corpus_p, idx_p, clusters_path=clu_p,
+        policy="cluster",
+    )
+    assert (r["n_batch"], r["n_edges"]) == (0, 0)
+    assert spark.read.parquet(corpus_p).count() == n0
+    assert sorted(tuple(r) for r in spark.read.parquet(clu_p).collect()) == labels0
+
+    with _pytest.raises(ValueError, match="unknown policy"):
+        ingest.ingest_batch(
+            spark, empty, "doc_id", "text", corpus_p, idx_p, policy="nope"
+        )
