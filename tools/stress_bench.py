@@ -32,6 +32,8 @@ HEAVY = [
     "corpus_cluster_representatives",
     "dedup_clusters",
     "sim_topk_ivf_indexed",
+    "dedup_containment",
+    "dedup_clusters_merged",
 ]
 
 SRC = "/root/testdata/sf0.1"
