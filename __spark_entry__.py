@@ -79,7 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_distinct_counts", "a5_global_minmax", "a6_frequency_classify",
         # brand-new this round — no verdict in any round yet
         "dedup_containment", "dq_dataset_fingerprint", "dedup_clusters_merged",
-        "str9_stream_incremental_clusters",
+        "str9_stream_incremental_clusters", "t_strip_html",
         "dedup_semantic_clusters", "corpus_weighted_sample",
         "s21_binaryfile_scan", "dq_winsorize", "t_bigram_logprob",
         "f_sql_udf", "graph_pagerank_hubs", "dedup_url_canonical",

@@ -424,3 +424,38 @@ def source_divergence(
     return grid.groupBy(F.col("__src").alias(source_col)).agg(
         F.round(F.sum(term), ndigits).alias("js_divergence")
     )
+
+
+def strip_html(col: Column | str) -> Column:
+    """Extract readable text from raw HTML: drop script/style/head
+    blocks and comments, strip tags, decode the common entities,
+    collapse whitespace — the ingest-side boilerplate step every
+    web-crawl corpus runs before any quality scoring or dedup.
+
+    Pure codegen ``regexp_replace`` chain (RE2-portable patterns, no
+    backreferences), so at 100 TB it costs a scan projection — no
+    Python, no shuffle. ``(?is)`` makes the block patterns match
+    across newlines and case-insensitively. This is a pragmatic
+    regex extractor, not an HTML5 parser: malformed markup degrades
+    to extra whitespace, never to an error — acceptable for corpus
+    curation, where a full DOM parse would buy little and cost a
+    Python UDF.
+    """
+    x = _c(col)
+    # script/style/head/noscript/template blocks: content is never
+    # prose. One replace per tag, NOT a (tag).*?</\1> backreference —
+    # RE2 (DuckDB, Go, Rust) has no backreferences, and oracle-
+    # portability of every pattern is a module contract.
+    for tag in ("script", "style", "head", "noscript", "template"):
+        x = F.regexp_replace(x, rf"(?is)<{tag}\b.*?</{tag}\s*>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")        # comments
+    x = F.regexp_replace(x, r"(?is)<br\s*/?>|</p\s*>|</div\s*>|</li\s*>|</h[1-6]\s*>", "\n")
+    x = F.regexp_replace(x, r"(?s)<[^>]+>", " ")           # any remaining tag
+    for ent, rep in [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+                     ("&apos;", "'")]:
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.regexp_replace(x, r"[ \t\x0B\f\r]+", " ")        # collapse runs
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n{2,}", "\n")
+    return F.trim(x)

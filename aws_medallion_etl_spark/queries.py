@@ -2209,6 +2209,72 @@ def t_repetition_ngrams(spark, sf_dir):
 
 
 @query(
+    "t_strip_html",
+    r"""
+    WITH wrapped AS (
+        SELECT doc_id,
+               '<html><head><style>body{color:red}</style>'
+               || '<script>var a = 1 < 2;</script></head>'
+               || '<body><!-- nav --><p id="main">' || text
+               || '</p><div>&amp;&nbsp;footer &#39;links&#39;</div></body></html>'
+                   AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(
+            replace(replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(regexp_replace(
+                        html,
+                        '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+                        '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+                        '(?is)<head\b.*?</head\s*>', ' ', 'g'),
+                        '(?is)<noscript\b.*?</noscript\s*>', ' ', 'g'),
+                        '(?is)<template\b.*?</template\s*>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                  '(?is)<br\s*/?>|</p\s*>|</div\s*>|</li\s*>|</h[1-6]\s*>',
+                  chr(10), 'g'),
+                '(?s)<[^>]+>', ' ', 'g'),
+              '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+            '[ ' || chr(9) || chr(11) || chr(12) || chr(13) || ']+', ' ', 'g'),
+            ' ?' || chr(10) || ' ?', chr(10), 'g'),
+            chr(10) || '{2,}', chr(10), 'g')) AS clean
+        FROM wrapped
+    )
+    SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars_clean
+    FROM stripped
+    """,
+)
+def t_strip_html(spark, sf_dir):
+    """Boilerplate removal (``text.strip_html``): documents wrapped in
+    a deterministic HTML shell (head/style/script blocks, comments,
+    entities) come back as readable text — script/style content gone,
+    entities decoded, whitespace collapsed. The whole chain is
+    codegen ``regexp_replace`` with RE2-portable patterns, which is
+    what lets the DuckDB oracle replicate it replace-for-replace.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>body{color:red}</style>'
+              '<script>var a = 1 < 2;</script></head>'
+              '<body><!-- nav --><p id="main">'),
+        F.col("text"),
+        F.lit('</p><div>&amp;&nbsp;footer &#39;links&#39;</div></body></html>'),
+    )
+    clean = text.strip_html(html)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
+@query(
     "t_unigram_logprob",
     r"""
     WITH toks AS (

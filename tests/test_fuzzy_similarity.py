@@ -964,3 +964,26 @@ def test_dedup_against_corpus_return_pairs(spark, sf_dir, tmp_path):
     ).collect()
     assert ({(r.id_a, r.id_b, r.jaccard) for r in lsh}
             == {(r.id_a, r.id_b, r.jaccard) for r in pairs})
+
+
+def test_strip_html_edge_cases(spark):
+    """Uppercase tags, multiline script bodies with '<' inside,
+    comments, entities, and run-on whitespace all reduce to readable
+    text; block-level closers become newlines."""
+    html = (
+        "<HTML><HEAD><TITLE>t</TITLE></HEAD><body>\n"
+        "<SCRIPT type='x'>\nif (a < b && c > d) { alert('&amp;'); }\n</script>"
+        "<style>p { margin: 0 }</style>"
+        "<!-- multi\nline\ncomment -->"
+        "<p>first&nbsp;para &amp; more</p>"
+        "<ul><li>one</li><li>two</li></ul>"
+        "<div>last   bit</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id int, raw string")
+    out = df.select(text.strip_html("raw").alias("clean")).collect()[0]["clean"]
+    assert "<" not in out and ">" not in out
+    assert "alert" not in out and "margin" not in out  # script/style gone
+    assert "comment" not in out
+    assert "first para & more" in out
+    assert "one\ntwo" in out      # list items newline-separated
+    assert "last bit" in out      # whitespace collapsed
