@@ -147,3 +147,40 @@ def ingest_batch(
     fp = dq.dataset_fingerprint(batch.select(id_col, text_col)).collect()[0]
     report.update(n_kept=n_batch, n_edges=n_edges, fingerprint=str(fp["fingerprint"]))
     return report
+
+
+def export_canonical(
+    spark,
+    corpus_path: str,
+    clusters_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    target_files: int | None = None,
+) -> dict:
+    """Export the training-ready corpus from cluster-policy state:
+    one canonical document per duplicate group (the min-id member),
+    singletons kept as themselves — ``fuzzy.canonical_docs`` over the
+    stored labels, written as parquet.
+
+    This is where the cluster policy pays off over filter-at-ingest:
+    the full corpus (with labels) stays queryable for audits and
+    threshold re-tuning, while exports are deduplicated views. Returns
+    ``n_corpus`` / ``n_canonical`` / ``fingerprint`` (of the exported
+    ids) so consecutive exports diff as 1-row report compares.
+    """
+    from aws_medallion_etl_spark import io as eio
+
+    corpus = spark.read.parquet(corpus_path)
+    labels = spark.read.parquet(clusters_path)
+    tagged = fuzzy.canonical_docs(corpus, id_col, labels)
+    canonical = tagged.where(F.col("is_canonical")).drop(
+        "cluster_id", "is_canonical"
+    )
+    eio.write_parquet(canonical, out_path, target_files=target_files)
+    exported = spark.read.parquet(out_path)
+    fp = dq.dataset_fingerprint(exported.select(id_col)).collect()[0]
+    return {
+        "n_corpus": corpus.count(),
+        "n_canonical": fp["n_rows"],
+        "fingerprint": str(fp["fingerprint"]),
+    }

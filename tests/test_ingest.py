@@ -84,6 +84,15 @@ def test_ingest_cluster_matches_from_scratch(spark, sf_dir, tmp_path):
     # every doc landed in the corpus table
     assert spark.read.parquet(corpus_p).count() == docs.count()
 
+    # export: one canonical doc per group, singletons kept
+    out_p = str(tmp_path / "export")
+    rep = ingest.export_canonical(spark, corpus_p, clu_p, out_p)
+    dup_members = {i for i, c in want if i != c}
+    assert rep["n_canonical"] == docs.count() - len(dup_members)
+    exported = {r.doc_id for r in spark.read.parquet(out_p).select("doc_id").collect()}
+    assert exported.isdisjoint(dup_members)
+    assert rep["n_corpus"] == docs.count()
+
 
 def test_ingest_edge_cases(spark, sf_dir, tmp_path):
     """An EMPTY batch is a clean no-op for both policies (state
