@@ -29,9 +29,16 @@ Two policies, matching the two streaming proofs (str8/str9):
   ``test_ingest_filter_matches_naive_sequential``).
 * ``policy="cluster"`` — keep everything, maintain duplicate-group
   labels instead; export-time dedup picks canonical docs
-  (``fuzzy.canonical_docs``). Labels after any batch split equal the
-  from-scratch clustering of all documents (pinned by
-  ``test_ingest_cluster_matches_from_scratch``).
+  (``fuzzy.canonical_docs`` / :func:`export_canonical`). Cross and
+  within-batch edges share ONE stop-shingle set per batch (stored
+  corpus stats + batch increment), so a single similarity definition
+  labels the whole frame; the edge threshold is persisted beside the
+  labels and later batches must match it. At ``max_shingle_df=None``
+  labels after any batch split equal the from-scratch clustering of
+  all documents exactly (pinned by
+  ``test_ingest_cluster_matches_from_scratch``); under a DF cap the
+  stop statistics grow with the corpus, so early-batch edges reflect
+  slightly smaller corpora — inherent to any streaming cap.
 
 Maintenance: after many batches, ``fuzzy.compact_minhash_index`` and
 ``io.compact`` fold the appended generations back to bounded file
@@ -46,6 +53,10 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from aws_medallion_etl_spark.operators import dq, fuzzy
+
+
+def _clusters_meta_path(clusters_path: str) -> str:
+    return clusters_path.rstrip("/") + ".meta.json"
 
 
 def init_corpus(
@@ -75,6 +86,16 @@ def init_corpus(
             n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
         )
         fuzzy.cluster_pairs(pairs).write.mode("overwrite").parquet(clusters_path)
+        # the labeling's similarity definition is state, exactly like
+        # the index's hash params: later batches folding edges at a
+        # DIFFERENT threshold would silently mix two cluster
+        # definitions in one frame (see ingest_batch's validation).
+        # SIBLING file, not inside the dir — per-batch label rewrites
+        # use mode("overwrite"), which clears the directory.
+        import json
+
+        with open(_clusters_meta_path(clusters_path), "w") as fh:
+            json.dump({"threshold": threshold}, fh)
 
 
 def ingest_batch(
@@ -121,26 +142,48 @@ def ingest_batch(
     # cluster policy: keep everything, fold edges into stored labels
     import json
 
-    with open(os.path.join(index_path, "params.json")) as fh:
-        params = json.load(fh)
+    if clusters_path is None:
+        raise ValueError(
+            "ingest_batch: policy='cluster' requires clusters_path"
+        )
+    meta_p = _clusters_meta_path(clusters_path)
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            stored_t = json.load(fh)["threshold"]
+        if stored_t != threshold:
+            raise ValueError(
+                f"ingest_batch: labeling at {clusters_path} was built at "
+                f"threshold={stored_t}, batch asked for {threshold} — mixing "
+                "edge definitions in one labeling silently corrupts it; "
+                "re-init the clusters to change thresholds"
+            )
+    # ONE stop-shingle set (stored corpus DF stats + batch increment)
+    # applies to BOTH edge kinds, so cross and within-batch pairs use
+    # the SAME similarity definition — otherwise final clusters would
+    # depend on which batch two near-dups happened to arrive in
+    stop = fuzzy.index_stop_shingles(
+        spark, index_path, batch, corpus, id_col, text_col, max_shingle_df
+    )
     cross = fuzzy.dedup_against_corpus_lsh(
         spark, batch, corpus, id_col, text_col, index_path,
         threshold=threshold, max_shingle_df=max_shingle_df,
-        return_pairs=True,
+        return_pairs=True, stop_shingles=stop,
     )
-    internal = fuzzy.minhash_lsh_pairs(
-        batch, id_col, text_col, n=params["n"],
-        num_hashes=params["num_hashes"], bands=params["bands"],
-        threshold=threshold,
-    )
+    internal = fuzzy.dedup_against_corpus(
+        batch, batch, id_col, text_col, threshold=threshold,
+        max_shingle_df=None, stop_shingles=stop, return_pairs=True,
+    ).where(F.col("id_a") < F.col("id_b"))
+    # materialize the union ONCE — it feeds the count and (inside
+    # merge_clusters) two consumers, and its lineage is the screen
     edges = (
         cross.select("id_a", "id_b")
         .unionByName(internal.select("id_a", "id_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
     labels = spark.read.parquet(clusters_path)
     merged = fuzzy.merge_clusters(labels, edges).localCheckpoint(eager=True)
-    n_edges = edges.count()
     merged.write.mode("overwrite").parquet(clusters_path)
     batch.write.mode("append").parquet(corpus_path)
     fuzzy.append_to_minhash_index(spark, batch, id_col, text_col, index_path)

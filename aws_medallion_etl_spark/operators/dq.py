@@ -303,7 +303,10 @@ def dataset_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFra
         "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
     )
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    # the additive identity: an EMPTY frame fingerprints as 0, not
+    # NULL — required for the shard-additivity contract and for the
+    # report ledger (str(None) is not a checksum)
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h).alias("fingerprint"),
+        F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")).alias("fingerprint"),
     )

@@ -645,7 +645,13 @@ def merge_clusters(clusters: DataFrame, new_pairs: DataFrame) -> DataFrame:
     the contracted graph.
     """
     lab = clusters.select(F.col("id").alias("__nid"), F.col("cluster_id").alias("__lbl"))
-    ends = new_pairs.select(F.col("id_a").alias("__a"), F.col("id_b").alias("__b"))
+    # materialize the pair endpoints ONCE: the frame feeds both the
+    # contracted-graph projection and the base relabeling, and the
+    # caller's pair lineage is typically the expensive LSH screen —
+    # without this it would re-execute per consumer
+    ends = new_pairs.select(
+        F.col("id_a").alias("__a"), F.col("id_b").alias("__b")
+    ).localCheckpoint(eager=True)
     proj = (
         ends.join(lab.withColumnsRenamed({"__nid": "__a", "__lbl": "__la"}), "__a", "left")
         .join(lab.withColumnsRenamed({"__nid": "__b", "__lbl": "__lb"}), "__b", "left")
@@ -948,6 +954,61 @@ def compact_minhash_index(spark, path: str, target_files: int = 32) -> None:
     _io.compact(spark, f"{path}/bands", target_files)
 
 
+def index_stop_shingles(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_shingle_df: int | None,
+) -> DataFrame | None:
+    """The stop-shingle set (document frequency > cap over corpus +
+    batch) for an index probe — corpus counts come from the persisted
+    ``shingle_df`` increment log (group-summed), so NO corpus text is
+    read; only the batch is shingled. ``None`` when the cap is off.
+
+    Exposed so a caller generating SEVERAL edge kinds per batch
+    (cross batch-vs-corpus AND within-batch, as ingest's cluster
+    policy does) can compute the set once and apply ONE consistent
+    similarity definition to all of them. Indexes that predate the
+    stats table fall back to re-shingling the corpus.
+    """
+    import json
+    import os
+
+    if max_shingle_df is None:
+        return None
+    with open(f"{index_path}/params.json") as fh:
+        params = json.load(fh)
+    batch_stats = (
+        shingles(batch, id_col, text_col, params["n"])
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    df_path = f"{index_path}/shingle_df"
+    if os.path.isdir(df_path):
+        # stored corpus DF increments + the batch's counts = the exact
+        # full corpus+batch document frequencies, with zero corpus-text
+        # reads (the stored table is pre-aggregated per generation;
+        # group-sum merges the increment log)
+        corpus_stats = spark.read.parquet(df_path)
+    else:
+        # index predates the stats table: legacy full re-shingle
+        corpus_stats = (
+            shingles(corpus_df, id_col, text_col, params["n"])
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+        )
+    return (
+        corpus_stats.unionAll(batch_stats)
+        .groupBy("shingle")
+        .agg(F.sum("__df").alias("__df"))
+        .where(F.col("__df") > max_shingle_df)
+        .select("shingle")
+    )
+
+
 def dedup_against_corpus_lsh(
     spark,
     new_df: DataFrame,
@@ -958,12 +1019,15 @@ def dedup_against_corpus_lsh(
     threshold: float = 0.8,
     max_shingle_df: int | None = 10_000,
     return_pairs: bool = False,
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup through a prebuilt MinHash band index:
     screen with the stored bands, verify exactly — the per-batch scale
     path of :func:`dedup_against_corpus`. ``return_pairs=True``
     returns the verified cross edges instead of the kept rows (for
-    :func:`merge_clusters`), at the same banding recall.
+    :func:`merge_clusters`), at the same banding recall. A caller that
+    already built the stop set (``index_stop_shingles``) passes it via
+    ``stop_shingles`` to skip the internal computation.
 
     The screen narrows the CORPUS side to docs band-colliding with any
     new doc (an equi-join on (band, bhash) against the index, then a
@@ -1013,33 +1077,15 @@ def dedup_against_corpus_lsh(
     corpus_cand = corpus_df.join(
         cand_ids, corpus_df[id_col] == F.col("__cand_id"), "left_semi"
     )
-    stop = None
-    if max_shingle_df is not None:
-        batch_df = (
-            shingles(new_df, id_col, text_col, params["n"])
-            .groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-        )
-        df_path = f"{index_path}/shingle_df"
-        if os.path.isdir(df_path):
-            # stored corpus DF increments + the batch's counts = the
-            # exact full corpus+batch document frequencies, with zero
-            # corpus-text reads (the stored table is pre-aggregated
-            # per generation; group-sum merges the increment log)
-            corpus_stats = spark.read.parquet(df_path)
-        else:
-            # index predates the stats table: legacy full re-shingle
-            corpus_stats = (
-                shingles(corpus_df, id_col, text_col, params["n"])
-                .groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("__df"))
-            )
-        stop = (
-            corpus_stats.unionAll(batch_df)
-            .groupBy("shingle")
-            .agg(F.sum("__df").alias("__df"))
-            .where(F.col("__df") > max_shingle_df)
-            .select("shingle")
+    if stop_shingles is not None:
+        # caller computed the stop set once (e.g. to share one
+        # consistent similarity definition across several edge
+        # generators, as ingest's cluster policy does)
+        stop = stop_shingles
+    else:
+        stop = index_stop_shingles(
+            spark, index_path, new_df, corpus_df, id_col, text_col,
+            max_shingle_df,
         )
     return dedup_against_corpus(
         new_df, corpus_cand, id_col, text_col,

@@ -451,11 +451,15 @@ def strip_html(col: Column | str) -> Column:
     x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")        # comments
     x = F.regexp_replace(x, r"(?is)<br\s*/?>|</p\s*>|</div\s*>|</li\s*>|</h[1-6]\s*>", "\n")
     x = F.regexp_replace(x, r"(?s)<[^>]+>", " ")           # any remaining tag
-    for ent, rep in [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
-                     ("&apos;", "'")]:
+    # decode &amp; LAST: doing it first turns the double-escaped
+    # '&amp;lt;' (a page DISPLAYING '&lt;') into '&lt;' and then '<',
+    # re-introducing markup characters the function promises are gone
+    for ent, rep in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+                     ("&amp;", "&")]:
         x = F.replace(x, F.lit(ent), F.lit(rep))
     x = F.regexp_replace(x, r"[ \t\x0B\f\r]+", " ")        # collapse runs
     x = F.regexp_replace(x, r" ?\n ?", "\n")
     x = F.regexp_replace(x, r"\n{2,}", "\n")
-    return F.trim(x)
+    # trim() strips only spaces; block closers leave edge newlines
+    return F.regexp_replace(x, r"^\s+|\s+$", "")

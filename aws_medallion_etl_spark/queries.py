@@ -2222,7 +2222,7 @@ def t_repetition_ngrams(spark, sf_dir):
     ),
     stripped AS (
         SELECT doc_id,
-          trim(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
             replace(replace(replace(replace(replace(replace(replace(
               regexp_replace(
                 regexp_replace(
@@ -2239,11 +2239,12 @@ def t_repetition_ngrams(spark, sf_dir):
                   '(?is)<br\s*/?>|</p\s*>|</div\s*>|</li\s*>|</h[1-6]\s*>',
                   chr(10), 'g'),
                 '(?s)<[^>]+>', ' ', 'g'),
-              '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-              '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
             '[ ' || chr(9) || chr(11) || chr(12) || chr(13) || ']+', ' ', 'g'),
             ' ?' || chr(10) || ' ?', chr(10), 'g'),
-            chr(10) || '{2,}', chr(10), 'g')) AS clean
+            chr(10) || '{2,}', chr(10), 'g'),
+            '^\s+|\s+$', '', 'g') AS clean
         FROM wrapped
     )
     SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars_clean

@@ -987,3 +987,14 @@ def test_strip_html_edge_cases(spark):
     assert "first para & more" in out
     assert "one\ntwo" in out      # list items newline-separated
     assert "last bit" in out      # whitespace collapsed
+
+    # double-escaped entities (a page DISPLAYING markup) decode ONCE:
+    # '&amp;lt;div&amp;gt;' renders as the literal text '&lt;div&gt;',
+    # never as a raw tag
+    esc = spark.createDataFrame(
+        [(1, "<p>use &amp;lt;div&amp;gt; &amp;amp; &amp;nbsp; here</p>")],
+        "id int, raw string",
+    )
+    out2 = esc.select(text.strip_html("raw").alias("c")).collect()[0]["c"]
+    assert out2 == "use &lt;div&gt; &amp; &nbsp; here"
+    assert "<" not in out2 and ">" not in out2

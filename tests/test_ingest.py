@@ -124,3 +124,15 @@ def test_ingest_edge_cases(spark, sf_dir, tmp_path):
         ingest.ingest_batch(
             spark, empty, "doc_id", "text", corpus_p, idx_p, policy="nope"
         )
+    # cluster policy without a labels location fails fast and clearly
+    with _pytest.raises(ValueError, match="requires clusters_path"):
+        ingest.ingest_batch(
+            spark, empty, "doc_id", "text", corpus_p, idx_p, policy="cluster"
+        )
+    # a batch at a different edge threshold than the stored labeling
+    # is refused — mixing definitions silently corrupts the labels
+    with _pytest.raises(ValueError, match="threshold"):
+        ingest.ingest_batch(
+            spark, empty, "doc_id", "text", corpus_p, idx_p,
+            clusters_path=clu_p, policy="cluster", threshold=0.7,
+        )

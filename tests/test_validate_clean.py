@@ -319,6 +319,11 @@ def test_dataset_fingerprint_properties(spark):
     assert (dq.dataset_fingerprint(empt).collect()[0]["fingerprint"]
             != dq.dataset_fingerprint(null).collect()[0]["fingerprint"])
 
+    # the additive identity: an empty frame is (0, 0), so folding it
+    # into any shard sum is a no-op (and str() of it parses)
+    zero = dq.dataset_fingerprint(df.where(F.lit(False))).collect()[0]
+    assert (zero["n_rows"], int(zero["fingerprint"])) == (0, 0)
+
 
 def test_skew_report_salt_recommendation(spark):
     """A key 10x hotter than the mean gets salt ~= its count/mean;
