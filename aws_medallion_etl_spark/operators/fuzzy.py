@@ -423,6 +423,50 @@ def simhash_pairs_portable(
     )
 
 
+def simhash_md5_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Portable md5 SimHash packed into ONE 64-bit long: (__id, simhash).
+
+    Packs :func:`simhash_md5_words`'s four 16-bit words with w0 in the
+    TOP 16 bits (``w0<<48 | w1<<32 | w2<<16 | w3``) so that
+    :func:`simhash_pairs_from_signatures` rotation windows at
+    (prefix_bits=16, rotations=4) land exactly on the word boundaries
+    — bucket r under rotation r*16 IS word r. That alignment is what
+    makes the rotations path externally auditable: an engine that can
+    recompute the words (DuckDB via md5 nibbles) reproduces the
+    banding with four hash joins.
+    """
+    w = simhash_md5_words(df, id_col, text_col)
+    sig = (
+        F.shiftleft(F.col("w0").cast("long"), 48)
+        .bitwiseOR(F.shiftleft(F.col("w1").cast("long"), 32))
+        .bitwiseOR(F.shiftleft(F.col("w2").cast("long"), 16))
+        .bitwiseOR(F.col("w3").cast("long"))
+    )
+    return w.select("__id", sig.alias("simhash"))
+
+
+def simhash_pairs_portable_rotations(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Multi-rotation SimHash near-dup pairs over the portable md5
+    signature: (prefix_bits=16, rotations=4), hamming <= max_hamming.
+
+    With 4 disjoint 16-bit windows over a 64-bit signature and
+    ``max_hamming < 4``, the pigeonhole principle guarantees any
+    qualifying pair agrees EXACTLY on at least one window — recall is
+    1.0 by construction, not probabilistically, so the output equals
+    the full exact hamming<=k pair set while the plan stays four
+    banded equi-joins (never all-pairs). This is the declared-oracle
+    prover for the ``rotations`` parameter of
+    :func:`simhash_pairs_from_signatures` (the xxhash64 default path
+    shares the exact same banding code).
+    """
+    sig = simhash_md5_signature(df, id_col, text_col)
+    return simhash_pairs_from_signatures(
+        sig, max_hamming=max_hamming, prefix_bits=16, rotations=4
+    )
+
+
 def simhash_pairs_from_signatures(
     sig: DataFrame,
     max_hamming: int = 3,

@@ -1829,13 +1829,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _simhash_oracle_sql(max_hamming: int = 3) -> str:
-    """Generate the DuckDB recomputation of the portable md5 SimHash.
-
-    Mirrors ``fuzzy.simhash_md5_words`` + ``simhash_pairs_portable``
-    bit for bit: md5 nibbles -> 64 conditional sums -> 4x16-bit words
-    -> same-w0 blocking -> bit_count(xor) hamming. The 64 sum terms
-    are generated, not hand-written.
+def _simhash_words_cte() -> str:
+    """DuckDB recomputation of ``fuzzy.simhash_md5_words``, bit for bit:
+    md5 nibbles -> 64 conditional sums -> 4x16-bit words. Shared WITH
+    prefix (ends at the ``words`` CTE) for both simhash oracles; the
+    64 sum terms are generated, not hand-written.
     """
     def nib(k: int) -> str:
         a = f"ascii(substr(h, {k + 1}, 1))"
@@ -1852,7 +1850,6 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
         + f" AS INT) AS w{g}"
         for g in range(4)
     )
-    ham = " + ".join(f"bit_count(xor(a.w{g}, b.w{g}))" for g in range(1, 4))
     return rf"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
@@ -1864,9 +1861,44 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
              FROM hashed GROUP BY doc_id),
     words AS (SELECT doc_id,
                {words}
-              FROM sums)
+              FROM sums)"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Single-prefix SimHash oracle: same-w0 blocking + bit_count(xor)
+    hamming over the remaining words (w0 equal => its xor is 0).
+    Mirrors ``fuzzy.simhash_pairs_portable``.
+    """
+    ham = " + ".join(f"bit_count(xor(a.w{g}, b.w{g}))" for g in range(1, 4))
+    return rf"""{_simhash_words_cte()}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS INT) AS hamming
     FROM words a JOIN words b ON a.w0 = b.w0 AND a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+def _simhash_rotations_oracle_sql(max_hamming: int = 3) -> str:
+    """Multi-rotation SimHash oracle: the 4 rotation windows at
+    (prefix_bits=16, rotations=4) ARE the 4 words, so the banding is
+    four hash joins UNIONed (UNION dedups multi-window collisions —
+    words are functionally dependent on doc ids), then full-64-bit
+    hamming. Mirrors ``fuzzy.simhash_pairs_portable_rotations``.
+    """
+    ham = " + ".join(f"bit_count(xor(aw{g}, bw{g}))" for g in range(4))
+    aw = ", ".join(f"a.w{g} AS aw{g}" for g in range(4))
+    bw = ", ".join(f"b.w{g} AS bw{g}" for g in range(4))
+    bands = "\n        UNION\n".join(
+        f"        SELECT a.doc_id AS id_a, b.doc_id AS id_b, {aw}, {bw}\n"
+        f"        FROM words a JOIN words b"
+        f" ON a.w{g} = b.w{g} AND a.doc_id < b.doc_id"
+        for g in range(4)
+    )
+    return rf"""{_simhash_words_cte()},
+    cand AS (
+{bands}
+    )
+    SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+    FROM cand
     WHERE {ham} <= {max_hamming}
     """
 
@@ -1881,6 +1913,25 @@ def dedup_simhash(spark, sf_dir):
     two variants' pair sets against each other on sf0.001).
     """
     return fuzzy.simhash_pairs_portable(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+@query("dedup_simhash_rotations", _simhash_rotations_oracle_sql(max_hamming=3))
+def dedup_simhash_rotations(spark, sf_dir):
+    """Multi-rotation SimHash near-dup pairs (Manku et al. prefix
+    permutation): 4 rotation windows of 16 bits over the portable
+    md5 signature, hamming <= 3 over the full 64 bits.
+
+    Because max_hamming(3) < rotations(4), pigeonhole guarantees at
+    least one window is untouched by the differing bits — recall is
+    exactly 1.0, so this equals the complete hamming<=3 pair set while
+    the plan stays banded equi-joins (one posexplode + self-join,
+    never all-pairs). Declared prover for the ``rotations`` parameter
+    of ``fuzzy.simhash_pairs_from_signatures`` (previously pytest-only
+    per the round-6 verdict).
+    """
+    return fuzzy.simhash_pairs_portable_rotations(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
 
@@ -5471,22 +5522,49 @@ _DQ_DATE_GAPS_SQL = """
 @query(
     "dq_dataset_fingerprint",
     """
+    WITH hashed AS (
+        SELECT substr(md5(
+            CAST(o_orderkey AS VARCHAR) || chr(31) ||
+            CAST(o_custkey AS VARCHAR) || chr(31) ||
+            o_orderstatus || chr(31) ||
+            CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        ), 1, 15) AS h
+        FROM orders
+    ),
+    vals AS (
+        SELECT
+           CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) * 72057594037927936 +
+           CAST(strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT) * 4503599627370496 +
+           CAST(strpos('0123456789abcdef', substr(h, 3, 1)) - 1 AS BIGINT) * 281474976710656 +
+           CAST(strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS BIGINT) * 17592186044416 +
+           CAST(strpos('0123456789abcdef', substr(h, 5, 1)) - 1 AS BIGINT) * 1099511627776 +
+           CAST(strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS BIGINT) * 68719476736 +
+           CAST(strpos('0123456789abcdef', substr(h, 7, 1)) - 1 AS BIGINT) * 4294967296 +
+           CAST(strpos('0123456789abcdef', substr(h, 8, 1)) - 1 AS BIGINT) * 268435456 +
+           CAST(strpos('0123456789abcdef', substr(h, 9, 1)) - 1 AS BIGINT) * 16777216 +
+           CAST(strpos('0123456789abcdef', substr(h, 10, 1)) - 1 AS BIGINT) * 1048576 +
+           CAST(strpos('0123456789abcdef', substr(h, 11, 1)) - 1 AS BIGINT) * 65536 +
+           CAST(strpos('0123456789abcdef', substr(h, 12, 1)) - 1 AS BIGINT) * 4096 +
+           CAST(strpos('0123456789abcdef', substr(h, 13, 1)) - 1 AS BIGINT) * 256 +
+           CAST(strpos('0123456789abcdef', substr(h, 14, 1)) - 1 AS BIGINT) * 16 +
+           CAST(strpos('0123456789abcdef', substr(h, 15, 1)) - 1 AS BIGINT) * 1
+           AS v
+        FROM hashed
+    )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(('0x' || substr(md5(
-               CAST(o_orderkey AS VARCHAR) || chr(31) ||
-               CAST(o_custkey AS VARCHAR) || chr(31) ||
-               o_orderstatus || chr(31) ||
-               CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
-           ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint
-    FROM orders
+           CAST(sum(v) AS VARCHAR) AS fingerprint
+    FROM vals
     """,
 )
 def dq_dataset_fingerprint(spark, sf_dir):
     """Order-independent additive content checksum over orders
     (``dq.dataset_fingerprint``): the 1-row compare that validates an
     incremental rebuild against the from-scratch table without
-    anti-joining the data. Portable md5 construction, so the oracle
-    reproduces the exact decimal on another engine; the additive/
+    anti-joining the data. The fingerprint crosses the engine boundary
+    as VARCHAR (digits only) and the oracle reconstructs each row's
+    60-bit value with explicit per-hex-digit integer arithmetic —
+    no hex-string CAST, no DECIMAL(38,0) cell — so the compare is
+    representation-proof across DuckDB versions. The additive/
     order-invariance/sensitivity properties are pytest-pinned.
     """
     from aws_medallion_etl_spark.operators import dq
@@ -5495,7 +5573,8 @@ def dq_dataset_fingerprint(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.to_date("o_orderdate").cast("string").alias("o_orderdate_day"),
     )
-    return dq.dataset_fingerprint(orders)
+    out = dq.dataset_fingerprint(orders)
+    return out.withColumn("fingerprint", F.col("fingerprint").cast("string"))
 
 
 @query("dq_date_gaps", _DQ_DATE_GAPS_SQL)

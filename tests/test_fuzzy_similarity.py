@@ -157,6 +157,33 @@ def test_simhash_rotations_consistent_on_text(spark):
     assert all(h <= 3 for _, _, h in four)
 
 
+def test_simhash_portable_rotations_equals_exact_hamming_set(spark, sf_dir):
+    """Pigeonhole recall proof: at (prefix_bits=16, rotations=4,
+    max_hamming=3) a qualifying pair differs in at most 3 bits spread
+    over 4 disjoint 16-bit windows, so one window is always identical
+    — the banded output must EQUAL the brute-force all-pairs
+    hamming<=3 set over the same md5 signatures, not approximate it.
+    This is the invariant the `dedup_simhash_rotations` oracle leans
+    on."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    banded = fuzzy.simhash_pairs_portable_rotations(docs, "doc_id", "text", max_hamming=3)
+    sig = fuzzy.simhash_md5_signature(docs, "doc_id", "text")
+    a = sig.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(ham <= 3)
+        .select("id_a", "id_b", ham.alias("hamming"))
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in banded.collect()}
+    want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    assert want, "fixture should contain near-dup pairs"
+    assert got == want
+    _no_cartesian(banded)
+
+
 def test_simhash_portable_finds_exact_dups(spark, sf_dir):
     """Both SimHash variants must find every exact-duplicate pair
     (identical token streams -> identical signature -> hamming 0).
