@@ -147,7 +147,8 @@ def test_pipeline_end_to_end_and_idempotent(spark, sf_dir, tmp_path):
         "customer": spark.read.parquet(f"{sf_dir}/customer.parquet"),
     }
     reports = pipeline.run_pipeline(
-        spark, sources, _specs(), _gold_builders(), out, "2024-06-01"
+        spark, sources, _specs(), _gold_builders(), out, "2024-06-01",
+        fingerprints=True,
     )
     assert reports["bronze"]["orders"]["status"] == "ok"
     assert reports["silver"]["customer"]["status"] == "ok"
@@ -160,7 +161,8 @@ def test_pipeline_end_to_end_and_idempotent(spark, sf_dir, tmp_path):
     )
     # full re-run of the same run_date: byte-identical gold, no duplicates
     reports2 = pipeline.run_pipeline(
-        spark, sources, _specs(), _gold_builders(), out, "2024-06-01"
+        spark, sources, _specs(), _gold_builders(), out, "2024-06-01",
+        fingerprints=True,
     )
     gold2 = sorted(
         tuple(r)
@@ -173,6 +175,16 @@ def test_pipeline_end_to_end_and_idempotent(spark, sf_dir, tmp_path):
     for t in reports["silver"]:
         assert (reports["silver"][t]["fingerprint"]
                 == reports2["silver"][t]["fingerprint"])
+    # default (fingerprints off): same counts, no checksum fields, and
+    # the read-back stays a metadata-only parquet count
+    reports3 = pipeline.run_pipeline(
+        spark, sources, _specs(), _gold_builders(), out, "2024-06-01"
+    )
+    assert reports3["gold"]["tables"] == reports["gold"]["tables"]
+    assert "fingerprints" not in reports3["gold"]
+    for t in reports3["silver"]:
+        assert "fingerprint" not in reports3["silver"][t]
+        assert reports3["silver"][t]["rows_out"] == reports["silver"][t]["rows_out"]
 
 
 def test_silver_clean_hook_reports_strategy_counts(spark, tmp_path):
