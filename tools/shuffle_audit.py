@@ -17,6 +17,10 @@ Writes ``SHUFFLE_AUDIT.json`` at the repo root. Usage:
 
     python tools/shuffle_audit.py [query ...]    (default: heavy set)
     SPARK_GRAFT_SF_DIR=... to change scale (default sf0.1)
+    SPARK_GRAFT_AUDIT_SECTION=queries_10x to record a run at another
+    scale under its own top-level section (default ``queries``) —
+    cross-scale rows never overwrite each other, so the 10x-stress
+    volumes sit next to the sf0.1 ones for ratio reading.
 """
 
 from __future__ import annotations
@@ -142,15 +146,21 @@ def main() -> int:
             rec.get("shuffle_bytes_written", 0.0) / (1 << 20), 2)
         results[name] = rec
 
-    if sys.argv[1:] and os.path.exists(OUT):
+    section = os.environ.get("SPARK_GRAFT_AUDIT_SECTION", "queries")
+    out = {"sf_dir": sf_dir, "queries": {}, "errors": errors}
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            out.update(json.load(fh))
+        out["errors"] = errors
+    if sys.argv[1:]:
         # a partial run (explicit names) refreshes those rows in place —
         # never clobbers the full committed audit with a near-empty one
-        with open(OUT) as fh:
-            prev = json.load(fh).get("queries", {})
-        prev.update(results)
-        results = prev
-
-    out = {"sf_dir": sf_dir, "queries": results, "errors": errors}
+        merged = dict(out.get(section, {}))
+        merged.update(results)
+        results = merged
+    out[section] = results
+    if section != "queries":
+        out.setdefault("sf_dirs", {})[section] = sf_dir
     with open(OUT, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({n: r.get("shuffle_mib_written") for n, r in
