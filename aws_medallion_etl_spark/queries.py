@@ -3340,9 +3340,21 @@ def _events_stream(spark, sf_dir: str, tag: str) -> DataFrame:
     batch_schema, rebuild = _events_probe(spark, sf_dir)
     src_dir = _scratch(tag, sf_dir)
     os.makedirs(src_dir, exist_ok=True)
-    link = f"{src_dir}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        # a Spark-written table is a DIRECTORY of part files; the file
+        # stream source does not recurse into subdirectories, so a
+        # symlinked directory is silently invisible (zero rows) — stage
+        # the data files themselves
+        for part in os.listdir(src):
+            if part.endswith(".parquet"):
+                link = f"{src_dir}/{part}"
+                if not os.path.exists(link):
+                    os.symlink(f"{src}/{part}", link)
+    else:
+        link = f"{src_dir}/events.parquet"
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return rebuild(spark.readStream.schema(batch_schema).parquet(src_dir))
 
 

@@ -195,6 +195,69 @@ def test_interval_join_bounds_and_emission(spark, tmp_path):
     assert sorted(got) == [(1,), (1,)]
 
 
+def test_stream_stream_join_state_evicted_by_watermark(spark, tmp_path):
+    """The interval join's time bound IS the state-retention policy:
+    once the watermark passes ``v_ts + upper`` a buffered view (and a
+    click past its own watermark) is REMOVED from the state store.
+    Pinned via the engine's own state metrics: after the event clock
+    jumps 10 h, the join's numRowsTotal must fall from the ~200
+    buffered batch-1 rows to just the recent handful — state is bound
+    by the watermark horizon, not by stream length."""
+    base = TS(2024, 1, 1, 0, 0, 0)
+    vdir, cdir = str(tmp_path / "v"), str(tmp_path / "c")
+    vschema = "user_id long, v_ts timestamp"
+    cschema = "user_id long, c_ts timestamp"
+
+    def feed(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    feed(vdir, vschema, [(i, base) for i in range(100)])
+    feed(cdir, cschema,
+         [(i, base + datetime.timedelta(minutes=30)) for i in range(100)])
+    views = spark.readStream.schema(vschema).parquet(vdir)
+    clicks = spark.readStream.schema(cschema).parquet(cdir)
+    pairs = streaming.interval_join(
+        views, clicks, "user_id", "v_ts", "c_ts", "1 HOUR", watermark="1 hour"
+    ).select(views["user_id"].alias("user_id"), "v_ts", "c_ts")
+    q = (
+        pairs.writeStream.format("memory").queryName("t_ssj_state")
+        .outputMode("append").start()
+    )
+
+    def state_rows():
+        for p in reversed(q.recentProgress):
+            ops = p["stateOperators"] if isinstance(p, dict) else None
+            if ops:
+                return ops[0]["numRowsTotal"]
+        raise AssertionError("no state operator progress recorded")
+
+    try:
+        q.processAllAvailable()
+        buffered = state_rows()
+        assert buffered >= 200  # both sides fully buffered pre-watermark
+        # jump the event clock +10h on both sides: the new watermark
+        # passes v_ts + 1h (and c_ts) for every batch-1 row...
+        feed(vdir, vschema, [(1000, base + datetime.timedelta(hours=10))])
+        feed(cdir, cschema,
+             [(1000, base + datetime.timedelta(hours=10, minutes=1))])
+        q.processAllAvailable()
+        # ...and eviction runs on the batch AFTER the watermark advance
+        feed(vdir, vschema, [(1001, base + datetime.timedelta(hours=10, minutes=2))])
+        q.processAllAvailable()
+        remaining = state_rows()
+        assert remaining <= 10, (
+            f"join state not evicted: {remaining} rows still buffered"
+        )
+        # correctness unharmed: every batch-1 pair was emitted exactly once
+        assert spark.table("t_ssj_state").where(
+            F.col("user_id") < 100
+        ).count() == 100
+    finally:
+        q.stop()
+
+
 def test_watermark_drops_late_rows_and_bounds_state(spark, tmp_path):
     """An event arriving after the watermark has passed its window is
     DROPPED — the bounded-state contract that makes streaming
