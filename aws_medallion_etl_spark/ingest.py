@@ -35,10 +35,17 @@ Two policies, matching the two streaming proofs (str8/str9):
   labels the whole frame; the edge threshold is persisted beside the
   labels and later batches must match it. At ``max_shingle_df=None``
   labels after any batch split equal the from-scratch clustering of
-  all documents exactly (pinned by
-  ``test_ingest_cluster_matches_from_scratch``); under a DF cap the
-  stop statistics grow with the corpus, so early-batch edges reflect
-  slightly smaller corpora — inherent to any streaming cap.
+  all documents GIVEN the band screen's recall: cross-corpus edges
+  pass through the MinHash band screen (probabilistic candidate
+  recall — 1-(1-s^4)^16 >= 0.9998 at s >= 0.8, recall 1.0 on the
+  test corpora, where ``test_ingest_cluster_matches_from_scratch``
+  pins exact equality) while within-batch edges are generated
+  exactly, so the two edge kinds share a similarity DEFINITION but
+  not a candidate generator — a qualifying cross pair the bands miss
+  would be absent from the incremental labeling. Under a DF cap the
+  stop statistics additionally grow with the corpus, so early-batch
+  edges reflect slightly smaller corpora — inherent to any streaming
+  cap.
 
 Maintenance: after many batches, ``fuzzy.compact_minhash_index`` and
 ``io.compact`` fold the appended generations back to bounded file
@@ -157,6 +164,17 @@ def ingest_batch(
                 "edge definitions in one labeling silently corrupts it; "
                 "re-init the clusters to change thresholds"
             )
+    else:
+        # a labels dir WITHOUT its sidecar (copied state, partial
+        # restore, labels built outside init_corpus) is exactly the
+        # contract-loss the guard exists to catch — refuse rather than
+        # silently accept whatever threshold this batch happens to use
+        raise ValueError(
+            f"ingest_batch: {clusters_path} has no threshold sidecar "
+            f"({meta_p}) — its edge definition is unknown, so any batch "
+            "threshold would silently mix definitions; restore the "
+            "sidecar, or re-init the corpus to adopt a threshold"
+        )
     # ONE stop-shingle set (stored corpus DF stats + batch increment)
     # applies to BOTH edge kinds, so cross and within-batch pairs use
     # the SAME similarity definition — otherwise final clusters would

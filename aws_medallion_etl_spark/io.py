@@ -353,7 +353,13 @@ def compact(
     content by design). The guard this buys: any rewrite bug —
     engine, filesystem, or a partition column silently dropping rows
     — surfaces as a raised error instead of corrupted data under an
-    atomic-looking swap.
+    atomic-looking swap. The staged side is fingerprinted under the
+    ORIGINAL schema: when ``partition_by`` moves a column into the
+    directory layout, partition-value inference would otherwise
+    re-type numeric-looking strings ('0123' -> 123) and refuse a
+    correct rewrite. (Schema-less readers of the NEW layout see the
+    inferred type — a property of partitioning on such a column, not
+    of the compaction; pin the schema on read as the verify does.)
 
     The maintenance job every streaming/incremental sink eventually
     needs — micro-batches and per-run appends accrete thousands of
@@ -402,7 +408,14 @@ def compact(
         src = spark.read.parquet(path)
         cols = sorted(src.columns)
         before = dataset_fingerprint(src, cols).collect()[0]
-        after = dataset_fingerprint(spark.read.parquet(tmp), cols).collect()[0]
+        # read the staged side with the ORIGINAL schema: when
+        # partition_by moves a column into the directory layout,
+        # partition-value inference would otherwise re-type it (e.g. a
+        # zero-padded numeric string '0123' reads back as int 123) and
+        # fail the compare on representation, not content
+        after = dataset_fingerprint(
+            spark.read.schema(src.schema).parquet(tmp), cols
+        ).collect()[0]
         if (before["n_rows"], before["fingerprint"]) != (
             after["n_rows"], after["fingerprint"]
         ):

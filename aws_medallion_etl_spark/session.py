@@ -52,6 +52,35 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+def _default_driver_mem() -> str:
+    """Local-launch driver heap: min(16 GiB, half the RAM this process
+    can actually get), floor 1 GiB.
+
+    A flat 16g default risks a cgroup OOM-KILL (not a graceful spill)
+    on hosts/containers smaller than that — the heap must fit inside
+    the real limit. Reads the cgroup v2/v1 memory cap when present so
+    containers aren't sized off the host's physical figure.
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides unconditionally.
+    """
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "16g"
+    for limit_file in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(limit_file) as fh:
+                raw = fh.read().strip()
+            if raw != "max":
+                total = min(total, int(raw))
+        except (OSError, ValueError):
+            continue
+    gib = max(1, min(16, int(total // (1 << 30) // 2)))
+    return f"{gib}g"
+
+
 def get_spark(
     app_name: str = "aws-medallion-etl-spark",
     master: str | None = None,
@@ -83,7 +112,7 @@ def get_spark(
         # a real cluster spark-submit owns the sizing.
         builder = builder.config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
     for key, value in _DEFAULTS.items():
         builder = builder.config(key, value)

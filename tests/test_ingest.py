@@ -136,3 +136,14 @@ def test_ingest_edge_cases(spark, sf_dir, tmp_path):
             spark, empty, "doc_id", "text", corpus_p, idx_p,
             clusters_path=clu_p, policy="cluster", threshold=0.7,
         )
+    # a labels dir whose threshold sidecar was LOST (copied state,
+    # partial restore) is refused too — without it any batch threshold
+    # would silently mix edge definitions
+    import os as _os
+
+    _os.remove(ingest._clusters_meta_path(clu_p))
+    with _pytest.raises(ValueError, match="sidecar"):
+        ingest.ingest_batch(
+            spark, empty, "doc_id", "text", corpus_p, idx_p,
+            clusters_path=clu_p, policy="cluster",
+        )

@@ -398,6 +398,32 @@ def test_compact_verify_passes_clean_and_refuses_corrupt(spark, sf_dir, tmp_path
                     verify=True)
 
 
+def test_compact_verify_survives_retyping_partition_values(spark, tmp_path):
+    """Compacting a previously-UNPARTITIONED dataset into a partition
+    column of zero-padded numeric strings must verify clean: partition
+    -value inference would re-type '0123' as int 123 on the staged
+    side and spuriously refuse a correct rewrite — the verify compare
+    reads the staged side with the original schema instead."""
+    from aws_medallion_etl_spark import io as eio
+
+    df = spark.createDataFrame(
+        [(i, f"{i % 3:04d}") for i in range(30)], "id long, bucket string"
+    )
+    out = str(tmp_path / "ds")
+    df.repartition(4).write.parquet(out)
+    eio.compact(spark, out, target_files=1, partition_by=["bucket"],
+                verify=True)  # must not refuse the correct rewrite
+    # a reader that pins the schema (as the verify does) still sees the
+    # zero-padded strings; a schema-less read of the NEW layout infers
+    # int partition values — a documented property of partitioning by
+    # numeric-looking strings, not a compaction defect
+    back = spark.read.schema(df.schema).parquet(out)
+    assert back.count() == 30
+    assert {r["bucket"] for r in back.select("bucket").distinct().collect()} == {
+        "0000", "0001", "0002"
+    }
+
+
 def test_lsh_candidate_dedup_carries_no_vectors(spark, sf_dir):
     """The LSH candidate-dedup exchanges must move bare id pairs, not
     dim-64 double arrays: the collision dedup is a distinct over
