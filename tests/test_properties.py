@@ -375,3 +375,75 @@ def test_containment_matches_naive_and_dominates_jaccard(spark, docs):
     jac = {(r.id_a, r.id_b) for r in fuzzy.ngram_jaccard_pairs(
         df, "doc_id", "text", n=3, threshold=t, max_shingle_df=None).collect()}
     assert jac <= set(got)
+
+
+@st.composite
+def cluster_batch_case(draw):
+    """Random undirected edge set, randomly split into 3-4 ordered
+    batches. Covers the adversarial orderings a curated example can
+    miss: one cluster's edges scattered across every batch, chains
+    whose first and last batches share NO direct edge (they connect
+    only through intermediate batches), batches that merge several
+    stored clusters at once, and empty batches."""
+    n_nodes = draw(st.integers(min_value=4, max_value=14))
+    raw = draw(
+        st.sets(
+            st.tuples(
+                st.integers(0, n_nodes), st.integers(0, n_nodes)
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    n_batches = draw(st.integers(min_value=3, max_value=4))
+    assignment = [
+        draw(st.integers(0, n_batches - 1)) for _ in range(len(edges))
+    ]
+    batches = [
+        [e for e, g in zip(edges, assignment) if g == i]
+        for i in range(n_batches)
+    ]
+    return edges, batches
+
+
+def _naive_cc_min_labels(edges):
+    """Union-find with min-id labels — the trivially-correct reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((x, find(x)) for x in parent)
+
+
+@given(case=cluster_batch_case())
+@settings(**SETTINGS)
+def test_merge_clusters_any_batch_order_matches_from_scratch(spark, case):
+    """Folding edge batches one at a time through fuzzy.merge_clusters
+    must reproduce the from-scratch min-id connected-components
+    labeling EXACTLY, for ANY partition of the edges into batches —
+    the closure-under-contraction invariant the continuous-ingestion
+    cluster policy (ingest.ingest_batch) leans on."""
+    from aws_medallion_etl_spark.operators import fuzzy
+
+    edges, batches = case
+    labels = spark.createDataFrame([], "id long, cluster_id long")
+    for batch in batches:
+        if not batch:
+            continue
+        pairs = spark.createDataFrame(batch, "id_a long, id_b long")
+        labels = fuzzy.merge_clusters(labels, pairs)
+        # keep each round's result small and concrete (the test folds
+        # up to 4 rounds; lineage depth is not under test here)
+        labels = spark.createDataFrame(labels.collect(), "id long, cluster_id long")
+    got = sorted((r.id, r.cluster_id) for r in labels.collect())
+    assert got == _naive_cc_min_labels(edges)
