@@ -3341,6 +3341,14 @@ def _events_stream(spark, sf_dir: str, tag: str) -> DataFrame:
     src_dir = _scratch(tag, sf_dir)
     os.makedirs(src_dir, exist_ok=True)
     src = f"{sf_dir}/events.parquet"
+    # the scratch dir is deterministic and can outlive a REBUILT source
+    # (overwrite writes fresh part names): prune dangling links first —
+    # the file-stream source lists them and fails, and a dangling link
+    # also defeats the exists-check below (FileExistsError on relink)
+    for entry in os.listdir(src_dir):
+        stale = f"{src_dir}/{entry}"
+        if os.path.islink(stale) and not os.path.exists(stale):
+            os.remove(stale)
     if os.path.isdir(src):
         # a Spark-written table is a DIRECTORY of part files; the file
         # stream source does not recurse into subdirectories, so a

@@ -66,17 +66,44 @@ def _default_driver_mem() -> str:
         total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
     except (ValueError, OSError, AttributeError):
         return "16g"
-    for limit_file in (
-        "/sys/fs/cgroup/memory.max",
-        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
-    ):
+
+    def read_limit(path: str) -> int | None:
         try:
-            with open(limit_file) as fh:
+            with open(path) as fh:
                 raw = fh.read().strip()
-            if raw != "max":
-                total = min(total, int(raw))
+            return None if raw == "max" else int(raw)
         except (OSError, ValueError):
-            continue
+            return None
+
+    # the limit can sit on ANY ancestor of the process's own cgroup
+    # (systemd slice, k8s kubepods path), not just the mount root —
+    # walk the hierarchy from /proc/self/cgroup upward
+    candidates = {"/sys/fs/cgroup/memory.max",
+                  "/sys/fs/cgroup/memory/memory.limit_in_bytes"}
+    try:
+        with open("/proc/self/cgroup") as fh:
+            for line in fh:
+                parts = line.strip().split(":", 2)
+                if len(parts) != 3:
+                    continue
+                hier, ctrls, cpath = parts
+                if hier == "0":  # cgroup v2 unified hierarchy
+                    base, fname = "/sys/fs/cgroup", "memory.max"
+                elif "memory" in ctrls.split(","):
+                    base, fname = "/sys/fs/cgroup/memory", "memory.limit_in_bytes"
+                else:
+                    continue
+                node = cpath.rstrip("/")
+                while True:
+                    candidates.add(f"{base}{node}/{fname}")
+                    if not node:
+                        break
+                    node = node.rsplit("/", 1)[0]
+    except OSError:
+        pass
+    limits = [v for v in (read_limit(p) for p in sorted(candidates)) if v]
+    if limits:
+        total = min(total, *limits)
     gib = max(1, min(16, int(total // (1 << 30) // 2)))
     return f"{gib}g"
 

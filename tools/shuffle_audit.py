@@ -147,11 +147,10 @@ def main() -> int:
         results[name] = rec
 
     section = os.environ.get("SPARK_GRAFT_AUDIT_SECTION", "queries")
-    out = {"sf_dir": sf_dir, "queries": {}, "errors": errors}
+    out = {"queries": {}}
     if os.path.exists(OUT):
         with open(OUT) as fh:
             out.update(json.load(fh))
-        out["errors"] = errors
     if sys.argv[1:]:
         # a partial run (explicit names) refreshes those rows in place —
         # never clobbers the full committed audit with a near-empty one
@@ -159,8 +158,14 @@ def main() -> int:
         merged.update(results)
         results = merged
     out[section] = results
-    if section != "queries":
-        out.setdefault("sf_dirs", {})[section] = sf_dir
+    # sf_dir and errors are per-SECTION records: a 10x run must neither
+    # relabel nor erase the sf0.1 section's metadata (and vice versa)
+    out.setdefault("sf_dirs", {})[section] = sf_dir
+    if section == "queries":
+        out["sf_dir"] = sf_dir  # legacy top-level field = default section
+        out["errors"] = errors
+    else:
+        out[f"errors_{section}"] = errors
     with open(OUT, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({n: r.get("shuffle_mib_written") for n, r in
