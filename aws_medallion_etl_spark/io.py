@@ -310,11 +310,14 @@ def publish_jdbc(
     Each partition opens one connection and writes ``batchsize``-row
     batches; cap the fan-in with ``num_partitions`` so a 1000-executor
     write doesn't open 1000 warehouse connections. Requires the
-    target's JDBC driver jar on the classpath — absent in this
-    sandbox (verified: only hive-jdbc ships with pyspark, and there is
-    no warehouse endpoint to connect to), so this path is covered by
-    the persistent-catalog publish (``register_layer(persistent=
-    True)``) instead; see SCALING.md.
+    target's JDBC driver jar on the classpath. Exercised end-to-end
+    in-sandbox against the EMBEDDED Derby engine Spark already ships
+    for its metastore (``org.apache.derby.jdbc.EmbeddedDriver`` —
+    ``s11_jdbc_publish_roundtrip`` publishes a gold rollup and reads
+    it back through JDBC); against a real warehouse only the url/
+    driver pair changes. The persistent-catalog publish
+    (``register_layer(persistent=True)``) remains the zero-dependency
+    alternative; see SCALING.md.
     """
     writer = df
     if num_partitions is not None:

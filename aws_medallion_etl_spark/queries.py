@@ -1383,6 +1383,54 @@ def s12_sql_endpoint(spark, sf_dir):
 
 
 @query(
+    "s11_jdbc_publish_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def s11_jdbc_publish_roundtrip(spark, sf_dir):
+    """S11 warehouse publish proven by oracle: gold rollup ->
+    ``io.publish_jdbc`` (Spark's parallel JDBC writer, the reference's
+    Redshift DDL->COPY manager ``boto3_deployment/managers/
+    redshift_manager.py:76-348``) -> read BACK through JDBC ->
+    compare. The warehouse is the EMBEDDED Derby engine Spark ships
+    for its metastore — zero external dependencies, same code path as
+    a real warehouse up to the url/driver pair. The db lives in a
+    per-process dir: embedded Derby admits one JVM per database, and
+    a fresh path per process sidesteps stale-lock handoff entirely
+    (``mode=overwrite`` handles re-runs within a session).
+    """
+    import os as _os
+
+    from aws_medallion_etl_spark import io as eio
+
+    gold = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    db = f"{_scratch(f's11db_{_os.getpid()}', sf_dir)}/warehouse"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    eio.publish_jdbc(
+        gold, f"jdbc:derby:{db};create=true", "fact_order_status",
+        properties=props, num_partitions=1,
+    )
+    return (
+        spark.read.format("jdbc")
+        .option("url", f"jdbc:derby:{db}")
+        .option("dbtable", "fact_order_status")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+
+
+@query(
     "o3_diagnostics_sample",
     f"""
     SELECT l_orderkey, l_linenumber, l_extendedprice,

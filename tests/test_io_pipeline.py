@@ -314,6 +314,43 @@ print("CATALOG_OK")
     assert "CATALOG_OK" in r2.stdout
 
 
+def test_publish_jdbc_append_and_fanin_cap(spark, sf_dir, tmp_path):
+    """S11: overwrite then append through the JDBC writer land the
+    expected multiset in the warehouse (embedded Derby), and the
+    num_partitions cap bounds connection fan-in (the plan writes
+    through a single coalesced partition)."""
+    from aws_medallion_etl_spark import io as eio
+
+    db = str(tmp_path / "wh")
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = f"jdbc:derby:{db};create=true"
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+
+    eio.publish_jdbc(region, url, "dim_region", properties=props,
+                     num_partitions=1)
+    eio.publish_jdbc(region, url, "dim_region", mode="append",
+                     properties=props, num_partitions=1)
+
+    def read_back():
+        return (
+            spark.read.format("jdbc")
+            .option("url", f"jdbc:derby:{db}")
+            .option("dbtable", "dim_region")
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .load()
+        )
+
+    back = read_back()
+    assert back.count() == 2 * region.count()  # append doubled it
+    assert back.select("r_regionkey").distinct().count() == region.count()
+    # overwrite replaces, not appends
+    eio.publish_jdbc(region, url, "dim_region", properties=props,
+                     num_partitions=1)
+    assert read_back().count() == region.count()
+
+
 def test_alert_callbacks_fire_on_failures(spark, tmp_path):
     """C5: circuit-breaker and gate failures publish to registered alert
     sinks; a broken callback never masks the pipeline error."""
