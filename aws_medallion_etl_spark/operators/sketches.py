@@ -119,6 +119,84 @@ def frequency_bounds(
     return out
 
 
+def heavy_hitters_screened(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT heavy hitters (``count(col) >= threshold``) via a
+    count-min screen — the two-pass pattern that makes heavy-hitter
+    mining affordable when key cardinality (an n-gram vocabulary,
+    URL space, user-id space) dwarfs the answer.
+
+    A single ``groupBy(col).count()`` is map-side combined, but its
+    shuffle still carries one partial per DISTINCT KEY per task — at
+    100 TB a token vocabulary makes that the dominant exchange. This
+    operator bounds the shuffled key space by the sketch, not the
+    vocabulary:
+
+    1. **Sketch build** (one scan): each row's ``depth`` bucket ids
+       (``pmod(hash(key, seed+i), width)``) are pos-exploded and
+       aggregated to (depth, bucket) counters — after map-side
+       combine the shuffle is at most ``depth * width`` partials per
+       task no matter how many distinct keys exist.
+    2. **Screen** (second scan, no shuffle): buckets whose counter is
+       ``>= threshold`` (at most ``width`` per depth, KB-sized) are
+       broadcast; a row survives only if ALL ``depth`` of its buckets
+       qualify. Count-min only over-counts (every counter >= the true
+       count of each key in it), so every true heavy hitter survives
+       — the screen has NO false negatives; hash collisions admit
+       false positives only.
+    3. **Exact verify**: ``groupBy`` over the survivors — the key
+       cardinality entering this shuffle is the collision-inflated
+       candidate set, not the vocabulary — and the final
+       ``>= threshold`` filter kills the false positives.
+
+    Output is therefore EXACTLY the true heavy-hitter set with exact
+    counts (oracle: plain ``GROUP BY ... HAVING``); the sketch is a
+    physical-plan optimization, not an approximation of the answer.
+    Two scans of ``df`` are inherent to the two-pass sketch shape —
+    persist upstream if the input is itself expensive.
+    """
+    c = F.col(col)
+    buckets = [
+        F.pmod(F.hash(c, F.lit(seed + i)), F.lit(width)).alias(f"__b{i}")
+        for i in range(depth)
+    ]
+    keyed = df.select(c.alias("__k"), *buckets)
+    counters = (
+        keyed.select(
+            F.posexplode(
+                F.array(*[F.col(f"__b{i}") for i in range(depth)])
+            ).alias("__d", "__b")
+        )
+        .groupBy("__d", "__b")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    # Spark emits no ReusedExchange across the `depth` broadcast
+    # branches (per-branch exprIds defeat canonicalization), so
+    # without this the sketch build — a full scan + shuffle — would
+    # run once PER depth. Checkpointing the qualified-bucket frame
+    # (<= depth*width rows) computes it once; the broadcasts read it.
+    qualified = counters.where(
+        F.col("__cnt") >= F.lit(threshold)
+    ).localCheckpoint(eager=False)
+    screened = keyed
+    for i in range(depth):
+        q_i = qualified.where(F.col("__d") == i).select(
+            F.col("__b").alias(f"__b{i}")
+        )
+        screened = screened.join(F.broadcast(q_i), f"__b{i}", "left_semi")
+    return (
+        screened.groupBy(F.col("__k").alias(col))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= F.lit(threshold))
+    )
+
+
 def rolling_distinct_bounds(
     df: DataFrame,
     ts_col: str,

@@ -3131,6 +3131,33 @@ def sketch_distinct_bounds(spark, sf_dir):
     )
 
 
+@query(
+    "sketch_heavy_hitters",
+    """
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 40
+    ORDER BY n_occurrences DESC, l_partkey ASC
+    """,
+)
+def sketch_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (parts on >= 40 lineitems) via the
+    count-min screen (sketches.heavy_hitters_screened).
+
+    The oracle is the plain GROUP BY/HAVING because the screen has NO
+    false negatives (count-min only over-counts): the sketch bounds
+    the exact pass's shuffled key space — depth*width counters plus
+    broadcast bucket screens instead of one partial per distinct key
+    — without changing the answer.
+    """
+    from aws_medallion_etl_spark.operators import sketches
+
+    return sketches.heavy_hitters_screened(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", threshold=40
+    ).orderBy(F.desc("n_occurrences"), F.asc("l_partkey"))
+
+
 _J10_SQL = """
     WITH changes AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,

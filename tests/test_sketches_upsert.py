@@ -31,6 +31,51 @@ def test_cms_bounds(spark):
     assert all(r["cms_within_bound"] for r in report)
 
 
+def _skewed_keys(spark):
+    # 500 light keys (10 rows each) + two heavy keys (200 / 150 rows)
+    light = spark.range(5_000).select((F.col("id") % 500).alias("k"))
+    h1 = spark.range(200).select(F.lit(900_001).alias("k"))
+    h2 = spark.range(150).select(F.lit(900_002).alias("k"))
+    return light.unionAll(h1).unionAll(h2)
+
+
+def test_heavy_hitters_screened_exact_under_collisions(spark):
+    df = _skewed_keys(spark)
+    # width=64 over 502 keys forces bucket collisions: the screen
+    # admits false positives, the exact verify must kill them all
+    out = sketches.heavy_hitters_screened(
+        df, "k", threshold=100, depth=3, width=64
+    ).collect()
+    got = {r["k"]: r["n_occurrences"] for r in out}
+    assert got == {900_001: 200, 900_002: 150}
+
+
+def test_heavy_hitters_screen_no_false_negatives_at_threshold_edge(spark):
+    df = _skewed_keys(spark)
+    # threshold exactly at the light-key count: every key qualifies
+    # and the screen must pass them all through (count-min never
+    # under-counts), so the output is the full exact answer
+    out = sketches.heavy_hitters_screened(
+        df, "k", threshold=10, depth=4, width=32
+    )
+    exact = (
+        df.groupBy("k").count().where(F.col("count") >= 10).count()
+    )
+    assert out.count() == exact == 502
+
+
+def test_heavy_hitters_screen_is_broadcast_only(spark):
+    df = _skewed_keys(spark)
+    hh = sketches.heavy_hitters_screened(df, "k", threshold=100, depth=3)
+    hh.collect()
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    # all 3 screens are broadcast semi joins; the big side never
+    # rides a join exchange
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("ShuffledHashJoin") == 0
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_scd1_upsert_semantics(spark):
     snap = spark.createDataFrame(
         [(1, "a", 10), (2, "b", 10), (3, "c", 10)], ["k", "v", "ts"]
