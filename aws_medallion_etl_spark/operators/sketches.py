@@ -124,7 +124,7 @@ def heavy_hitters_screened(
     col: str,
     threshold: int,
     depth: int = 4,
-    width: int = 4096,
+    width: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """EXACT heavy hitters (``count(col) >= threshold``) via a
@@ -160,7 +160,32 @@ def heavy_hitters_screened(
     physical-plan optimization, not an approximation of the answer.
     Two scans of ``df`` are inherent to the two-pass sketch shape —
     persist upstream if the input is itself expensive.
+
+    **Width must scale with N/threshold or the screen goes blind**:
+    a bucket's counter is >= its expected load N/width, so once
+    ``N/width >= threshold`` EVERY bucket qualifies and the screen
+    passes all rows (still correct — just no pruning, measured on the
+    10x stress set). ``width=None`` (default) sizes it from the data:
+    next power of two of ``8 * N / threshold`` (bucket noise mean =
+    threshold/8, so only buckets holding a real heavy hitter or an
+    8-sigma-ish pileup qualify), clamped to [2^10, 2^18] — beyond
+    2^18 the candidate bound N/threshold is itself huge and a sketch
+    screen is the wrong tool. Costs one extra ``count()`` (metadata-
+    only on parquet scans).
+
+    **Applicability envelope** (measured, SCALING.md): per task the
+    counter partials are ``depth * min(width, local distinct keys)``,
+    so the screen WINS when key cardinality per task >> depth*width —
+    Zipf-shaped spaces (tokens, n-grams, URLs, user-ids) where
+    ``threshold >> depth * 8 * mean key count``. On low-cardinality /
+    uniform keys it degrades to <= depth x the plain groupBy's
+    shuffle; use the plain groupBy there.
     """
+    if width is None:
+        n_total = df.count()
+        width = 1 << max(
+            10, min(18, int(8 * n_total // max(threshold, 1)).bit_length())
+        )
     c = F.col(col)
     buckets = [
         F.pmod(F.hash(c, F.lit(seed + i)), F.lit(width)).alias(f"__b{i}")
