@@ -45,7 +45,7 @@ HEAVY = [
     "sim_topk_ivf_indexed", "t_bigram_logprob", "t_top_dup_ngrams",
     "graph_pagerank_hubs", "w8_sessionize", "e2e_corpus_curation",
     "a1_topk_customers", "j5_scd2_apply_changes", "corpus_bm25",
-    "dedup_clusters_merged", "dq_dataset_fingerprint",
+    "dedup_clusters_merged", "dq_dataset_fingerprint", "sketch_heavy_hitters",
 ]
 
 _UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30,

@@ -15,6 +15,12 @@ Replication is workload-preserving, not byte-duplication:
 
 Usage: python tools/stress_bench.py [query ...]   (default: heavy set)
 Writes STRESS_local.json {query: {sf01_sec, sf1_sec, ratio}}.
+
+SPARK_GRAFT_STRESS_REPLICAS=N (default 10) selects the scale tier.
+N=10 updates the canonical ``queries`` section; any other N records
+under its own ``queries_Nx`` section (fields base_sec/scaled_sec/
+ratio) so e.g. a 30x run sits NEXT TO the 10x rows — a 1x->10x->30x
+series is two measured decades of the same plan.
 """
 
 from __future__ import annotations
@@ -33,12 +39,13 @@ HEAVY = [
     "dedup_clusters",
     "sim_topk_ivf_indexed",
     "dedup_containment",
-    "dedup_clusters_merged",
+    "dedup_clusters_merged", "sketch_heavy_hitters",
 ]
 
 SRC = "/root/testdata/sf0.1"
-OUT = "/tmp/mdl_stress_sf1"
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_STRESS_REPLICAS", "10"))
+OUT = ("/tmp/mdl_stress_sf1" if REPLICAS == 10
+       else f"/tmp/mdl_stress_{REPLICAS}x")
 
 
 def build(spark) -> None:
@@ -161,19 +168,28 @@ def main() -> int:
         print(name, res, file=sys.stderr)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "STRESS_local.json")
-    # merge with prior runs so per-query invocations accumulate
-    merged = {}
+    # merge with prior runs so per-query (and per-tier) invocations
+    # accumulate instead of wiping the committed record
+    doc = {"replicas": 10, "queries": {}}
     if os.path.exists(path):
         try:
-            prior = json.load(open(path))
-            if prior.get("replicas") == REPLICAS:
-                merged = prior.get("queries", {})
+            doc.update(json.load(open(path)))
         except (ValueError, OSError):
             pass
-    merged.update(out)
+    if REPLICAS == 10:
+        doc["queries"].update(out)
+    else:
+        section = f"queries_{REPLICAS}x"
+        tier = doc.setdefault(section, {})
+        # non-default tiers use scale-neutral field names
+        tier.update({
+            n: {"base_sec": r["sf01_sec"], "scaled_sec": r["sf1_sec"],
+                "ratio": r["ratio"]}
+            for n, r in out.items()
+        })
     with open(path, "w") as fh:
-        json.dump({"replicas": REPLICAS, "queries": merged}, fh, indent=1)
-    print(json.dumps({"replicas": REPLICAS, "queries": merged}))
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(doc))
     return 0
 
 
