@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +112,58 @@ def pack_sequences(
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum_before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
     return df.withColumn(out_col, F.floor(cum_before / F.lit(budget)))
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str,
+    out_col: str = "bin_id",
+) -> DataFrame:
+    """Hard-cap greedy packing: within each shard (docs in ``id_col``
+    order) a bin fills until adding the next doc would EXCEED
+    ``budget``; that doc starts the next bin. No bin ever exceeds the
+    budget — except a bin holding a single doc that is itself longer
+    than the budget (such docs are never truncated here; split or
+    drop them upstream). This is the contract training loaders need
+    (sequences must fit the context window), which the pure-window
+    :func:`pack_sequences` deliberately relaxes.
+
+    The close-on-overflow recurrence has no prefix-sum form — it is
+    inherently sequential PER SHARD — so the shard is the unit of
+    parallelism: ``applyInPandas`` per shard, one Arrow batch per
+    group, an O(docs) loop inside. At 100 TB the shard count (not the
+    corpus size) sets the parallelism; shards are bounded (a training
+    shard is typically 10^5-10^6 docs), so per-group state is bounded
+    too.
+    """
+    import pandas as pd  # noqa: F401 — Arrow round-trip
+
+    out_fields = [
+        df.schema[shard_col], df.schema[id_col], df.schema[token_col]
+    ]
+    schema = StructType(list(out_fields) + [StructField(out_col, LongType())])
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort")[
+            [shard_col, id_col, token_col]
+        ]
+        toks = pdf[token_col].to_numpy()
+        bins = [0] * len(toks)
+        b, run = 0, 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if run > 0 and run + t > budget:
+                b, run = b + 1, 0
+            bins[i] = b
+            run += t
+        return pdf.assign(**{out_col: bins})
+
+    return df.select(shard_col, id_col, token_col).groupBy(
+        shard_col
+    ).applyInPandas(pack, schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -2764,6 +2764,53 @@ def corpus_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "corpus_pack_greedy",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id % 8 AS shard, doc_id,
+               CAST({_TOKENLEN_SQL} AS BIGINT) AS n_tok,
+               CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                       ORDER BY doc_id) AS BIGINT) AS rn
+        FROM documents
+    ), r AS (
+        SELECT shard, doc_id, n_tok, rn,
+               CAST(0 AS BIGINT) AS bin_id, n_tok AS run
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.shard, t.doc_id, t.n_tok, t.rn,
+               CASE WHEN r.run + t.n_tok > 250
+                    THEN r.bin_id + 1 ELSE r.bin_id END,
+               CASE WHEN r.run + t.n_tok > 250
+                    THEN t.n_tok ELSE r.run + t.n_tok END
+        FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1
+    )
+    SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM r GROUP BY 1, 2
+    """,
+)
+def corpus_pack_greedy(spark, sf_dir):
+    """Hard-cap greedy packing per shard (250-token bins, id order):
+    bins NEVER exceed the budget (vs the window-expression
+    ``corpus_pack_sequences`` whose bins may straddle). The
+    close-on-overflow recurrence is sequential per shard —
+    ``applyInPandas`` with the shard as the parallel unit — and the
+    oracle replays the identical recurrence as a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        text.token_count("text").cast("long").alias("n_tok"),
+    )
+    packed = corpus.pack_sequences_greedy(
+        docs, "doc_id", "n_tok", budget=250, shard_col="shard"
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
     "corpus_tfidf_top_terms",
     r"""
     WITH tok AS (

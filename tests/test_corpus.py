@@ -68,6 +68,37 @@ def test_pack_sequences_invariants(spark):
     assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
 
 
+def test_pack_sequences_greedy_hard_cap_and_oversized(spark):
+    # two shards; shard 1 contains a doc LARGER than the budget
+    rows = [(i, i % 2, 100 + (i % 7) * 50) for i in range(1, 101)]
+    rows.append((101, 1, 900))  # oversized vs budget 500
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tok"])
+    packed = corpus.pack_sequences_greedy(
+        df, "doc_id", "n_tok", budget=500, shard_col="shard"
+    ).collect()
+    got = {r["doc_id"]: (r["shard"], r["bin_id"]) for r in packed}
+    assert len(got) == len(rows)
+    # replay the greedy recurrence per shard in python
+    by_shard = {}
+    for doc_id, shard, tok in sorted(rows):
+        b, run = by_shard.get(shard, (0, 0))
+        if run > 0 and run + tok > 500:
+            b, run = b + 1, 0
+        assert got[doc_id] == (shard, b), f"doc {doc_id}"
+        by_shard[shard] = (b, run + tok)
+    # hard cap: every bin's total <= budget unless it is a single
+    # oversized doc
+    totals = {}
+    for doc_id, shard, tok in rows:
+        key = got[doc_id]
+        totals.setdefault(key, []).append(tok)
+    for key, toks in totals.items():
+        assert sum(toks) <= 500 or (len(toks) == 1 and toks[0] > 500), key
+    # the oversized doc sits alone in its bin
+    over_key = got[101]
+    assert totals[over_key] == [900]
+
+
 def test_tfidf_math(spark):
     df = spark.createDataFrame(
         [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date")],
