@@ -154,7 +154,10 @@ def pack_sequences_greedy(
         bins = [0] * len(toks)
         b, run = 0, 0
         for i, t in enumerate(toks):
-            t = int(t)
+            # NULL token counts (NaN through Arrow) consume no budget,
+            # matching the sibling pack_sequences whose window sum
+            # skips nulls
+            t = 0 if t != t else int(t)
             if run > 0 and run + t > budget:
                 b, run = b + 1, 0
             bins[i] = b

@@ -170,8 +170,11 @@ def heavy_hitters_screened(
     threshold/8, so only buckets holding a real heavy hitter or an
     8-sigma-ish pileup qualify), clamped to [2^10, 2^18] — beyond
     2^18 the candidate bound N/threshold is itself huge and a sketch
-    screen is the wrong tool. Costs one extra ``count()`` (metadata-
-    only on parquet scans).
+    screen is the wrong tool. If even the clamped width leaves the
+    expected bucket load at or above the threshold (screen provably
+    blind), the operator SKIPS the sketch and returns the plain exact
+    groupBy — same answer, strictly less work. Costs one extra
+    ``count()`` (metadata-only on parquet scans).
 
     **Applicability envelope** (measured, SCALING.md): per task the
     counter partials are ``depth * min(width, local distinct keys)``,
@@ -181,12 +184,23 @@ def heavy_hitters_screened(
     uniform keys it degrades to <= depth x the plain groupBy's
     shuffle; use the plain groupBy there.
     """
+    c = F.col(col)
     if width is None:
         n_total = df.count()
         width = 1 << max(
             10, min(18, int(8 * n_total // max(threshold, 1)).bit_length())
         )
-    c = F.col(col)
+        if n_total // width >= threshold:
+            # Even at the clamped maximum width the expected bucket
+            # load reaches the threshold: every bucket qualifies and
+            # the screen provably prunes NOTHING. Doing the sketch
+            # would be strictly more work than the answer — degrade
+            # to the plain exact groupBy (same output, one pass).
+            return (
+                df.groupBy(c.alias(col))
+                .agg(F.count(F.lit(1)).alias("n_occurrences"))
+                .where(F.col("n_occurrences") >= F.lit(threshold))
+            )
     buckets = [
         F.pmod(F.hash(c, F.lit(seed + i)), F.lit(width)).alias(f"__b{i}")
         for i in range(depth)

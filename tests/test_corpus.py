@@ -99,6 +99,19 @@ def test_pack_sequences_greedy_hard_cap_and_oversized(spark):
     assert totals[over_key] == [900]
 
 
+def test_pack_sequences_greedy_null_tokens_consume_no_budget(spark):
+    # NULL n_tok (NULL text upstream) must not crash the pandas loop;
+    # it consumes no budget, matching pack_sequences' window-sum
+    rows = [(1, 0, 400), (2, 0, None), (3, 0, 90), (4, 0, 200)]
+    df = spark.createDataFrame(rows, "doc_id long, shard int, n_tok long")
+    packed = corpus.pack_sequences_greedy(
+        df, "doc_id", "n_tok", budget=500, shard_col="shard"
+    ).collect()
+    got = {r["doc_id"]: r["bin_id"] for r in packed}
+    # 400 + 0 + 90 = 490 fits; 200 overflows into bin 1
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
 def test_tfidf_math(spark):
     df = spark.createDataFrame(
         [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date")],

@@ -64,6 +64,18 @@ def test_heavy_hitters_screen_no_false_negatives_at_threshold_edge(spark):
     assert out.count() == exact == 502
 
 
+def test_heavy_hitters_blind_screen_falls_back_to_plain_groupby(spark):
+    # threshold=1 with 300k rows: even the clamped 2^18 width leaves
+    # the expected bucket load >= threshold, so the screen is provably
+    # blind — the operator must skip the sketch (no broadcast screens
+    # in the plan) and still return the exact answer
+    df = spark.range(300_000).select((F.col("id") % 1_000).alias("k"))
+    hh = sketches.heavy_hitters_screened(df, "k", threshold=1)
+    assert hh.count() == 1_000
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_heavy_hitters_screen_is_broadcast_only(spark):
     df = _skewed_keys(spark)
     hh = sketches.heavy_hitters_screened(df, "k", threshold=100, depth=3)
