@@ -2763,9 +2763,7 @@ def corpus_pack_sequences(spark, sf_dir):
     )
 
 
-@query(
-    "corpus_pack_greedy",
-    f"""
+_PACK_GREEDY_SQL = f"""
     WITH RECURSIVE t AS (
         SELECT doc_id % 8 AS shard, doc_id,
                CAST({_TOKENLEN_SQL} AS BIGINT) AS n_tok,
@@ -2787,8 +2785,10 @@ def corpus_pack_sequences(spark, sf_dir):
     SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS total_tokens
     FROM r GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("corpus_pack_greedy", _PACK_GREEDY_SQL)
 def corpus_pack_greedy(spark, sf_dir):
     """Hard-cap greedy packing per shard (250-token bins, id order):
     bins NEVER exceed the budget (vs the window-expression
@@ -5860,6 +5860,68 @@ def str9_stream_incremental_clusters(spark, sf_dir):
     return fuzzy.canonical_docs(
         docs.select("doc_id"), "doc_id", spark.read.parquet(labels_p)
     ).select("doc_id", "cluster_id", "is_canonical")
+
+
+@query("str10_stream_pack", _PACK_GREEDY_SQL)
+def str10_stream_pack(spark, sf_dir):
+    """Streaming hard-cap greedy packing proven by oracle (STR10):
+    documents arrive in four id-ordered micro-batches (range-staged
+    files, ``maxFilesPerTrigger=1``, oldest-first); per shard,
+    ``streaming.stream_pack_greedy`` carries the open bin's
+    (bin_id, tokens_used) across batches via
+    ``applyInPandasWithState``, so the appended assignments must
+    equal the BATCH greedy packing of the whole corpus — the same
+    recursive-CTE oracle as ``corpus_pack_greedy``. Any state leak
+    (bin reset or double-count at a batch boundary) shifts every
+    later bin id and breaks the hash."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from aws_medallion_etl_spark import streaming as stx
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        text.token_count("text").cast("long").alias("n_tok"),
+    )
+    src_dir = _scratch("str10src", sf_dir)
+    marker = f"{src_dir}/_staged"
+    if not _os.path.exists(marker):
+        # stage 4 doc_id-range files with ascending mtimes so the file
+        # stream delivers them oldest-first = id order (bounded
+        # test-fixture staging; a production feed is already ordered
+        # by arrival)
+        _os.makedirs(src_dir, exist_ok=True)
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1  # 1-row scalar
+        step = (hi + 3) // 4
+        for i in range(4):
+            tmp = f"{src_dir}/_tmp{i}"
+            (docs.where(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step))
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{src_dir}/batch{i}.parquet"
+            _shutil.copyfile(part, dst)
+            _os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+            _shutil.rmtree(tmp)
+        open(marker, "w").write("ok")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    packed = stx.stream_pack_greedy(stream, "shard", "doc_id", "n_tok", 250)
+    stx.to_memory_sink(packed, "str10_pack", output_mode="append")
+    return (
+        spark.table("str10_pack")
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
 
 
 _E2E_SEMANTIC_SAMPLE_SQL = f"""

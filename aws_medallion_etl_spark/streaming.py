@@ -193,6 +193,57 @@ def running_totals(
     )
 
 
+def stream_pack_greedy(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Streaming hard-cap greedy packing: the stateful twin of
+    ``corpus.pack_sequences_greedy``. Per shard, state carries the
+    open bin's (bin_id, tokens_used) across micro-batches; each batch
+    continues filling exactly where the previous one stopped, so —
+    fed in ``id_col`` order — the assignments equal the batch greedy
+    packing of the full corpus (the oracle replays that recurrence).
+
+    This is the continuous-ingestion shape of sequence packing: docs
+    arrive over time, bins close as they fill, and a closed bin is
+    immutable (its docs were already emitted, append mode) — exactly
+    what a training-shard writer downstream needs. State is two longs
+    per shard, independent of throughput; add a ProcessingTime
+    timeout to retire idle shards on unbounded shard spaces.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [df.schema[shard_col], df.schema[id_col], df.schema[token_col],
+         StructField("bin_id", LongType())]
+    )
+    state_schema = StructType(
+        [StructField("b", LongType()), StructField("run", LongType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        b, run = state.get if state.exists else (0, 0)
+        frames = [pdf for pdf in pdfs]
+        pdf = pd.concat(frames).sort_values(id_col, kind="mergesort")
+        bins = [0] * len(pdf)
+        for i, t in enumerate(pdf[token_col].to_numpy()):
+            t = 0 if t != t else int(t)
+            if run > 0 and run + t > budget:
+                b, run = b + 1, 0
+            bins[i] = b
+            run += t
+        state.update((int(b), int(run)))
+        out = pdf[[shard_col, id_col, token_col]].assign(bin_id=bins)
+        yield out
+
+    return df.groupBy(F.col(shard_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -141,6 +141,50 @@ def test_running_totals_state_across_microbatches(spark, tmp_path):
     assert finals == {"a": (3, 7.0), "b": (2, 15.0)}
 
 
+def test_stream_pack_greedy_state_across_batches(spark, tmp_path):
+    """The open bin's (bin_id, run) carries across micro-batches: a
+    state reset at the boundary would start batch 2 in bin 0 instead
+    of overflowing into bin 1."""
+    import os
+
+    path = str(tmp_path / "pack_in")
+    schema = "doc_id long, shard int, n_tok long"
+    spark.createDataFrame(
+        [(1, 0, 40), (2, 0, 50)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    first = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    spark.createDataFrame(
+        [(3, 0, 20), (4, 0, 80)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            t = 1_000_000_000 if f in first else 1_000_000_060
+            os.utime(os.path.join(path, f), (t, t))
+
+    stream = streaming.stream_from_directory(
+        spark, path, spark.read.parquet(path).schema, max_files_per_trigger=1
+    )
+    out = streaming.stream_pack_greedy(stream, "shard", "doc_id", "n_tok", 100)
+    streaming.to_memory_sink(out, "pack_sink", output_mode="append")
+    got = {
+        r.doc_id: r.bin_id
+        for r in spark.sql("SELECT * FROM pack_sink").collect()
+    }
+    # 40+50 fill bin 0; 20 overflows into bin 1 ONLY if run=90 carried
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+    # and the stream equals the batch operator on the same data
+    from aws_medallion_etl_spark.operators import corpus
+
+    batch = {
+        r["doc_id"]: r["bin_id"]
+        for r in corpus.pack_sequences_greedy(
+            spark.read.parquet(path), "doc_id", "n_tok",
+            budget=100, shard_col="shard",
+        ).collect()
+    }
+    assert got == batch
+
+
 def test_enrich_stream_is_stateless_broadcast(spark, event_dir):
     """Stream-static join: no streaming state, dim broadcast."""
     from aws_medallion_etl_spark import streaming
