@@ -2700,6 +2700,76 @@ _TOKENLEN_SQL = r"len(string_split_regex(trim(text), '\s+'))"
 
 
 @query(
+    "corpus_split_leakage_safe",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM jpairs
+        UNION
+        SELECT id_b, id_a FROM jpairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    lab AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, cluster_id,
+               CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                                        || ':split'), 1, 8))
+                    AS BIGINT) % 10000 AS bkt
+        FROM lab
+    ),
+    s AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN bkt < 9000 THEN 'train'
+                    WHEN bkt < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM s GROUP BY 1
+    """,
+)
+def corpus_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: membership is hashed from
+    the near-dup CLUSTER id, not the doc id, so every member of a
+    duplicate group lands in the same split — the split-contamination
+    guard a plain per-doc hash split cannot give (a near-copy of a
+    train doc in the test split is silent eval leakage). Composition
+    of oracle-proven parts: exact-Jaccard pairs → connected
+    components → md5 split on the cluster representative. At 100 TB
+    the cluster labels come from the maintained incremental index
+    (``ingest``), not a re-clustering — this query IS the downstream
+    consumer of those labels."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+    clusters = fuzzy.cluster_pairs(pairs)
+    labeled = docs.select("doc_id").join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    split = corpus.hash_split(
+        labeled, "cluster_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
+
+
+@query(
     "corpus_hash_split",
     """
     WITH b AS (

@@ -99,6 +99,33 @@ def test_pack_sequences_greedy_hard_cap_and_oversized(spark):
     assert totals[over_key] == [900]
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    # clusters: {1,2,3} (chained), {10}, {11}; split on cluster_id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["id_a", "id_b"]
+    )
+    from aws_medallion_etl_spark.operators import fuzzy
+
+    clusters = fuzzy.cluster_pairs(pairs)
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11)], ["doc_id"])
+    labeled = docs.join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    split = corpus.hash_split(
+        labeled, "cluster_id", {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    by_cluster = {}
+    for r in split:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # no cluster ever spans two splits
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the chained trio shares one cluster, hence one split
+    trio = {r["split"] for r in split if r["doc_id"] in (1, 2, 3)}
+    assert len(trio) == 1
+
+
 def test_pack_sequences_greedy_null_tokens_consume_no_budget(spark):
     # NULL n_tok (NULL text upstream) must not crash the pandas loop;
     # it consumes no budget, matching pack_sequences' window-sum
