@@ -138,9 +138,13 @@ def pack_sequences_greedy(
     corpus size) sets the parallelism; shards are bounded (a training
     shard is typically 10^5-10^6 docs), so per-group state is bounded
     too.
-    """
-    import pandas as pd  # noqa: F401 — Arrow round-trip
 
+    CONTRACT: output carries only (shard, id, token, bin_id) — the
+    assignment table — unlike :func:`pack_sequences`, which preserves
+    the full row. Keeping payload columns out of the Arrow round-trip
+    is deliberate (text never rides the grouped exchange); join the
+    assignment back on ``id_col`` when the payload is needed.
+    """
     out_fields = [
         df.schema[shard_col], df.schema[id_col], df.schema[token_col]
     ]

@@ -1649,11 +1649,11 @@ _NGRAM_PAIR_CTES = r"""
 
 _NGRAM_JACCARD_SQL = f"WITH {_NGRAM_PAIR_CTES} SELECT id_a, id_b, jaccard FROM jpairs"
 
-# Transitive closure of the near-dup pairs (recursive CTE — fine at
-# oracle scale; the Spark side uses log-rounds label propagation).
-_DEDUP_CLUSTERS_SQL = f"""
-    WITH RECURSIVE {_NGRAM_PAIR_CTES},
-    edges AS (
+# Connected components over the ``jpairs`` CTE — shared by every
+# oracle that consumes cluster labels, so a semantics change to the
+# closure happens in exactly one place: undirected edge list ->
+# transitive closure -> min-id component label.
+_COMPONENT_CTES = """edges AS (
         SELECT id_a AS a, id_b AS b FROM jpairs
         UNION
         SELECT id_b, id_a FROM jpairs
@@ -1663,7 +1663,13 @@ _DEDUP_CLUSTERS_SQL = f"""
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     ),
-    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)"""
+
+# Transitive closure of the near-dup pairs (recursive CTE — fine at
+# oracle scale; the Spark side uses log-rounds label propagation).
+_DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    {_COMPONENT_CTES}
     SELECT d.doc_id,
            coalesce(c.cluster_id, d.doc_id) AS cluster_id,
            coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
@@ -2703,18 +2709,7 @@ _TOKENLEN_SQL = r"len(string_split_regex(trim(text), '\s+'))"
     "corpus_split_leakage_safe",
     f"""
     WITH RECURSIVE {_NGRAM_PAIR_CTES},
-    edges AS (
-        SELECT id_a AS a, id_b AS b FROM jpairs
-        UNION
-        SELECT id_b, id_a FROM jpairs
-    ),
-    reach AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id
-             FROM reach GROUP BY a),
+    {_COMPONENT_CTES},
     lab AS (
         SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
@@ -2835,8 +2830,11 @@ def corpus_pack_sequences(spark, sf_dir):
 
 _PACK_GREEDY_SQL = f"""
     WITH RECURSIVE t AS (
+        -- coalesce + the run>0 guard below mirror the engine exactly:
+        -- NULL token counts consume no budget and a zero run never
+        -- closes a bin (pack_sequences_greedy / stream_pack_greedy)
         SELECT doc_id % 8 AS shard, doc_id,
-               CAST({_TOKENLEN_SQL} AS BIGINT) AS n_tok,
+               CAST(coalesce({_TOKENLEN_SQL}, 0) AS BIGINT) AS n_tok,
                CAST(row_number() OVER (PARTITION BY doc_id % 8
                                        ORDER BY doc_id) AS BIGINT) AS rn
         FROM documents
@@ -2846,9 +2844,9 @@ _PACK_GREEDY_SQL = f"""
         FROM t WHERE rn = 1
         UNION ALL
         SELECT t.shard, t.doc_id, t.n_tok, t.rn,
-               CASE WHEN r.run + t.n_tok > 250
+               CASE WHEN r.run > 0 AND r.run + t.n_tok > 250
                     THEN r.bin_id + 1 ELSE r.bin_id END,
-               CASE WHEN r.run + t.n_tok > 250
+               CASE WHEN r.run > 0 AND r.run + t.n_tok > 250
                     THEN t.n_tok ELSE r.run + t.n_tok END
         FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1
     )
@@ -3092,17 +3090,7 @@ def corpus_redact_pii(spark, sf_dir):
 
 _CLUSTER_REPS_SQL = f"""
     WITH RECURSIVE {{pair_ctes}},
-    edges AS (
-        SELECT id_a AS a, id_b AS b FROM jpairs
-        UNION
-        SELECT id_b, id_a FROM jpairs
-    ),
-    reach AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    {_COMPONENT_CTES},
     tagged AS (
         SELECT d.doc_id,
                coalesce(c.cluster_id, d.doc_id) AS cluster_id,
@@ -4764,17 +4752,7 @@ def t_oov_rate(spark, sf_dir):
 
 _DEDUP_AUDIT_SQL = f"""
     WITH RECURSIVE {_NGRAM_PAIR_CTES},
-    edges AS (
-        SELECT id_a AS a, id_b AS b FROM jpairs
-        UNION
-        SELECT id_b, id_a FROM jpairs
-    ),
-    reach AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    {_COMPONENT_CTES},
     assigned AS (
         SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
@@ -5956,27 +5934,29 @@ def str10_stream_pack(spark, sf_dir):
         text.token_count("text").cast("long").alias("n_tok"),
     )
     src_dir = _scratch("str10src", sf_dir)
-    marker = f"{src_dir}/_staged"
-    if not _os.path.exists(marker):
-        # stage 4 doc_id-range files with ascending mtimes so the file
-        # stream delivers them oldest-first = id order (bounded
-        # test-fixture staging; a production feed is already ordered
-        # by arrival)
-        _os.makedirs(src_dir, exist_ok=True)
-        hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1  # 1-row scalar
-        step = (hi + 3) // 4
-        for i in range(4):
-            tmp = f"{src_dir}/_tmp{i}"
-            (docs.where(
-                (F.col("doc_id") >= i * step)
-                & (F.col("doc_id") < (i + 1) * step))
-             .coalesce(1).write.mode("overwrite").parquet(tmp))
-            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-            dst = f"{src_dir}/batch{i}.parquet"
-            _shutil.copyfile(part, dst)
-            _os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-            _shutil.rmtree(tmp)
-        open(marker, "w").write("ok")
+    # re-stage EVERY run (like the sibling stream queries): a marker
+    # cached across runs would silently serve a stale corpus after the
+    # testdata is regenerated in place, while the oracle reads fresh
+    if _os.path.exists(src_dir):
+        _shutil.rmtree(src_dir)
+    # stage 4 doc_id-range files with ascending mtimes so the file
+    # stream delivers them oldest-first = id order (bounded
+    # test-fixture staging; a production feed is already ordered
+    # by arrival)
+    _os.makedirs(src_dir, exist_ok=True)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1  # 1-row scalar
+    step = (hi + 3) // 4
+    for i in range(4):
+        tmp = f"{src_dir}/_tmp{i}"
+        (docs.where(
+            (F.col("doc_id") >= i * step)
+            & (F.col("doc_id") < (i + 1) * step))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{i}.parquet"
+        _shutil.copyfile(part, dst)
+        _os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        _shutil.rmtree(tmp)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
