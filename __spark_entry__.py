@@ -86,7 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-7 queries — no verdict yet
         "dedup_simhash_rotations", "s11_jdbc_publish_roundtrip",
         "sketch_heavy_hitters", "corpus_pack_greedy", "str10_stream_pack",
-        "corpus_split_leakage_safe",
+        "corpus_split_leakage_safe", "corpus_mix_sources_tokens",
         # round-4 greens, three rounds stale — rotate as many as the
         # budget allows (~35 fit; the tail rolls to round 8)
         "a7_exact_dedup", "a9_share_of_total", "a10_rollup_status_year",

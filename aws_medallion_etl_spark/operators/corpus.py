@@ -391,13 +391,50 @@ def mix_sources(
     are bucket-threshold approximations (±1/10000 of a source), the
     price of needing zero coordination between executors.
     """
+    measure = F.count(F.lit(1))
+    return _mix_by_measure(df, source_col, weights, id_col, seed, measure)
+
+
+def mix_sources_tokens(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    token_col: str,
+    seed: str = "mixtok",
+) -> DataFrame:
+    """Source mixing with targets measured in TOKENS — the unit
+    training mixtures are actually specified in (e.g. web .5 / code
+    .3 / books .2 *of the token budget*, not of the doc count).
+
+    Identical mechanism to :func:`mix_sources` (scarcity-bounded
+    scale, portable md5-bucket membership, no data shuffle), except
+    per-source size is ``sum(token_col)``: sources with systematically
+    longer documents are downsampled harder so the KEPT TOKEN mass
+    lands on the target shares. Because hash membership is independent
+    of document length, keeping fraction ``f_s`` of docs keeps
+    ``f_s`` of tokens in expectation; the emitted per-source token
+    sums make the achieved mixture itself checkable data.
+    """
+    measure = F.sum(F.col(token_col))
+    return _mix_by_measure(df, source_col, weights, id_col, seed, measure)
+
+
+def _mix_by_measure(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    seed: str,
+    measure: Column,
+) -> DataFrame:
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError(f"weights must be non-empty and non-negative: {weights}")
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError(f"weights must sum to a positive value, got {total_w}")
     norm = {s: w / total_w for s, w in weights.items()}
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = df.groupBy(source_col).agg(measure.alias("__n"))
     wmap = F.create_map(
         *[x for s, w in norm.items() for x in (F.lit(s), F.lit(w))]
     )

@@ -2976,6 +2976,54 @@ def corpus_mix_sources(spark, sf_dir):
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+@query(
+    "corpus_mix_sources_tokens",
+    f"""
+    WITH counts AS (
+        SELECT source, sum({_TOKENLEN_SQL}) AS n
+        FROM documents GROUP BY source
+    ), sized AS (
+        SELECT source, n,
+               CASE source WHEN 'src0' THEN 0.5
+                           WHEN 'src1' THEN 0.3
+                           WHEN 'src2' THEN 0.2 END AS w
+        FROM counts
+        WHERE source IN ('src0', 'src1', 'src2')
+    ), s AS (
+        SELECT min(n / w) AS scale FROM sized
+    ), frac AS (
+        SELECT source, least(1.0, w * (SELECT scale FROM s) / n) AS keep_frac
+        FROM sized
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum({_TOKENLEN_SQL}) AS BIGINT) AS tokens_kept
+    FROM documents d
+    JOIN frac f ON f.source = d.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mixtok'), 1, 8))
+               AS BIGINT) % 10000 < round(f.keep_frac * 10000)
+    GROUP BY d.source
+    """,
+)
+def corpus_mix_sources_tokens(spark, sf_dir):
+    """Token-budget source mixing (``corpus.mix_sources_tokens``):
+    the 50/30/20 target is measured in TOKENS, so sources with longer
+    documents downsample harder. Same scarcity-bounded scale and
+    portable md5 membership as the doc-count mixer; the emitted
+    per-source token sums are the achieved mixture the oracle
+    checks."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", text.token_count("text").cast("long")
+    )
+    mixed = corpus.mix_sources_tokens(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        "doc_id", "n_tok",
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+    )
+
+
 # Benchmark decontamination CTEs: 13-gram (literature default) overlap
 # between a training cut (doc_id % 5 != 0) and a held-out "benchmark"
 # cut (doc_id % 5 = 0) of the documents table. The planted near-dup

@@ -99,6 +99,38 @@ def test_pack_sequences_greedy_hard_cap_and_oversized(spark):
     assert totals[over_key] == [900]
 
 
+def test_mix_sources_tokens_targets_token_shares(spark):
+    # source "long" has 4x the tokens per doc of "short": a doc-count
+    # mixer at 50/50 would leave tokens at 80/20 — the token mixer
+    # must instead downsample "long" docs ~4x harder
+    rows = [(i, "long", 400) for i in range(1_000)] + [
+        (i + 10_000, "short", 100) for i in range(1_000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    mixed = corpus.mix_sources_tokens(
+        df, "source", {"long": 0.5, "short": 0.5}, "doc_id", "n_tok"
+    )
+    got = {
+        r["source"]: r["t"]
+        for r in mixed.groupBy("source")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    # scarcest-in-tokens is "short" (100k tokens at weight .5) →
+    # target 100k tokens per source; md5 membership is approximate
+    # (±1/10000 of docs) so allow a few percent
+    assert got["short"] == 100_000  # keep_frac 1.0: exact
+    assert abs(got["long"] - 100_000) <= 10_000
+    # deterministic: same inputs, same kept set
+    again = {
+        r["source"]: r["t"]
+        for r in corpus.mix_sources_tokens(
+            df, "source", {"long": 0.5, "short": 0.5}, "doc_id", "n_tok"
+        ).groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    assert got == again
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     # clusters: {1,2,3} (chained), {10}, {11}; split on cluster_id
     pairs = spark.createDataFrame(
