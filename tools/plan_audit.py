@@ -63,6 +63,7 @@ SANCTIONED_NESTED_LOOP = {
     "sim_topk_bruteforce",      # bounded query set broadcast (by design)
     "corpus_tfidf_top_terms",   # 1-row corpus doc-count N
     "corpus_mix_sources",       # 1-row scarcest-source scaling factor
+    "corpus_mix_sources_tokens",  # same 1-row scale, token-measured
     "sketch_rolling_distinct",  # bounded day-dimension grid
     "graph_pagerank_hubs",      # 1-row dangling-mass constant per round
     "dq_date_gaps",             # 1-row date-span bounds -> calendar Range
