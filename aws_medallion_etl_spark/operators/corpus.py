@@ -438,8 +438,14 @@ def _mix_by_measure(
     wmap = F.create_map(
         *[x for s, w in norm.items() for x in (F.lit(s), F.lit(w))]
     )
+    # a source with NULL/zero measured mass (e.g. an all-NULL token
+    # column under the token measure) is unmeasurable: keep it in
+    # would either poison the scarcity scale (0/w = 0 -> empty output
+    # everywhere) or sail through least(1.0, NULL) as keep-everything.
+    # Drop it, like a weight-0 source.
     sized = counts.withColumn("__w", wmap[F.col(source_col)]).where(
         F.col("__w").isNotNull() & (F.col("__w") > 0)
+        & F.col("__n").isNotNull() & (F.col("__n") > 0)
     )
     scale = sized.agg(
         F.min(F.col("__n") / F.col("__w")).alias("__scale")

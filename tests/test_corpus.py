@@ -131,6 +131,28 @@ def test_mix_sources_tokens_targets_token_shares(spark):
     assert got == again
 
 
+def test_mix_sources_tokens_drops_unmeasurable_sources(spark):
+    # "nulls" has only NULL token counts, "zeros" sums to 0: both are
+    # unmeasurable and must be DROPPED (not kept wholesale via
+    # least(1.0, NULL), not poisoning the scale to 0 for the others)
+    rows = (
+        [(i, "a", 100) for i in range(100)]
+        + [(i + 1_000, "b", 100) for i in range(100)]
+        + [(i + 2_000, "nulls", None) for i in range(10)]
+        + [(i + 3_000, "zeros", 0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    mixed = corpus.mix_sources_tokens(
+        df, "source",
+        {"a": 0.5, "b": 0.5, "nulls": 0.1, "zeros": 0.1},
+        "doc_id", "n_tok",
+    )
+    got = {r["source"] for r in mixed.select("source").distinct().collect()}
+    assert got == {"a", "b"}
+    # balanced healthy sources at equal weight: keep_frac 1.0 each
+    assert mixed.count() == 200
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     # clusters: {1,2,3} (chained), {10}, {11}; split on cluster_id
     pairs = spark.createDataFrame(
