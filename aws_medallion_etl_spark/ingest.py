@@ -105,6 +105,40 @@ def init_corpus(
             json.dump({"threshold": threshold}, fh)
 
 
+def adopt_threshold(clusters_path: str, threshold: float) -> None:
+    """One-shot adoption: write the threshold sidecar for an EXISTING
+    labeling that lacks one (state copied without its sidecar, partial
+    restore, labels built by an older ``init_corpus``).
+
+    ``ingest_batch`` refuses a labels dir with no sidecar because its
+    edge definition is unknown; this is the explicit opt-in the error
+    message points to — the CALLER asserts "these labels were built at
+    ``threshold``" and the sidecar records that claim, making the
+    state ingestable again without re-initializing (and losing) the
+    incremental labeling. Refuses to overwrite an existing sidecar:
+    changing a recorded threshold is exactly the definition-mixing the
+    guard exists to prevent.
+    """
+    import json
+    import os
+
+    if not os.path.exists(clusters_path):
+        raise ValueError(
+            f"adopt_threshold: no labeling at {clusters_path} to adopt"
+        )
+    meta_p = _clusters_meta_path(clusters_path)
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            stored_t = json.load(fh)["threshold"]
+        raise ValueError(
+            f"adopt_threshold: {meta_p} already records threshold="
+            f"{stored_t}; adopting a different one would mix edge "
+            "definitions — re-init the corpus to change thresholds"
+        )
+    with open(meta_p, "w") as fh:
+        json.dump({"threshold": threshold}, fh)
+
+
 def ingest_batch(
     spark,
     batch: DataFrame,
@@ -172,8 +206,10 @@ def ingest_batch(
         raise ValueError(
             f"ingest_batch: {clusters_path} has no threshold sidecar "
             f"({meta_p}) — its edge definition is unknown, so any batch "
-            "threshold would silently mix definitions; restore the "
-            "sidecar, or re-init the corpus to adopt a threshold"
+            "threshold would silently mix definitions; if you KNOW the "
+            "threshold these labels were built at, adopt it explicitly "
+            f"with ingest.adopt_threshold({clusters_path!r}, <t>); "
+            "otherwise re-init the corpus"
         )
     # ONE stop-shingle set (stored corpus DF stats + batch increment)
     # applies to BOTH edge kinds, so cross and within-batch pairs use

@@ -184,6 +184,12 @@ def heavy_hitters_screened(
     uniform keys it degrades to <= depth x the plain groupBy's
     shuffle; use the plain groupBy there.
     """
+    if depth < 1:
+        raise ValueError(f"heavy_hitters_screened: depth must be >= 1, got {depth}")
+    if width is not None and width <= 0:
+        # pmod(hash, 0) is NULL → every semi-join matches nothing and
+        # the operator would silently return an EMPTY result; refuse.
+        raise ValueError(f"heavy_hitters_screened: width must be > 0, got {width}")
     c = F.col(col)
     if width is None:
         n_total = df.count()

@@ -210,24 +210,47 @@ def stream_pack_greedy(
     This is the continuous-ingestion shape of sequence packing: docs
     arrive over time, bins close as they fill, and a closed bin is
     immutable (its docs were already emitted, append mode) — exactly
-    what a training-shard writer downstream needs. State is two longs
-    per shard, independent of throughput; add a ProcessingTime
+    what a training-shard writer downstream needs. State is three
+    longs per shard, independent of throughput; add a ProcessingTime
     timeout to retire idle shards on unbounded shard spaces.
+
+    Equality with the batch packing holds only if micro-batches
+    arrive in ``id_col`` order per shard — a closed bin is immutable,
+    so a late-arriving smaller id cannot be retro-packed. For
+    integral ids the state carries the max id already packed and a
+    batch delivering a SMALLER one raises (an out-of-order file from
+    mtime skew or a backfill must not silently produce a different
+    packing); non-integral id types get the documented ordering
+    contract without the runtime guard.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegralType
+
+    guard_order = isinstance(df.schema[id_col].dataType, IntegralType)
 
     out_schema = StructType(
         [df.schema[shard_col], df.schema[id_col], df.schema[token_col],
          StructField("bin_id", LongType())]
     )
     state_schema = StructType(
-        [StructField("b", LongType()), StructField("run", LongType())]
+        [StructField("b", LongType()), StructField("run", LongType()),
+         StructField("max_id", LongType())]
     )
 
     def fn(key, pdfs, state: GroupState):
-        b, run = state.get if state.exists else (0, 0)
+        b, run, max_id = state.get if state.exists else (0, 0, None)
         frames = [pdf for pdf in pdfs]
         pdf = pd.concat(frames).sort_values(id_col, kind="mergesort")
+        if guard_order and len(pdf) and max_id is not None:
+            batch_min = int(pdf[id_col].iloc[0])
+            if batch_min <= max_id:
+                raise ValueError(
+                    f"stream_pack_greedy: shard {key} received id "
+                    f"{batch_min} after already packing through id "
+                    f"{max_id} — out-of-order delivery (mtime skew, "
+                    "backfill?) would silently diverge from the batch "
+                    "packing; replay the source in id order"
+                )
         bins = [0] * len(pdf)
         for i, t in enumerate(pdf[token_col].to_numpy()):
             t = 0 if t != t else int(t)
@@ -235,7 +258,9 @@ def stream_pack_greedy(
                 b, run = b + 1, 0
             bins[i] = b
             run += t
-        state.update((int(b), int(run)))
+        if guard_order and len(pdf):
+            max_id = int(pdf[id_col].iloc[-1])
+        state.update((int(b), int(run), max_id))
         out = pdf[[shard_col, id_col, token_col]].assign(bin_id=bins)
         yield out
 

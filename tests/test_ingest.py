@@ -142,8 +142,22 @@ def test_ingest_edge_cases(spark, sf_dir, tmp_path):
     import os as _os
 
     _os.remove(ingest._clusters_meta_path(clu_p))
-    with _pytest.raises(ValueError, match="sidecar"):
+    with _pytest.raises(ValueError, match="adopt_threshold"):
         ingest.ingest_batch(
             spark, empty, "doc_id", "text", corpus_p, idx_p,
             clusters_path=clu_p, policy="cluster",
         )
+    # explicit adoption makes the state ingestable again without
+    # re-initializing (and losing) the incremental labeling...
+    ingest.adopt_threshold(clu_p, 0.8)
+    r = ingest.ingest_batch(
+        spark, empty, "doc_id", "text", corpus_p, idx_p,
+        clusters_path=clu_p, policy="cluster",
+    )
+    assert r["n_batch"] == 0
+    # ...but adoption never OVERWRITES a recorded threshold (that
+    # would be the definition-mixing the guard exists to prevent)
+    with _pytest.raises(ValueError, match="already records"):
+        ingest.adopt_threshold(clu_p, 0.7)
+    with _pytest.raises(ValueError, match="no labeling"):
+        ingest.adopt_threshold(str(tmp_path / "nope"), 0.8)

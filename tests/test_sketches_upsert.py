@@ -64,6 +64,20 @@ def test_heavy_hitters_screen_no_false_negatives_at_threshold_edge(spark):
     assert out.count() == exact == 502
 
 
+def test_heavy_hitters_rejects_degenerate_sketch_params(spark):
+    import pytest as _pytest
+
+    df = _skewed_keys(spark)
+    # width=0 would make pmod(hash, 0) NULL — every semi-join matches
+    # nothing and the operator would silently return EMPTY; refuse.
+    with _pytest.raises(ValueError, match="width"):
+        sketches.heavy_hitters_screened(df, "k", threshold=100, width=0)
+    with _pytest.raises(ValueError, match="width"):
+        sketches.heavy_hitters_screened(df, "k", threshold=100, width=-8)
+    with _pytest.raises(ValueError, match="depth"):
+        sketches.heavy_hitters_screened(df, "k", threshold=100, depth=0)
+
+
 def test_heavy_hitters_blind_screen_falls_back_to_plain_groupby(spark):
     # threshold=1 with 300k rows: even the clamped 2^18 width leaves
     # the expected bucket load >= threshold, so the screen is provably

@@ -173,7 +173,16 @@ def main() -> int:
     doc = {"replicas": 10, "queries": {}}
     if os.path.exists(path):
         try:
-            doc.update(json.load(open(path)))
+            prior = json.load(open(path))
+            # only seed the canonical 10x 'queries' rows from a prior
+            # file that WAS written at 10x — a legacy file recorded at
+            # another scale must not have its rows mislabeled as 10x
+            if prior.get("replicas") != 10:
+                prior.pop("queries", None)
+            doc.update(prior)
+            # the top-level tag describes the 'queries' section, which
+            # is only ever written at 10x
+            doc["replicas"] = 10
         except (ValueError, OSError):
             pass
     if REPLICAS == 10:
