@@ -6272,3 +6272,144 @@ def w14_max_drawdown(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.round(F.max("__dd"), 4).alias("max_drawdown"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Subword tokenization (greedy longest-match WordPiece)
+# ---------------------------------------------------------------------------
+
+def _subword_vocab_values() -> str:
+    """Render tokenize.DEFAULT_VOCAB as a SQL VALUES list — the oracle
+    matches against the SAME piece inventory the Spark encoder
+    broadcasts (pieces are [a-z0-9#] only, no escaping needed)."""
+    from aws_medallion_etl_spark.operators import tokenize as _tk
+
+    rows = []
+    for p in _tk.DEFAULT_VOCAB:
+        cont = p.startswith("##")
+        raw = p[2:] if cont else p
+        rows.append(f"('{p}', {'TRUE' if cont else 'FALSE'}, '{raw}')")
+    return ",\n               ".join(rows)
+
+
+# Shared CTE block: greedy longest-match replayed set-based — one
+# recursion over (word-instance, pos) states where each step consumes
+# the LONGEST vocab piece matching at pos (scalar max-length subquery;
+# the matching piece is unique because equal-length matches of the
+# same substring are the same piece). No match -> count an [UNK] and
+# advance one char, exactly the engine's char-skip UNK contract.
+_SUBWORD_COUNTS_CTE = f"""
+    vocab(piece, cont, raw) AS (
+        SELECT * FROM (VALUES {_subword_vocab_values()})
+               v(piece, cont, raw)
+    ), words AS (
+        SELECT doc_id, i, toks[i] AS word
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+             LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i)
+    ), r AS (
+        SELECT doc_id, i, word, CAST(1 AS BIGINT) AS pos,
+               CAST(0 AS BIGINT) AS n_pieces, CAST(0 AS BIGINT) AS n_unk
+        FROM words
+        UNION ALL
+        SELECT doc_id, i, word, pos + coalesce(l, 1), n_pieces + 1,
+               n_unk + CASE WHEN l IS NULL THEN 1 ELSE 0 END
+        FROM (
+            SELECT s.*,
+                   (SELECT max(length(v.raw)) FROM vocab v
+                    WHERE v.cont = (s.pos > 1)
+                      AND substr(s.word, s.pos, length(v.raw)) = v.raw) AS l
+            FROM r s WHERE s.pos <= length(s.word)
+        )
+    ), doc_counts AS (
+        SELECT d.doc_id,
+               CAST(coalesce(w.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(w.n_pieces, 0) AS BIGINT) AS n_pieces,
+               CAST(coalesce(w.n_unk, 0) AS BIGINT) AS n_unk
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, count(*) AS n_words, sum(n_pieces) AS n_pieces,
+                   sum(n_unk) AS n_unk
+            FROM r WHERE pos > length(word) GROUP BY doc_id
+        ) w USING (doc_id)
+    )"""
+
+
+@query(
+    "t_subword_tokens",
+    f"""
+    WITH RECURSIVE {_SUBWORD_COUNTS_CTE}
+    SELECT doc_id, n_words, n_pieces, n_unk FROM doc_counts
+    """,
+)
+def t_subword_tokens(spark, sf_dir):
+    """Tokenizer-defined token counts per document
+    (``tokenize.subword_token_counts``): greedy longest-match
+    WordPiece against the broadcast DEFAULT_VOCAB — the count a real
+    training budget is denominated in, vs the whitespace estimate
+    (``text.token_count``) every packing/mixing operator used before.
+
+    Scale path under test: the corpus explodes to (doc, word) in
+    codegen, the Arrow UDF encodes only DISTINCT words
+    (language-bounded), and the per-word piece costs broadcast back —
+    Python work is O(vocabulary), never O(corpus). The oracle replays
+    the identical greedy recurrence as a recursive CTE over
+    (word, pos) states.
+    """
+    from aws_medallion_etl_spark.operators import tokenize
+
+    return tokenize.subword_token_counts(
+        spark, _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "corpus_pack_greedy_subword",
+    f"""
+    WITH RECURSIVE {_SUBWORD_COUNTS_CTE}, t AS (
+        SELECT doc_id % 8 AS shard, doc_id, n_pieces AS n_tok,
+               CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                       ORDER BY doc_id) AS BIGINT) AS rn
+        FROM doc_counts
+    ), p AS (
+        SELECT shard, doc_id, n_tok, rn,
+               CAST(0 AS BIGINT) AS bin_id, n_tok AS run
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.shard, t.doc_id, t.n_tok, t.rn,
+               CASE WHEN p.run > 0 AND p.run + t.n_tok > 500
+                    THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.run > 0 AND p.run + t.n_tok > 500
+                    THEN t.n_tok ELSE p.run + t.n_tok END
+        FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM p GROUP BY 1, 2
+    """,
+)
+def corpus_pack_greedy_subword(spark, sf_dir):
+    """Hard-cap greedy packing on TOKENIZER counts (500-piece bins):
+    ``corpus_pack_greedy`` with the whitespace estimate replaced by
+    the WordPiece count — the composition a real training-shard
+    writer runs, since the context window caps subword tokens, not
+    words. The oracle chains BOTH sequential recurrences (greedy
+    longest-match, then close-on-overflow packing) as two recursive
+    CTEs in one statement.
+    """
+    from aws_medallion_etl_spark.operators import corpus, tokenize
+
+    counts = tokenize.subword_token_counts(
+        spark, _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    docs = counts.select(
+        "doc_id", (F.col("doc_id") % 8).alias("shard"),
+        F.col("n_pieces").alias("n_tok"),
+    )
+    packed = corpus.pack_sequences_greedy(
+        docs, "doc_id", "n_tok", budget=500, shard_col="shard"
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )

@@ -1,0 +1,103 @@
+"""Subword tokenizer: greedy longest-match semantics, UNK contract,
+and the distinct-word scale path's equality with direct encoding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark.operators import tokenize
+
+
+def _tables(vocab=tokenize.DEFAULT_VOCAB):
+    return tokenize._vocab_tables(vocab)
+
+
+def test_encode_word_greedy_longest_match():
+    t = _tables()
+    # longest-match is the contract: 'the' is a whole start piece even
+    # though 't'/'h'/'e' are too; 'window' takes the 3-char 'win' over
+    # 'wi'/'w'; continuations prefer '##tomer' over shorter pieces
+    assert tokenize.encode_word("the", *t) == ["the"]
+    assert tokenize.encode_word("window", *t) == ["win", "##dow"]
+    assert tokenize.encode_word("customer", *t) == ["c", "##us", "##tomer"]
+    assert tokenize.encode_word("stream", *t) == ["str", "##eam"]
+    # single chars always encode (full charset in both roles)
+    assert tokenize.encode_word("zq7", *t) == ["z", "##q", "##7"]
+    assert tokenize.encode_word("", *t) == []
+
+
+def test_encode_word_char_skip_unk():
+    # a vocab missing a character emits [UNK] for it and advances ONE
+    # char (char-skip contract — mirrors the oracle's recursive CTE)
+    vocab = ("a", "b", "##a", "##b", "ab")
+    t = _tables(vocab)
+    assert tokenize.encode_word("axb", *t) == ["a", "[UNK]", "##b"]
+    assert tokenize.encode_word("x", *t) == ["[UNK]"]
+    # start-position piece tables differ from continuation tables:
+    # 'ab' exists only as a start piece, so at pos>0 it decomposes
+    assert tokenize.encode_word("ab", *t) == ["ab"]
+    assert tokenize.encode_word("aab", *t) == ["a", "##a", "##b"]
+
+
+def test_vocab_validation():
+    with pytest.raises(ValueError, match="start pieces"):
+        tokenize._vocab_tables(("##a", "##b"))
+    with pytest.raises(ValueError, match="continuations"):
+        tokenize._vocab_tables(("a", "b"))
+
+
+def test_subword_pieces_matches_per_word_encoding(spark):
+    df = spark.createDataFrame(
+        [(1, "the customer window"), (2, ""), (3, None), (4, "Scan, STREAM!")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["pieces"]
+        for r in tokenize.subword_pieces(spark, df, "text").collect()
+    }
+    assert out[1] == ["the", "c", "##us", "##tomer", "win", "##dow"]
+    assert out[2] == []  # no words -> empty piece list, row kept
+    assert out[3] == []
+    # pre-tokenizer lowercases and strips punctuation JVM-side
+    assert out[4] == ["sc", "##an", "str", "##eam"]
+
+
+def test_subword_token_counts_scale_path_equals_direct(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scale = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["n_unk"])
+        for r in tokenize.subword_token_counts(
+            spark, docs, "doc_id", "text"
+        ).collect()
+    }
+    direct = {
+        r["doc_id"]: r["pieces"]
+        for r in tokenize.subword_pieces(spark, docs, "text")
+        .select("doc_id", "pieces")
+        .collect()
+    }
+    assert set(scale) == set(direct)
+    for did, pieces in direct.items():
+        n_words, n_pieces, n_unk = scale[did]
+        assert n_pieces == len(pieces)
+        assert n_unk == sum(1 for p in pieces if p == tokenize.UNK_PIECE)
+        assert n_unk == 0  # DEFAULT_VOCAB covers [a-z0-9]
+        # piece boundaries reassemble the words: stripping ## and
+        # joining reproduces the pre-tokenized text
+        words = [w for w in pieces if not w.startswith("##")]
+        assert len(words) == n_words
+
+
+def test_encoder_udf_runs_on_distinct_words_only(spark):
+    """The scale path's Python surface is the distinct-word frame:
+    the plan applies the Arrow UDF AFTER a distinct over words, so
+    corpus growth with a fixed vocabulary adds zero Python work."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = tokenize.subword_token_counts(spark, docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the UDF's child must contain the distinct aggregate, and the
+    # only ArrowEvalPython node sits above it (not on the full corpus)
+    assert plan.count("ArrowEvalPython") == 1
+    before_udf = plan.split("ArrowEvalPython")[1]
+    assert "Aggregate" in before_udf
