@@ -118,11 +118,35 @@ def scd2_apply_changes(
     ``updates`` carries one row per natural key (dedup upstream).
     Comparison is null-safe.
     """
+    unchanged, closed, fresh = _scd2_parts(
+        dim, updates, nk, attrs, change_ts_col, start_col, end_col, current_col
+    )
+    history = dim.filter(~F.col(current_col))
+    cols = history.columns
+    return (
+        history.unionByName(unchanged.select(*cols))
+        .unionByName(closed.select(*cols))
+        .unionByName(fresh.select(*cols))
+    )
+
+
+def _scd2_parts(
+    dim: DataFrame,
+    updates: DataFrame,
+    nk: list[str],
+    attrs: list[str],
+    change_ts_col: str,
+    start_col: str,
+    end_col: str,
+    current_col: str,
+):
+    """(unchanged current rows, closed-out rows, fresh version rows) —
+    the three CURRENT-row outcomes of an SCD2 change batch, shared by
+    the full-rewrite and snapshot-MERGE application paths."""
     upd = updates.select(
         *nk, *attrs, F.col(change_ts_col).alias("__change_ts")
     ).alias("upd")
     current = dim.filter(F.col(current_col))
-    history = dim.filter(~F.col(current_col))
 
     same = F.lit(True)
     for a in attrs:
@@ -147,11 +171,50 @@ def scd2_apply_changes(
         .withColumn(current_col, F.lit(True))
         .drop("__change_ts")
     )
-    cols = history.columns
-    return (
-        history.unionByName(unchanged.select(*cols))
-        .unionByName(closed.select(*cols))
-        .unionByName(fresh.select(*cols))
+    return unchanged, closed, fresh
+
+
+def scd2_apply_changes_snapshot(
+    spark,
+    path: str,
+    updates: DataFrame,
+    nk: list[str],
+    attrs: list[str],
+    change_ts_col: str,
+    start_col: str = "effective_start_ts",
+    end_col: str = "effective_end_ts",
+    current_col: str = "is_current",
+) -> dict:
+    """Apply an SCD2 change batch to a snapshot-versioned dimension via
+    copy-on-write MERGE — the Delta-``MERGE`` path the reference's
+    full-dimension rewrite (``Meta_Guideline.md:2728-2731``) becomes on
+    a modern table format, here on the plain-parquet snapshot module.
+
+    Identical semantics to reading the table, running
+    :func:`scd2_apply_changes`, and rewriting everything — but only
+    the DELTA rows ride the merge: close-outs (existing
+    ``(nk, start)`` key -> matched, row replaced with end/current
+    flipped) and fresh versions (new ``(nk, start)`` key -> inserted).
+    Files holding only untouched keys carry over by reference.
+    Precondition (monotone CDC): a change's timestamp is strictly
+    after the current version's ``start_col`` — the standard
+    assumption; equal timestamps would make the close-out and the
+    fresh row collide on the merge key, which
+    ``check_duplicate_keys`` turns into an explicit error.
+    Returns the snapshot merge report.
+    """
+    from aws_medallion_etl_spark import snapshot as _snap
+
+    dim = _snap.snapshot_read(spark, path)
+    _unchanged, closed, fresh = _scd2_parts(
+        dim, updates, nk, attrs, change_ts_col, start_col, end_col, current_col
+    )
+    cols = dim.columns
+    delta = closed.select(*cols).unionByName(fresh.select(*cols))
+    return _snap.merge_into(
+        spark, path, delta, on=[*nk, start_col],
+        when_matched="update", when_not_matched="insert",
+        check_duplicate_keys=True,
     )
 
 

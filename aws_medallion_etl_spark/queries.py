@@ -6413,3 +6413,72 @@ def corpus_pack_greedy_subword(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned table MERGE (Delta-gap closure, snapshot.py)
+# ---------------------------------------------------------------------------
+
+_S23_MERGE_SQL = """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+                    ELSE c_acctbal END AS bal
+        FROM customer
+    ), ins AS (
+        SELECT c_custkey + (SELECT max(c_custkey) FROM customer) + 100
+                   AS c_custkey,
+               c_mktsegment, c_acctbal AS bal
+        FROM customer WHERE c_custkey % 25 = 0
+    ), merged AS (
+        SELECT * FROM base UNION ALL SELECT * FROM ins
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(bal), 2) AS total_acctbal
+    FROM merged WHERE c_custkey % 7 <> 3
+    GROUP BY c_mktsegment
+"""
+
+
+@query("s23_merge_snapshot", _S23_MERGE_SQL)
+def s23_merge_snapshot(spark, sf_dir):
+    """Copy-on-write MERGE on a snapshot-versioned parquet table
+    (``snapshot.merge_into``) — the sandbox-feasible Delta/Iceberg
+    MERGE: three commits (create, update+insert, delete), each an
+    atomic manifest version, untouched files carried by reference.
+
+    The oracle replays the same three MERGE actions as plain SQL over
+    the source table, so any failure of merge semantics, version
+    isolation, or the file-pruning rewrite (a lost row in an
+    "untouched" file, a duplicated insert on the re-read) shifts the
+    per-segment counts or balances.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s23snap", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+    snap.snapshot_create(
+        spark, cust.repartitionByRange(8, "c_custkey"), path,
+        stats_cols=["c_custkey"],
+    )
+    maxk = cust.agg(F.max("c_custkey")).first()[0]
+    upd = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000
+    )
+    ins = cust.where(F.col("c_custkey") % 25 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(maxk + 100)
+    )
+    snap.merge_into(spark, path, upd.unionByName(ins), on=["c_custkey"])
+    dele = snap.snapshot_read(spark, path).where(F.col("c_custkey") % 7 == 3)
+    snap.merge_into(
+        spark, path, dele, on=["c_custkey"],
+        when_matched="delete", when_not_matched=None,
+    )
+    final = snap.snapshot_read(spark, path)
+    return final.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )

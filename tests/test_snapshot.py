@@ -1,0 +1,198 @@
+"""Snapshot-versioned tables: atomic commits, time travel, COW merge
+file pruning, crash safety, idempotent re-runs, vacuum, and the SCD2
+merge path's equality with the full-rewrite operator."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_etl_spark import snapshot as sn
+from aws_medallion_etl_spark.operators import scd
+
+
+def _mk(spark, tmp_path, n_files=4):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+    )
+    path = str(tmp_path / "tbl")
+    sn.snapshot_create(
+        spark, df.repartitionByRange(n_files, "k"), path, stats_cols=["k"]
+    )
+    return path, df
+
+
+def _rows(spark, path, version=None):
+    return sorted(
+        (r["k"], r["v"]) for r in sn.snapshot_read(spark, path, version).collect()
+    )
+
+
+def test_create_read_and_time_travel(spark, tmp_path):
+    path, df = _mk(spark, tmp_path)
+    assert sn.snapshot_versions(path) == [0]
+    assert _rows(spark, path) == [(i, i * 10) for i in range(100)]
+    src = spark.range(0, 5).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    rep = sn.merge_into(spark, path, src, on=["k"])
+    assert rep["version"] == 1
+    # latest sees the update, version 0 is immutable
+    assert _rows(spark, path)[:5] == [(i, -1) for i in range(5)]
+    assert _rows(spark, path, version=0) == [(i, i * 10) for i in range(100)]
+    with pytest.raises(ValueError, match="no version"):
+        sn.snapshot_read(spark, path, version=7)
+    with pytest.raises(ValueError, match="not a snapshot table"):
+        sn.snapshot_read(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="already a snapshot table"):
+        sn.snapshot_create(spark, df, path, stats_cols=["k"])
+
+
+def test_merge_update_insert_delete_semantics(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(50, -5), (51, -6), (200, 1), (201, 2)], ["k", "v"]
+    )
+    sn.merge_into(spark, path, src, on=["k"])
+    got = dict(_rows(spark, path))
+    assert got[50] == -5 and got[51] == -6          # matched -> updated
+    assert got[200] == 1 and got[201] == 2          # unmatched -> inserted
+    assert got[49] == 490                           # untouched
+    assert len(got) == 102
+    # delete matched only; unmatched delete-source rows are a no-op
+    dele = spark.createDataFrame([(200, 0), (999, 0)], ["k", "v"])
+    sn.merge_into(spark, path, dele, on=["k"],
+                  when_matched="delete", when_not_matched=None)
+    got = dict(_rows(spark, path))
+    assert 200 not in got and 999 not in got and len(got) == 101
+    # matched=None leaves matched rows alone, still inserts
+    keep = spark.createDataFrame([(50, 777), (300, 3)], ["k", "v"])
+    sn.merge_into(spark, path, keep, on=["k"], when_matched=None)
+    got = dict(_rows(spark, path))
+    assert got[50] == -5 and got[300] == 3
+    with pytest.raises(ValueError, match="when_matched"):
+        sn.merge_into(spark, path, keep, on=["k"], when_matched="upsert")
+    with pytest.raises(ValueError, match="lacks target columns"):
+        sn.merge_into(spark, path, keep.select("k"), on=["k"])
+
+
+def test_merge_prunes_untouched_files_by_reference(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path, n_files=4)
+    man0 = sn._read_manifest(path, 0)
+    # touch only the lowest key range
+    src = spark.createDataFrame([(0, -1), (1, -2)], ["k", "v"])
+    rep = sn.merge_into(spark, path, src, on=["k"])
+    assert rep["files_untouched"] >= 3
+    assert rep["files_rewritten"] >= 1
+    assert rep["files_rewritten"] + rep["files_untouched"] == len(man0["files"])
+    # untouched entries carried VERBATIM (same relative path -> the
+    # data file was neither read back nor rewritten)
+    man1 = sn._read_manifest(path, 1)
+    old = {e["file"] for e in man0["files"]}
+    carried = [e for e in man1["files"] if e["file"] in old]
+    assert len(carried) == rep["files_untouched"]
+    assert _rows(spark, path)[:2] == [(0, -1), (1, -2)]
+
+
+def test_crash_between_data_write_and_commit_leaves_old_version(spark, tmp_path):
+    """The crash-safety contract: data files land before the manifest
+    link, so a crash in between leaves orphans no reader sees."""
+    path, _ = _mk(spark, tmp_path)
+    before = _rows(spark, path)
+    # simulate the crash: commit files written, manifest never linked
+    src = spark.range(0, 3).select(F.col("id").alias("k"), F.lit(-9).alias("v"))
+    sn._write_commit_files(src, path, 1, ["k"])
+    assert sn.snapshot_versions(path) == [0]
+    assert _rows(spark, path) == before
+    # recovery is just re-running the merge — the orphaned commit dir
+    # cannot collide (uuid suffix) and vacuum reclaims it
+    rep = sn.merge_into(spark, path, src, on=["k"])
+    assert rep["version"] == 1
+    assert dict(_rows(spark, path))[0] == -9
+    vac = sn.vacuum(path, keep_versions=1)
+    assert vac["removed_files"] >= 1
+    assert dict(_rows(spark, path))[0] == -9
+
+
+def test_commit_conflict_raises(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)
+    man = sn._read_manifest(path, 0)
+    with pytest.raises(RuntimeError, match="conflict"):
+        sn._commit(path, 0, man)
+
+
+def test_merge_rerun_is_idempotent_in_content(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(10, -1), (500, 5)], ["k", "v"])
+    sn.merge_into(spark, path, src, on=["k"])
+    first = _rows(spark, path)
+    rep = sn.merge_into(spark, path, src, on=["k"])
+    assert rep["version"] == 2
+    assert _rows(spark, path) == first  # insert became update: no dup
+
+
+def test_duplicate_source_keys_rejected_when_checked(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)
+    dup = spark.createDataFrame([(1, 1), (1, 2)], ["k", "v"])
+    with pytest.raises(ValueError, match="not unique"):
+        sn.merge_into(spark, path, dup, on=["k"], check_duplicate_keys=True)
+
+
+def test_vacuum_reclaims_old_versions_and_orphans(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(0, -1)], ["k", "v"])
+    sn.merge_into(spark, path, src, on=["k"])
+    assert sn.snapshot_versions(path) == [0, 1]
+    latest = _rows(spark, path)
+    sn.vacuum(path, keep_versions=1)
+    assert sn.snapshot_versions(path) == [1]
+    assert _rows(spark, path) == latest
+    with pytest.raises(ValueError, match="no version"):
+        sn.snapshot_read(spark, path, version=0)
+    with pytest.raises(ValueError, match="keep_versions"):
+        sn.vacuum(path, keep_versions=0)
+
+
+def test_scd2_snapshot_merge_equals_full_rewrite(spark, tmp_path):
+    """The Delta-gap closure: applying an SCD2 batch through the
+    snapshot MERGE yields exactly the full-rewrite operator's table."""
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01 00:00:00", "9999-12-31 00:00:00", True),
+         (1, "z", "2019-01-01 00:00:00", "2020-01-01 00:00:00", False),
+         (2, "b", "2020-01-01 00:00:00", "9999-12-31 00:00:00", True),
+         (3, "c", "2020-01-01 00:00:00", "9999-12-31 00:00:00", True)],
+        ["nk", "attr", "effective_start_ts", "effective_end_ts", "is_current"],
+    ).select(
+        "nk", "attr",
+        F.col("effective_start_ts").cast("timestamp").alias("effective_start_ts"),
+        F.col("effective_end_ts").cast("timestamp").alias("effective_end_ts"),
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2", "2021-06-01 00:00:00"),   # changed -> close + fresh
+         (2, "b", "2021-06-01 00:00:00"),    # unchanged -> no-op
+         (9, "new", "2021-06-01 00:00:00")], # brand new nk -> fresh
+        ["nk", "attr", "change_ts"],
+    ).withColumn("change_ts", F.col("change_ts").cast("timestamp"))
+
+    expected = sorted(
+        map(tuple, scd.scd2_apply_changes(
+            dim, updates, ["nk"], ["attr"], "change_ts"
+        ).collect())
+    )
+    path = str(tmp_path / "dim")
+    sn.snapshot_create(
+        spark, dim.repartitionByRange(2, "nk"), path, stats_cols=["nk"]
+    )
+    rep = scd.scd2_apply_changes_snapshot(
+        spark, path, updates, ["nk"], ["attr"], "change_ts"
+    )
+    got = sorted(map(tuple, sn.snapshot_read(spark, path).collect()))
+    assert got == expected
+    # nk=3's file region had no changes; with 2 files at least the
+    # merge must not have rewritten everything when only nk 1/2/9 moved
+    assert rep["files_added"] >= 1
+    # and the pre-merge dimension is still pinned at version 0
+    v0 = sorted(map(tuple, sn.snapshot_read(spark, path, version=0).collect()))
+    assert v0 == sorted(map(tuple, dim.collect()))
