@@ -463,3 +463,99 @@ def strip_html(col: Column | str) -> Column:
     x = F.regexp_replace(x, r"\n{2,}", "\n")
     # trim() strips only spaces; block closers leave edge newlines
     return F.regexp_replace(x, r"^\s+|\s+$", "")
+
+
+def hashed_features(df, id_col: str, text_col: Column | str, n_buckets: int = 4096, seed: str = "qclf"):
+    """(id, bucket) hashed text features: unigrams + word bigrams of
+    the lowercased whitespace tokens, md5-bucketed into
+    ``[0, n_buckets)`` — the fastText feature map (hashing trick), in
+    a PORTABLE construction (md5, not xxhash) so any engine
+    reproduces bucket ids bit-for-bit.
+
+    One row per feature OCCURRENCE (not distinct): fastText averages
+    over all n-gram slots, so repeats weigh more. The token array is
+    materialized in a projection before the bigram ``zip_with`` —
+    HOF lambdas are interpreted and would re-split per element.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(_c(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    bigrams = F.zip_with(
+        F.slice(F.col("__toks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("__toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = base.select(
+        F.col(id_col),
+        F.explode(F.concat(F.col("__toks"), bigrams)).alias("__feat"),
+    )
+    key = F.concat(F.col("__feat"), F.lit(":" + seed))
+    return feats.select(
+        F.col(id_col),
+        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+         % n_buckets).alias("bucket"),
+    )
+
+
+def quality_classifier_scores(
+    df,
+    id_col: str,
+    text_col: Column | str,
+    weights,
+    n_buckets: int = 4096,
+    seed: str = "qclf",
+    scale: int = 1000,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    ndigits: int = 4,
+):
+    """fastText-style linear quality classifier inference: hashed
+    n-gram features -> averaged bucket weights -> thresholded score.
+
+    ``weights`` is a (bucket, w) DataFrame with INTEGER fixed-point
+    weights (true weight = w / ``scale``) — the offline collapse of
+    the embedding matrix and the output layer into one scalar per
+    bucket, which is exactly what a binary fastText classifier's
+    score reduces to: ``score = mean_g(w[h(g)]) + bias``. A learned
+    model exports to this table losslessly (quantize to ``scale``).
+
+    Plan shape: feature explode (codegen) -> broadcast hash join on
+    the weight table (bucket-count-sized, ~KBs) -> one per-doc
+    aggregate. The integer weight sum is EXACT (no float accumulation
+    order), divided once at the end — the cross-engine-parity
+    discipline this repo uses for every merged-sum score. Returns
+    ``(id, n_features, quality_score, accept)``; docs with no
+    features score the bare bias.
+    """
+    feats = hashed_features(df, id_col, text_col, n_buckets, seed)
+    scored = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("__sw"),
+        )
+    )
+    score = F.round(
+        F.col("__sw") / (F.lit(float(scale)) * F.col("n_features"))
+        + F.lit(bias),
+        ndigits,
+    )
+    out = scored.select(
+        F.col(id_col),
+        F.col("n_features").cast("long").alias("n_features"),
+        score.alias("quality_score"),
+        (score > F.lit(threshold)).alias("accept"),
+    )
+    empties = df.select(F.col(id_col)).join(
+        out.select(id_col), id_col, "left_anti"
+    ).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_features"),
+        F.round(F.lit(bias), ndigits).alias("quality_score"),
+        (F.lit(bias) > F.lit(threshold)).alias("accept"),
+    )
+    return out.unionByName(empties)

@@ -6482,3 +6482,74 @@ def s23_merge_snapshot(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-classifier inference (text.quality_classifier_scores)
+# ---------------------------------------------------------------------------
+
+_T_QCLF_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               unnest(list_concat(t,
+                   [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS f
+        FROM toks
+    ), b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(f || ':qclf'), 1, 8)) AS BIGINT)
+                   % 4096 AS bucket
+        FROM feats
+    ), w AS (
+        SELECT b AS bucket,
+               (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':qw'), 1, 8))
+                     AS BIGINT) % 2001) - 1000 AS w
+        FROM range(4096) t(b)
+    ), s AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+               CAST(sum(w.w) AS BIGINT) AS sw
+        FROM b JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+           coalesce(round(sw / (1000.0 * n_features), 4), 0.0)
+               AS quality_score,
+           coalesce(round(sw / (1000.0 * n_features), 4) > 0.0, FALSE)
+               AS accept
+    FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+@query("t_quality_classifier", _T_QCLF_SQL)
+def t_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality classifier
+    (``text.quality_classifier_scores``): hashed unigram+bigram
+    features -> per-bucket integer weights (the offline collapse of
+    embedding x output layer) -> mean + threshold. The weight table is
+    staged as a small parquet (the model-export shape) and broadcast;
+    the integer weight sum is exact, divided once — so the oracle,
+    regenerating the same md5-derived weights in SQL, matches
+    bit-for-bit. At 100 TB: one feature explode in codegen, one
+    KB-sized broadcast, one per-doc aggregate.
+    """
+    path = _scratch("qclfw", sf_dir)
+    wdf = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (
+            (F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit(":qw"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % 2001) - 1000
+        ).alias("w"),
+    )
+    wdf.write.mode("overwrite").parquet(path)
+    weights = spark.read.parquet(path)
+    return text.quality_classifier_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", weights
+    )

@@ -1025,3 +1025,61 @@ def test_strip_html_edge_cases(spark):
     out2 = esc.select(text.strip_html("raw").alias("c")).collect()[0]["c"]
     assert out2 == "use &lt;div&gt; &amp; &nbsp; here"
     assert "<" not in out2 and ">" not in out2
+
+
+def test_hashed_features_unigrams_plus_bigrams(spark):
+    from aws_medallion_etl_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, ""), (4, None)], ["id", "text"]
+    )
+    feats = tx.hashed_features(df, "id", "text", n_buckets=64)
+    per_id = {
+        r["id"]: r["n"]
+        for r in feats.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # 3 unigrams + 2 bigrams; single token -> 1; empty/null -> no rows
+    assert per_id == {1: 5, 2: 1}
+    # buckets are the portable md5 construction — recompute one by hand
+    import hashlib
+
+    expected = int(hashlib.md5(b"a b:qclf").hexdigest()[:8], 16) % 64
+    got = {
+        r["bucket"]
+        for r in feats.where(F.col("id") == 1).collect()
+    }
+    assert expected in got
+
+
+def test_quality_classifier_separates_known_words(spark):
+    from aws_medallion_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "good good great"), (2, "bad awful bad"), (3, "")],
+        ["id", "text"],
+    )
+    # weights: assign every bucket of the positive features +1000,
+    # negative features -1000 (bigram buckets too), rest 0
+    pos = tx.hashed_features(
+        docs.where(F.col("id") == 1), "id", "text", n_buckets=256
+    ).select("bucket").distinct()
+    neg = tx.hashed_features(
+        docs.where(F.col("id") == 2), "id", "text", n_buckets=256
+    ).select("bucket").distinct()
+    weights = (
+        spark.range(256).select(F.col("id").alias("bucket"))
+        .join(pos.withColumn("w", F.lit(1000)), "bucket", "left")
+        .join(neg.withColumn("w2", F.lit(-1000)), "bucket", "left")
+        .select("bucket", F.coalesce("w2", "w", F.lit(0)).alias("w"))
+    )
+    out = {
+        r["id"]: (r["n_features"], r["quality_score"], r["accept"])
+        for r in tx.quality_classifier_scores(
+            docs, "id", "text", weights, n_buckets=256
+        ).collect()
+    }
+    n1, s1, a1 = out[1]
+    n2, s2, a2 = out[2]
+    assert n1 == 5 and s1 == 1.0 and a1 is True
+    assert n2 == 5 and s2 == -1.0 and a2 is False
+    assert out[3] == (0, 0.0, False)  # featureless doc scores the bias
