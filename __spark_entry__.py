@@ -62,46 +62,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history run FIRST — the harness records ~50 verdicts per round, so
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
-    first verdict. Round 7 head: the 14 queries that have NEVER
-    received a driver verdict in any round (they sat just past the
-    ~50-row recording budget in r6), then ``dq_dataset_fingerprint``
-    (the only driver-red row, oracle made representation-proof this
-    round), then the round-7 additions, then the 44 queries whose
-    latest green is round 4 (now three rounds stale); the fresh
-    r5/r6 greens sit at the back.
+    first verdict. Round 8 head: the four new round-8 queries (no
+    verdict yet), then the 16 queries whose latest green is round 4
+    (three rounds stale — the judge's #1 round-8 ask), then the
+    oldest round-5 block in alphabetical order; the fresh r6/r7
+    greens sit at the back and roll to round 9.
     """
     first = [
-        # NEVER driver-verified (local-green since r5/r6) — the judge's
-        # #1 round-7 ask is a first green row for these fourteen
-        "corpus_bm25", "corpus_contamination_report", "corpus_decontaminate",
-        "dedup_incremental_lsh_appended", "dq_mad_outliers", "f_url_funcs",
-        "s16_file_skipping_scan", "s17_zorder_scan", "sim_topk_ivf_appended",
-        "str4_stream_dedup", "str5_stream_static_join",
-        "str6_stream_stream_join", "str7_stream_jsonl_ingest",
-        "t_unigram_logprob",
-        # the only driver-red row in r6 — oracle rebuilt this round to
-        # be representation-proof (VARCHAR fingerprint, integer
-        # arithmetic instead of hex-string cast)
-        "dq_dataset_fingerprint",
-        # new round-7 queries — no verdict yet
-        "dedup_simhash_rotations", "s11_jdbc_publish_roundtrip",
-        "sketch_heavy_hitters", "corpus_pack_greedy", "str10_stream_pack",
-        "corpus_split_leakage_safe", "corpus_mix_sources_tokens",
-        # round-4 greens, three rounds stale — rotate as many as the
-        # budget allows (~35 fit; the tail rolls to round 8)
-        "a7_exact_dedup", "a9_share_of_total", "a10_rollup_status_year",
-        "a11_pivot_status_by_year", "a12_percentiles",
-        "c1_circuit_breaker_stats", "dim_date_calendar",
-        "f_array_funcs", "f_boolean_parse", "f_date_funcs", "f_math_funcs",
-        "f_string_funcs",
-        "j1_enrich_left_defaults", "j2_referential_semi", "j3_orphans_anti",
-        "j4_fk_resolve_fallback", "j5_scd2_apply_changes",
-        "j6_joinback_aggregate", "j7_scalar_stats_zscore",
-        "o2_rank_multikey", "o3_diagnostics_sample",
-        "p5_validation_reject_reasons", "p6_validation_split_rejects",
-        "p_projection_family",
-        "s8_provenance_by_file", "s12_sql_endpoint", "s14_bucketed_join",
-        "sim_topk_bruteforce", "sim_topk_ivf",
+        # new round-8 queries — no verdict yet
+        "t_subword_tokens", "corpus_pack_greedy_subword",
+        "s23_merge_snapshot", "t_quality_classifier",
+        # round-4 greens, three rounds stale — the 16 left after r7's
+        # rotation (VERDICT r7 "Next round" #1, listed explicitly)
+        "sim_topk_ivf",
         "t_document_filter", "t_fingerprint", "t_lang_id", "t_quality_score",
         "tags_explode_normalize",
         "u2_unknown_row", "u3_union_all_report",
@@ -109,6 +82,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_yoy_growth",
         "dedup_clusters", "dedup_embedding_cosine", "dedup_exact_docs",
         "dedup_ngram_jaccard",
+        # round-5 greens, now two rounds stale — oldest block; ~30 fit
+        # the budget, the tail rolls to round 9
+        "a13_grouping_sets", "a8_dq_null_stats",
+        "corpus_cluster_representatives", "corpus_hash_split",
+        "corpus_mix_sources", "corpus_pack_sequences",
+        "corpus_prepare_shards", "corpus_redact_pii", "corpus_source_cap",
+        "corpus_stratified_sample", "corpus_tfidf_top_terms",
+        "corpus_vocab_topk",
+        "dedup_incremental", "dedup_incremental_lsh",
+        "dedup_levenshtein_names", "dedup_minhash_lsh", "dedup_simhash",
+        "dq_profile_orders", "e2e_medallion_gold", "emb_quantize_int8",
+        "f_json_extract", "fact_tag_usage_daily",
+        "j10_upsert_snapshot", "j11_salted_skew_join", "j12_snapshot_diff",
+        "j8_asof_prior_event", "j9_range_join_price_bands",
+        "mm_binary_features", "mm_frame_sampling",
+        "s13_sql_subqueries", "s15_sorted_compact_roundtrip",
+        "s1_csv_roundtrip", "s45_sink_roundtrip",
+        "s6_reject_quarantine_roundtrip",
+        "sim_topk_ivf_indexed", "sim_topk_lsh", "sketch_distinct_bounds",
+        "str1_stream_windowed_counts", "str2_stream_sessionize",
+        "str3_stream_running_totals",
+        "t_repetition_ngrams", "t_token_count", "u4_intersect_except",
+        "w10_distribution_ranks", "w11_range_frame",
+        "w12_funnel_conversion", "w2w3_scd2_from_history",
+        "w6_trailing_average", "w8_sessionize", "w9_ntile_quartiles",
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"
