@@ -4441,24 +4441,55 @@ _TOP_DUP_NGRAMS_SQL = r"""
 @query("t_top_dup_ngrams", _TOP_DUP_NGRAMS_SQL)
 def t_top_dup_ngrams(spark, sf_dir):
     """Most-duplicated 5-grams across the corpus — the dup-analysis
-    report that drives chunk-dedup / contamination thresholds.
+    report that drives chunk-dedup / contamination thresholds — with
+    the count-min screen bounding the vocabulary-sized shuffle.
 
-    Explode → hash aggregate with map-side combine (the shuffle
-    carries (gram, partial count) pairs, not token streams), then a
-    ``TakeOrdered`` top-20 with the gram itself as the total-order
-    tiebreaker. No global sort of the gram space.
+    The n-gram space is exactly the Zipf-shaped key space
+    ``sketches.heavy_hitters_screened`` exists for: at 100 TB the
+    plain groupBy's exchange carries one partial per DISTINCT GRAM
+    per task, while the sketch bounds it at depth*width. The wrinkle
+    is that the report ranks by DISTINCT DOCS but the screen
+    thresholds OCCURRENCES; ``n_docs <= n_occurrences`` makes the
+    screen no-false-negative with a post-hoc exactness guard: if the
+    20th-ranked survivor has ``n_docs >= threshold``, every pruned
+    gram (occurrences < threshold, hence n_docs < threshold) ranks
+    strictly below it and the screened top-20 IS the global top-20.
+    A corpus too lightly duplicated for the guard (this synthetic
+    word soup at small SF) falls back to the plain aggregate — same
+    answer, the oracle is unchanged either way.
     """
+    from aws_medallion_etl_spark.operators import sketches
+
     docs = _t(spark, sf_dir, "documents")
-    grams = text.word_ngrams(docs, "doc_id", "text", n=5)
-    return (
-        grams.groupBy("ngram")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
-        )
-        .orderBy(F.desc("n_docs"), F.asc("ngram"))
-        .limit(20)
+    # three consumers (sketch build x2 inside the screen, survivor
+    # verify) and Spark emits no ReusedExchange across them — pin the
+    # gram stream once; at 100 TB persist a gram table upstream instead
+    grams = text.word_ngrams(docs, "doc_id", "text", n=5).localCheckpoint(
+        eager=False
     )
+    threshold = 8
+
+    def _top20(pairs):
+        return (
+            pairs.groupBy("ngram")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+            )
+            .orderBy(F.desc("n_docs"), F.asc("ngram"))
+            .limit(20)
+        )
+
+    heavy = sketches.heavy_hitters_screened(
+        grams.select("ngram"), "ngram", threshold=threshold
+    )
+    screened = _top20(
+        grams.join(F.broadcast(heavy.select("ngram")), "ngram", "semi")
+    )
+    rows = screened.collect()  # bounded: <= 20 rows, the guard input
+    if len(rows) == 20 and rows[-1]["n_docs"] >= threshold:
+        return spark.createDataFrame(rows, screened.schema)
+    return _top20(grams)
 
 
 # ---------------------------------------------------------------------------

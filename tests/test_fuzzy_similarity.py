@@ -1083,3 +1083,34 @@ def test_quality_classifier_separates_known_words(spark):
     assert n1 == 5 and s1 == 1.0 and a1 is True
     assert n2 == 5 and s2 == -1.0 and a2 is False
     assert out[3] == (0, 0.0, False)  # featureless doc scores the bias
+
+
+def test_top_dup_ngrams_screen_guard_on_heavy_corpus(spark, tmp_path):
+    """On a corpus duplicated enough for the guard (every 5-gram in 30
+    docs >= threshold 8) the screened path engages and must equal the
+    plain aggregate; the sf-dir query contract is exercised as-is."""
+    from aws_medallion_etl_spark.queries import QUERIES
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    docs = spark.createDataFrame(
+        [(i, words) for i in range(30)] + [(100, "one two three")],
+        ["doc_id", "text"],
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["t_top_dup_ngrams"](spark, str(tmp_path)).collect()
+    assert len(out) == 20
+    assert all(r["n_docs"] == 30 and r["n_occurrences"] == 30 for r in out)
+    # plain reference on the same corpus
+    from aws_medallion_etl_spark.operators import text as tx
+
+    plain = (
+        tx.word_ngrams(docs, "doc_id", "text", n=5)
+        .groupBy("ngram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(20)
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in plain]
