@@ -511,6 +511,7 @@ def quality_classifier_scores(
     bias: float = 0.0,
     threshold: float = 0.0,
     ndigits: int = 4,
+    include_sum: bool = False,
 ):
     """fastText-style linear quality classifier inference: hashed
     n-gram features -> averaged bucket weights -> thresholded score.
@@ -528,7 +529,12 @@ def quality_classifier_scores(
     order), divided once at the end — the cross-engine-parity
     discipline this repo uses for every merged-sum score. Returns
     ``(id, n_features, quality_score, accept)``; docs with no
-    features score the bare bias.
+    features score the bare bias. ``include_sum=True`` appends the
+    raw fixed-point ``weight_sum`` (BIGINT) — the integer-exact
+    column any cross-engine compare should hash instead of the
+    rounded float (Spark rounds HALF_UP on the decimal string view,
+    other engines round the binary double; they diverge by 1 ulp at
+    boundary scores).
     """
     feats = hashed_features(df, id_col, text_col, n_buckets, seed)
     scored = (
@@ -544,11 +550,18 @@ def quality_classifier_scores(
         + F.lit(bias),
         ndigits,
     )
+    sum_cols = (
+        [F.col("__sw").cast("long").alias("weight_sum")] if include_sum else []
+    )
     out = scored.select(
         F.col(id_col),
         F.col("n_features").cast("long").alias("n_features"),
         score.alias("quality_score"),
         (score > F.lit(threshold)).alias("accept"),
+        *sum_cols,
+    )
+    empty_sum = (
+        [F.lit(0).cast("long").alias("weight_sum")] if include_sum else []
     )
     empties = df.select(F.col(id_col)).join(
         out.select(id_col), id_col, "left_anti"
@@ -557,5 +570,6 @@ def quality_classifier_scores(
         F.lit(0).cast("long").alias("n_features"),
         F.round(F.lit(bias), ndigits).alias("quality_score"),
         (F.lit(bias) > F.lit(threshold)).alias("accept"),
+        *empty_sum,
     )
     return out.unionByName(empties)

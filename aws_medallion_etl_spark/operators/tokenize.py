@@ -176,6 +176,7 @@ def subword_pieces(
     text_col: str,
     vocab: tuple[str, ...] = DEFAULT_VOCAB,
     out_col: str = "pieces",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Document rows + an ``out_col`` array of subword pieces.
 
@@ -183,12 +184,24 @@ def subword_pieces(
     themselves are the product (model input prep). For counts over a
     big corpus prefer :func:`subword_token_counts` — it encodes
     distinct words only.
+
+    ``id_col`` names a unique row id when the caller has one. Without
+    it the row id is synthesized with ``monotonically_increasing_id``
+    and the frame is pinned via ``localCheckpoint`` first — the id
+    feeds a self-join whose two branches would otherwise recompute a
+    nondeterministic upstream (sample/limit) independently and attach
+    pieces to the wrong rows.
     """
     enc = encode_words_udf(spark, vocab)
     # flatten(transform(words, w -> pieces(w))) would re-enter Python
     # per word; instead explode once, encode, re-collect with the
     # word position keeping piece order stable.
-    base = df.withColumn("__rid", F.monotonically_increasing_id())
+    if id_col is not None:
+        base = df.withColumn("__rid", F.col(id_col))
+    else:
+        base = df.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
     words = base.select(
         "__rid", F.posexplode(pretokenize(text_col)).alias("__wp", "__w")
     )

@@ -6519,7 +6519,22 @@ def s23_merge_snapshot(spark, sf_dir):
 # Linear quality-classifier inference (text.quality_classifier_scores)
 # ---------------------------------------------------------------------------
 
-_T_QCLF_SQL = r"""
+def _hex8_bigint_sql(col: str) -> str:
+    """Driver-portable BIGINT from 8 hex digits in column ``col``:
+    per-digit ``strpos * 16^k`` rebuild instead of ``CAST('0x'||h AS
+    BIGINT)``, which diverged on the driver's DuckDB before
+    (``dq_dataset_fingerprint`` is the worked example, verify
+    SKILL.md:144).
+    """
+    terms = " +\n               ".join(
+        f"CAST(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return "(" + terms + ")"
+
+
+_T_QCLF_SQL = rf"""
     WITH toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -6531,15 +6546,13 @@ _T_QCLF_SQL = r"""
                    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS f
         FROM toks
     ), b AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(f || ':qclf'), 1, 8)) AS BIGINT)
-                   % 4096 AS bucket
-        FROM feats
+        SELECT doc_id, {_hex8_bigint_sql("h")} % 4096 AS bucket
+        FROM (SELECT doc_id, substr(md5(f || ':qclf'), 1, 8) AS h FROM feats)
     ), w AS (
-        SELECT b AS bucket,
-               (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':qw'), 1, 8))
-                     AS BIGINT) % 2001) - 1000 AS w
-        FROM range(4096) t(b)
+        SELECT bucket, ({_hex8_bigint_sql("h")} % 2001) - 1000 AS w
+        FROM (SELECT b AS bucket,
+                     substr(md5(CAST(b AS VARCHAR) || ':qw'), 1, 8) AS h
+              FROM range(4096) t(b))
     ), s AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
                CAST(sum(w.w) AS BIGINT) AS sw
@@ -6547,10 +6560,8 @@ _T_QCLF_SQL = r"""
     )
     SELECT d.doc_id,
            CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
-           coalesce(round(sw / (1000.0 * n_features), 4), 0.0)
-               AS quality_score,
-           coalesce(round(sw / (1000.0 * n_features), 4) > 0.0, FALSE)
-               AS accept
+           CAST(coalesce(s.sw, 0) AS BIGINT) AS weight_sum,
+           coalesce(s.sw > 0, FALSE) AS accept
     FROM documents d LEFT JOIN s USING (doc_id)
 """
 
@@ -6561,11 +6572,15 @@ def t_quality_classifier(spark, sf_dir):
     (``text.quality_classifier_scores``): hashed unigram+bigram
     features -> per-bucket integer weights (the offline collapse of
     embedding x output layer) -> mean + threshold. The weight table is
-    staged as a small parquet (the model-export shape) and broadcast;
-    the integer weight sum is exact, divided once — so the oracle,
-    regenerating the same md5-derived weights in SQL, matches
-    bit-for-bit. At 100 TB: one feature explode in codegen, one
-    KB-sized broadcast, one per-doc aggregate.
+    staged as a small parquet (the model-export shape) and broadcast.
+    The COMPARED columns are integer-exact (``n_features``,
+    ``weight_sum`` BIGINT, ``accept = weight_sum > 0``): round 8's
+    driver red showed Spark's HALF_UP-on-decimal-view ``round()``
+    and DuckDB's binary-double ``round()`` diverge by 1 ulp on
+    boundary scores, so the rounded float stays OUT of the hash —
+    consumers get it from the operator, not this parity query. At
+    100 TB: one feature explode in codegen, one KB-sized broadcast,
+    one per-doc aggregate.
     """
     path = _scratch("qclfw", sf_dir)
     wdf = spark.range(4096).select(
@@ -6581,6 +6596,13 @@ def t_quality_classifier(spark, sf_dir):
     )
     wdf.write.mode("overwrite").parquet(path)
     weights = spark.read.parquet(path)
-    return text.quality_classifier_scores(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", weights
+    scored = text.quality_classifier_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", weights,
+        include_sum=True,
+    )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        "weight_sum",
+        (F.col("weight_sum") > 0).alias("accept"),
     )

@@ -294,7 +294,15 @@ def merge_into(
     missing = [c for c in tcols if c not in source.columns]
     if missing:
         raise ValueError(f"merge_into: source lacks target columns {missing}")
-    src = source.select(*tcols)
+    # Cast the source to the manifest schema: a source key column of a
+    # different physical type would make the pruning probe compare keys
+    # cross-type (implicit casts can wrongly prove files untouched ->
+    # lost updates) and would write data files diverging from the
+    # pinned schema, breaking later snapshot_read. Incompatible casts
+    # raise here (AnalysisException), before any file is written.
+    src = source.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
     if check_duplicate_keys:
         dupes = src.groupBy(*on).count().where(F.col("count") > 1).limit(1).count()
         if dupes:
@@ -342,12 +350,25 @@ def merge_into(
     }
 
 
-def vacuum(path: str, keep_versions: int = 1) -> dict:
+def vacuum(
+    path: str, keep_versions: int = 1, retention_seconds: float = 86400.0
+) -> dict:
     """Delete data files referenced by NO retained manifest (crash
     orphans and files only older versions point at), and drop the
     pruned manifests. ``keep_versions`` >= 1 latest versions survive —
     time travel works within the retained window, exactly Delta's
-    ``VACUUM`` trade."""
+    ``VACUUM`` trade.
+
+    ``retention_seconds`` protects in-flight writers (Delta's VACUUM
+    retention model): an unreferenced file younger than the window is
+    skipped, because a concurrent :func:`merge_into` writes its commit
+    directory BEFORE linking the manifest — deleting those files would
+    let the writer's ``os.link`` succeed while referencing vanished
+    data. Only pass ``retention_seconds=0`` when no writer can be
+    running (the same contract Delta documents for shrinking the
+    retention below the default)."""
+    import time
+
     if keep_versions < 1:
         raise ValueError("vacuum: keep_versions must be >= 1")
     vs = snapshot_versions(path)
@@ -359,26 +380,37 @@ def vacuum(path: str, keep_versions: int = 1) -> dict:
     for v in keep:
         for e in _read_manifest(path, v)["files"]:
             live.add(os.path.normpath(e["file"]))
-    removed_files = 0
+    cutoff = time.time() - retention_seconds
+    removed_files = skipped_recent = 0
     data_root = os.path.join(root, _DATA_DIR)
     for dirpath, _dirs, names in os.walk(data_root):
         for name in names:
             f = os.path.join(dirpath, name)
             rel = os.path.normpath(os.path.relpath(f, root))
             if name.endswith(".parquet") and rel not in live:
+                if os.path.getmtime(f) > cutoff:
+                    skipped_recent += 1
+                    continue
                 os.unlink(f)
                 removed_files += 1
     for v in vs:
         if v not in keep:
             os.unlink(_manifest_path(path, v))
     # drop commit dirs holding no parquet anymore (markers like
-    # _SUCCESS go with them) so the layout stays legible
+    # _SUCCESS go with them) so the layout stays legible — but never
+    # a dir young enough that its writer may still be pre-commit
     for dirpath, _dirs, names in list(os.walk(data_root, topdown=False)):
         if dirpath == data_root:
+            continue
+        if os.path.getmtime(dirpath) > cutoff:
             continue
         if not any(n.endswith(".parquet") for n in names):
             for n in names:
                 os.unlink(os.path.join(dirpath, n))
             if not os.listdir(dirpath):
                 os.rmdir(dirpath)
-    return {"removed_files": removed_files, "kept_versions": keep}
+    return {
+        "removed_files": removed_files,
+        "skipped_recent": skipped_recent,
+        "kept_versions": keep,
+    }

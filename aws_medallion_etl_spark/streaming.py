@@ -222,6 +222,14 @@ def stream_pack_greedy(
     mtime skew or a backfill must not silently produce a different
     packing); non-integral id types get the documented ordering
     contract without the runtime guard.
+
+    CHECKPOINT COMPATIBILITY: the state schema grew from (b, run) to
+    (b, run, max_id) when the ordering guard landed —
+    ``applyInPandasWithState`` has no state-schema evolution, so a
+    job restarted from a checkpoint written by the two-field version
+    will fail or misdecode state. Start such jobs with a NEW
+    checkpoint directory (replaying the source reproduces the same
+    packing by the determinism contract above).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import IntegralType

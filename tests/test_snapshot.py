@@ -110,7 +110,8 @@ def test_crash_between_data_write_and_commit_leaves_old_version(spark, tmp_path)
     rep = sn.merge_into(spark, path, src, on=["k"])
     assert rep["version"] == 1
     assert dict(_rows(spark, path))[0] == -9
-    vac = sn.vacuum(path, keep_versions=1)
+    # retention_seconds=0: the crash is known-dead, no writer in flight
+    vac = sn.vacuum(path, keep_versions=1, retention_seconds=0)
     assert vac["removed_files"] >= 1
     assert dict(_rows(spark, path))[0] == -9
 
@@ -145,13 +146,53 @@ def test_vacuum_reclaims_old_versions_and_orphans(spark, tmp_path):
     sn.merge_into(spark, path, src, on=["k"])
     assert sn.snapshot_versions(path) == [0, 1]
     latest = _rows(spark, path)
-    sn.vacuum(path, keep_versions=1)
+    rep = sn.vacuum(path, keep_versions=1, retention_seconds=0)
+    assert rep["removed_files"] >= 1          # v0's rewritten file is gone
     assert sn.snapshot_versions(path) == [1]
     assert _rows(spark, path) == latest
     with pytest.raises(ValueError, match="no version"):
         sn.snapshot_read(spark, path, version=0)
     with pytest.raises(ValueError, match="keep_versions"):
         sn.vacuum(path, keep_versions=0)
+
+
+def test_vacuum_retention_protects_inflight_commit_files(spark, tmp_path):
+    """Data files land BEFORE the manifest link: a vacuum racing that
+    window must not delete the young unreferenced files, or the
+    writer's commit would succeed referencing vanished data."""
+    path, df = _mk(spark, tmp_path)
+    # simulate an in-flight merge: commit files written, manifest not
+    # yet linked (exactly the pre-link state of merge_into)
+    pending = sn._write_commit_files(
+        df.limit(3), path, version=1, stats_cols=["k"]
+    )
+    rep = sn.vacuum(path, keep_versions=1)    # default retention window
+    assert rep["removed_files"] == 0
+    assert rep["skipped_recent"] >= 1
+    root = path.rstrip("/")
+    for e in pending:
+        assert os.path.exists(os.path.join(root, e["file"]))
+    # the writer's commit still succeeds and reads back intact
+    man = sn._read_manifest(path, 0)
+    sn._commit(path, 1, {
+        "version": 1, "schema": man["schema"], "columns": man["columns"],
+        "files": pending,
+    })
+    assert len(_rows(spark, path, version=1)) == 3
+
+
+def test_merge_casts_source_to_manifest_schema(spark, tmp_path):
+    """A source keyed with a different physical type must not defeat
+    the pruning probe or write files diverging from the pinned schema."""
+    path, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([("7", "-7")], ["k", "v"])  # strings
+    sn.merge_into(spark, path, src, on=["k"])
+    got = dict(_rows(spark, path))
+    assert got[7] == -7
+    # read-back schema is still the pinned long/long manifest schema
+    sch = {f.name: f.dataType.simpleString()
+           for f in sn.snapshot_read(spark, path).schema.fields}
+    assert sch == {"k": "bigint", "v": "bigint"}
 
 
 def test_scd2_snapshot_merge_equals_full_rewrite(spark, tmp_path):
