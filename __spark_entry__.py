@@ -62,44 +62,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history run FIRST — the harness records ~50 verdicts per round, so
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
-    first verdict. Round 8 head: the four new round-8 queries (no
-    verdict yet), then the 16 queries whose latest green is round 4
-    (three rounds stale — the judge's #1 round-8 ask), then the
-    oldest round-5 block in alphabetical order; the fresh r6/r7
-    greens sit at the back and roll to round 9.
+    first verdict. Round 9 head: the round-8 red (its compare is now
+    integer-exact), then t_top_dup_ngrams (rewritten in r8/r9, its
+    latest driver verdict predates the rewrite), then any new round-9
+    queries, then the 20 queries whose latest green is round 5 (the
+    last staleness tranche — judge's r8 ask #2), then the oldest
+    round-6 block; fresher greens roll to round 10.
     """
     first = [
-        # new round-8 queries — no verdict yet
-        "t_subword_tokens", "corpus_pack_greedy_subword",
-        "s23_merge_snapshot", "t_quality_classifier",
-        # round-4 greens, three rounds stale — the 16 left after r7's
-        # rotation (VERDICT r7 "Next round" #1, listed explicitly)
-        "sim_topk_ivf",
-        "t_document_filter", "t_fingerprint", "t_lang_id", "t_quality_score",
-        "tags_explode_normalize",
-        "u2_unknown_row", "u3_union_all_report",
-        "w1_dedup_keep_newest", "w1b_dedup_max_by", "w4_hash_sk_distinct",
-        "w5_yoy_growth",
-        "dedup_clusters", "dedup_embedding_cosine", "dedup_exact_docs",
-        "dedup_ngram_jaccard",
-        # round-5 greens, now two rounds stale — oldest block; ~30 fit
-        # the budget, the tail rolls to round 9
-        "a13_grouping_sets", "a8_dq_null_stats",
-        "corpus_cluster_representatives", "corpus_hash_split",
-        "corpus_mix_sources", "corpus_pack_sequences",
-        "corpus_prepare_shards", "corpus_redact_pii", "corpus_source_cap",
-        "corpus_stratified_sample", "corpus_tfidf_top_terms",
-        "corpus_vocab_topk",
-        "dedup_incremental", "dedup_incremental_lsh",
-        "dedup_levenshtein_names", "dedup_minhash_lsh", "dedup_simhash",
-        "dq_profile_orders", "e2e_medallion_gold", "emb_quantize_int8",
-        "f_json_extract", "fact_tag_usage_daily",
-        "j10_upsert_snapshot", "j11_salted_skew_join", "j12_snapshot_diff",
-        "j8_asof_prior_event", "j9_range_join_price_bands",
-        "mm_binary_features", "mm_frame_sampling",
-        "s13_sql_subqueries", "s15_sorted_compact_roundtrip",
-        "s1_csv_roundtrip", "s45_sink_roundtrip",
-        "s6_reject_quarantine_roundtrip",
+        # round-8 red — the compare now hashes integer-exact columns
+        "t_quality_classifier",
+        # plan-stale: rewired onto the heavy-hitter screen in r8 and
+        # probe-gated in r9; latest driver verdict (r6) predates both
+        "t_top_dup_ngrams",
+        # round-5 greens, three rounds stale — the final tranche
+        # (VERDICT r8 "Next round" #2, listed explicitly)
+        "s15_sorted_compact_roundtrip", "s1_csv_roundtrip",
+        "s45_sink_roundtrip", "s6_reject_quarantine_roundtrip",
         "sim_topk_ivf_indexed", "sim_topk_lsh", "sketch_distinct_bounds",
         "str1_stream_windowed_counts", "str2_stream_sessionize",
         "str3_stream_running_totals",
@@ -107,6 +86,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_distribution_ranks", "w11_range_frame",
         "w12_funnel_conversion", "w2w3_scd2_from_history",
         "w6_trailing_average", "w8_sessionize", "w9_ntile_quartiles",
+        # round-6 greens, the oldest remaining block — ~28 fit the
+        # ~50-row budget, the tail rolls to round 10
+        "a14_histogram", "a15_cube", "a16_unpivot",
+        "a1_topk_customers", "a2_conditional_agg_owner",
+        "a3_yearly_rollup", "a4_distinct_counts", "a5_global_minmax",
+        "a6_frequency_classify",
+        "corpus_dedup_chunks", "corpus_shuffle_shards",
+        "corpus_weighted_sample",
+        "dedup_audit_cluster_sizes", "dedup_clusters_merged",
+        "dedup_containment", "dedup_cross_source_matrix",
+        "dedup_semantic_clusters", "dedup_url_canonical",
+        "dq_date_gaps", "dq_skew_report", "dq_winsorize",
+        "e2e_corpus_curation", "e2e_semantic_curation",
+        "emb_centroid_coherence",
+        "f_map_funcs", "f_pandas_udaf_median", "f_sql_udf",
+        "f_variant_extract",
+        "graph_pagerank_hubs", "inc_rollup_merge", "j14_inferred_members",
+        "mm_image_metadata",
+        "s18_orc_roundtrip", "s19_jsonl_roundtrip", "s20_python_datasource",
+        "s21_binaryfile_scan", "s22_schema_evolution_scan",
+        "sketch_rolling_distinct",
+        "str8_stream_incremental_dedup", "str9_stream_incremental_clusters",
+        "t_bigram_logprob", "t_js_divergence", "t_oov_rate", "t_strip_html",
+        "ts_gapfill_interp", "ts_trend_slope",
+        "w13_clean_path_conversions", "w14_max_drawdown",
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"

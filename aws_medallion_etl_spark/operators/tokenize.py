@@ -229,16 +229,27 @@ def subword_token_counts(
     id_col: str,
     text_col: str,
     vocab: tuple[str, ...] = DEFAULT_VOCAB,
+    broadcast_max_words: int | None = 2_000_000,
 ) -> DataFrame:
     """(id, n_words, n_pieces, n_unk) per document — the scale path.
 
     Plan shape: explode to (doc, word) [codegen], hash-aggregate to
-    per-doc-word counts, reduce to DISTINCT words (language-bounded,
-    not corpus-bounded), encode ONLY those through the Arrow UDF, and
-    broadcast the (word, piece_count, unk_count) table back over the
-    per-doc word counts. The only corpus-proportional exchange is the
-    per-doc aggregation; Python work is O(|vocabulary|). Documents
-    with no words keep a zero row (left join back to the input ids).
+    per-doc-word counts, reduce to DISTINCT words, encode ONLY those
+    through the Arrow UDF, and join the (word, piece_count, unk_count)
+    table back over the per-doc word counts. The only
+    corpus-proportional exchange is the per-doc aggregation; Python
+    work is O(|distinct words|). Documents with no words keep a zero
+    row (left join back to the input ids).
+
+    ``broadcast_max_words`` guards the cost-table broadcast: distinct
+    ``[a-z0-9]+`` tokens are CORPUS-bounded on web text (numerics,
+    ids, typos grow without bound), so above the cap the join falls
+    back to a plain shuffle join — same answer, no driver/executor
+    OOM. The guard materializes the vocab-sized cost table once
+    (``localCheckpoint``) and counts THAT, so the corpus is still
+    scanned exactly once; ``None`` skips the guard and always
+    broadcasts (trusted bounded vocabularies). Crossover notes in
+    SCALING.md.
     """
     enc = encode_words_udf(spark, vocab)
     words = df.select(
@@ -257,8 +268,17 @@ def subword_token_counts(
             F.filter(F.col("__pieces"), lambda p: p == F.lit(UNK_PIECE))
         ).alias("__uc"),
     )
+    if broadcast_max_words is None:
+        costs = F.broadcast(word_costs)
+    else:
+        wc = word_costs.localCheckpoint()
+        costs = (
+            F.broadcast(wc)
+            if wc.count() <= broadcast_max_words
+            else wc
+        )
     counts = (
-        per_doc_word.join(F.broadcast(word_costs), "__w")
+        per_doc_word.join(costs, "__w")
         .groupBy(id_col)
         .agg(
             F.sum("__n").alias("n_words"),

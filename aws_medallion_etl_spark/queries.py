@@ -4457,16 +4457,17 @@ def t_top_dup_ngrams(spark, sf_dir):
     A corpus too lightly duplicated for the guard (this synthetic
     word soup at small SF) falls back to the plain aggregate — same
     answer, the oracle is unchanged either way.
+
+    Crossover probe (r9): below ~5M estimated grams the plain
+    aggregate's whole exchange is smaller than the sketch's
+    depth*width counters, so the screen can't pay off — a metadata
+    doc count times a 512-doc average length routes small corpora
+    straight to the plain plan (sf0.1 measured 3.38 s screened+
+    fallback vs ~1.6 s plain; SCALING.md has the trade).
     """
     from aws_medallion_etl_spark.operators import sketches
 
     docs = _t(spark, sf_dir, "documents")
-    # three consumers (sketch build x2 inside the screen, survivor
-    # verify) and Spark emits no ReusedExchange across them — pin the
-    # gram stream once; at 100 TB persist a gram table upstream instead
-    grams = text.word_ngrams(docs, "doc_id", "text", n=5).localCheckpoint(
-        eager=False
-    )
     threshold = 8
 
     def _top20(pairs):
@@ -4480,6 +4481,28 @@ def t_top_dup_ngrams(spark, sf_dir):
             .limit(20)
         )
 
+    # volume probe: parquet-metadata row count x bounded-sample mean
+    # token length — no corpus-proportional work before the decision
+    n_docs = docs.count()
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    avg_tokens = (
+        docs.select(F.size(toks).alias("__n")).limit(512)
+        .agg(F.avg("__n")).first()[0]
+        or 0.0
+    )
+    est_grams = n_docs * max(avg_tokens - 4.0, 0.0)
+    if est_grams < 5_000_000:
+        return _top20(text.word_ngrams(docs, "doc_id", "text", n=5))
+
+    # three consumers (sketch build x2 inside the screen, survivor
+    # verify) and Spark emits no ReusedExchange across them — pin the
+    # gram stream once; at 100 TB persist a gram table upstream instead
+    grams = text.word_ngrams(docs, "doc_id", "text", n=5).localCheckpoint(
+        eager=False
+    )
     heavy = sketches.heavy_hitters_screened(
         grams.select("ngram"), "ngram", threshold=threshold
     )

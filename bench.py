@@ -57,15 +57,30 @@ def main() -> int:
         pass
 
     timings: dict[str, float] = {}
+    medians: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
-        t0 = time.time()
-        try:
+
+        def _run_once() -> float:
+            t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
+            return round(time.time() - t0, 3)
+
+        try:
+            t = _run_once()
+            if t >= 3.0:
+                # heavy tail: one shot in a shared JVM is noisy enough
+                # to read as a round-over-round regression — record the
+                # median of three (queries re-stage their own scratch
+                # inputs, so re-runs are self-contained)
+                runs = sorted([t, _run_once(), _run_once()])
+                medians[name] = runs
+                timings[name] = runs[1]
+            else:
+                timings[name] = t
         except Exception as e:  # noqa: BLE001 — a failed query must not kill the bench
             failures[name] = f"{type(e).__name__}: {e}"
 
@@ -80,6 +95,10 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if medians:
+        # sorted 3-run samples for every query whose first run took
+        # >= 3 s; the "queries" entry above is that query's MEDIAN
+        out["median_runs"] = medians
     if pipeline_sec is not None:
         # BASELINE.md's operative envelope: bronze->silver->gold < 30 min.
         out["pipeline_e2e_sec"] = pipeline_sec

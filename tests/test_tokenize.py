@@ -92,12 +92,35 @@ def test_subword_token_counts_scale_path_equals_direct(spark):
 def test_encoder_udf_runs_on_distinct_words_only(spark):
     """The scale path's Python surface is the distinct-word frame:
     the plan applies the Arrow UDF AFTER a distinct over words, so
-    corpus growth with a fixed vocabulary adds zero Python work."""
+    corpus growth with a fixed vocabulary adds zero Python work.
+    (broadcast_max_words=None keeps the whole lineage in one plan;
+    the default guard checkpoints the cost table, hiding the UDF
+    node behind a LogicalRDD scan.)"""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    out = tokenize.subword_token_counts(spark, docs, "doc_id", "text")
+    out = tokenize.subword_token_counts(
+        spark, docs, "doc_id", "text", broadcast_max_words=None
+    )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # the UDF's child must contain the distinct aggregate, and the
     # only ArrowEvalPython node sits above it (not on the full corpus)
     assert plan.count("ArrowEvalPython") == 1
     before_udf = plan.split("ArrowEvalPython")[1]
     assert "Aggregate" in before_udf
+
+
+def test_broadcast_guard_falls_back_to_shuffle_join(spark):
+    """Above broadcast_max_words the cost-table join must NOT carry a
+    broadcast hint (web-corpus vocabularies are corpus-bounded; a
+    forced broadcast is a driver OOM at scale) — and the fallback
+    answer is identical."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fall = tokenize.subword_token_counts(
+        spark, docs, "doc_id", "text", broadcast_max_words=0
+    )
+    assert "ResolvedHint" not in fall._jdf.queryExecution().analyzed().toString()
+    bcast = tokenize.subword_token_counts(
+        spark, docs, "doc_id", "text", broadcast_max_words=None
+    )
+    assert "ResolvedHint" in bcast._jdf.queryExecution().analyzed().toString()
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(fall) == key(bcast)
