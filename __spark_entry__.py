@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plan-stale: rewired onto the heavy-hitter screen in r8 and
         # probe-gated in r9; latest driver verdict (r6) predates both
         "t_top_dup_ngrams",
+        # new round-9 queries — no verdict yet
+        "s24_merge_schema_evolution",
         # round-5 greens, three rounds stale — the final tranche
         # (VERDICT r8 "Next round" #2, listed explicitly)
         "s15_sorted_compact_roundtrip", "s1_csv_roundtrip",

@@ -6538,6 +6538,86 @@ def s23_merge_snapshot(spark, sf_dir):
     )
 
 
+_S24_EVO_SQL = """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+                    ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 10 = 0 THEN
+                    CASE WHEN c_custkey % 20 = 0 THEN 'gold'
+                         ELSE 'silver' END
+               END AS tier
+        FROM customer
+    ), ins AS (
+        SELECT c_custkey + (SELECT max(c_custkey) FROM customer) + 100
+                   AS c_custkey,
+               c_mktsegment, c_acctbal AS bal, 'new' AS tier
+        FROM customer WHERE c_custkey % 25 = 0
+    ), merged AS (
+        SELECT * FROM base UNION ALL SELECT * FROM ins
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(bal), 2) AS total_acctbal,
+           CAST(count(tier) AS BIGINT) AS n_with_tier,
+           CAST(sum(CASE WHEN tier = 'gold' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gold
+    FROM merged GROUP BY c_mktsegment
+"""
+
+
+@query("s24_merge_schema_evolution", _S24_EVO_SQL)
+def s24_merge_schema_evolution(spark, sf_dir):
+    """MERGE with schema evolution (``snapshot.merge_into``
+    ``schema_evolution=True``) — Delta's mergeSchema for MERGE: the
+    source carries a ``tier`` column the table doesn't have; the
+    merge appends it to the manifest schema, untouched files carry
+    over BY REFERENCE and read NULL for it (parquet missing-column
+    semantics), only key-overlapping files rewrite.
+
+    The oracle replays update+insert+evolution as plain SQL: rows the
+    merge never touched must aggregate with NULL tier, updated rows
+    with their assigned tier — so a wrongly-rewritten untouched file,
+    a lost NULL, or an evolution that forced a full-table rewrite all
+    shift ``n_with_tier``/``n_gold`` per segment.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s24evo", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    snap.snapshot_create(
+        spark, cust.repartitionByRange(8, "c_custkey"), path,
+        stats_cols=["c_custkey"],
+    )
+    maxk = cust.agg(F.max("c_custkey")).first()[0]
+    upd = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_mktsegment",
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 20 == 0, "gold")
+        .otherwise("silver").alias("tier"),
+    )
+    ins = cust.where(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + F.lit(maxk + 100)).alias("c_custkey"),
+        "c_mktsegment", "c_acctbal", F.lit("new").alias("tier"),
+    )
+    snap.merge_into(
+        spark, path, upd.unionByName(ins), on=["c_custkey"],
+        schema_evolution=True,
+    )
+    final = snap.snapshot_read(spark, path)
+    return final.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        F.count("tier").alias("n_with_tier"),
+        F.sum(F.when(F.col("tier") == "gold", 1).otherwise(0))
+        .cast("long").alias("n_gold"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Linear quality-classifier inference (text.quality_classifier_scores)
 # ---------------------------------------------------------------------------

@@ -38,10 +38,10 @@ Layout::
   file-pruning buys. Swapping this module for real Delta is a
   one-call change per site (documented at each call).
 
-Differences from Delta, stated honestly: no schema evolution on
-merge, no deletion vectors (COW only), single-table transactions
-only, and the optimistic-concurrency loser must re-run rather than
-auto-rebase.
+Differences from Delta, stated honestly: schema evolution on merge is
+add-column only (``schema_evolution=True``; no drop/retype), no
+deletion vectors (COW only), single-table transactions only, and the
+optimistic-concurrency loser must re-run rather than auto-rebase.
 """
 
 from __future__ import annotations
@@ -52,7 +52,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from aws_medallion_etl_spark import io as eio
 
@@ -255,6 +255,7 @@ def merge_into(
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
     check_duplicate_keys: bool = False,
+    schema_evolution: bool = False,
 ) -> dict:
     """SQL MERGE onto a snapshot table, copy-on-write, atomically.
 
@@ -264,6 +265,16 @@ def merge_into(
     unique on ``on`` (standard MERGE precondition — a duplicate makes
     the update nondeterministic); ``check_duplicate_keys=True`` spends
     one aggregate to enforce it.
+
+    ``schema_evolution=True`` is Delta's ``mergeSchema`` for MERGE:
+    source columns absent from the target are APPENDED (nullable) to
+    the table schema in the new manifest version. Untouched files
+    carry over by reference unchanged — the pinned-schema read
+    returns NULL for the added columns from old files (parquet
+    missing-column semantics), so no rewrite is needed; time travel
+    to pre-evolution versions still reads the old shape. Add-column
+    only: a source still missing a TARGET column is an error either
+    way (dropping/retyping columns is not MERGE's job).
 
     Scale shape: untouched files (no key overlap, proven from manifest
     stats) carry over by reference — zero read, zero write. Touched
@@ -294,6 +305,24 @@ def merge_into(
     missing = [c for c in tcols if c not in source.columns]
     if missing:
         raise ValueError(f"merge_into: source lacks target columns {missing}")
+    extra = [c for c in source.columns if c not in tcols]
+    evolved = []
+    if extra and not schema_evolution:
+        # silently dropping source data is the one wrong option —
+        # Delta errors on updateAll with unknown columns too
+        raise ValueError(
+            f"merge_into: source has columns {extra} the target lacks; "
+            "pass schema_evolution=True to append them, or drop them "
+            "from the source"
+        )
+    if schema_evolution and extra:
+        evolved = extra
+        new_fields = [
+            StructField(f.name, f.dataType, True)
+            for f in source.select(*evolved).schema.fields
+        ]
+        schema = StructType(list(schema.fields) + new_fields)
+        tcols = [f.name for f in schema.fields]
     # Cast the source to the manifest schema: a source key column of a
     # different physical type would make the pruning probe compare keys
     # cross-type (implicit casts can wrongly prove files untouched ->
@@ -338,7 +367,7 @@ def merge_into(
     new_files = _write_commit_files(out, path, new_v, man.get("columns", on))
     _commit(path, new_v, {
         "version": new_v,
-        "schema": man["schema"],
+        "schema": schema.json() if evolved else man["schema"],
         "columns": man.get("columns", on),
         "files": untouched + new_files,
     })
@@ -347,6 +376,7 @@ def merge_into(
         "files_rewritten": len(touched),
         "files_untouched": len(untouched),
         "files_added": len(new_files),
+        "columns_added": evolved,
     }
 
 

@@ -181,6 +181,37 @@ def test_vacuum_retention_protects_inflight_commit_files(spark, tmp_path):
     assert len(_rows(spark, path, version=1)) == 3
 
 
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """Delta's mergeSchema for MERGE, add-column only: new source
+    columns append to the manifest schema; untouched files carry over
+    by reference and read NULL for the new column; pre-evolution
+    versions time-travel with the old shape."""
+    path, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(50, -5, "gold"), (200, 1, "new")], ["k", "v", "tier"]
+    )
+    with pytest.raises(Exception, match="tier"):
+        sn.merge_into(spark, path, src, on=["k"])  # evolution is opt-in
+    rep = sn.merge_into(spark, path, src, on=["k"], schema_evolution=True)
+    assert rep["columns_added"] == ["tier"]
+    assert rep["files_untouched"] >= 1          # old files NOT rewritten
+    cur = sn.snapshot_read(spark, path)
+    assert [f.name for f in cur.schema.fields] == ["k", "v", "tier"]
+    got = {r["k"]: (r["v"], r["tier"]) for r in cur.collect()}
+    assert got[50] == (-5, "gold") and got[200] == (1, "new")
+    assert got[0] == (0, None)                  # untouched file -> NULL
+    # time travel to v0 still reads the pre-evolution shape
+    v0 = sn.snapshot_read(spark, path, version=0)
+    assert [f.name for f in v0.schema.fields] == ["k", "v"]
+    # a second evolved merge is a no-op on schema (column now exists)
+    rep2 = sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(51, -6, "silver")], ["k", "v", "tier"]),
+        on=["k"], schema_evolution=True,
+    )
+    assert rep2["columns_added"] == []
+
+
 def test_merge_casts_source_to_manifest_schema(spark, tmp_path):
     """A source keyed with a different physical type must not defeat
     the pruning probe or write files diverging from the pinned schema."""
