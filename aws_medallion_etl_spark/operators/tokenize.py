@@ -185,23 +185,22 @@ def subword_pieces(
     big corpus prefer :func:`subword_token_counts` — it encodes
     distinct words only.
 
-    ``id_col`` names a unique row id when the caller has one. Without
-    it the row id is synthesized with ``monotonically_increasing_id``
-    and the frame is pinned via ``localCheckpoint`` first — the id
-    feeds a self-join whose two branches would otherwise recompute a
-    nondeterministic upstream (sample/limit) independently and attach
-    pieces to the wrong rows.
+    ``id_col`` names a unique row id when the caller has one;
+    otherwise one is synthesized with ``monotonically_increasing_id``.
+    Either way the frame is pinned via ``localCheckpoint`` before the
+    self-join: its two branches would otherwise recompute a
+    nondeterministic upstream (sample/limit) independently — with a
+    synthesized id that attaches pieces to the wrong rows, and even
+    with a genuine unique id the branches could see different ROW
+    SETS, silently yielding empty pieces for rows the words branch
+    never saw.
     """
     enc = encode_words_udf(spark, vocab)
     # flatten(transform(words, w -> pieces(w))) would re-enter Python
     # per word; instead explode once, encode, re-collect with the
     # word position keeping piece order stable.
-    if id_col is not None:
-        base = df.withColumn("__rid", F.col(id_col))
-    else:
-        base = df.withColumn(
-            "__rid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
+    rid = F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
+    base = df.withColumn("__rid", rid).localCheckpoint(eager=False)
     words = base.select(
         "__rid", F.posexplode(pretokenize(text_col)).alias("__wp", "__w")
     )
@@ -229,7 +228,7 @@ def subword_token_counts(
     id_col: str,
     text_col: str,
     vocab: tuple[str, ...] = DEFAULT_VOCAB,
-    broadcast_max_words: int | None = 2_000_000,
+    broadcast_max_words: int | str | None = "auto",
 ) -> DataFrame:
     """(id, n_words, n_pieces, n_unk) per document — the scale path.
 
@@ -243,13 +242,22 @@ def subword_token_counts(
 
     ``broadcast_max_words`` guards the cost-table broadcast: distinct
     ``[a-z0-9]+`` tokens are CORPUS-bounded on web text (numerics,
-    ids, typos grow without bound), so above the cap the join falls
-    back to a plain shuffle join — same answer, no driver/executor
-    OOM. The guard materializes the vocab-sized cost table once
-    (``localCheckpoint``) and counts THAT, so the corpus is still
-    scanned exactly once; ``None`` skips the guard and always
-    broadcasts (trusted bounded vocabularies). Crossover notes in
-    SCALING.md.
+    ids, typos grow without bound), so an unconditionally forced
+    broadcast is a driver/executor OOM at scale.
+
+    * ``"auto"`` (default): no broadcast hint — one plan, the corpus
+      scanned once, and AQE picks broadcast-hash at runtime from the
+      cost table's ACTUAL byte size (``autoBroadcastJoinThreshold``),
+      falling back to a shuffle join when it is genuinely big. The
+      size-aware choice with zero extra work.
+    * an int: hard driver-side cap — the cost table is materialized
+      (``localCheckpoint``) and counted, broadcast only when under
+      the cap. Explicit and deterministic, but the materialization
+      job costs one extra corpus pass; use when the plan must be
+      fixed independent of AQE conf (tests, plan pinning).
+    * ``None``: always hint broadcast (trusted bounded vocabulary).
+
+    Crossover measurements in SCALING.md.
     """
     enc = encode_words_udf(spark, vocab)
     words = df.select(
@@ -270,6 +278,8 @@ def subword_token_counts(
     )
     if broadcast_max_words is None:
         costs = F.broadcast(word_costs)
+    elif broadcast_max_words == "auto":
+        costs = word_costs
     else:
         wc = word_costs.localCheckpoint()
         costs = (

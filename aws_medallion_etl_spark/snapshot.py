@@ -327,8 +327,31 @@ def merge_into(
     # different physical type would make the pruning probe compare keys
     # cross-type (implicit casts can wrongly prove files untouched ->
     # lost updates) and would write data files diverging from the
-    # pinned schema, breaking later snapshot_read. Incompatible casts
-    # raise here (AnalysisException), before any file is written.
+    # pinned schema, breaking later snapshot_read. Structurally
+    # impossible casts raise at plan time; VALUE-level failures are
+    # engine-mode-dependent (ANSI raises at runtime, legacy mode yields
+    # NULL) — and a key silently cast to NULL would turn an update into
+    # a NULL-key insert and lose the intended row, so retyped KEY
+    # columns get an explicit probe before anything is written.
+    retyped_keys = [
+        c for c in on if source.schema[c].dataType != schema[c].dataType
+    ]
+    if retyped_keys:
+        nulled = None
+        for c in retyped_keys:
+            # try_cast: NULL-on-failure in BOTH ANSI and legacy mode,
+            # so the probe is deterministic across engine confs
+            p = (
+                F.col(c).isNotNull()
+                & F.col(c).try_cast(schema[c].dataType).isNull()
+            )
+            nulled = p if nulled is None else (nulled | p)
+        if source.where(nulled).limit(1).count():
+            raise ValueError(
+                f"merge_into: casting source key columns {retyped_keys} to "
+                "the manifest schema NULLed at least one non-null value — "
+                "the merge would lose updates; fix the source types"
+            )
     src = source.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
@@ -412,6 +435,7 @@ def vacuum(
             live.add(os.path.normpath(e["file"]))
     cutoff = time.time() - retention_seconds
     removed_files = skipped_recent = 0
+    reclaimed_dirs: set[str] = set()
     data_root = os.path.join(root, _DATA_DIR)
     for dirpath, _dirs, names in os.walk(data_root):
         for name in names:
@@ -423,16 +447,22 @@ def vacuum(
                     continue
                 os.unlink(f)
                 removed_files += 1
+                reclaimed_dirs.add(dirpath)
     for v in vs:
         if v not in keep:
             os.unlink(_manifest_path(path, v))
     # drop commit dirs holding no parquet anymore (markers like
     # _SUCCESS go with them) so the layout stays legible — but never
-    # a dir young enough that its writer may still be pre-commit
+    # a dir young enough that its writer may still be pre-commit.
+    # A dir we just reclaimed files FROM is fair game even though
+    # the unlinks bumped its mtime past the cutoff: its parquet was
+    # retention-old, so no in-flight writer owns it (commit dirs are
+    # uuid-unique per writer and an in-flight writer's files are
+    # younger than any retention window that deleted these).
     for dirpath, _dirs, names in list(os.walk(data_root, topdown=False)):
         if dirpath == data_root:
             continue
-        if os.path.getmtime(dirpath) > cutoff:
+        if os.path.getmtime(dirpath) > cutoff and dirpath not in reclaimed_dirs:
             continue
         if not any(n.endswith(".parquet") for n in names):
             for n in names:

@@ -71,18 +71,26 @@ def main() -> int:
 
         try:
             t = _run_once()
-            if t >= 3.0:
-                # heavy tail: one shot in a shared JVM is noisy enough
-                # to read as a round-over-round regression — record the
-                # median of three (queries re-stage their own scratch
-                # inputs, so re-runs are self-contained)
-                runs = sorted([t, _run_once(), _run_once()])
-                medians[name] = runs
-                timings[name] = runs[1]
-            else:
-                timings[name] = t
         except Exception as e:  # noqa: BLE001 — a failed query must not kill the bench
             failures[name] = f"{type(e).__name__}: {e}"
+            continue
+        if t >= 3.0:
+            # heavy tail: one shot in a shared JVM is noisy enough
+            # to read as a round-over-round regression — record the
+            # median of three (queries re-stage their own scratch
+            # inputs, so re-runs are self-contained). A rerun failure
+            # must not void the already-successful first timing.
+            runs = [t]
+            try:
+                runs.append(_run_once())
+                runs.append(_run_once())
+            except Exception:  # noqa: BLE001 — keep the good samples
+                pass
+            runs.sort()
+            medians[name] = runs
+            timings[name] = runs[len(runs) // 2]
+        else:
+            timings[name] = t
 
     pipeline_sec = None
     if not only:

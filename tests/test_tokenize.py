@@ -93,13 +93,11 @@ def test_encoder_udf_runs_on_distinct_words_only(spark):
     """The scale path's Python surface is the distinct-word frame:
     the plan applies the Arrow UDF AFTER a distinct over words, so
     corpus growth with a fixed vocabulary adds zero Python work.
-    (broadcast_max_words=None keeps the whole lineage in one plan;
-    the default guard checkpoints the cost table, hiding the UDF
-    node behind a LogicalRDD scan.)"""
+    The default ("auto") keeps the whole lineage in one plan — an
+    int cap checkpoints the cost table, hiding the UDF node behind
+    a LogicalRDD scan."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    out = tokenize.subword_token_counts(
-        spark, docs, "doc_id", "text", broadcast_max_words=None
-    )
+    out = tokenize.subword_token_counts(spark, docs, "doc_id", "text")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # the UDF's child must contain the distinct aggregate, and the
     # only ArrowEvalPython node sits above it (not on the full corpus)
@@ -109,18 +107,22 @@ def test_encoder_udf_runs_on_distinct_words_only(spark):
 
 
 def test_broadcast_guard_falls_back_to_shuffle_join(spark):
-    """Above broadcast_max_words the cost-table join must NOT carry a
-    broadcast hint (web-corpus vocabularies are corpus-bounded; a
-    forced broadcast is a driver OOM at scale) — and the fallback
-    answer is identical."""
+    """Above an int broadcast_max_words — and under the default
+    "auto" — the cost-table join must NOT carry a broadcast hint
+    (web-corpus vocabularies are corpus-bounded; a forced broadcast
+    is a driver OOM at scale); the answers are identical across all
+    three modes."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hint = lambda df: "ResolvedHint" in (  # noqa: E731
+        df._jdf.queryExecution().analyzed().toString()
+    )
     fall = tokenize.subword_token_counts(
         spark, docs, "doc_id", "text", broadcast_max_words=0
     )
-    assert "ResolvedHint" not in fall._jdf.queryExecution().analyzed().toString()
+    auto = tokenize.subword_token_counts(spark, docs, "doc_id", "text")
     bcast = tokenize.subword_token_counts(
         spark, docs, "doc_id", "text", broadcast_max_words=None
     )
-    assert "ResolvedHint" in bcast._jdf.queryExecution().analyzed().toString()
+    assert not hint(fall) and not hint(auto) and hint(bcast)
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
-    assert key(fall) == key(bcast)
+    assert key(fall) == key(auto) == key(bcast)
