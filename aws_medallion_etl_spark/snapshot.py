@@ -16,6 +16,12 @@ Layout::
       _snapshots/v00000.json       manifest versions: schema + the
       _snapshots/v00001.json       exact file list + per-file key
                                    stats (min/max/rows)
+      _snapshots/v*-files-*.parquet  sidecar file-list checkpoints
+                                   (Delta-checkpoint style) once a
+                                   version exceeds
+                                   CHECKPOINT_FILE_THRESHOLD files —
+                                   the JSON then carries a reference,
+                                   not 10^6 inline entries
 
 * **Atomic commit.** A manifest is staged to a temp name and
   published with ``os.link`` (create-exclusive): readers see the old
@@ -59,6 +65,13 @@ from aws_medallion_etl_spark import io as eio
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 
+# Above this many files the manifest's entry list is checkpointed as a
+# sidecar PARQUET file (Delta-checkpoint style) instead of inline JSON:
+# a 10^6-file table is ~200 MB of JSON parsed row-by-row, but a few MB
+# of parquet read columnar via pyarrow in well under a second. The
+# JSON manifest stays the atomic commit unit either way.
+CHECKPOINT_FILE_THRESHOLD = 2000
+
 
 def _snap_dir(path: str) -> str:
     return os.path.join(path.rstrip("/"), _SNAP_DIR)
@@ -91,6 +104,60 @@ def current_version(path: str) -> int | None:
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as fh:
         return json.load(fh)
+
+
+def _write_files_checkpoint(
+    path: str, version: int, entries: list[dict], stats_cols: list[str]
+) -> str:
+    """Write manifest file entries as a sidecar parquet checkpoint and
+    return its (uuid-suffixed, collision-free) file name. Written
+    BEFORE the manifest link, so a crashed or losing writer leaves an
+    unreferenced sidecar — invisible and reclaimed by :func:`vacuum`.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols: dict[str, list] = {
+        "file": [e["file"] for e in entries],
+        "rows": [e.get("rows") for e in entries],
+    }
+    for c in stats_cols:
+        sts = [e.get("stats", {}).get(c) or {} for e in entries]
+        cols[f"{c}::kind"] = [s.get("kind") for s in sts]
+        cols[f"{c}::min"] = [s.get("min") for s in sts]
+        cols[f"{c}::max"] = [s.get("max") for s in sts]
+    name = f"v{version:05d}-files-{uuid.uuid4().hex[:8]}.parquet"
+    d = _snap_dir(path)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table(cols), os.path.join(d, name))
+    return name
+
+
+def _manifest_files(path: str, man: dict) -> list[dict]:
+    """File entries of a manifest — inline JSON (small tables) or the
+    sidecar parquet checkpoint (``files_ref``, big tables), read
+    columnar via pyarrow (no Spark job; a 10^6-file checkpoint is a
+    few MB and parses in well under a second)."""
+    if "files_ref" not in man:
+        return man["files"]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(_snap_dir(path), man["files_ref"]))
+    d = t.to_pydict()
+    stats_cols = man.get("columns", [])
+    entries = []
+    for i in range(len(d["file"])):
+        stats = {}
+        for c in stats_cols:
+            kind = d.get(f"{c}::kind", [None])[i]
+            stats[c] = (
+                {"kind": kind, "min": d[f"{c}::min"][i],
+                 "max": d[f"{c}::max"][i]}
+                if kind is not None else None
+            )
+        entries.append({"file": d["file"][i], "rows": d["rows"][i],
+                        "stats": stats})
+    return entries
 
 
 def _commit(path: str, version: int, manifest: dict) -> None:
@@ -138,6 +205,17 @@ def _write_commit_files(
     return entries
 
 
+def _files_fields(
+    path: str, version: int, files: list[dict], stats_cols: list[str]
+) -> dict:
+    """Manifest fragment for the file list: inline under the
+    checkpoint threshold, sidecar parquet reference above it."""
+    if len(files) <= CHECKPOINT_FILE_THRESHOLD:
+        return {"files": files}
+    ref = _write_files_checkpoint(path, version, files, stats_cols)
+    return {"files_ref": ref, "n_files": len(files)}
+
+
 def snapshot_create(
     spark: SparkSession,
     df: DataFrame,
@@ -158,7 +236,7 @@ def snapshot_create(
         "version": 0,
         "schema": df.schema.json(),
         "columns": stats_cols,
-        "files": files,
+        **_files_fields(path, 0, files, stats_cols),
     })
     return 0
 
@@ -180,7 +258,7 @@ def snapshot_read(
     man = _read_manifest(path, v)
     schema = StructType.fromJson(json.loads(man["schema"]))
     root = path.rstrip("/")
-    files = [os.path.join(root, e["file"]) for e in man["files"]]
+    files = [os.path.join(root, e["file"]) for e in _manifest_files(path, man)]
     if not files:
         return spark.createDataFrame([], schema)
     # pin the manifest schema: partition-style or footer re-inference
@@ -190,7 +268,8 @@ def snapshot_read(
 
 def _touched_files(
     spark: SparkSession,
-    man: dict,
+    files: list[dict],
+    stat_cols: list[str],
     source: DataFrame,
     on: list[str],
 ) -> tuple[list[dict], list[dict]]:
@@ -207,18 +286,18 @@ def _touched_files(
     """
     probe_col = probe_kind = None
     for c in on:
-        if c in man.get("columns", []):
+        if c in stat_cols:
             kinds = {
                 (e["stats"].get(c) or {}).get("kind")
-                for e in man["files"]
+                for e in files
             } & {"int", "str", "float"}
             if kinds:
                 probe_col, probe_kind = c, sorted(kinds)[0]
                 break
-    if probe_col is None or not man["files"]:
-        return list(man["files"]), []
+    if probe_col is None or not files:
+        return list(files), []
     bounds, no_stats = [], []
-    for i, e in enumerate(man["files"]):
+    for i, e in enumerate(files):
         st = e["stats"].get(probe_col)
         # one homogeneous kind per probe: a file whose stat kind
         # differs (shouldn't happen for one column) stays touched
@@ -242,8 +321,8 @@ def _touched_files(
             .collect()
         )
         touched_idx |= {r["__fidx"] for r in hit}
-    touched = [e for i, e in enumerate(man["files"]) if i in touched_idx]
-    untouched = [e for i, e in enumerate(man["files"]) if i not in touched_idx]
+    touched = [e for i, e in enumerate(files) if i in touched_idx]
+    untouched = [e for i, e in enumerate(files) if i not in touched_idx]
     return touched, untouched
 
 
@@ -363,7 +442,10 @@ def merge_into(
                 "would be nondeterministic; dedup the source first"
             )
 
-    touched, untouched = _touched_files(spark, man, src, on)
+    man_files = _manifest_files(path, man)
+    touched, untouched = _touched_files(
+        spark, man_files, man.get("columns", []), src, on
+    )
     root = path.rstrip("/")
     if touched:
         tgt = spark.read.schema(schema).parquet(
@@ -392,7 +474,9 @@ def merge_into(
         "version": new_v,
         "schema": schema.json() if evolved else man["schema"],
         "columns": man.get("columns", on),
-        "files": untouched + new_files,
+        **_files_fields(
+            path, new_v, untouched + new_files, man.get("columns", on)
+        ),
     })
     return {
         "version": new_v,
@@ -430,8 +514,12 @@ def vacuum(
     keep = vs[-keep_versions:]
     root = path.rstrip("/")
     live = set()
+    live_refs = set()
     for v in keep:
-        for e in _read_manifest(path, v)["files"]:
+        man = _read_manifest(path, v)
+        if "files_ref" in man:
+            live_refs.add(man["files_ref"])
+        for e in _manifest_files(path, man):
             live.add(os.path.normpath(e["file"]))
     cutoff = time.time() - retention_seconds
     removed_files = skipped_recent = 0
@@ -451,6 +539,18 @@ def vacuum(
     for v in vs:
         if v not in keep:
             os.unlink(_manifest_path(path, v))
+    # sidecar file-list checkpoints: drop those no retained manifest
+    # references (pruned versions', and crashed/losing writers') —
+    # same retention window as data files (a racing writer stages its
+    # checkpoint BEFORE the manifest link)
+    for name in os.listdir(_snap_dir(path)):
+        if (
+            "-files-" in name and name.endswith(".parquet")
+            and name not in live_refs
+        ):
+            f = os.path.join(_snap_dir(path), name)
+            if os.path.getmtime(f) <= cutoff:
+                os.unlink(f)
     # drop commit dirs holding no parquet anymore (markers like
     # _SUCCESS go with them) so the layout stays legible — but never
     # a dir young enough that its writer may still be pre-commit.

@@ -181,6 +181,35 @@ def test_vacuum_retention_protects_inflight_commit_files(spark, tmp_path):
     assert len(_rows(spark, path, version=1)) == 3
 
 
+def test_manifest_checkpoint_above_threshold(spark, tmp_path, monkeypatch):
+    """Above CHECKPOINT_FILE_THRESHOLD the manifest stores its file
+    list as a sidecar parquet checkpoint (Delta-checkpoint style);
+    read, pruning, merge, time travel, and vacuum all resolve it."""
+    monkeypatch.setattr(sn, "CHECKPOINT_FILE_THRESHOLD", 4)
+    path, _ = _mk(spark, tmp_path, n_files=8)
+    man = sn._read_manifest(path, 0)
+    assert "files_ref" in man and "files" not in man
+    assert man["n_files"] == 8
+    assert _rows(spark, path) == [(i, i * 10) for i in range(100)]
+    src = spark.createDataFrame([(0, -1), (200, 5)], ["k", "v"])
+    rep = sn.merge_into(spark, path, src, on=["k"])
+    assert rep["files_untouched"] >= 6      # pruning worked off the sidecar
+    man1 = sn._read_manifest(path, 1)
+    assert "files_ref" in man1
+    got = dict(_rows(spark, path))
+    assert got[0] == -1 and got[200] == 5 and got[99] == 990
+    # sidecar round-trips the exact entry shape (file/rows/stats)
+    ents = sn._manifest_files(path, man1)
+    assert all(set(e) == {"file", "rows", "stats"} for e in ents)
+    assert all(e["stats"]["k"]["kind"] == "int" for e in ents)
+    # time travel still reads v0 through its own sidecar
+    assert _rows(spark, path, version=0) == [(i, i * 10) for i in range(100)]
+    # vacuum drops the pruned version's sidecar with its manifest
+    sn.vacuum(path, keep_versions=1, retention_seconds=0)
+    names = os.listdir(sn._snap_dir(path))
+    assert sum("-files-" in n for n in names) == 1
+
+
 def test_merge_schema_evolution_adds_column(spark, tmp_path):
     """Delta's mergeSchema for MERGE, add-column only: new source
     columns append to the manifest schema; untouched files carry over
