@@ -6076,6 +6076,81 @@ def str10_stream_pack(spark, sf_dir):
     )
 
 
+_STR11_MERGE_SQL = """
+    WITH latest AS (
+        SELECT user_id, max(event_id) AS event_id
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(e.user_id) AS BIGINT) AS sum_user,
+           CAST(sum(e.event_id) AS BIGINT) AS sum_last_event
+    FROM events e
+    JOIN latest l
+      ON e.user_id = l.user_id AND e.event_id = l.event_id
+    GROUP BY e.event_type
+"""
+
+
+@query("str11_stream_merge_snapshot", _STR11_MERGE_SQL)
+def str11_stream_merge_snapshot(spark, sf_dir):
+    """Streaming CDC upsert into a snapshot table proven by oracle
+    (STR11): events arrive in four id-ordered micro-batches; each
+    batch keeps its newest row per ``user_id`` and MERGEs
+    merge-on-read into the versioned table
+    (``streaming.stream_merge_snapshot`` — foreachBatch + deletion
+    vectors + per-batch txn high-water mark, the Delta exactly-once
+    CDC sink). The final table must hold exactly each user's
+    globally-latest event, so the oracle is the batch arg-max per
+    user over the whole feed — any double-applied batch, lost
+    update, resurrected row, or keep-OLDEST slip shifts the
+    per-type counts and BIGINT sums.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+    from aws_medallion_etl_spark import streaming as stx
+
+    feed = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src_dir = _scratch("str11src", sf_dir)
+    tbl = _scratch("str11tbl", sf_dir)
+    for d in (src_dir, tbl):
+        if _os.path.exists(d):
+            _shutil.rmtree(d)
+    _os.makedirs(src_dir, exist_ok=True)
+    hi = feed.agg(F.max("event_id")).collect()[0][0] + 1  # 1-row scalar
+    step = (hi + 3) // 4
+    for i in range(4):
+        tmp = f"{src_dir}/_tmp{i}"
+        (feed.where(
+            (F.col("event_id") >= i * step)
+            & (F.col("event_id") < (i + 1) * step))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{i}.parquet"
+        _shutil.copyfile(part, dst)
+        _os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        _shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stx.stream_merge_snapshot(
+        stream, tbl, on=["user_id"], order_col="event_id"
+    )
+    q.awaitTermination()
+    final = snap.snapshot_read(spark, tbl)
+    return final.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+        F.sum("event_id").cast("long").alias("sum_last_event"),
+    )
+
+
 _E2E_SEMANTIC_SAMPLE_SQL = f"""
     WITH {_SEMANTIC_CTES},
     dropped AS (SELECT DISTINCT id_b AS doc_id FROM sem_pairs),
@@ -6615,6 +6690,142 @@ def s24_merge_schema_evolution(spark, sf_dir):
         F.count("tier").alias("n_with_tier"),
         F.sum(F.when(F.col("tier") == "gold", 1).otherwise(0))
         .cast("long").alias("n_gold"),
+    )
+
+
+_S25_DV_SQL = """
+    WITH after_del AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+    ), src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 100 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 7
+        UNION ALL
+        SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) + 10,
+               o_custkey, 'X', o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+    ), merged AS (
+        -- MERGE(update,insert): every source row lands (update if
+        -- matched, insert if not), non-source live rows pass through
+        SELECT * FROM after_del
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL
+        SELECT * FROM src
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY o_orderstatus
+"""
+
+
+@query("s25_delete_vectors", _S25_DV_SQL)
+def s25_delete_vectors(spark, sf_dir):
+    """Merge-on-read DELETE + MERGE via deletion vectors
+    (``snapshot.delete_where(mode='mor')``, ``merge_into(
+    write_mode='mor')``) — Delta's DV read/write path on plain
+    parquet: neither operation rewrites a data file; deleted and
+    superseded row positions ride ``_deletes/`` sidecars
+    (``_metadata.row_index``) that readers anti-join away.
+
+    The oracle replays DELETE-then-MERGE as plain SQL, so a DV row
+    applied to the wrong file/position, a resurrected delete, a
+    double-applied update, or a sidecar missed by the read all shift
+    the per-status counts/sums. The delete predicate (keys % 5 = 0)
+    and update keys (% 10 = 7) are disjoint, so update-vs-reinsert
+    ambiguity can't mask a bug. Reference anchor: the full-rewrite
+    upsert this replaces, ``Meta_Guideline.md:2728-2731``.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s25dv", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    snap.snapshot_create(
+        spark, orders.repartitionByRange(8, "o_orderkey"), path,
+        stats_cols=["o_orderkey"],
+    )
+    rep = snap.delete_where(
+        spark, path, "o_orderstatus = 'F' AND o_orderkey % 5 = 0", mode="mor"
+    )
+    assert rep["files_rewritten"] == 0, "mor delete must not rewrite"
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    upd = orders.where(F.col("o_orderkey") % 10 == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100
+    )
+    ins = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + F.lit(maxk + 10)).alias("o_orderkey"),
+        "o_custkey", F.lit("X").alias("o_orderstatus"), "o_totalprice",
+    )
+    mrep = snap.merge_into(
+        spark, path, upd.unionByName(ins), on=["o_orderkey"],
+        write_mode="mor",
+    )
+    assert mrep["files_rewritten"] == 0, "mor merge must not rewrite"
+    final = snap.snapshot_read(spark, path)
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_custkey").cast("long").alias("sum_cust"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query("s26_compact_optimize", _S25_DV_SQL)
+def s26_compact_optimize(spark, sf_dir):
+    """OPTIMIZE after merge-on-read churn (``snapshot.compact`` +
+    ``vacuum``): the same DELETE+MERGE history as
+    ``s25_delete_vectors``, then compaction rewrites every DV-carrying
+    file (positions applied, debt purged, files range-re-clustered on
+    the merge key) and vacuum reclaims the dead sidecars and old
+    versions — the table must answer IDENTICALLY, which is why this
+    query shares s25's oracle verbatim.
+    """
+    import os as _os
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s26opt", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    snap.snapshot_create(
+        spark, orders.repartitionByRange(8, "o_orderkey"), path,
+        stats_cols=["o_orderkey"],
+    )
+    snap.delete_where(
+        spark, path, "o_orderstatus = 'F' AND o_orderkey % 5 = 0", mode="mor"
+    )
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    upd = orders.where(F.col("o_orderkey") % 10 == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100
+    )
+    ins = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + F.lit(maxk + 10)).alias("o_orderkey"),
+        "o_custkey", F.lit("X").alias("o_orderstatus"), "o_totalprice",
+    )
+    snap.merge_into(
+        spark, path, upd.unionByName(ins), on=["o_orderkey"],
+        write_mode="mor",
+    )
+    crep = snap.compact(spark, path, small_file_rows=1)
+    assert crep["files_rewritten"] > 0, "DV'ed files must compact"
+    snap.vacuum(path, keep_versions=1, retention_seconds=0)
+    assert not _os.listdir(
+        _os.path.join(path, "_deletes")
+    ), "vacuum must reclaim dead DV sidecars"
+    final = snap.snapshot_read(spark, path)
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_custkey").cast("long").alias("sum_cust"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
 
 

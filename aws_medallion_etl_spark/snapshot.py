@@ -44,9 +44,26 @@ Layout::
   file-pruning buys. Swapping this module for real Delta is a
   one-call change per site (documented at each call).
 
+* **Deletion vectors (merge-on-read).** :func:`delete_where` with
+  ``mode="mor"`` and :func:`merge_into` with ``write_mode="mor"``
+  never rewrite a data file: the deleted/superseded row POSITIONS
+  (``_metadata.row_index``, Spark's stable within-file row ordinal)
+  are written as a parquet sidecar under ``_deletes/`` and the new
+  manifest attaches the sidecar reference to each affected file.
+  Readers anti-join live rows against the referenced positions — the
+  Delta deletion-vector read path, with a position list standing in
+  for the roaring bitmap. A merge touching 100 rows of a 1 GB file
+  writes ~100 positions + the new rows, not 1 GB. :func:`compact`
+  (OPTIMIZE) rewrites DV-carrying and undersized files to purge the
+  debt; time travel to pre-delete versions reads the undeleted rows
+  because old manifests don't reference the new sidecar.
+
 Differences from Delta, stated honestly: schema evolution on merge is
-add-column only (``schema_evolution=True``; no drop/retype), no
-deletion vectors (COW only), single-table transactions only, and the
+add-column only (``schema_evolution=True``; no drop/retype),
+deletion vectors are position LISTS not bitmaps (each delete commit
+appends one sidecar ref per touched file; ``compact`` resets the
+list — bounded by deletes-since-last-compact, same debt Delta's
+OPTIMIZE pays down), single-table transactions only, and the
 optimistic-concurrency loser must re-run rather than auto-rebase.
 """
 
@@ -64,6 +81,7 @@ from aws_medallion_etl_spark import io as eio
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+_DELETES_DIR = "_deletes"
 
 # Above this many files the manifest's entry list is checkpointed as a
 # sidecar PARQUET file (Delta-checkpoint style) instead of inline JSON:
@@ -120,6 +138,8 @@ def _write_files_checkpoint(
     cols: dict[str, list] = {
         "file": [e["file"] for e in entries],
         "rows": [e.get("rows") for e in entries],
+        "dv": [list(e.get("dv") or []) for e in entries],
+        "dv_rows": [int(e.get("dv_rows") or 0) for e in entries],
     }
     for c in stats_cols:
         sts = [e.get("stats", {}).get(c) or {} for e in entries]
@@ -155,9 +175,81 @@ def _manifest_files(path: str, man: dict) -> list[dict]:
                  "max": d[f"{c}::max"][i]}
                 if kind is not None else None
             )
-        entries.append({"file": d["file"][i], "rows": d["rows"][i],
-                        "stats": stats})
+        e = {"file": d["file"][i], "rows": d["rows"][i], "stats": stats}
+        # dv fields absent in pre-DV checkpoints (back-compat) and
+        # omitted from entries when empty (keeps manifests small)
+        dv = d.get("dv", [None])[i] if "dv" in d else None
+        if dv:
+            e["dv"] = list(dv)
+            e["dv_rows"] = int(d.get("dv_rows", [0])[i] or 0)
+        entries.append(e)
     return entries
+
+
+def _dv_schema() -> StructType:
+    from pyspark.sql.types import LongType, StringType
+
+    return StructType([
+        StructField("file", StringType(), False),
+        StructField("row_index", LongType(), False),
+    ])
+
+
+def _read_dv(spark: SparkSession, root: str, refs: list[str]) -> DataFrame:
+    """Union of deletion-vector sidecars as (``__dvf``, ``__dvp``)."""
+    return (
+        spark.read.schema(_dv_schema())
+        .parquet(*[os.path.join(root, r) for r in refs])
+        .select(F.col("file").alias("__dvf"), F.col("row_index").alias("__dvp"))
+    )
+
+
+def _scan_live(
+    spark: SparkSession,
+    root: str,
+    schema: StructType,
+    entries: list[dict],
+    with_pos: bool = False,
+) -> DataFrame:
+    """Live rows of ``entries`` — deletion vectors applied.
+
+    ``with_pos=True`` keeps ``__file`` (manifest-relative path, rebuilt
+    from ``_metadata.file_path`` after the table's ``/data/`` segment —
+    no URI-prefix assumption) and ``__pos`` (``_metadata.row_index``,
+    the stable within-file row ordinal) so callers can mint NEW
+    deletion vectors. A DV-free table takes the plain-read fast path:
+    no metadata columns, no join — the pre-DV plan shape exactly.
+
+    Scale shape: the anti-join keys are (file, position); the DV side
+    is deletes-since-last-compact — AQE broadcasts it in the common
+    case, so data rows never ride an exchange for the read. A stale
+    DV row (its file since rewritten by compact/COW) can never match:
+    rewritten files live under a NEW commit dir, so their relative
+    paths differ from every old sidecar entry.
+    """
+    files = [os.path.join(root, e["file"]) for e in entries]
+    if not files:
+        return spark.createDataFrame([], schema)
+    refs = sorted({r for e in entries for r in e.get("dv") or []})
+    if not refs and not with_pos:
+        return spark.read.schema(schema).parquet(*files)
+    df = spark.read.schema(schema).parquet(*files).select(
+        "*",
+        F.expr(
+            "concat('data/', "
+            "substring_index(_metadata.file_path, '/data/', -1))"
+        ).alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    if refs:
+        dv = _read_dv(spark, root, refs)
+        df = df.join(
+            dv,
+            (F.col("__file") == F.col("__dvf"))
+            & (F.col("__pos") == F.col("__dvp")),
+            "left_anti",
+        )
+    return df if with_pos else df.drop("__file", "__pos")
 
 
 def _commit(path: str, version: int, manifest: dict) -> None:
@@ -216,11 +308,37 @@ def _files_fields(
     return {"files_ref": ref, "n_files": len(files)}
 
 
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Latest committed transaction version for ``app_id`` (Delta's
+    ``txnAppId``/``txnVersion`` idempotent-writer contract), or None.
+    A writer that stamps each commit with a monotone per-app version
+    can skip replayed work after a restart — the exactly-once half of
+    a foreachBatch sink."""
+    v = current_version(path)
+    if v is None:
+        return None
+    got = _read_manifest(path, v).get("txn", {}).get(app_id)
+    return int(got) if got is not None else None
+
+
+def _txn_fields(man: dict | None, txn: tuple[str, int] | None) -> dict:
+    """Manifest txn map: previous map carried forward, this writer's
+    entry updated. Every commit path carries it — a compaction or
+    delete between stream batches must not amnesia the stream's
+    high-water mark."""
+    cur = dict((man or {}).get("txn", {}))
+    if txn is not None:
+        app, ver = txn
+        cur[str(app)] = int(ver)
+    return {"txn": cur} if cur else {}
+
+
 def snapshot_create(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     stats_cols: list[str],
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Create version 0 of a snapshot table from ``df``.
 
@@ -228,6 +346,8 @@ def snapshot_create(
     manifest — put the MERGE/SCD key columns here; they are what
     :func:`merge_into` prunes on. Refuses an existing snapshot table
     (use :func:`merge_into` or commit a new version explicitly).
+    ``txn=(app_id, version)`` stamps the idempotent-writer high-water
+    mark (see :func:`last_txn_version`).
     """
     if snapshot_versions(path):
         raise ValueError(f"snapshot_create: {path} is already a snapshot table")
@@ -236,6 +356,7 @@ def snapshot_create(
         "version": 0,
         "schema": df.schema.json(),
         "columns": stats_cols,
+        **_txn_fields(None, txn),
         **_files_fields(path, 0, files, stats_cols),
     })
     return 0
@@ -256,14 +377,13 @@ def snapshot_read(
     if v not in vs:
         raise ValueError(f"snapshot_read: {path} has no version {v} (have {vs})")
     man = _read_manifest(path, v)
-    schema = StructType.fromJson(json.loads(man["schema"]))
-    root = path.rstrip("/")
-    files = [os.path.join(root, e["file"]) for e in _manifest_files(path, man)]
-    if not files:
-        return spark.createDataFrame([], schema)
     # pin the manifest schema: partition-style or footer re-inference
-    # must never reshape a time-travel read
-    return spark.read.schema(schema).parquet(*files)
+    # must never reshape a time-travel read. _scan_live applies this
+    # version's deletion vectors (fast path = plain read when none).
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    return _scan_live(
+        spark, path.rstrip("/"), schema, _manifest_files(path, man)
+    )
 
 
 def _touched_files(
@@ -335,8 +455,10 @@ def merge_into(
     when_not_matched: str | None = "insert",
     check_duplicate_keys: bool = False,
     schema_evolution: bool = False,
+    write_mode: str = "cow",
+    txn: tuple[str, int] | None = None,
 ) -> dict:
-    """SQL MERGE onto a snapshot table, copy-on-write, atomically.
+    """SQL MERGE onto a snapshot table, atomically versioned.
 
     ``when_matched``: ``"update"`` (replace the whole target row with
     the source row), ``"delete"``, or ``None`` (leave matched rows).
@@ -355,18 +477,34 @@ def merge_into(
     only: a source still missing a TARGET column is an error either
     way (dropping/retyping columns is not MERGE's job).
 
+    ``write_mode``: ``"cow"`` (copy-on-write, default) rewrites the
+    touched files without their superseded rows; ``"mor"``
+    (merge-on-read, Delta's deletion-vector MERGE) NEVER rewrites a
+    data file — matched rows' positions go to a ``_deletes/`` sidecar,
+    touched files carry by reference with the sidecar attached, and
+    only the update/insert rows land as new files. A merge touching
+    100 rows of a 1 GB file writes ~100 positions + 100 rows under
+    mor vs 1 GB under cow; reads pay one (AQE-broadcast) anti-join
+    until :func:`compact` purges the debt. Same answer either way.
+
     Scale shape: untouched files (no key overlap, proven from manifest
     stats) carry over by reference — zero read, zero write. Touched
-    files are read once, merged against the (broadcastable) source,
-    and rewritten into the new commit directory together with inserts.
-    Because a source key outside every untouched file's range can only
-    live in touched files, the insert anti-join needs only the touched
-    subset — the merge never scans the whole table.
+    files are read once (deletion vectors applied), merged against the
+    (broadcastable) source, and — under cow — rewritten into the new
+    commit directory together with inserts. Because a source key
+    outside every untouched file's range can only live in touched
+    files, the insert anti-join needs only the touched subset — the
+    merge never scans the whole table.
 
     Re-running the same merge is idempotent in content (same updates
     apply again, would-be inserts now match and update in place) and
-    each run is a new pinnable version. On a cluster with Delta
-    available this call site becomes ``DeltaTable.merge`` verbatim.
+    each run is a new pinnable version. ``txn=(app_id, version)`` is
+    Delta's idempotent-writer contract on top: a merge whose version
+    is <= the table's committed high-water mark for that app is
+    SKIPPED outright (``{"skipped": True}``) — the exactly-once half
+    of a restarted foreachBatch sink, where the replayed micro-batch
+    must not commit twice. On a cluster with Delta available this
+    call site becomes ``DeltaTable.merge`` verbatim.
     """
     if when_matched not in {"update", "delete", None}:
         raise ValueError(f"merge_into: unknown when_matched={when_matched!r}")
@@ -374,11 +512,18 @@ def merge_into(
         raise ValueError(
             f"merge_into: unknown when_not_matched={when_not_matched!r}"
         )
+    if write_mode not in {"cow", "mor"}:
+        raise ValueError(f"merge_into: unknown write_mode={write_mode!r}")
     vs = snapshot_versions(path)
     if not vs:
         raise ValueError(f"merge_into: {path} is not a snapshot table")
     base_v = vs[-1]
     man = _read_manifest(path, base_v)
+    if txn is not None:
+        seen = man.get("txn", {}).get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= int(seen):
+            return {"version": base_v, "skipped": True,
+                    "txn_high_water": int(seen)}
     schema = StructType.fromJson(json.loads(man["schema"]))
     tcols = [f.name for f in schema.fields]
     missing = [c for c in tcols if c not in source.columns]
@@ -447,43 +592,241 @@ def merge_into(
         spark, man_files, man.get("columns", []), src, on
     )
     root = path.rstrip("/")
-    if touched:
-        tgt = spark.read.schema(schema).parquet(
-            *[os.path.join(root, e["file"]) for e in touched]
-        )
-    else:
-        tgt = spark.createDataFrame([], schema)
-
+    new_v = base_v + 1
+    mor = write_mode == "mor"
+    # mor with nothing to mark (no matched-row action, or no candidate
+    # files) degrades to pure append — and cow with when_matched=None
+    # would pointlessly rewrite touched files, so it takes the same
+    # append path: all old files carry by reference.
+    append_only = when_matched is None or not touched
+    tgt = _scan_live(
+        spark, root, schema, touched, with_pos=mor and not append_only
+    )
     tgt_keys = tgt.select(*on).distinct()
-    kept = tgt.join(src.select(*on), on, "left_anti")
-    parts = [kept]
-    if when_matched == "update":
-        parts.append(src.join(tgt_keys, on, "semi"))
-    elif when_matched is None:
-        parts = [tgt]  # matched target rows stay as-is
-    # when_matched == "delete": matched target rows simply dropped
+
+    stats_cols = man.get("columns", on)
+    dv_counts: dict[str, int] = {}
+    carried = list(untouched)
+    if append_only:
+        carried += list(touched)
+        parts = []
+    elif mor:
+        dv_rel = os.path.join(_DELETES_DIR, f"d{new_v:05d}-{uuid.uuid4().hex[:8]}")
+        matched = tgt.join(src.select(*on), on, "semi").select(
+            F.col("__file").alias("file"), F.col("__pos").alias("row_index")
+        )
+        matched.write.mode("error").parquet(os.path.join(root, dv_rel))
+        dv_counts = {
+            r["file"]: r["cnt"]
+            for r in spark.read.schema(_dv_schema())
+            .parquet(os.path.join(root, dv_rel))
+            .groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        for e in touched:
+            if e["file"] in dv_counts:
+                e = dict(e)
+                e["dv"] = list(e.get("dv") or []) + [dv_rel]
+                e["dv_rows"] = int(e.get("dv_rows") or 0) + dv_counts[e["file"]]
+            carried.append(e)
+        parts = []
+        if when_matched == "update":
+            parts.append(src.join(tgt_keys, on, "semi"))
+    else:
+        kept = tgt.join(src.select(*on), on, "left_anti")
+        parts = [kept]
+        if when_matched == "update":
+            parts.append(src.join(tgt_keys, on, "semi"))
+        # when_matched == "delete": matched target rows simply dropped
     if when_not_matched == "insert":
         parts.append(src.join(tgt_keys, on, "left_anti"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
 
-    new_v = base_v + 1
-    new_files = _write_commit_files(out, path, new_v, man.get("columns", on))
+    new_files: list[dict] = []
+    if parts:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        new_files = _write_commit_files(out, path, new_v, stats_cols)
     _commit(path, new_v, {
         "version": new_v,
         "schema": schema.json() if evolved else man["schema"],
-        "columns": man.get("columns", on),
-        **_files_fields(
-            path, new_v, untouched + new_files, man.get("columns", on)
-        ),
+        "columns": stats_cols,
+        **_txn_fields(man, txn),
+        **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {
         "version": new_v,
-        "files_rewritten": len(touched),
-        "files_untouched": len(untouched),
+        "files_rewritten": 0 if (append_only or mor) else len(touched),
+        "files_untouched": len(carried),
         "files_added": len(new_files),
+        "files_dv": len(dv_counts),
+        "dv_rows_added": sum(dv_counts.values()),
         "columns_added": evolved,
+    }
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    mode: str = "mor",
+) -> dict:
+    """SQL ``DELETE FROM table WHERE predicate`` as a new version.
+
+    ``predicate`` is a SQL string or a Column. ``mode="mor"``
+    (merge-on-read, the default and the Delta-DV shape): the matching
+    row POSITIONS are written as a parquet sidecar under ``_deletes/``
+    and every data file carries by reference — a delete of 1000 rows
+    from a 100 TB table writes kilobytes. Readers anti-join against
+    the sidecar (AQE broadcasts it while it's small);
+    :func:`compact` purges the debt. ``mode="cow"`` rewrites the
+    files that contain matches without them (no read-time debt, full
+    rewrite I/O for those files).
+
+    Zero matches → no new version (returns ``{"deleted_rows": 0}``).
+    Time travel to the pre-delete version still reads the deleted
+    rows: old manifests don't reference the new sidecar. The filter
+    scan pushes the predicate into the parquet reader (row-group
+    pruning) — files whose stats exclude the predicate cost a footer,
+    not a read.
+    """
+    if mode not in {"mor", "cow"}:
+        raise ValueError(f"delete_where: unknown mode={mode!r}")
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"delete_where: {path} is not a snapshot table")
+    base_v = vs[-1]
+    man = _read_manifest(path, base_v)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    entries = _manifest_files(path, man)
+    root = path.rstrip("/")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    new_v = base_v + 1
+    stats_cols = man.get("columns", [])
+
+    live = _scan_live(spark, root, schema, entries, with_pos=True)
+    hits = live.where(pred).select(
+        F.col("__file").alias("file"), F.col("__pos").alias("row_index")
+    )
+    dv_rel = os.path.join(_DELETES_DIR, f"d{new_v:05d}-{uuid.uuid4().hex[:8]}")
+    dv_dir = os.path.join(root, dv_rel)
+    # positions land on disk BEFORE the manifest link (same crash
+    # contract as data files); counts come from the written sidecar so
+    # the manifest can never disagree with it
+    hits.write.mode("error").parquet(dv_dir)
+    counts = {
+        r["file"]: r["cnt"]
+        for r in spark.read.schema(_dv_schema()).parquet(dv_dir)
+        .groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    deleted = sum(counts.values())
+    if not deleted:
+        import shutil
+
+        shutil.rmtree(dv_dir, ignore_errors=True)
+        return {"deleted_rows": 0, "version": base_v, "mode": mode}
+
+    if mode == "mor":
+        new_entries = []
+        for e in entries:
+            if e["file"] in counts:
+                e = dict(e)
+                e["dv"] = list(e.get("dv") or []) + [dv_rel]
+                e["dv_rows"] = int(e.get("dv_rows") or 0) + counts[e["file"]]
+            new_entries.append(e)
+        report = {"files_rewritten": 0, "files_with_dv": len(counts)}
+    else:
+        # cow: rewrite only files that contain matches, without their
+        # matching rows (and with their pre-existing DVs applied);
+        # clean files carry by reference. The hit sidecar doubles as
+        # the rewrite's anti-join side, then becomes garbage (no
+        # manifest ever references it under cow) for vacuum.
+        touched = [e for e in entries if e["file"] in counts]
+        carried = [e for e in entries if e["file"] not in counts]
+        surv = _scan_live(spark, root, schema, touched, with_pos=True)
+        dvh = _read_dv(spark, root, [dv_rel])
+        surv = surv.join(
+            dvh,
+            (F.col("__file") == F.col("__dvf"))
+            & (F.col("__pos") == F.col("__dvp")),
+            "left_anti",
+        ).drop("__file", "__pos")
+        new_files = _write_commit_files(surv, path, new_v, stats_cols)
+        new_entries = carried + new_files
+        report = {"files_rewritten": len(touched), "files_with_dv": 0}
+    _commit(path, new_v, {
+        "version": new_v,
+        "schema": man["schema"],
+        "columns": stats_cols,
+        **_txn_fields(man, None),
+        **_files_fields(path, new_v, new_entries, stats_cols),
+    })
+    return {"version": new_v, "deleted_rows": deleted, "mode": mode, **report}
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    small_file_rows: int = 500_000,
+    target_file_rows: int = 1_000_000,
+) -> dict:
+    """OPTIMIZE: rewrite every file carrying a deletion vector and
+    bin-pack undersized files, as one new answer-invariant version.
+
+    Files with ``rows >= small_file_rows`` and no DV carry by
+    reference untouched. The rewrite reads the victims once (DVs
+    applied), repartitions to ``ceil(live_rows / target_file_rows)``
+    output files, and commits; the replaced files and now-unreferenced
+    DV sidecars become :func:`vacuum` garbage. This is the debt-payoff
+    half of the merge-on-read trade — run it on the cadence Delta
+    users run OPTIMIZE.
+    """
+    import math
+
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"compact: {path} is not a snapshot table")
+    base_v = vs[-1]
+    man = _read_manifest(path, base_v)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    entries = _manifest_files(path, man)
+    rewrite = [
+        e for e in entries
+        if e.get("dv") or int(e.get("rows") or 0) < small_file_rows
+    ]
+    carried = [e for e in entries if e not in rewrite]
+    if len(rewrite) < 2 and not any(e.get("dv") for e in rewrite):
+        # one small clean file can't pack with anything — no-op commit
+        # would only churn versions
+        return {"version": base_v, "files_rewritten": 0,
+                "files_untouched": len(entries), "files_added": 0}
+    root = path.rstrip("/")
+    live_rows = sum(
+        int(e.get("rows") or 0) - int(e.get("dv_rows") or 0) for e in rewrite
+    )
+    n_out = max(1, math.ceil(live_rows / max(1, target_file_rows)))
+    df = _scan_live(spark, root, schema, rewrite)
+    new_v = base_v + 1
+    stats_cols = man.get("columns", [])
+    # range-cluster on the stats key so the compacted files keep tight
+    # min/max bounds — a round-robin repartition would widen every
+    # file's range to the whole table and kill merge pruning
+    df = (
+        df.repartitionByRange(n_out, *stats_cols)
+        if stats_cols else df.repartition(n_out)
+    )
+    new_files = _write_commit_files(df, path, new_v, stats_cols)
+    _commit(path, new_v, {
+        "version": new_v,
+        "schema": man["schema"],
+        "columns": stats_cols,
+        **_txn_fields(man, None),
+        **_files_fields(path, new_v, carried + new_files, stats_cols),
+    })
+    return {
+        "version": new_v,
+        "files_rewritten": len(rewrite),
+        "files_untouched": len(carried),
+        "files_added": len(new_files),
     }
 
 
@@ -515,12 +858,15 @@ def vacuum(
     root = path.rstrip("/")
     live = set()
     live_refs = set()
+    live_dv = set()
     for v in keep:
         man = _read_manifest(path, v)
         if "files_ref" in man:
             live_refs.add(man["files_ref"])
         for e in _manifest_files(path, man):
             live.add(os.path.normpath(e["file"]))
+            for r in e.get("dv") or []:
+                live_dv.add(os.path.normpath(r))
     cutoff = time.time() - retention_seconds
     removed_files = skipped_recent = 0
     reclaimed_dirs: set[str] = set()
@@ -551,6 +897,28 @@ def vacuum(
             f = os.path.join(_snap_dir(path), name)
             if os.path.getmtime(f) <= cutoff:
                 os.unlink(f)
+    # deletion-vector sidecar dirs referenced by NO retained manifest
+    # (pruned versions', compacted-away debt, and zero-match or cow
+    # delete leftovers) — same retention window: an in-flight mor
+    # writer stages its sidecar BEFORE the manifest link
+    removed_dv_dirs = 0
+    del_root = os.path.join(root, _DELETES_DIR)
+    if os.path.isdir(del_root):
+        for name in sorted(os.listdir(del_root)):
+            d = os.path.join(del_root, name)
+            rel = os.path.normpath(os.path.relpath(d, root))
+            if not os.path.isdir(d) or rel in live_dv:
+                continue
+            ages = [
+                os.path.getmtime(os.path.join(d, n)) for n in os.listdir(d)
+            ] or [os.path.getmtime(d)]
+            if max(ages) > cutoff:
+                skipped_recent += 1
+                continue
+            for n in os.listdir(d):
+                os.unlink(os.path.join(d, n))
+            os.rmdir(d)
+            removed_dv_dirs += 1
     # drop commit dirs holding no parquet anymore (markers like
     # _SUCCESS go with them) so the layout stays legible — but never
     # a dir young enough that its writer may still be pre-commit.
@@ -571,6 +939,7 @@ def vacuum(
                 os.rmdir(dirpath)
     return {
         "removed_files": removed_files,
+        "removed_dv_dirs": removed_dv_dirs,
         "skipped_recent": skipped_recent,
         "kept_versions": keep,
     }

@@ -326,3 +326,71 @@ def interval_join(
         & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {upper}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def stream_merge_snapshot(
+    stream: DataFrame,
+    path: str,
+    on: list[str],
+    order_col: str,
+    stats_cols: list[str] | None = None,
+    write_mode: str = "mor",
+    app_id: str | None = None,
+) -> object:
+    """Exactly-once streaming UPSERT into a snapshot table — the
+    Delta ``foreachBatch`` + MERGE CDC sink (STR11) on plain parquet.
+
+    Each micro-batch is reduced to its newest row per key (greatest
+    ``order_col``, which must be unique per key within a batch — a
+    CDC sequence/LSN column; a tie would make the kept row
+    nondeterministic), then MERGEd into the table keyed on
+    ``on``: matched keys update, new keys insert. Under the default
+    ``write_mode="mor"`` a batch touching K rows writes K positions +
+    K rows, never a data-file rewrite — sized to per-batch deltas,
+    which is what a CDC stream is.
+
+    Exactly-once, both halves:
+
+    * the MERGE commits atomically with the batch id stamped as the
+      table's per-app transaction high-water mark
+      (``snapshot.last_txn_version``, Delta's txnAppId/txnVersion);
+    * a RESTARTED batch (foreachBatch replays the last uncommitted
+      micro-batch after a crash) sees ``batch_id <= high-water`` and
+      is skipped without writing — replay becomes a no-op instead of
+      a double-apply.
+
+    Returns the started streaming query (caller awaits termination).
+    The first batch creates the table. ``app_id`` defaults to the
+    table path; set it when two independent streams feed one table.
+    """
+    from pyspark.sql import Window
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    app = app_id or f"stream-merge:{path.rstrip('/')}"
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy(*on).orderBy(F.col(order_col).desc())
+        newest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not snap.snapshot_versions(path):
+            snap.snapshot_create(
+                spark, newest, path, stats_cols=stats_cols or list(on),
+                txn=(app, batch_id),
+            )
+        else:
+            snap.merge_into(
+                spark, path, newest, on=list(on), write_mode=write_mode,
+                txn=(app, batch_id),
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{path.rstrip('/')}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

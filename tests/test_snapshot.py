@@ -297,3 +297,139 @@ def test_scd2_snapshot_merge_equals_full_rewrite(spark, tmp_path):
     # and the pre-merge dimension is still pinned at version 0
     v0 = sorted(map(tuple, sn.snapshot_read(spark, path, version=0).collect()))
     assert v0 == sorted(map(tuple, dim.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read)
+# ---------------------------------------------------------------------------
+
+def test_delete_where_mor_marks_without_rewriting(spark, tmp_path):
+    """A merge-on-read DELETE writes only a position sidecar: every
+    data file carries by reference, reads exclude the rows, time
+    travel to the pre-delete version still sees them."""
+    path, _ = _mk(spark, tmp_path)
+    files_before = {
+        e["file"] for e in sn._manifest_files(path, sn._read_manifest(path, 0))
+    }
+    rep = sn.delete_where(spark, path, "k % 10 = 3", mode="mor")
+    assert rep["deleted_rows"] == 10
+    assert rep["files_rewritten"] == 0 and rep["files_with_dv"] >= 1
+    ents = sn._manifest_files(path, sn._read_manifest(path, 1))
+    assert {e["file"] for e in ents} == files_before      # zero rewrite
+    assert sum(e.get("dv_rows", 0) for e in ents) == 10
+    assert _rows(spark, path) == [
+        (i, i * 10) for i in range(100) if i % 10 != 3
+    ]
+    assert len(_rows(spark, path, version=0)) == 100      # time travel
+    # a second delete stacks a second sidecar ref on the same files
+    rep2 = sn.delete_where(spark, path, "k % 10 = 4", mode="mor")
+    assert rep2["deleted_rows"] == 10 and rep2["files_rewritten"] == 0
+    assert len(_rows(spark, path)) == 80
+    # zero matches -> no version churn
+    rep3 = sn.delete_where(spark, path, "k > 10000")
+    assert rep3["deleted_rows"] == 0
+    assert sn.snapshot_versions(path) == [0, 1, 2]
+    with pytest.raises(ValueError, match="unknown mode"):
+        sn.delete_where(spark, path, "k = 1", mode="zap")
+
+
+def test_delete_where_cow_rewrites_only_matching_files(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)  # 4 range files over k=0..99
+    rep = sn.delete_where(spark, path, "k < 25", mode="cow")
+    assert rep["deleted_rows"] == 25
+    assert 1 <= rep["files_rewritten"] <= 2   # only low-range files
+    assert rep["files_with_dv"] == 0
+    ents = sn._manifest_files(path, sn._read_manifest(path, 1))
+    assert not any(e.get("dv") for e in ents)
+    assert _rows(spark, path) == [(i, i * 10) for i in range(25, 100)]
+
+
+def test_merge_mor_equals_cow_and_no_resurrection(spark, tmp_path):
+    """The same MERGE under write_mode='mor' and 'cow' yields the
+    same table; a mor merge after a mor delete must not resurrect
+    deleted rows, and re-running the mor merge stays idempotent in
+    content."""
+    src = spark.createDataFrame(
+        [(10, -1), (50, -2), (200, -3)], ["k", "v"]
+    )
+    pc, _ = _mk(spark, tmp_path / "cow")
+    pm, _ = _mk(spark, tmp_path / "mor")
+    sn.delete_where(spark, pc, "k % 7 = 1", mode="cow")
+    sn.delete_where(spark, pm, "k % 7 = 1", mode="mor")
+    sn.merge_into(spark, pc, src, on=["k"], write_mode="cow")
+    rep = sn.merge_into(spark, pm, src, on=["k"], write_mode="mor")
+    assert rep["files_rewritten"] == 0
+    # k=10 superseded; k=50 was deleted (50 % 7 = 1) so it re-INSERTS
+    assert rep["dv_rows_added"] == 1
+    assert rep["files_added"] >= 1            # updates + inserts appended
+    got = _rows(spark, pm)
+    assert got == _rows(spark, pc)
+    assert dict(got)[10] == -1 and dict(got)[50] == -2
+    assert dict(got)[200] == -3
+    assert 15 not in dict(got)                # deleted row stayed dead
+    rep2 = sn.merge_into(spark, pm, src, on=["k"], write_mode="mor")
+    assert rep2["dv_rows_added"] == 3         # prior appended rows re-marked
+    assert _rows(spark, pm) == got            # content-idempotent
+    # mor delete-action merge: matched rows DV'ed, nothing appended
+    dele = spark.createDataFrame([(20, 0), (21, 0)], ["k", "v"])
+    rep3 = sn.merge_into(
+        spark, pm, dele, on=["k"], when_matched="delete",
+        when_not_matched=None, write_mode="mor",
+    )
+    assert rep3["files_added"] == 0 and rep3["dv_rows_added"] == 2
+    assert 20 not in dict(_rows(spark, pm))
+
+
+def test_compact_purges_dv_and_packs_small_files(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)
+    sn.delete_where(spark, path, "k % 3 = 0", mode="mor")
+    before = _rows(spark, path)
+    rep = sn.compact(spark, path, small_file_rows=10**6, target_file_rows=10**6)
+    assert rep["files_rewritten"] == 4 and rep["files_added"] == 1
+    ents = sn._manifest_files(path, sn._read_manifest(path, rep["version"]))
+    assert not any(e.get("dv") for e in ents)           # debt purged
+    assert _rows(spark, path) == before                 # answer-invariant
+    # physical rows now equal live rows (deletes are gone from disk)
+    assert sum(e["rows"] for e in ents) == len(before)
+    # compacted files keep range-clustered stats for merge pruning
+    rep2 = sn.compact(spark, path)
+    assert rep2["files_rewritten"] == 0                 # clean = no-op
+
+
+def test_vacuum_reclaims_unreferenced_dv_sidecars(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)
+    sn.delete_where(spark, path, "k % 10 = 0", mode="mor")
+    root = path.rstrip("/")
+    dv_root = os.path.join(root, "_deletes")
+    assert len(os.listdir(dv_root)) == 1
+    # referenced by the latest manifest -> survives even at 0 retention
+    rep = sn.vacuum(path, keep_versions=1, retention_seconds=0)
+    assert rep["removed_dv_dirs"] == 0
+    assert len(_rows(spark, path)) == 90
+    # after compact nothing references the sidecar -> reclaimed
+    sn.compact(spark, path, small_file_rows=10**6)
+    rep2 = sn.vacuum(path, keep_versions=1, retention_seconds=0)
+    assert rep2["removed_dv_dirs"] == 1
+    assert not os.listdir(dv_root)
+    assert len(_rows(spark, path)) == 90
+
+
+def test_dv_fields_round_trip_checkpoint_sidecar(spark, tmp_path, monkeypatch):
+    """Above the checkpoint threshold the dv refs ride the parquet
+    sidecar, not inline JSON — the whole mor cycle must resolve
+    through it."""
+    monkeypatch.setattr(sn, "CHECKPOINT_FILE_THRESHOLD", 4)
+    path, _ = _mk(spark, tmp_path, n_files=8)
+    rep = sn.delete_where(spark, path, "k % 4 = 2", mode="mor")
+    assert rep["deleted_rows"] == 25
+    man = sn._read_manifest(path, 1)
+    assert "files_ref" in man
+    ents = sn._manifest_files(path, man)
+    assert sum(e.get("dv_rows", 0) for e in ents) == 25
+    assert len(_rows(spark, path)) == 75
+    # merge over the checkpointed+DV'ed table still prunes and merges
+    src = spark.createDataFrame([(0, -1), (300, 9)], ["k", "v"])
+    mrep = sn.merge_into(spark, path, src, on=["k"], write_mode="mor")
+    assert mrep["files_rewritten"] == 0
+    got = dict(_rows(spark, path))
+    assert got[0] == -1 and got[300] == 9 and 2 not in got

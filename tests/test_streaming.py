@@ -343,3 +343,68 @@ def test_watermark_drops_late_rows_and_bounds_state(spark, tmp_path):
     # the 10:00 window finalized with 2 rows: event 4 was dropped
     assert got.get("2024-01-01 10:00:00") == 2
     assert "2024-01-01 10:05:00" not in str(got)
+
+
+def test_stream_merge_snapshot_upserts_exactly_once(spark, tmp_path):
+    """foreachBatch CDC sink: per-batch keep-newest + mor MERGE gives
+    the per-key latest row; a replayed batch id is skipped via the
+    txn high-water mark (the exactly-once half of a restart)."""
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path / "cdc_in")
+    tbl = str(tmp_path / "cdc_tbl")
+    schema = "seq long, k long, v string"
+    # batch 0: k=1,2 (k=1 twice — within-batch keep-newest)
+    spark.createDataFrame(
+        [(1, 1, "a1"), (2, 2, "b1"), (3, 1, "a2")], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    # batch 1: update k=2, insert k=3
+    spark.createDataFrame(
+        [(4, 2, "b2"), (5, 3, "c1")], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = streaming.stream_from_directory(
+        spark, path, spark.read.parquet(path).schema, max_files_per_trigger=1
+    )
+    q = streaming.stream_merge_snapshot(stream, tbl, ["k"], "seq")
+    q.awaitTermination()
+
+    got = {r["k"]: r["v"] for r in sn.snapshot_read(spark, tbl).collect()}
+    assert got == {1: "a2", 2: "b2", 3: "c1"}
+    # mor sink: the update superseded a row via DV, no rewrite
+    ents = sn._manifest_files(tbl, sn._read_manifest(tbl, 1))
+    assert sum(e.get("dv_rows", 0) for e in ents) == 1
+
+    # simulate foreachBatch replay after restart: batch 1 re-applies
+    app = f"stream-merge:{tbl}"
+    assert sn.last_txn_version(tbl, app) == 1
+    replay = spark.createDataFrame([(4, 2, "b2"), (5, 3, "c1")], schema)
+    rep = sn.merge_into(spark, tbl, replay, on=["k"], txn=(app, 1))
+    assert rep.get("skipped") is True
+    assert sn.current_version(tbl) == 1          # no version churn
+    # a genuinely NEW batch id still commits
+    rep2 = sn.merge_into(
+        spark, tbl, spark.createDataFrame([(6, 1, "a3")], schema),
+        on=["k"], txn=(app, 2), write_mode="mor",
+    )
+    assert rep2.get("skipped") is None and rep2["version"] == 2
+    assert sn.last_txn_version(tbl, app) == 2
+    got2 = {r["k"]: r["v"] for r in sn.snapshot_read(spark, tbl).collect()}
+    assert got2[1] == "a3"
+
+
+def test_txn_high_water_survives_compact_and_delete(spark, tmp_path):
+    """A compaction or DELETE between stream batches must carry the
+    txn map forward — dropping it would make the next replayed batch
+    double-apply."""
+    from aws_medallion_etl_spark import snapshot as sn
+
+    tbl = str(tmp_path / "txn_tbl")
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    sn.snapshot_create(spark, df, tbl, stats_cols=["k"], txn=("app", 5))
+    assert sn.last_txn_version(tbl, "app") == 5
+    sn.delete_where(spark, tbl, "k = 3", mode="mor")
+    assert sn.last_txn_version(tbl, "app") == 5
+    sn.compact(spark, tbl, small_file_rows=10**6)
+    assert sn.last_txn_version(tbl, "app") == 5
+    assert sn.last_txn_version(tbl, "other") is None
