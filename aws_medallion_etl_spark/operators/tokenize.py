@@ -306,3 +306,186 @@ def subword_token_counts(
             F.coalesce("n_unk", F.lit(0)).cast("long").alias("n_unk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (training the tokenizer, not just running it)
+# ---------------------------------------------------------------------------
+
+def _merge_pair_col(s, a: str, b: str):
+    """Fold ``s`` (array<string>) merging adjacent (a, b) -> a||b,
+    leftmost-first non-overlapping — the classic BPE apply step, as a
+    pure codegen-free HOF over the (vocabulary-sized) symbols column.
+    Column-API lambdas, never string interpolation: symbol text can't
+    break the expression."""
+    ab = F.lit(a + b)
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (__cnt, __s) symbols frame —
+    the per-round aggregation of the BPE loop (codegen explode + hash
+    aggregate; overlapping pairs count, textbook convention)."""
+    return (
+        syms.where(F.size("__s") >= 2)
+        .select(
+            "__cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__s) - 1), i -> "
+                    "struct(element_at(__s, i) AS a, "
+                    "element_at(__s, i + 1) AS b))"
+                )
+            ).alias("__p"),
+        )
+        .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .agg(F.sum("__cnt").alias("cnt"))
+    )
+
+
+def _char_symbols(df: DataFrame, text_col: str) -> DataFrame:
+    """(__w, __cnt, __s) frame: distinct corpus words with counts and
+    their character arrays — BPE's starting state. The ONLY
+    corpus-proportional job in the trainer."""
+    return (
+        df.select(F.explode(pretokenize(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__w", "__cnt",
+            F.expr(
+                "transform(sequence(1, length(__w)), i -> substr(__w, i, 1))"
+            ).alias("__s"),
+        )
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """First-round BPE statistics: adjacent CHARACTER pair counts
+    weighted by word frequency — ``(a, b, pair_count)``. This is the
+    aggregation every :func:`learn_bpe_merges` round argmaxes over,
+    exposed standalone so the driver oracle can pin the corpus→pair
+    machinery exactly (the iterative argmax itself is not
+    set-expressible; it is pytest-pinned against a pure-Python
+    reference trainer instead)."""
+    return _pair_counts(_char_symbols(df, text_col)).select(
+        "a", "b", F.col("cnt").cast("long").alias("pair_count")
+    )
+
+
+def learn_bpe_merges(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+    merges_per_round: int = 1,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn a BPE merge table from a corpus — distributed vocabulary
+    INDUCTION, the training half of the tokenizer surface (the
+    round-8 encoder runs a given vocab; this produces one).
+
+    Algorithm (Sennrich et al. 2016, the standard byte-pair-encoding
+    recipe): start from characters, repeatedly count adjacent symbol
+    pairs weighted by word frequency, merge the globally most
+    frequent pair everywhere, repeat. Expressed Spark-first:
+
+    * **One corpus-proportional pass, total.** The corpus collapses
+      to DISTINCT (word, count) immediately (codegen explode +
+      hash-aggregate, the same trick as
+      :func:`subword_token_counts`); every iteration after that runs
+      on the vocabulary-sized frame — bounded by the language plus
+      corpus noise, not the corpus.
+    * **Iterations are declarative.** Pair counting is an explode +
+      hash aggregate; the argmax is ``orderBy(count desc, pair asc)
+      limit 1`` (the lexicographic tiebreak makes the whole run
+      deterministic); the merge application is an ``aggregate`` HOF
+      fold — interpreted, but over distinct words only. Zero Python
+      UDFs anywhere.
+    * **Lineage is cut per round** (eager ``localCheckpoint`` on the
+      small frame) so round N's plan doesn't replay rounds 1..N-1.
+    * **``merges_per_round``** is the scale knob: >1 applies that
+      many top pairs per round, greedily chosen SYMBOL-DISJOINT so
+      their applications commute (a real 30k-merge vocab at one
+      merge per job would mean 30k tiny jobs; disjoint batching is
+      the standard production shortcut). Batched runs may diverge
+      from strict sequential BPE — leave at 1 when exact parity with
+      a reference trainer matters.
+
+    Pair counts follow the textbook convention: overlapping pairs in
+    a run ("aaa" -> (a,a) twice) COUNT twice but MERGE leftmost-first
+    non-overlapping ("aaa" -> [aa, a]).
+
+    Returns ``(merges, word_symbols)``: the ordered merge list
+    ``[(left, right, pair_count), ...]`` (driver-side — K rows) and
+    the final (word, count, symbols) DataFrame. Feed the merges to
+    :func:`bpe_vocab_from_merges` to run the existing encoder with
+    the learned vocabulary.
+    """
+    if num_merges < 1:
+        raise ValueError("learn_bpe_merges: num_merges must be >= 1")
+    if merges_per_round < 1:
+        raise ValueError("learn_bpe_merges: merges_per_round must be >= 1")
+    syms = _char_symbols(df, text_col).localCheckpoint()
+
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < num_merges:
+        room = num_merges - len(merges)
+        want = min(merges_per_round, room)
+        pairs = (
+            _pair_counts(syms)
+            .where(F.col("cnt") >= min_pair_count)
+            .orderBy(F.desc("cnt"), "a", "b")
+            # over-fetch so the disjoint filter still fills the round
+            .limit(max(want * 4, 16))
+            .collect()
+        )
+        if not pairs:
+            break
+        used: set[str] = set()
+        round_merges = []
+        for r in pairs:
+            if len(round_merges) == want:
+                break
+            if r["a"] in used or r["b"] in used:
+                continue
+            round_merges.append((r["a"], r["b"], int(r["cnt"])))
+            used.update((r["a"], r["b"], r["a"] + r["b"]))
+        col = F.col("__s")
+        for a, b, _ in round_merges:
+            col = _merge_pair_col(col, a, b)
+        syms = syms.withColumn("__s", col).localCheckpoint()
+        merges.extend(round_merges)
+    return merges, syms.select(
+        F.col("__w").alias("word"),
+        F.col("__cnt").alias("count"),
+        F.col("__s").alias("symbols"),
+    )
+
+
+def bpe_vocab_from_merges(
+    merges: list[tuple[str, str, int]],
+) -> tuple[str, ...]:
+    """Export learned merges as a greedy longest-match vocabulary for
+    the existing encoder: every merge product plus the base alphabet,
+    each in both word-start and ``##`` continuation roles. (BPE
+    inference over a merges-as-vocab table IS the longest-match loop —
+    module docstring; greedy longest-match and strict merge-order
+    replay can differ on adversarial vocabularies, which is fine for
+    a vocab EXPORT and pinned by test on the learned one.)"""
+    prods = [a + b for a, b, _ in merges]
+    base = list(_ALPHANUM)
+    out: list[str] = []
+    for p in base + prods:
+        out.append(p)
+        out.append("##" + p)
+    return tuple(dict.fromkeys(out))

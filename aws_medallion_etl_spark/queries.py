@@ -6544,6 +6544,47 @@ def corpus_pack_greedy_subword(spark, sf_dir):
     )
 
 
+_T_BPE_PAIRS_SQL = """
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ), wc AS (
+        SELECT w, count(*) AS cnt FROM words WHERE w <> '' GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, cnt
+        FROM wc, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+    )
+    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 20
+"""
+
+
+@query("t_bpe_pair_counts", _T_BPE_PAIRS_SQL)
+def t_bpe_pair_counts(spark, sf_dir):
+    """Round-1 statistics of the BPE vocabulary trainer
+    (``tokenize.bpe_pair_counts``): adjacent character-pair counts
+    weighted by word frequency, top 20 under the trainer's exact
+    selection order (count desc, then lexicographic — the
+    determinism tiebreak). This is the aggregation every
+    ``learn_bpe_merges`` round argmaxes over; the oracle recomputes
+    it set-wise (word counts → per-position pairs → weighted sum),
+    so a miscounted overlapping pair, a dropped single-char word, or
+    a tiebreak drift all surface. The ITERATIVE argmax-merge loop is
+    not set-expressible; it is pinned by
+    ``test_tokenize::test_learn_bpe_matches_reference_exactly``
+    against a pure-Python reference trainer.
+    """
+    from aws_medallion_etl_spark.operators import tokenize
+
+    return (
+        tokenize.bpe_pair_counts(_t(spark, sf_dir, "documents"), "text")
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Snapshot-versioned table MERGE (Delta-gap closure, snapshot.py)
 # ---------------------------------------------------------------------------
@@ -6826,6 +6867,64 @@ def s26_compact_optimize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_custkey").cast("long").alias("sum_cust"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_S27_UPDATE_RESTORE_SQL = """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN p_partkey % 3 = 0 THEN p_size + 1
+                         ELSE p_size END) AS BIGINT) AS sum_size,
+           round(sum(CASE WHEN p_partkey % 3 = 0 THEN p_retailprice * 2
+                          ELSE p_retailprice END), 2) AS total_price
+    FROM part GROUP BY p_brand
+"""
+
+
+@query("s27_update_restore", _S27_UPDATE_RESTORE_SQL)
+def s27_update_restore(spark, sf_dir):
+    """SQL UPDATE + RESTORE on the snapshot table
+    (``snapshot.update_where``, ``snapshot.restore``): a
+    merge-on-read UPDATE (DV-marked old positions + appended
+    rewritten rows, zero file rewrites) is then ROLLED BACK by
+    RESTORE (a new version re-referencing version 0's files — zero
+    data movement), and a second, copy-on-write UPDATE with a
+    DIFFERENT predicate lands on the restored table.
+
+    The oracle applies ONLY the second update to the base table: if
+    the restore failed to undo the first update (`p_size > 40`
+    price bump), its +1000s leak into ``total_price``; if UPDATE
+    touched the wrong rows or dropped the unmatched ones, counts and
+    the integer ``sum_size`` shift.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s27upd", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    snap.snapshot_create(
+        spark, part.repartitionByRange(8, "p_partkey"), path,
+        stats_cols=["p_partkey"],
+    )
+    rep = snap.update_where(
+        spark, path, "p_size > 40",
+        {"p_retailprice": "p_retailprice + 1000"}, mode="mor",
+    )
+    assert rep["files_rewritten"] == 0, "mor update must not rewrite"
+    snap.restore(spark, path, 0)
+    snap.update_where(
+        spark, path, "p_partkey % 3 = 0",
+        {"p_retailprice": "p_retailprice * 2", "p_size": "p_size + 1"},
+        mode="cow",
+    )
+    final = snap.snapshot_read(spark, path)
+    return final.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").cast("long").alias("sum_size"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
     )
 
 

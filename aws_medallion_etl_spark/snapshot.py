@@ -763,6 +763,163 @@ def delete_where(
     return {"version": new_v, "deleted_rows": deleted, "mode": mode, **report}
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict[str, object],
+    mode: str = "mor",
+) -> dict:
+    """SQL ``UPDATE table SET col = expr, ... WHERE predicate`` as a
+    new version.
+
+    ``assignments`` maps column names to SQL strings or Columns,
+    evaluated against the matching row (so ``{"v": "v + 1"}`` is the
+    usual relative update) and cast back to the pinned manifest type.
+    ``mode="mor"``: the matched rows' old positions go to a
+    ``_deletes/`` sidecar and the rewritten rows append as new files —
+    write cost is O(matched), never a file rewrite (Delta's DV-backed
+    UPDATE). ``mode="cow"`` rewrites the files that contain matches.
+    The matched set is computed twice (positions, then updated rows) —
+    two scans of the touched files, both with the predicate pushed
+    into the parquet reader.
+
+    Zero matches → no new version. Time travel to the pre-update
+    version reads the original rows.
+    """
+    if mode not in {"mor", "cow"}:
+        raise ValueError(f"update_where: unknown mode={mode!r}")
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"update_where: {path} is not a snapshot table")
+    base_v = vs[-1]
+    man = _read_manifest(path, base_v)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    tcols = {f.name for f in schema.fields}
+    bad = [c for c in assignments if c not in tcols]
+    if bad:
+        raise ValueError(f"update_where: unknown columns {bad}")
+    entries = _manifest_files(path, man)
+    root = path.rstrip("/")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    new_v = base_v + 1
+    stats_cols = man.get("columns", [])
+
+    live = _scan_live(spark, root, schema, entries, with_pos=True)
+    matched = live.where(pred)
+    hits = matched.select(
+        F.col("__file").alias("file"), F.col("__pos").alias("row_index")
+    )
+    dv_rel = os.path.join(_DELETES_DIR, f"d{new_v:05d}-{uuid.uuid4().hex[:8]}")
+    dv_dir = os.path.join(root, dv_rel)
+    hits.write.mode("error").parquet(dv_dir)
+    counts = {
+        r["file"]: r["cnt"]
+        for r in spark.read.schema(_dv_schema()).parquet(dv_dir)
+        .groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_updated = sum(counts.values())
+    if not n_updated:
+        import shutil
+
+        shutil.rmtree(dv_dir, ignore_errors=True)
+        return {"updated_rows": 0, "version": base_v, "mode": mode}
+
+    upd = matched.drop("__file", "__pos")
+    for c, expr in assignments.items():
+        col = F.expr(expr) if isinstance(expr, str) else expr
+        upd = upd.withColumn(c, col.cast(schema[c].dataType))
+    upd = upd.select(*[f.name for f in schema.fields])
+
+    if mode == "mor":
+        carried = []
+        for e in entries:
+            if e["file"] in counts:
+                e = dict(e)
+                e["dv"] = list(e.get("dv") or []) + [dv_rel]
+                e["dv_rows"] = int(e.get("dv_rows") or 0) + counts[e["file"]]
+            carried.append(e)
+        new_files = _write_commit_files(upd, path, new_v, stats_cols)
+        report = {"files_rewritten": 0, "files_with_dv": len(counts)}
+    else:
+        touched = [e for e in entries if e["file"] in counts]
+        carried = [e for e in entries if e["file"] not in counts]
+        surv = _scan_live(spark, root, schema, touched, with_pos=True)
+        dvh = _read_dv(spark, root, [dv_rel])
+        surv = surv.join(
+            dvh,
+            (F.col("__file") == F.col("__dvf"))
+            & (F.col("__pos") == F.col("__dvp")),
+            "left_anti",
+        ).drop("__file", "__pos")
+        new_files = _write_commit_files(
+            surv.unionByName(upd), path, new_v, stats_cols
+        )
+        report = {"files_rewritten": len(touched), "files_with_dv": 0}
+    _commit(path, new_v, {
+        "version": new_v,
+        "schema": man["schema"],
+        "columns": stats_cols,
+        **_txn_fields(man, None),
+        **_files_fields(path, new_v, carried + new_files, stats_cols),
+    })
+    return {"version": new_v, "updated_rows": n_updated, "mode": mode,
+            "files_added": len(new_files), **report}
+
+
+def restore(spark: SparkSession, path: str, version: int) -> dict:
+    """Delta's ``RESTORE TABLE ... VERSION AS OF N``: commit a NEW
+    version whose content is exactly version ``N``'s — a roll-back
+    that is itself history (time travel to the bad versions still
+    works until vacuum prunes them). Zero data movement: the new
+    manifest re-references version N's files and DV sidecars.
+
+    The per-app txn high-water marks are carried from the CURRENT
+    version, not the restored one — rolling them back would make an
+    idempotent writer (``stream_merge_snapshot``) re-apply batches it
+    already committed, double-writing into the restored table.
+
+    Raises if version ``N``'s files were already vacuumed away
+    (Delta errors identically).
+    """
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"restore: {path} is not a snapshot table")
+    if version not in vs:
+        raise ValueError(f"restore: {path} has no version {version} "
+                         f"(have {vs})")
+    cur_v = vs[-1]
+    if version == cur_v:
+        return {"version": cur_v, "restored_from": version, "noop": True}
+    tgt = _read_manifest(path, version)
+    cur = _read_manifest(path, cur_v)
+    entries = _manifest_files(path, tgt)
+    root = path.rstrip("/")
+    missing = [
+        e["file"] for e in entries
+        if not os.path.exists(os.path.join(root, e["file"]))
+    ] + [
+        r for e in entries for r in e.get("dv") or []
+        if not os.path.isdir(os.path.join(root, r))
+    ]
+    if missing:
+        raise ValueError(
+            f"restore: {len(missing)} data files / DV sidecars of version "
+            f"{version} were vacuumed (first: {missing[0]}) — the version "
+            "is no longer restorable"
+        )
+    new_v = cur_v + 1
+    _commit(path, new_v, {
+        "version": new_v,
+        "schema": tgt["schema"],
+        "columns": tgt.get("columns", []),
+        **_txn_fields(cur, None),
+        **_files_fields(path, new_v, entries, tgt.get("columns", [])),
+    })
+    return {"version": new_v, "restored_from": version,
+            "files": len(entries)}
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -433,3 +433,80 @@ def test_dv_fields_round_trip_checkpoint_sidecar(spark, tmp_path, monkeypatch):
     assert mrep["files_rewritten"] == 0
     got = dict(_rows(spark, path))
     assert got[0] == -1 and got[300] == 9 and 2 not in got
+
+
+def test_update_where_mor_and_cow(spark, tmp_path):
+    """UPDATE ... SET: mor appends rewritten rows + DV-marks the old
+    positions (zero file rewrites); cow rewrites only the files that
+    contain matches. Same answer either way."""
+    pm, _ = _mk(spark, tmp_path / "mor")
+    pc, _ = _mk(spark, tmp_path / "cow")
+    rep = sn.update_where(
+        spark, pm, "k % 10 = 5", {"v": "v + 1"}, mode="mor"
+    )
+    assert rep["updated_rows"] == 10 and rep["files_rewritten"] == 0
+    assert rep["files_with_dv"] >= 1 and rep["files_added"] >= 1
+    repc = sn.update_where(
+        spark, pc, "k % 10 = 5", {"v": F.col("v") + 1}, mode="cow"
+    )
+    assert repc["updated_rows"] == 10 and repc["files_rewritten"] >= 1
+    want = [(i, i * 10 + (1 if i % 10 == 5 else 0)) for i in range(100)]
+    assert _rows(spark, pm) == want
+    assert _rows(spark, pc) == want
+    assert _rows(spark, pm, version=0) == [(i, i * 10) for i in range(100)]
+    # updated values keep the pinned manifest type (cast back)
+    sch = {f.name: f.dataType.simpleString()
+           for f in sn.snapshot_read(spark, pm).schema.fields}
+    assert sch == {"k": "bigint", "v": "bigint"}
+    # zero matches -> no version churn; unknown column -> error
+    assert sn.update_where(spark, pm, "k > 1000000", {"v": "0"})[
+        "updated_rows"] == 0
+    assert sn.snapshot_versions(pm) == [0, 1]
+    with pytest.raises(ValueError, match="unknown columns"):
+        sn.update_where(spark, pm, "k = 1", {"nope": "1"})
+
+
+def test_restore_rolls_back_as_new_version(spark, tmp_path):
+    """RESTORE VERSION AS OF: a new version re-referencing the old
+    files/DVs — zero data movement, bad versions stay time-travelable,
+    txn high-water marks do NOT roll back."""
+    path, _ = _mk(spark, tmp_path)
+    sn.delete_where(spark, path, "k >= 50", mode="mor")      # v1
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(0, -9)], ["k", "v"]),
+        on=["k"], txn=("app", 7),
+    )                                                        # v2
+    assert len(_rows(spark, path)) == 50
+    rep = sn.restore(spark, path, 0)
+    assert rep["version"] == 3 and rep["restored_from"] == 0
+    assert _rows(spark, path) == [(i, i * 10) for i in range(100)]
+    # the bad versions remain pinned history
+    assert len(_rows(spark, path, version=2)) == 50
+    # txn mark survives the rollback (idempotent writers must not
+    # re-apply committed batches into the restored table)
+    assert sn.last_txn_version(path, "app") == 7
+    # restoring the current version is a no-op
+    assert sn.restore(spark, path, 3).get("noop") is True
+    with pytest.raises(ValueError, match="no version"):
+        sn.restore(spark, path, 99)
+
+
+def test_restore_refuses_vacuumed_version(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(0, -1)], ["k", "v"])
+    sn.merge_into(spark, path, src, on=["k"])                # v1
+    sn.vacuum(path, keep_versions=1, retention_seconds=0)
+    # v0's manifest is pruned -> plain "no version"; recreate the
+    # missing-file case via a manifest that survived but whose file
+    # got vacuumed: merge again, keep 2 versions, nuke v1's rewritten
+    # file manually
+    sn.merge_into(spark, path, spark.createDataFrame(
+        [(1, -2)], ["k", "v"]), on=["k"])                    # v2
+    ents1 = sn._manifest_files(path, sn._read_manifest(path, 1))
+    ents2 = {e["file"] for e in
+             sn._manifest_files(path, sn._read_manifest(path, 2))}
+    only_v1 = [e["file"] for e in ents1 if e["file"] not in ents2]
+    assert only_v1
+    os.unlink(os.path.join(path, only_v1[0]))
+    with pytest.raises(ValueError, match="no longer restorable"):
+        sn.restore(spark, path, 1)

@@ -126,3 +126,117 @@ def test_broadcast_guard_falls_back_to_shuffle_join(spark):
     assert not hint(fall) and not hint(auto) and hint(bcast)
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert key(fall) == key(auto) == key(bcast)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(word_counts, k, min_count=1):
+    """Pure-Python reference BPE trainer, textbook conventions:
+    overlapping pair counting, leftmost-first non-overlapping apply,
+    (max count, lexicographically smallest pair) selection."""
+    syms = {w: [c for c in w] for w in word_counts}
+    merges = []
+    for _ in range(k):
+        pc = {}
+        for w, c in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+        pc = {p: c for p, c in pc.items() if c >= min_count}
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+_BPE_CORPUS = [
+    ("the cat sat on the mat",),
+    ("the cats eat the hats",),
+    ("that cat is the fastest cat",),
+    ("hats and mats and rats",),
+]
+
+
+def _bpe_word_counts():
+    wc = {}
+    for (t,) in _BPE_CORPUS:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def test_learn_bpe_matches_reference_exactly(spark):
+    df = spark.createDataFrame(_BPE_CORPUS, ["text"])
+    merges, syms = tokenize.learn_bpe_merges(
+        spark, df, "text", num_merges=10, min_pair_count=1
+    )
+    ref_merges, ref_syms = _ref_bpe(_bpe_word_counts(), 10)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["symbols"]) for r in syms.collect()}
+    assert got == ref_syms
+
+
+def test_learn_bpe_overlap_counting_and_early_stop(spark):
+    # "aaab": (a,a) counts twice (overlapping) but merges leftmost
+    # non-overlapping -> [aa, a, b]
+    df = spark.createDataFrame([("aaab",)], ["text"])
+    merges, syms = tokenize.learn_bpe_merges(
+        spark, df, "text", num_merges=1, min_pair_count=1
+    )
+    assert merges == [("a", "a", 2)]
+    assert list(syms.collect()[0]["symbols"]) == ["aa", "a", "b"]
+    # min_pair_count above every pair frequency -> zero merges
+    merges2, _ = tokenize.learn_bpe_merges(
+        spark, df, "text", num_merges=5, min_pair_count=3
+    )
+    assert merges2 == []
+    with pytest.raises(ValueError, match="num_merges"):
+        tokenize.learn_bpe_merges(spark, df, "text", num_merges=0)
+
+
+def test_learn_bpe_batched_rounds_disjoint_and_deterministic(spark):
+    df = spark.createDataFrame(_BPE_CORPUS, ["text"])
+    m1, _ = tokenize.learn_bpe_merges(
+        spark, df, "text", num_merges=8, merges_per_round=4
+    )
+    m2, _ = tokenize.learn_bpe_merges(
+        spark, df, "text", num_merges=8, merges_per_round=4
+    )
+    assert m1 == m2 and 0 < len(m1) <= 8
+    # the merge list is a valid chain: every side is a single char or
+    # the product of an EARLIER merge (rounds may select fewer than 4
+    # when the disjointness filter bites, so round boundaries aren't
+    # observable from the flat list — chain validity is)
+    known = {c for _t, in _BPE_CORPUS for w in _t.split() for c in w}
+    for a, b, c in m1:
+        assert a in known and b in known and c > 0
+        known.add(a + b)
+
+
+def test_bpe_vocab_feeds_the_encoder(spark):
+    df = spark.createDataFrame(_BPE_CORPUS, ["text"]).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    merges, _ = tokenize.learn_bpe_merges(spark, df, "text", num_merges=12)
+    vocab = tokenize.bpe_vocab_from_merges(merges)
+    assert "the" in vocab and "##the" in vocab  # learned product, both roles
+    counts = tokenize.subword_token_counts(
+        spark, df, "doc_id", "text", vocab=vocab
+    ).collect()
+    for r in counts:
+        assert r["n_unk"] == 0          # alphabet covers [a-z0-9]
+        assert 0 < r["n_pieces"] <= sum(
+            len(w) for w in "".join(t for (t,) in _BPE_CORPUS).split()
+        )
+        assert r["n_pieces"] >= r["n_words"]
