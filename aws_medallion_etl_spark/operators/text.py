@@ -573,3 +573,54 @@ def quality_classifier_scores(
         *empty_sum,
     )
     return out.unionByName(empties)
+
+
+def corpus_diversity_stats(
+    df,
+    id_col: str,
+    text_col: Column | str,
+    group_col: str,
+    n: int = 2,
+):
+    """Per-source distinct-n corpus diversity — the template/
+    boilerplate detector at SOURCE granularity (the per-document
+    repetition filter above can't see a source whose documents are
+    individually clean but mutually near-identical; a collapsing
+    ``distinct/total`` n-gram ratio can).
+
+    Returns ``(group, n_docs, total_ngrams, distinct_ngrams)`` —
+    integer-exact columns; consumers derive the distinct-n ratio.
+    Shape at 100 TB: one codegen explode to (group, ngram), then a
+    single hash aggregate with partial count-distinct per group — the
+    n-gram stream never materializes, and no per-document state.
+    Documents with fewer than ``n`` tokens contribute no n-grams but
+    still count in ``n_docs``.
+    """
+    toks = F.split(F.trim(F.lower(_c(text_col))), r"\s+")
+    base = df.select(F.col(group_col), toks.alias("__toks"))
+    positions = F.when(
+        F.size("__toks") >= n,
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(group_col),
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+            )
+        ).alias("__g"),
+    )
+    per = grams.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.count_distinct(F.col("__g")).alias("distinct_ngrams"),
+    )
+    docs = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return docs.join(per, group_col, "left").select(
+        F.col(group_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce("total_ngrams", F.lit(0)).cast("long")
+        .alias("total_ngrams"),
+        F.coalesce("distinct_ngrams", F.lit(0)).cast("long")
+        .alias("distinct_ngrams"),
+    )

@@ -6544,6 +6544,44 @@ def corpus_pack_greedy_subword(spark, sf_dir):
     )
 
 
+@query(
+    "t_corpus_diversity",
+    r"""
+    WITH toks AS (
+        SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), ng AS (
+        SELECT source, array_to_string(t[i:i+1], ' ') AS g
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
+               CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams
+        FROM ng GROUP BY source
+    ), docs AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    )
+    SELECT d.source, d.n_docs,
+           coalesce(p.total_ngrams, 0) AS total_ngrams,
+           coalesce(p.distinct_ngrams, 0) AS distinct_ngrams
+    FROM docs d LEFT JOIN per p ON d.source = p.source
+    """,
+)
+def t_corpus_diversity(spark, sf_dir):
+    """Source-level distinct-bigram diversity
+    (``text.corpus_diversity_stats``): a source whose documents are
+    individually clean but mutually templated collapses the
+    distinct/total n-gram ratio — the corpus-granularity boilerplate
+    signal the per-document repetition filter can't see. Integer-
+    exact output (counts, not the ratio) per the repo's float-hash
+    rule; the oracle recomputes tokenize → per-position bigrams →
+    per-source total/distinct set-wise.
+    """
+    return text.corpus_diversity_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source", n=2
+    )
+
+
 _T_BPE_PAIRS_SQL = """
     WITH words AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w

@@ -397,14 +397,21 @@ def _touched_files(
     overlap with the source's distinct keys.
 
     A file is provably untouched if for SOME key column with usable
-    stats, no source value lands inside the file's [min, max]. The
-    check runs as one broadcast range join: file bounds (manifest,
-    driver-side, file-count-sized) against the source's distinct key
-    values — never a scan of target data. Files without usable stats
-    are conservatively touched; unknown stat kinds only cost rewrite
-    I/O, never correctness.
+    stats, no source value lands inside the file's [min, max] — a
+    matching row would need EVERY join column inside its file's
+    range, so one excluding column is a proof. EVERY usable key
+    column is probed (a composite-key merge like SCD2's
+    ``(nk, start_ts)`` prunes on whichever dimension is selective)
+    and a file survives as touched only if every probe hits it. Each
+    probe is one broadcast range join: file bounds (manifest,
+    driver-side, file-count-sized) against that column's distinct
+    source values — never a scan of target data. Files without
+    usable stats in a column count as hit for that column; unknown
+    stat kinds only cost rewrite I/O, never correctness.
     """
-    probe_col = probe_kind = None
+    if not files:
+        return [], []
+    probes = []
     for c in on:
         if c in stat_cols:
             kinds = {
@@ -412,35 +419,40 @@ def _touched_files(
                 for e in files
             } & {"int", "str", "float"}
             if kinds:
-                probe_col, probe_kind = c, sorted(kinds)[0]
-                break
-    if probe_col is None or not files:
+                probes.append((c, sorted(kinds)[0]))
+    if not probes:
         return list(files), []
-    bounds, no_stats = [], []
-    for i, e in enumerate(files):
-        st = e["stats"].get(probe_col)
-        # one homogeneous kind per probe: a file whose stat kind
-        # differs (shouldn't happen for one column) stays touched
-        if st and st["kind"] == probe_kind:
-            bounds.append((i, st["min"], st["max"]))
-        else:
-            no_stats.append(i)
-    touched_idx = set(no_stats)
-    if bounds:
-        bdf = spark.createDataFrame(bounds, ["__fidx", "__lo", "__hi"])
-        keys = source.select(F.col(probe_col).alias("__k")).where(
-            F.col("__k").isNotNull()
-        ).distinct()
-        hit = (
-            keys.join(
-                F.broadcast(bdf),
-                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+    touched_idx = set(range(len(files)))
+    for probe_col, probe_kind in probes:
+        if not touched_idx:
+            break
+        bounds, no_stats = [], []
+        for i in sorted(touched_idx):
+            st = files[i]["stats"].get(probe_col)
+            # one homogeneous kind per probe: a file whose stat kind
+            # differs (shouldn't happen for one column) stays touched
+            if st and st["kind"] == probe_kind:
+                bounds.append((i, st["min"], st["max"]))
+            else:
+                no_stats.append(i)
+        hit_idx = set(no_stats)
+        if bounds:
+            bdf = spark.createDataFrame(bounds, ["__fidx", "__lo", "__hi"])
+            keys = source.select(F.col(probe_col).alias("__k")).where(
+                F.col("__k").isNotNull()
+            ).distinct()
+            hit = (
+                keys.join(
+                    F.broadcast(bdf),
+                    (F.col("__k") >= F.col("__lo"))
+                    & (F.col("__k") <= F.col("__hi")),
+                )
+                .select("__fidx")
+                .distinct()
+                .collect()
             )
-            .select("__fidx")
-            .distinct()
-            .collect()
-        )
-        touched_idx |= {r["__fidx"] for r in hit}
+            hit_idx |= {r["__fidx"] for r in hit}
+        touched_idx &= hit_idx
     touched = [e for i, e in enumerate(files) if i in touched_idx]
     untouched = [e for i, e in enumerate(files) if i not in touched_idx]
     return touched, untouched

@@ -1114,3 +1114,29 @@ def test_top_dup_ngrams_screen_guard_on_heavy_corpus(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in out] == [tuple(r) for r in plain]
+
+
+def test_corpus_diversity_stats(spark):
+    from aws_medallion_etl_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            # templated source: both docs share every bigram
+            (1, "buy now limited offer", "ads"),
+            (2, "buy now limited offer", "ads"),
+            # diverse source
+            (3, "the quick brown fox", "web"),
+            (4, "jumps over lazy dogs", "web"),
+            # short doc: no bigrams but still counted in n_docs
+            (5, "hi", "web"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["total_ngrams"], r["distinct_ngrams"])
+        for r in text.corpus_diversity_stats(
+            df, "doc_id", "text", "source", n=2
+        ).collect()
+    }
+    assert got["ads"] == (2, 6, 3)   # 3 bigrams x 2 docs, all shared
+    assert got["web"] == (3, 6, 6)   # all distinct; "hi" adds no grams

@@ -510,3 +510,23 @@ def test_restore_refuses_vacuumed_version(spark, tmp_path):
     os.unlink(os.path.join(path, only_v1[0]))
     with pytest.raises(ValueError, match="no longer restorable"):
         sn.restore(spark, path, 1)
+
+
+def test_merge_prunes_on_every_key_column(spark, tmp_path):
+    """Composite-key pruning: the first key column's stats are useless
+    here (every file spans the full k range) — the probe on the SECOND
+    column must prove the non-overlapping files untouched."""
+    df = spark.range(0, 100).select(
+        (F.col("id") % 10).alias("k"), (F.col("id")).alias("t"),
+        (F.col("id") * 2).alias("v"),
+    )
+    path = str(tmp_path / "tbl2")
+    sn.snapshot_create(
+        spark, df.repartitionByRange(4, "t"), path, stats_cols=["k", "t"]
+    )
+    src = spark.createDataFrame([(5, 35, -1)], ["k", "t", "v"])
+    rep = sn.merge_into(spark, path, src, on=["k", "t"])
+    assert rep["files_untouched"] == 3 and rep["files_rewritten"] == 1
+    got = {(r["k"], r["t"]): r["v"]
+           for r in sn.snapshot_read(spark, path).collect()}
+    assert got[(5, 35)] == -1 and len(got) == 100
