@@ -6991,6 +6991,126 @@ def s27_update_restore(spark, sf_dir):
     )
 
 
+_S28_SKIPPING_SQL = """
+    WITH b AS (SELECT CAST(max(o_orderkey) // 4 AS BIGINT) AS lo,
+                      CAST(max(o_orderkey) // 2 AS BIGINT) AS hi
+               FROM orders)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders, b
+    WHERE o_orderkey BETWEEN b.lo AND b.hi
+    GROUP BY o_orderstatus
+"""
+
+
+@query("s28_snapshot_skipping", _S28_SKIPPING_SQL)
+def s28_snapshot_skipping(spark, sf_dir):
+    """Stats-based DATA SKIPPING on a snapshot-table read
+    (``snapshot.snapshot_read(prune=...)``) — Delta's file pruning:
+    the manifest's per-file min/max bounds drop non-overlapping files
+    from the plan BEFORE the scan, then the same predicate applies
+    row-wise, so the answer equals an unpruned read + WHERE exactly
+    (which is what the oracle computes over the raw table). The table
+    is range-clustered on the key, so the mid-half range predicate
+    must read ~half the files — a one-day predicate over a
+    date-clustered 100 TB table reads one day of files.
+    ``test_snapshot_read_prune_skips_files_same_answer`` pins that
+    the plan actually shrinks; this oracle pins that pruning never
+    changes the answer.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s28skip", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap.snapshot_create(
+        spark, orders.repartitionByRange(8, "o_orderkey"), path,
+        stats_cols=["o_orderkey"],
+    )
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    pruned = snap.snapshot_read(
+        spark, path, prune={"o_orderkey": (maxk // 4, maxk // 2)}
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("total_cents"),
+    )
+
+
+_S29_CDF_SQL = """
+    WITH maxk AS (SELECT max(c_custkey) AS mk FROM customer),
+    ins AS (
+        SELECT c_custkey + mk + 100 AS k FROM customer, maxk
+        WHERE c_custkey % 25 = 0 AND (c_custkey + mk + 100) % 7 <> 3
+    ),
+    del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 3),
+    upd AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE c_custkey % 10 = 0 AND c_custkey % 7 <> 3
+    ),
+    all_ch AS (
+        SELECT 'insert' AS _change_type, k FROM ins
+        UNION ALL SELECT 'delete', k FROM del
+        UNION ALL SELECT 'update_preimage', k FROM upd
+        UNION ALL SELECT 'update_postimage', k FROM upd
+    )
+    SELECT _change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS sum_keys
+    FROM all_ch GROUP BY _change_type
+"""
+
+
+@query("s29_change_data_feed", _S29_CDF_SQL)
+def s29_change_data_feed(spark, sf_dir):
+    """CHANGE DATA FEED between snapshot versions
+    (``snapshot.snapshot_changes``): after a MERGE (update+insert)
+    and a DELETE commit, the v0→v2 feed must classify every row-level
+    change with multi-hop folding — a row inserted in v1 and deleted
+    in v2 nets to NOTHING (the shifted keys hitting the delete
+    predicate), updates emit pre+post images, and rows carried in
+    untouched files never surface (the manifest diff excludes their
+    files before any data is read, so feed cost tracks commit churn,
+    not table size). The oracle recomputes the expected change-set
+    membership per type from the same deterministic mod rules;
+    ``sum_keys`` pins exact membership, not just counts.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s29cdf", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    snap.snapshot_create(
+        spark, cust.repartitionByRange(8, "c_custkey"), path,
+        stats_cols=["c_custkey"],
+    )
+    maxk = cust.agg(F.max("c_custkey")).first()[0]
+    upd = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000
+    )
+    ins = cust.where(F.col("c_custkey") % 25 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(maxk + 100)
+    )
+    snap.merge_into(spark, path, upd.unionByName(ins), on=["c_custkey"])
+    snap.delete_where(spark, path, F.col("c_custkey") % 7 == 3, mode="cow")
+    feed = snap.snapshot_changes(spark, path, ["c_custkey"], 0, 2)
+    return feed.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("sum_keys"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Linear quality-classifier inference (text.quality_classifier_scores)
 # ---------------------------------------------------------------------------

@@ -362,13 +362,64 @@ def snapshot_create(
     return 0
 
 
+def _stat_kind_accepts(kind: str, value) -> bool:
+    """True if a bound of this Python type can be compared against a
+    manifest stat of ``kind`` without an implicit cross-type cast
+    (the lost-update hazard class merge_into guards against)."""
+    if isinstance(value, bool):
+        return False
+    if isinstance(value, int):
+        return kind in ("int", "float")
+    if isinstance(value, float):
+        return kind in ("int", "float")
+    if isinstance(value, str):
+        return kind == "str"
+    return False
+
+
+def _entry_in_range(entry: dict, col: str, lo, hi) -> bool:
+    """File-skip probe: False only when the file's [min, max] stats
+    PROVE no row can satisfy ``lo <= col <= hi``. Missing or
+    kind-mismatched stats keep the file (conservative)."""
+    st = (entry.get("stats") or {}).get(col)
+    if not st or st.get("min") is None or st.get("max") is None:
+        return True
+    kind = st.get("kind")
+    if lo is not None:
+        if not _stat_kind_accepts(kind, lo):
+            return True
+        if st["max"] < lo:
+            return False
+    if hi is not None:
+        if not _stat_kind_accepts(kind, hi):
+            return True
+        if st["min"] > hi:
+            return False
+    return True
+
+
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read a pinned manifest version (default: latest) — time travel.
 
     Plans exactly the manifest's file list; files added by later
     commits or orphaned by crashed ones are invisible by construction.
+
+    ``prune`` enables DATA SKIPPING (Delta's stats-based file
+    pruning): ``{col: (lo, hi)}`` conjunctive inclusive ranges
+    (either bound may be None). Files whose manifest min/max stats
+    prove no row can match are dropped from the plan BEFORE the scan
+    — at 100 TB a one-day predicate over a date-clustered table reads
+    one day of files, not the table. The same predicate is then
+    applied row-wise (stats pruning is file-granular), so the result
+    equals an unpruned read + ``where`` exactly; files without usable
+    stats are conservatively kept. Kind-mismatched bounds (e.g. a str
+    bound against int stats) skip pruning for that column rather than
+    risk a wrong cross-type comparison.
     """
     vs = snapshot_versions(path)
     if not vs:
@@ -381,8 +432,147 @@ def snapshot_read(
     # must never reshape a time-travel read. _scan_live applies this
     # version's deletion vectors (fast path = plain read when none).
     schema = StructType.fromJson(json.loads(man["schema"]))
-    return _scan_live(
-        spark, path.rstrip("/"), schema, _manifest_files(path, man)
+    entries = _manifest_files(path, man)
+    if prune:
+        missing = [c for c in prune if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"snapshot_read: prune columns {missing} not in table schema"
+            )
+        entries = [
+            e for e in entries
+            if all(
+                _entry_in_range(e, c, lo, hi)
+                for c, (lo, hi) in prune.items()
+            )
+        ]
+    df = _scan_live(spark, path.rstrip("/"), schema, entries)
+    if prune:
+        for c, (lo, hi) in prune.items():
+            if lo is not None:
+                df = df.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(c) <= F.lit(hi))
+    return df
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Row-level changes between two committed versions — Delta's
+    CHANGE DATA FEED surface, recovered from the COW/DV manifests
+    instead of per-commit CDC files.
+
+    Returns the ``v_to`` schema plus ``_change_type`` in
+    ``('insert', 'delete', 'update_preimage', 'update_postimage')``,
+    comparing the two ENDPOINT states keyed on ``key_cols`` (multi-hop
+    semantics: a row inserted then deleted between the endpoints nets
+    to nothing, exactly like ``table_changes`` folded over the range).
+
+    Scale shape: manifests are diffed FIRST — a (file, DV-set) pair
+    carried unchanged between the versions is excluded from BOTH
+    sides before any data is read, because a keyed table's rows in an
+    untouched file are bit-identical in both versions and can only
+    produce no-ops. The remaining churned files join once on the key
+    columns (null-safe full outer), so CDF cost is proportional to
+    COMMIT CHURN, not table size. Schema evolution between the
+    versions is handled by aligning the ``v_from`` side onto the
+    ``v_to`` schema (added columns read NULL in the preimage, parquet
+    missing-column semantics).
+    """
+    root = path.rstrip("/")
+    vs = snapshot_versions(path)
+    for v in (v_from, v_to):
+        if v not in vs:
+            raise ValueError(
+                f"snapshot_changes: {path} has no version {v} (have {vs})"
+            )
+    man_from = _read_manifest(path, v_from)
+    man_to = _read_manifest(path, v_to)
+    schema_to = StructType.fromJson(json.loads(man_to["schema"]))
+    for c in key_cols:
+        if c not in schema_to.fieldNames():
+            raise ValueError(f"snapshot_changes: key column {c} not in schema")
+
+    def _sig(e: dict) -> tuple:
+        return (e["file"], tuple(sorted(e.get("dv") or [])))
+
+    from_entries = _manifest_files(path, man_from)
+    to_entries = _manifest_files(path, man_to)
+    common = {_sig(e) for e in from_entries} & {_sig(e) for e in to_entries}
+    from_churn = [e for e in from_entries if _sig(e) not in common]
+    to_churn = [e for e in to_entries if _sig(e) not in common]
+
+    schema_from = StructType.fromJson(json.loads(man_from["schema"]))
+    val_cols = [f.name for f in schema_to.fields if f.name not in key_cols]
+    old = _scan_live(spark, root, schema_from, from_churn).select(*[
+        (F.col(f.name) if f.name in schema_from.fieldNames()
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in schema_to.fields
+    ])
+    new = _scan_live(spark, root, schema_to, to_churn)
+
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in val_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in val_cols],
+    )
+    cond = None
+    for c in key_cols:
+        t = F.col(f"__ok_{c}").eqNullSafe(F.col(f"__nk_{c}"))
+        cond = t if cond is None else (cond & t)
+    joined = o.join(n, cond, "full_outer")
+
+    in_old = F.lit(False)
+    in_new = F.lit(False)
+    for c in key_cols:
+        # a full-outer miss leaves the whole side NULL; presence =
+        # any key column non-null on that side (keys may legitimately
+        # be NULL only if ALL are — we treat all-null keys as absent,
+        # same as merge_into's join semantics)
+        in_old = in_old | F.col(f"__ok_{c}").isNotNull()
+        in_new = in_new | F.col(f"__nk_{c}").isNotNull()
+    same_vals = F.lit(True)
+    for c in val_cols:
+        same_vals = same_vals & F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+
+    def _img(side: str, ctype: str) -> Column:
+        pk, pv = (("__ok_", "__ov_") if side == "old" else ("__nk_", "__nv_"))
+        return F.struct(
+            *[
+                F.col((pk if f.name in key_cols else pv) + f.name)
+                .alias(f.name)
+                for f in schema_to.fields
+            ],
+            F.lit(ctype).alias("_change_type"),
+        )
+
+    is_upd = in_old & in_new & ~same_vals
+    # one pass over the join: each joined row emits 0 (unchanged),
+    # 1 (insert/delete) or 2 (update pre+post) change rows — the four
+    # change classes never re-execute the join
+    pre = (
+        F.when(is_upd, _img("old", "update_preimage"))
+        .when(in_old & ~in_new, _img("old", "delete"))
+    )
+    post = (
+        F.when(is_upd, _img("new", "update_postimage"))
+        .when(in_new & ~in_old, _img("new", "insert"))
+    )
+    return (
+        joined.select(
+            F.explode(
+                F.filter(F.array(pre, post), lambda x: x.isNotNull())
+            ).alias("__chg")
+        )
+        .select("__chg.*")
     )
 
 

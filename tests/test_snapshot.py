@@ -530,3 +530,96 @@ def test_merge_prunes_on_every_key_column(spark, tmp_path):
     got = {(r["k"], r["t"]): r["v"]
            for r in sn.snapshot_read(spark, path).collect()}
     assert got[(5, 35)] == -1 and len(got) == 100
+
+
+# ---------------------------------------------------------------------------
+# Read-side data skipping + change data feed
+# ---------------------------------------------------------------------------
+
+def test_snapshot_read_prune_skips_files_same_answer(spark, tmp_path):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    path = str(tmp_path / "tbl")
+    sn.snapshot_create(
+        spark, df.repartitionByRange(8, "k"), path, stats_cols=["k"]
+    )
+    full = sn.snapshot_read(spark, path)
+    pruned = sn.snapshot_read(spark, path, prune={"k": (100, 149)})
+    want = sorted(
+        (r["k"], r["v"])
+        for r in full.where((F.col("k") >= 100) & (F.col("k") <= 149)).collect()
+    )
+    assert sorted((r["k"], r["v"]) for r in pruned.collect()) == want
+    # the plan reads FEWER files, not just fewer rows
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    # open-ended bound + a column without stats: conservative, correct
+    hi = sn.snapshot_read(spark, path, prune={"k": (350, None)})
+    assert sorted(r["k"] for r in hi.collect()) == list(range(350, 400))
+    nostats = sn.snapshot_read(spark, path, prune={"v": (3, 3)})
+    assert len(nostats.inputFiles()) == len(full.inputFiles())
+    assert sorted(r["k"] for r in nostats.collect()) == sorted(
+        r["k"] for r in full.where("v = 3").collect()
+    )
+    with pytest.raises(ValueError, match="not in table schema"):
+        sn.snapshot_read(spark, path, prune={"nope": (1, 2)})
+
+
+def test_snapshot_changes_classifies_and_folds_multihop(spark, tmp_path):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    path = str(tmp_path / "cdf")
+    sn.snapshot_create(
+        spark, df.repartitionByRange(4, "k"), path, stats_cols=["k"]
+    )
+    # v1: update k in {3, 50}, insert k in {200, 201}
+    src = spark.createDataFrame(
+        [(3, -3), (50, -50), (200, 2000), (201, 2010)], ["k", "v"]
+    )
+    sn.merge_into(spark, path, src, on=["k"])
+    # v2: delete k = 200 (an insert-then-delete nets out over v0->v2)
+    # and k = 7 (a genuine delete of an original row)
+    sn.delete_where(spark, path, F.col("k").isin(200, 7), mode="cow")
+
+    ch01 = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in sn.snapshot_changes(spark, path, ["k"], 0, 1).collect()
+    }
+    assert ch01[("insert", 200)] == 2000 and ch01[("insert", 201)] == 2010
+    assert ch01[("update_preimage", 3)] == 30
+    assert ch01[("update_postimage", 3)] == -3
+    assert ch01[("update_preimage", 50)] == 500
+    assert ch01[("update_postimage", 50)] == -50
+    assert len(ch01) == 6  # nothing else changed
+
+    ch02 = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in sn.snapshot_changes(spark, path, ["k"], 0, 2).collect()
+    }
+    # 200 was inserted AND deleted between the endpoints: absent
+    assert ("insert", 200) not in ch02 and ("delete", 200) not in ch02
+    assert ch02[("delete", 7)] == 70
+    assert ch02[("insert", 201)] == 2010
+    assert len(ch02) == 6  # ins 201, del 7, upd 3 + 50 (pre+post each)
+
+    ch12 = sn.snapshot_changes(spark, path, ["k"], 1, 2).collect()
+    assert sorted((r["_change_type"], r["k"]) for r in ch12) == [
+        ("delete", 7), ("delete", 200),
+    ]
+
+
+def test_snapshot_changes_across_schema_evolution(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    path = str(tmp_path / "cdfevo")
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    src = spark.createDataFrame([(2, "B", "extra")], ["k", "s", "tag"])
+    sn.merge_into(spark, path, src, on=["k"], schema_evolution=True)
+    ch = {
+        (r["_change_type"], r["k"]): (r["s"], r["tag"])
+        for r in sn.snapshot_changes(spark, path, ["k"], 0, 1).collect()
+    }
+    # preimage reads the added column as NULL (old schema aligned up)
+    assert ch[("update_preimage", 2)] == ("b", None)
+    assert ch[("update_postimage", 2)] == ("B", "extra")
+    assert len(ch) == 2
