@@ -297,3 +297,99 @@ def rolling_distinct_bounds(
         )
         .select(F.col("__day").alias("day"), "n_exact", "hll_within_bound")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: fixed-size membership screen
+# ---------------------------------------------------------------------------
+
+def _signed64(x: int) -> int:
+    """Two's-complement fold into a signed 64-bit int (Spark LongType
+    literals must be signed)."""
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def bloom_bucket(col, i: int, width_bits: int, salt: str = "bf"):
+    """The ``i``-th Bloom bucket of a string column: first 8 hex digits
+    of md5 over the salted value, mod ``width_bits`` — pure codegen,
+    and bit-for-bit reproducible in any engine with md5 (the same
+    construction the quality classifier's hashed features use)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(c, F.lit(f":{salt}{i}"))), 1, 8),
+            16, 10,
+        ).cast("long") % width_bits
+    )
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    width_bits: int = 1 << 17,
+    k: int = 3,
+    salt: str = "bf",
+) -> list[int]:
+    """Distributed Bloom-filter build over a string column: returns the
+    bit array as ``width_bits / 64`` signed longs.
+
+    The 100 TB decontamination lever: broadcasting a benchmark's exact
+    distinct n-grams costs gram-bytes × executors and keeps growing
+    with the benchmark suite; a Bloom filter is a FIXED-size bit array
+    (2^17 bits = 16 KB here) with a false-positive rate you choose via
+    ``width_bits``/``k`` — and false positives only cost review, never
+    a missed hit (no false negatives by construction).
+
+    Scale shape: the only exchange is ``distinct`` over bucket ids —
+    bounded by ``width_bits``, never by corpus size; the driver folds
+    at most ``width_bits`` ints into the array. Deterministic: md5
+    buckets, no RNG — the same inputs build the same filter anywhere.
+    """
+    if width_bits % 64 != 0:
+        raise ValueError("build_bloom: width_bits must be a multiple of 64")
+    if k < 1:
+        raise ValueError("build_bloom: k must be >= 1")
+    rows = (
+        df.select(
+            F.explode(
+                F.array(*[
+                    bloom_bucket(col, i, width_bits, salt) for i in range(k)
+                ])
+            ).alias("__b")
+        )
+        .where(F.col("__b").isNotNull())
+        .distinct()
+        .collect()
+    )
+    bits = [0] * (width_bits // 64)
+    for r in rows:
+        idx = int(r["__b"])
+        bits[idx // 64] |= 1 << (idx % 64)
+    return [_signed64(w) for w in bits]
+
+
+def bloom_contains(
+    col,
+    bits: list[int],
+    k: int = 3,
+    salt: str = "bf",
+):
+    """Membership test against a :func:`build_bloom` array as a pure
+    codegen boolean column: true iff ALL ``k`` bucket bits are set.
+
+    The bit array and the 64 single-bit masks ride as two ARRAY
+    literals (one constant each — no per-element codegen), so the
+    test is k × (element_at + bitwise AND) per row: the corpus never
+    joins, shuffles, or broadcasts anything row-proportional.
+    """
+    width_bits = len(bits) * 64
+    bits_lit = F.lit([int(w) for w in bits])
+    masks_lit = F.lit([_signed64(1 << s) for s in range(64)])
+    out = F.lit(True)
+    for i in range(k):
+        b = bloom_bucket(col, i, width_bits, salt)
+        word = F.element_at(bits_lit, (F.floor(b / 64) + 1).cast("int"))
+        mask = F.element_at(masks_lit, ((b % 64) + 1).cast("int"))
+        out = out & (word.bitwiseAND(mask) != 0)
+    return out

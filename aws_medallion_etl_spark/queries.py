@@ -3122,6 +3122,81 @@ def corpus_decontaminate(spark, sf_dir):
     return cleaned.select("doc_id", "source")
 
 
+def _bloom_bucket_sql(expr: str, i: int, width: int) -> str:
+    """The Bloom bucket of string ``expr`` for hash index ``i`` in
+    driver-portable SQL: md5 → 8 hex digits → per-digit strpos*16^k
+    rebuild (never the '0x' cast) → mod width. Mirrors
+    ``sketches.bloom_bucket`` bit for bit."""
+    terms = " + ".join(
+        f"CAST(strpos('0123456789abcdef', "
+        f"substr(md5({expr} || ':bf{i}'), {d + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - d)}"
+        for d in range(8)
+    )
+    return f"(({terms}) % {width})"
+
+
+_BLOOM_DECONTAM_SQL = rf"""
+    WITH {_DECONTAM_CTES},
+    eb AS (
+        SELECT DISTINCT b FROM (
+            SELECT {_bloom_bucket_sql('s', 0, 1 << 17)} AS b FROM eval_g
+            UNION ALL
+            SELECT {_bloom_bucket_sql('s', 1, 1 << 17)} FROM eval_g
+            UNION ALL
+            SELECT {_bloom_bucket_sql('s', 2, 1 << 17)} FROM eval_g
+        )
+    ),
+    tb AS (
+        SELECT doc_id, s, i,
+               CASE i WHEN 0 THEN {_bloom_bucket_sql('s', 0, 1 << 17)}
+                      WHEN 1 THEN {_bloom_bucket_sql('s', 1, 1 << 17)}
+                      ELSE {_bloom_bucket_sql('s', 2, 1 << 17)} END AS b
+        FROM train_g, (SELECT unnest(range(3)) AS i)
+    ),
+    hg AS (
+        SELECT doc_id, s FROM tb JOIN eb USING (b)
+        GROUP BY doc_id, s HAVING count(*) = 3
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM hg GROUP BY doc_id
+"""
+
+
+@query("corpus_bloom_decontaminate", _BLOOM_DECONTAM_SQL)
+def corpus_bloom_decontaminate(spark, sf_dir):
+    """Bloom-screened benchmark decontamination
+    (``sketches.build_bloom`` / ``bloom_contains``): the fixed-size
+    alternative to broadcasting the benchmark's exact distinct
+    13-grams. The eval cut's grams build a 2^17-bit / 3-hash Bloom
+    filter (16 KB regardless of benchmark size; build shuffle bounded
+    by width, never data); training grams test membership as pure
+    codegen bit math — the corpus never joins or broadcasts anything
+    row-proportional. No false negatives by construction (every
+    exactly-contaminated doc is flagged — pinned in pytest); false
+    positives are DETERMINISTIC md5 bucket collisions, so the oracle
+    reproduces the screen's exact output, collisions included, by
+    recomputing the same buckets set-wise. Production shape: Bloom
+    screen first (cheap, fixed memory), exact 13-gram join only over
+    the flagged sliver.
+    """
+    from aws_medallion_etl_spark.operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    tr = docs.where(F.col("doc_id") % 5 != 0)
+    eg = text.word_ngrams(ev, "doc_id", "text", n=13, out_col="__g")
+    bits = sketches.build_bloom(
+        eg.select("__g").distinct(), "__g", width_bits=1 << 17, k=3
+    )
+    tg = text.word_ngrams(tr, "doc_id", "text", n=13, out_col="__g").distinct()
+    return (
+        tg.where(sketches.bloom_contains("__g", bits, k=3))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
 _PII_RAW_SQL = (
     "'reach ' || c_name || ' at ' || "
     "lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || "

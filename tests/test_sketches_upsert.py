@@ -175,3 +175,55 @@ def test_rolling_distinct_bounds_window_math(spark):
         "2024-03-02": (3, True),   # {1,2,3}
         "2024-03-04": (3, True),   # window [2,4]: day2 {2,3} + day4 {9}
     }
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership screen
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_deterministic(spark):
+    members = spark.createDataFrame(
+        [(f"gram number {i}",) for i in range(200)], ["g"]
+    )
+    bits = sketches.build_bloom(members, "g", width_bits=1 << 12, k=3)
+    again = sketches.build_bloom(members, "g", width_bits=1 << 12, k=3)
+    assert bits == again                       # md5 buckets, no RNG
+    assert len(bits) == (1 << 12) // 64
+    # every member must pass: Bloom filters have NO false negatives
+    n_pass = members.where(sketches.bloom_contains("g", bits, k=3)).count()
+    assert n_pass == 200
+
+
+def test_bloom_screen_supersets_exact_contamination(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    tr = docs.where(F.col("doc_id") % 5 != 0)
+    from aws_medallion_etl_spark.operators import text
+
+    eg = text.word_ngrams(ev, "doc_id", "text", n=13, out_col="g")
+    bits = sketches.build_bloom(
+        eg.select("g").distinct(), "g", width_bits=1 << 17, k=3
+    )
+    tg = text.word_ngrams(tr, "doc_id", "text", n=13, out_col="g").distinct()
+    flagged = {
+        r["doc_id"]
+        for r in tg.where(sketches.bloom_contains("g", bits, k=3))
+        .select("doc_id").distinct().collect()
+    }
+    exact = {
+        r["doc_id"]
+        for r in corpus.contamination_hits(
+            tr, "doc_id", "text", ev, "doc_id", "text", n=13
+        ).collect()
+    }
+    assert exact <= flagged   # the screen never loses a true hit
+
+
+def test_bloom_rejects_bad_params(spark):
+    df = spark.createDataFrame([("x",)], ["g"])
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        sketches.build_bloom(df, "g", width_bits=100)
+    with pytest.raises(ValueError, match="k must be"):
+        sketches.build_bloom(df, "g", width_bits=64, k=0)
