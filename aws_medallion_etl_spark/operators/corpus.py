@@ -682,6 +682,75 @@ def chunk_documents(
     return out.where(F.length("__chunk") > 0)
 
 
+def strip_boilerplate_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 20,
+    max_doc_freq: int = 1,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """REMOVE boilerplate: drop every token-window chunk that appears
+    in more than ``max_doc_freq`` distinct documents, and rebuild each
+    document from its surviving chunks (original order).
+
+    The C4/CCNet/RefinedWeb line-dedup step, on the same fixed
+    token-window unit as :func:`chunk_documents` — the repo's
+    repetition/diversity operators DETECT templated text; this one
+    strips it (navigation chrome, license headers, cookie banners:
+    content repeated verbatim across documents) while keeping the
+    unique remainder of each document.
+
+    Returns ``(id_col, n_chunks, n_removed, out_col)`` — one row per
+    input document (a fully-boilerplate document survives with empty
+    ``out_col``).
+
+    Scale shape: chunk doc-frequency is one hash aggregate over
+    (chunk, id) rows; the offender set (df > threshold) is typically
+    tiny, so the anti-join runs broadcast — but there is NO broadcast
+    hint: on an adversarial corpus where most chunks are shared, AQE
+    sees the runtime byte size and degrades to a shuffled anti-join
+    instead of OOMing the driver. Rebuild is one aggregate keyed by
+    doc (array_sort of (pos, chunk) structs — no window, no second
+    pass over text).
+    """
+    chunks = chunk_documents(df, id_col, text_col, chunk_tokens)
+    frequent = (
+        chunks.groupBy("__chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") > max_doc_freq)
+        .select("__chunk")
+    )
+    kept = chunks.join(frequent, "__chunk", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__cpos", "__chunk"))),
+                lambda s: s["__chunk"],
+            ),
+            " ",
+        ).alias(out_col),
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            (
+                F.coalesce("n_chunks", F.lit(0))
+                - F.coalesce("__n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+        )
+    )
+
+
 def dedup_chunks(
     df: DataFrame,
     id_col: str,

@@ -4331,6 +4331,68 @@ def corpus_dedup_chunks(spark, sf_dir):
     return corpus.dedup_chunks(docs, "doc_id", "text", chunk_tokens=20)
 
 
+_STRIP_BOILERPLATE_SQL = r"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i - 1 AS cpos,
+               array_to_string(toks[(i-1)*20+1:(i-1)*20+20], ' ') AS chunk
+        FROM base, LATERAL (
+            SELECT unnest(range(1, CAST(ceil(len(toks)/20.0) AS INT) + 1)) AS i
+        ) g
+        WHERE len(array_to_string(toks[(i-1)*20+1:(i-1)*20+20], ' ')) > 0
+    ),
+    frequent AS (
+        SELECT chunk FROM chunks
+        GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
+    ),
+    kept AS (
+        SELECT * FROM chunks WHERE chunk NOT IN (SELECT chunk FROM frequent)
+    ),
+    reb AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               md5(string_agg(chunk, ' ' ORDER BY cpos)) AS h
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM chunks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(t.n_chunks, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           coalesce(r.h, md5('')) AS clean_md5
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN reb r USING (doc_id)
+"""
+
+
+@query("corpus_strip_boilerplate", _STRIP_BOILERPLATE_SQL)
+def corpus_strip_boilerplate(spark, sf_dir):
+    """Boilerplate REMOVAL (``corpus.strip_boilerplate_chunks``):
+    every 20-token chunk appearing in more than one distinct document
+    is stripped from ALL documents, which are then reassembled from
+    their unique remainder — the C4/CCNet line-dedup step on the
+    repo's token-window unit (the repetition/diversity operators only
+    detect templated text; this removes it). The rebuilt text is
+    compared as md5 (32-char hex is engine-exact; the full string
+    would bloat the hashed result), counts as BIGINT; fully-templated
+    documents survive with empty text (md5('') on both sides).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.strip_boilerplate_chunks(
+        docs, "doc_id", "text", chunk_tokens=20, max_doc_freq=1
+    )
+    return out.select(
+        "doc_id", "n_chunks", "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-series gap filling — resample, LOCF, linear interpolation
 # ---------------------------------------------------------------------------

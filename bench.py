@@ -96,6 +96,33 @@ def main() -> int:
     if not only:
         pipeline_sec = _bench_pipeline(spark, sf_dir)
 
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    if only and os.path.exists(bench_path):
+        # a partial run (explicit names) refreshes those rows in the
+        # existing record in place — same discipline as the audit
+        # tools: never clobber the full committed table with a
+        # names-subset one (that wiped BENCH_local to 3 rows in r9)
+        try:
+            with open(bench_path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = {}
+        if prev.get("sf") == sf:
+            merged_t = dict(prev.get("queries", {}))
+            merged_t.update(timings)
+            timings = merged_t
+            merged_m = dict(prev.get("median_runs", {}))
+            merged_m.update(medians)
+            medians = merged_m
+            pipeline_sec = prev.get("pipeline_e2e_sec")
+            stale_fail = {
+                n: e for n, e in prev.get("failures", {}).items()
+                if n not in only
+            }
+            failures = {**stale_fail, **failures}
+
     out = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
@@ -118,8 +145,7 @@ def main() -> int:
     # Spark BEFORE printing so no straggling JVM/log output can interleave
     # with (or follow) the JSON line on the combined stream — rounds 3-4
     # recorded parsed=null because the record drowned in log noise.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_local.json"), "w") as fh:
+    with open(bench_path, "w") as fh:
         fh.write(line + "\n")
     try:
         spark.stop()

@@ -560,3 +560,64 @@ def test_weighted_sample_k_exceeds_n_and_null_url(spark):
     assert corpus.weighted_sample(docs, "doc_id", "weight", 10).count() == 2
     nul = spark.createDataFrame([(None,)], "url string")
     assert nul.select(corpus.canonical_url("url").alias("c")).first()["c"] is None
+
+
+def test_strip_boilerplate_chunks_removes_shared_keeps_unique(spark):
+    # chunk size 3: "a b c" is shared verbatim between docs 1 and 2;
+    # each doc's second chunk is unique and must survive in order
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "a b c p q r"),
+            (3, "solo text here only once"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_removed"], r["clean_text"])
+        for r in corpus.strip_boilerplate_chunks(
+            df, "doc_id", "text", chunk_tokens=3, max_doc_freq=1
+        ).collect()
+    }
+    assert out[1] == (2, 1, "x y z")
+    assert out[2] == (2, 1, "p q r")
+    assert out[3] == (2, 0, "solo text here only once")
+
+
+def test_strip_boilerplate_fully_templated_doc_survives_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "same same"), (2, "same same"), (3, "other words")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_removed"], r["clean_text"])
+        for r in corpus.strip_boilerplate_chunks(
+            df, "doc_id", "text", chunk_tokens=2, max_doc_freq=1
+        ).collect()
+    }
+    assert out[1] == (1, 1, "") and out[2] == (1, 1, "")
+    assert out[3] == (1, 0, "other words")
+    assert len(out) == 3   # every input doc present
+
+
+def test_strip_boilerplate_threshold_and_order(spark):
+    # threshold 2: a chunk in exactly 2 docs stays, in 3 docs goes;
+    # multi-chunk docs reassemble in original chunk order
+    df = spark.createDataFrame(
+        [
+            (1, "c1 c1 u1 u1 c2 c2"),
+            (2, "c1 c1 u2 u2 c2 c2"),
+            (3, "c2 c2 u3 u3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in corpus.strip_boilerplate_chunks(
+            df, "doc_id", "text", chunk_tokens=2, max_doc_freq=2
+        ).collect()
+    }
+    # "c2 c2" is in 3 docs (> 2) -> stripped; "c1 c1" in 2 docs -> kept
+    assert out[1] == "c1 c1 u1 u1"
+    assert out[2] == "c1 c1 u2 u2"
+    assert out[3] == "u3 u3"
