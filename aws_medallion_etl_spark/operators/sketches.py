@@ -299,6 +299,107 @@ def rolling_distinct_bounds(
     )
 
 
+def quantile_bounds(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    probs: tuple[float, ...] = (0.5, 0.95),
+    accuracy: int = 10_000,
+    rank_bound: float = 0.01,
+) -> DataFrame:
+    """Exact (discrete) percentile per group + whether
+    ``percentile_approx``'s estimate honors its RANK-error contract —
+    the quantile member of the sketch-monitoring family
+    (:func:`distinct_bounds` for HLL, :func:`frequency_bounds` for
+    count-min).
+
+    ``percentile_approx`` (Greenwald-Khanna) guarantees rank error
+    ≤ 1/accuracy and its state is MERGEABLE — per-partition sketches
+    roll up without re-reading rows, the property exact percentiles
+    fundamentally lack at 100 TB. Checking the estimate by VALUE would
+    be data-dependent, so the check is rank-based: the exact rank of
+    the approximate value inside its group must sit within
+    ``rank_bound`` of the target rank (1/accuracy = 0.01% here, so a
+    1% bound is orders of magnitude of headroom — the boolean can't
+    flip on scheduling noise).
+
+    Returns one row per (group, prob):
+    ``(keys..., pct INT, n_rows, exact_disc, approx_within_rank_bound)``
+    where ``exact_disc`` is the lower discrete percentile (the
+    smallest value whose cumulative rank reaches the target — integer
+    columns stay integer, so the output hashes across engines).
+
+    Scale shape: one sketch aggregate (mergeable, map-side partial),
+    one window pass for the exact check side, and a broadcast of the
+    per-group approximate values for the rank count — the table is
+    scanned, never shuffled beyond the groupBy.
+    """
+    plist = [float(p) for p in probs]
+    c = F.col(col)
+    w = Window.partitionBy(*keys).orderBy(c).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # cume_dist without ORDER-BY-frame ambiguity: rows with col <= x
+    cd = df.select(
+        *keys, c.alias("__v"),
+        (F.count(F.lit(1)).over(w)
+         / F.count(F.lit(1)).over(Window.partitionBy(*keys))).alias("__cd"),
+    )
+    exact = cd.groupBy(*keys).agg(*[
+        F.min(F.when(F.col("__cd") >= p, F.col("__v"))).alias(f"__x{i}")
+        for i, p in enumerate(plist)
+    ])
+    appr = df.groupBy(*keys).agg(
+        F.percentile_approx(c, plist, accuracy).alias("__ap"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    cand = appr.select(
+        *keys, "n_rows",
+        F.posexplode("__ap").alias("__pidx", "__av"),
+    )
+    ranked = (
+        df.select(*keys, c.alias("__v"))
+        .join(F.broadcast(cand), keys)
+        .groupBy(*keys, "__pidx", "__av", "n_rows")
+        .agg(
+            F.sum(F.when(F.col("__v") <= F.col("__av"), 1)
+                  .otherwise(0)).alias("__le"),
+            F.sum(F.when(F.col("__v") < F.col("__av"), 1)
+                  .otherwise(0)).alias("__lt"),
+        )
+    )
+    probs_lit = F.lit(plist)
+    # ties make the achievable rank jump: the returned value occupies
+    # the whole rank interval [count(<v), count(<=v)] / n, so the
+    # contract holds iff that interval INTERSECTS [p - b, p + b] —
+    # a point check would fail a constant column at any prob
+    out = ranked.withColumn(
+        "__p", F.element_at(probs_lit, F.col("__pidx") + 1)
+    ).withColumn(
+        "approx_within_rank_bound",
+        (F.col("__lt") / F.col("n_rows")
+         <= F.col("__p") + F.lit(float(rank_bound)))
+        & (F.col("__le") / F.col("n_rows")
+           >= F.col("__p") - F.lit(float(rank_bound))),
+    )
+    exact_long = F.array(*[
+        F.col(f"__x{i}").cast("long") for i in range(len(plist))
+    ])
+    return (
+        out.join(exact, keys)
+        .select(
+            *keys,
+            # round before the int cast: 0.95 * 100 is 94.999... in
+            # binary doubles and a bare cast would truncate to 94
+            F.round(F.col("__p") * 100).cast("int").alias("pct"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.element_at(exact_long, F.col("__pidx") + 1)
+            .alias("exact_disc"),
+            "approx_within_rank_bound",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: fixed-size membership screen
 # ---------------------------------------------------------------------------

@@ -3385,6 +3385,61 @@ def sketch_distinct_bounds(spark, sf_dir):
 
 
 @query(
+    "sketch_quantile_bounds",
+    """
+    WITH base AS (
+        SELECT o_orderstatus AS s,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    cd AS (
+        SELECT s, c,
+               CAST(count(*) OVER (PARTITION BY s ORDER BY c
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+               / count(*) OVER (PARTITION BY s) AS cd
+        FROM base
+    ),
+    n AS (SELECT s, CAST(count(*) AS BIGINT) AS n_rows FROM base GROUP BY s),
+    ex AS (
+        SELECT cd.s, p.pct,
+               min(CASE WHEN cd.cd >= p.pr THEN cd.c END) AS exact_disc
+        FROM cd CROSS JOIN (VALUES (50, 0.5), (95, 0.95)) p(pct, pr)
+        GROUP BY 1, 2
+    )
+    SELECT ex.s AS o_orderstatus, CAST(ex.pct AS INT) AS pct, n.n_rows,
+           ex.exact_disc, TRUE AS approx_within_rank_bound
+    FROM ex JOIN n USING (s)
+    """,
+)
+def sketch_quantile_bounds(spark, sf_dir):
+    """Mergeable quantile monitoring (``sketches.quantile_bounds``):
+    per-status p50/p95 of the order total in cents via
+    ``percentile_approx`` (Greenwald-Khanna — per-partition sketches
+    merge WITHOUT re-reading rows, the property exact percentiles lack
+    at 100 TB), checked against its rank-error contract. The oracle
+    pins the exact DISCRETE percentiles (integer cents, same explicit
+    cume-dist >= p definition on both engines — no reliance on either
+    engine's quantile interpolation) and asserts
+    ``approx_within_rank_bound`` TRUE for every (group, prob): the
+    sketch's guaranteed rank error is 1/accuracy = 0.01%, checked
+    against a 1% bound, so a flipped boolean means a genuinely broken
+    sketch, not scheduling noise. Completes the sketch-family
+    monitoring set (HLL distinct, count-min frequency, Bloom
+    membership, GK quantiles)."""
+    from aws_medallion_etl_spark.operators import sketches
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("__cents"),
+    )
+    return sketches.quantile_bounds(
+        base, ["o_orderstatus"], "__cents",
+        probs=(0.5, 0.95), accuracy=10_000, rank_bound=0.01,
+    )
+
+
+@query(
     "sketch_heavy_hitters",
     """
     SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_occurrences

@@ -227,3 +227,32 @@ def test_bloom_rejects_bad_params(spark):
         sketches.build_bloom(df, "g", width_bits=100)
     with pytest.raises(ValueError, match="k must be"):
         sketches.build_bloom(df, "g", width_bits=64, k=0)
+
+
+def test_quantile_bounds_exact_disc_and_contract(spark):
+    # group A: 1..100 -> p50 disc = 50 (min v with count_le/n >= .5),
+    # p95 disc = 95; group B: constant -> both percentiles = 7
+    rows = [("A", i) for i in range(1, 101)] + [("B", 7)] * 10
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {
+        (r["g"], r["pct"]): (r["n_rows"], r["exact_disc"],
+                             r["approx_within_rank_bound"])
+        for r in sketches.quantile_bounds(
+            df, ["g"], "v", probs=(0.5, 0.95)
+        ).collect()
+    }
+    assert out[("A", 50)] == (100, 50, True)
+    assert out[("A", 95)] == (100, 95, True)
+    assert out[("B", 50)] == (10, 7, True)
+    assert out[("B", 95)] == (10, 7, True)
+
+
+def test_quantile_bounds_ties_use_cumulative_rank(spark):
+    # heavy ties: [1,1,1,1,9] -> p50 disc is 1 (count_le(1)/5 = 0.8)
+    df = spark.createDataFrame(
+        [("g", v) for v in (1, 1, 1, 1, 9)], ["g", "v"]
+    )
+    r = sketches.quantile_bounds(df, ["g"], "v", probs=(0.5,)).collect()[0]
+    assert (r["pct"], r["exact_disc"], r["approx_within_rank_bound"]) == (
+        50, 1, True,
+    )
