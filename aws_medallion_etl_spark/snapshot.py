@@ -65,6 +65,12 @@ appends one sidecar ref per touched file; ``compact`` resets the
 list — bounded by deletes-since-last-compact, same debt Delta's
 OPTIMIZE pays down), single-table transactions only, and the
 optimistic-concurrency loser must re-run rather than auto-rebase.
+Implemented parity beyond MERGE: time travel, RESTORE, VACUUM with
+retention, OPTIMIZE, UPDATE/DELETE (cow + mor), stats-based read
+pruning, change data feed, CHECK constraints
+(:func:`add_constraint` — validated on existing data, enforced on
+every write path, carried through every commit), and per-app txn
+marks for exactly-once streaming upserts.
 """
 
 from __future__ import annotations
@@ -333,12 +339,62 @@ def _txn_fields(man: dict | None, txn: tuple[str, int] | None) -> dict:
     return {"txn": cur} if cur else {}
 
 
+def _constraint_fields(man: dict | None, constraints: dict | None = None) -> dict:
+    """Manifest CHECK-constraint map: previous map carried forward
+    (every commit path — a compaction must not amnesia constraints),
+    or replaced outright when ``constraints`` is given."""
+    cur = constraints if constraints is not None else dict(
+        (man or {}).get("constraints", {})
+    )
+    return {"constraints": cur} if cur else {}
+
+
+def table_constraints(path: str) -> dict[str, str]:
+    """The current version's CHECK constraints: {name: sql_expr}."""
+    v = current_version(path)
+    if v is None:
+        raise ValueError(f"table_constraints: {path} is not a snapshot table")
+    return dict(_read_manifest(path, v).get("constraints", {}))
+
+
+def _validate_constraints(
+    df: DataFrame, constraints: dict[str, str], where: str
+) -> None:
+    """Refuse rows violating any CHECK constraint (SQL semantics: a
+    row violates only when the expression is FALSE — NULL passes, as
+    in standard SQL and Delta). One aggregate over the would-be
+    written rows counts every constraint's violations in a single
+    pass; nothing is COMMITTED before this raises (a failed write may
+    leave unreferenced scratch — vacuum garbage, invisible to reads,
+    the same crash contract as data files)."""
+    if not constraints:
+        return
+    names = list(constraints)
+    row = df.agg(*[
+        F.sum(
+            F.when(F.expr(constraints[n]) == F.lit(False), 1).otherwise(0)
+        ).alias(f"__c{i}")
+        for i, n in enumerate(names)
+    ]).first()
+    bad = {
+        n: int(row[f"__c{i}"] or 0)
+        for i, n in enumerate(names)
+        if int(row[f"__c{i}"] or 0)
+    }
+    if bad:
+        detail = ", ".join(
+            f"{n} ({constraints[n]!r}): {c} rows" for n, c in bad.items()
+        )
+        raise ValueError(f"CHECK constraint violated by {where}: {detail}")
+
+
 def snapshot_create(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     stats_cols: list[str],
     txn: tuple[str, int] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Create version 0 of a snapshot table from ``df``.
 
@@ -347,19 +403,88 @@ def snapshot_create(
     :func:`merge_into` prunes on. Refuses an existing snapshot table
     (use :func:`merge_into` or commit a new version explicitly).
     ``txn=(app_id, version)`` stamps the idempotent-writer high-water
-    mark (see :func:`last_txn_version`).
+    mark (see :func:`last_txn_version`). ``constraints`` are CHECK
+    constraints ``{name: sql_expr}`` — the initial data is validated
+    before anything commits, and every later write path enforces them
+    on the rows it writes (Delta's ``ADD CONSTRAINT CHECK``).
     """
     if snapshot_versions(path):
         raise ValueError(f"snapshot_create: {path} is already a snapshot table")
+    if constraints:
+        _validate_constraints(df, constraints, "snapshot_create data")
     files = _write_commit_files(df, path, 0, stats_cols)
     _commit(path, 0, {
         "version": 0,
         "schema": df.schema.json(),
         "columns": stats_cols,
         **_txn_fields(None, txn),
+        **_constraint_fields(None, constraints),
         **_files_fields(path, 0, files, stats_cols),
     })
     return 0
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Delta's ``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: the
+    EXISTING table data is validated first (one scan — exactly what
+    Delta pays), then a new version commits carrying the constraint;
+    files ride by reference, zero data movement. Every subsequent
+    :func:`merge_into` / :func:`update_where` / streaming upsert
+    refuses rows where ``expr`` is FALSE (NULL passes, SQL semantics).
+    """
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"add_constraint: {path} is not a snapshot table")
+    base_v = vs[-1]
+    man = _read_manifest(path, base_v)
+    cons = dict(man.get("constraints", {}))
+    if name in cons:
+        raise ValueError(f"add_constraint: constraint {name!r} already exists")
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    entries = _manifest_files(path, man)
+    _validate_constraints(
+        _scan_live(spark, path.rstrip("/"), schema, entries),
+        {name: expr}, "existing table data",
+    )
+    cons[name] = expr
+    new_v = base_v + 1
+    _commit(path, new_v, {
+        "version": new_v,
+        "schema": man["schema"],
+        "columns": man.get("columns", []),
+        **_txn_fields(man, None),
+        **_constraint_fields(None, cons),
+        **_files_fields(path, new_v, entries, man.get("columns", [])),
+    })
+    return new_v
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """``ALTER TABLE DROP CONSTRAINT``: a pure manifest commit without
+    the named constraint (errors if absent)."""
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"drop_constraint: {path} is not a snapshot table")
+    base_v = vs[-1]
+    man = _read_manifest(path, base_v)
+    cons = dict(man.get("constraints", {}))
+    if name not in cons:
+        raise ValueError(f"drop_constraint: no constraint {name!r} "
+                         f"(have {sorted(cons)})")
+    del cons[name]
+    entries = _manifest_files(path, man)
+    new_v = base_v + 1
+    _commit(path, new_v, {
+        "version": new_v,
+        "schema": man["schema"],
+        "columns": man.get("columns", []),
+        **_txn_fields(man, None),
+        **_constraint_fields(None, cons),
+        **_files_fields(path, new_v, entries, man.get("columns", [])),
+    })
+    return new_v
 
 
 def _stat_kind_accepts(kind: str, value) -> bool:
@@ -781,6 +906,13 @@ def merge_into(
     src = source.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+    # CHECK constraints gate the rows this merge can WRITE (updates +
+    # inserts come from the source verbatim); a delete-only merge
+    # writes nothing and is exempt, like Delta's
+    if when_matched == "update" or when_not_matched == "insert":
+        _validate_constraints(
+            src, man.get("constraints", {}), "merge source rows"
+        )
     if check_duplicate_keys:
         dupes = src.groupBy(*on).count().where(F.col("count") > 1).limit(1).count()
         if dupes:
@@ -853,6 +985,7 @@ def merge_into(
         "schema": schema.json() if evolved else man["schema"],
         "columns": stats_cols,
         **_txn_fields(man, txn),
+        **_constraint_fields(man),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {
@@ -960,6 +1093,7 @@ def delete_where(
         "schema": man["schema"],
         "columns": stats_cols,
         **_txn_fields(man, None),
+        **_constraint_fields(man),
         **_files_fields(path, new_v, new_entries, stats_cols),
     })
     return {"version": new_v, "deleted_rows": deleted, "mode": mode, **report}
@@ -1032,6 +1166,10 @@ def update_where(
         col = F.expr(expr) if isinstance(expr, str) else expr
         upd = upd.withColumn(c, col.cast(schema[c].dataType))
     upd = upd.select(*[f.name for f in schema.fields])
+    # the rewritten rows are the only NEW data — CHECK them post-SET
+    _validate_constraints(
+        upd, man.get("constraints", {}), "updated rows"
+    )
 
     if mode == "mor":
         carried = []
@@ -1116,6 +1254,9 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
         "schema": tgt["schema"],
         "columns": tgt.get("columns", []),
         **_txn_fields(cur, None),
+        # like txn marks, constraints carry from the CURRENT version:
+        # a restore rolls back DATA, not the table's active contracts
+        **_constraint_fields(cur),
         **_files_fields(path, new_v, entries, tgt.get("columns", [])),
     })
     return {"version": new_v, "restored_from": version,
@@ -1179,6 +1320,7 @@ def compact(
         "schema": man["schema"],
         "columns": stats_cols,
         **_txn_fields(man, None),
+        **_constraint_fields(man),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {

@@ -623,3 +623,73 @@ def test_snapshot_changes_across_schema_evolution(spark, tmp_path):
     assert ch[("update_preimage", 2)] == ("b", None)
     assert ch[("update_postimage", 2)] == ("B", "extra")
     assert len(ch) == 2
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints
+# ---------------------------------------------------------------------------
+
+def test_constraints_gate_create_merge_update(spark, tmp_path):
+    path = str(tmp_path / "cons")
+    df = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+    # create with a violated constraint refuses and leaves no table
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        sn.snapshot_create(
+            spark, df, path, stats_cols=["k"],
+            constraints={"v_big": "v > 15"},
+        )
+    assert sn.snapshot_versions(path) == []
+    sn.snapshot_create(
+        spark, df, path, stats_cols=["k"],
+        constraints={"v_pos": "v > 0"},
+    )
+    assert sn.table_constraints(path) == {"v_pos": "v > 0"}
+    # merge with a violating source refuses before committing
+    bad = spark.createDataFrame([(3, -1)], ["k", "v"])
+    with pytest.raises(ValueError, match="v_pos"):
+        sn.merge_into(spark, path, bad, on=["k"])
+    assert sn.current_version(path) == 0
+    # a delete-only merge writes nothing -> exempt (Delta semantics)
+    sn.merge_into(spark, path, bad, on=["k"],
+                  when_matched="delete", when_not_matched=None)
+    # update_where checks POST-assignment values
+    with pytest.raises(ValueError, match="v_pos"):
+        sn.update_where(spark, path, "k = 1", {"v": "v - 100"}, mode="cow")
+    ok = sn.update_where(spark, path, "k = 1", {"v": "v + 5"}, mode="cow")
+    assert ok["updated_rows"] == 1
+    got = {r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {1: 15, 2: 20}
+
+
+def test_add_constraint_validates_existing_and_carries(spark, tmp_path):
+    path = str(tmp_path / "cons2")
+    df = spark.createDataFrame([(1, 10), (2, None)], "k int, v int")
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    # NULL passes (SQL semantics) -> constraint over nullable col ok
+    sn.add_constraint(spark, path, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="existing table data"):
+        sn.add_constraint(spark, path, "v_big", "v > 15")
+    with pytest.raises(ValueError, match="already exists"):
+        sn.add_constraint(spark, path, "v_pos", "v > 0")
+    # carried through delete / compact / restore commits
+    sn.delete_where(spark, path, "k = 2", mode="cow")
+    sn.compact(spark, path, small_file_rows=10)
+    sn.restore(spark, path, sn.current_version(path) - 1)
+    assert sn.table_constraints(path) == {"v_pos": "v > 0"}
+    # enforcement still live after all those commits
+    with pytest.raises(ValueError, match="v_pos"):
+        sn.merge_into(
+            spark, path, spark.createDataFrame([(9, -9)], "k int, v int"),
+            on=["k"],
+        )
+    # drop ends enforcement
+    sn.drop_constraint(path, "v_pos")
+    assert sn.table_constraints(path) == {}
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(9, -9)], "k int, v int"),
+        on=["k"],
+    )
+    got = {r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got[9] == -9
+    with pytest.raises(ValueError, match="no constraint"):
+        sn.drop_constraint(path, "nope")
