@@ -7303,6 +7303,71 @@ def s29_change_data_feed(spark, sf_dir):
     )
 
 
+_S30_CONSTRAINTS_SQL = """
+    WITH merged AS (
+        SELECT p_partkey, p_brand, p_size,
+               CASE WHEN p_size > 45 THEN p_retailprice + 100
+                    ELSE p_retailprice END AS price
+        FROM part
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(p_size) AS BIGINT) AS sum_size,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM merged GROUP BY p_brand
+"""
+
+
+@query("s30_check_constraints", _S30_CONSTRAINTS_SQL)
+def s30_check_constraints(spark, sf_dir):
+    """CHECK-constraint enforcement (``snapshot.add_constraint`` +
+    write-path gates): the table carries ``p_retailprice >= 0``; a
+    merge whose source breaks it MUST be refused without committing
+    (the raise is asserted in-query), then a clean merge applies. The
+    oracle replays ONLY the clean merge — if enforcement ever lets
+    the poison merge through (or the refusal half-commits a version),
+    ``total_cents`` shifts for the affected brands. Constraint
+    validation is one aggregate over the source rows, before any
+    manifest link.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s30cons", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    snap.snapshot_create(
+        spark, part.repartitionByRange(8, "p_partkey"), path,
+        stats_cols=["p_partkey"],
+        constraints={"price_nonneg": "p_retailprice >= 0"},
+    )
+    poison = part.where(F.col("p_partkey") % 3 == 0).withColumn(
+        "p_retailprice", F.col("p_retailprice") - F.lit(10_000_000.0)
+    )
+    try:
+        snap.merge_into(spark, path, poison, on=["p_partkey"])
+        raise AssertionError(
+            "constraint gate failed to refuse a violating merge"
+        )
+    except ValueError:
+        pass
+    clean = part.where(F.col("p_size") > 45).withColumn(
+        "p_retailprice", F.col("p_retailprice") + 100
+    )
+    snap.merge_into(spark, path, clean, on=["p_partkey"])
+    final = snap.snapshot_read(spark, path)
+    return final.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").cast("long").alias("sum_size"),
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+        .cast("long").alias("total_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Linear quality-classifier inference (text.quality_classifier_scores)
 # ---------------------------------------------------------------------------
