@@ -23,7 +23,12 @@ custom-source flexibility; bulk analytics stays on parquet/ORC scans.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _doc_text(doc_id: int) -> str:
@@ -80,3 +85,149 @@ class SyntheticDocsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the custom source on a session."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming source: tail a snapshot table's committed versions
+# ---------------------------------------------------------------------------
+
+def _snapshot_schema(path: str):
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    v = snap.current_version(path)
+    if v is None:
+        raise ValueError(f"snapshot_append: {path} is not a snapshot table")
+    return StructType.fromJson(
+        _json.loads(snap._read_manifest(path, v)["schema"])
+    )
+
+
+class SnapshotAppendStreamReader(SimpleDataSourceStreamReader):
+    """Driver-side micro-batch reader over a snapshot table's manifest
+    history — the semantics of ``spark.readStream`` on a Delta table.
+
+    Offsets are ``{"version": N}``; each batch emits the rows of data
+    files INTRODUCED by versions ``(start, current]`` (append
+    semantics: with mor/append-only writers, new files contain exactly
+    the new rows). A version that REMOVES a previously-streamed file
+    or attaches a deletion vector to one is a data change a pure
+    append stream cannot represent — it raises unless
+    ``ignore_changes=true``, exactly Delta's
+    ``ignoreChanges``/``ignoreDeletes`` contract. Reading committed
+    manifests only means a concurrent writer can never expose a half
+    batch.
+
+    Scale notes: this is the SIMPLE (driver-side) reader — rows flow
+    through one Python process, right-sized for CDC-scale feeds (the
+    deltas, not the table). A corpus-scale backfill belongs on the
+    partitioned batch path (``snapshot_read``), not a stream replay.
+    """
+
+    def __init__(self, options):
+        self.path = str(options["path"]).rstrip("/")
+        self.ignore_changes = (
+            str(options.get("ignore_changes", "false")).lower() == "true"
+        )
+
+    # -- SimpleDataSourceStreamReader interface -------------------------
+    def initialOffset(self):
+        return {"version": -1}
+
+    def read(self, start):
+        from aws_medallion_etl_spark import snapshot as snap
+
+        cur = snap.current_version(self.path)
+        v0 = int(start["version"])
+        if cur is None or cur <= v0:
+            return iter([]), dict(start)
+        # a MATERIALIZED list-iterator, not a generator: Spark's
+        # simple-reader prefetch cache calls next() on the return value
+        # AND copy.copy()s it between planning and execution — a
+        # generator fails the copy, a bare list fails the next(). Batch
+        # size = the delta between offsets — CDC-scale by design (see
+        # class doc).
+        return iter(list(self._rows_between(v0, cur))), {"version": cur}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(list(
+            self._rows_between(int(start["version"]), int(end["version"]))
+        ))
+
+    def commit(self, end):
+        pass
+
+    # -- internals -------------------------------------------------------
+    def _rows_between(self, v0: int, v1: int):
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        from aws_medallion_etl_spark import snapshot as snap
+
+        names = [f.name for f in _snapshot_schema(self.path).fields]
+        versions = [v for v in snap.snapshot_versions(self.path) if v <= v1]
+        prev: dict[str, tuple] = {}
+        if v0 >= 0:
+            prev = {
+                e["file"]: tuple(sorted(e.get("dv") or []))
+                for e in snap._manifest_files(
+                    self.path, snap._read_manifest(self.path, v0)
+                )
+            }
+        for v in versions:
+            if v <= v0:
+                continue
+            entries = snap._manifest_files(
+                self.path, snap._read_manifest(self.path, v)
+            )
+            cur = {
+                e["file"]: tuple(sorted(e.get("dv") or [])) for e in entries
+            }
+            removed = set(prev) - set(cur)
+            dv_grown = {
+                f for f in set(prev) & set(cur) if cur[f] != prev[f]
+            }
+            if (removed or dv_grown) and not self.ignore_changes:
+                raise ValueError(
+                    f"snapshot_append: version {v} of {self.path} removed "
+                    f"or rewrote already-streamed data "
+                    f"({len(removed)} files gone, {len(dv_grown)} gained "
+                    "deletion vectors) — an append stream cannot represent "
+                    "that; set option ignore_changes=true to skip, or "
+                    "consume snapshot_changes() in batch"
+                )
+            for e in entries:
+                if e["file"] in prev:
+                    continue
+                t = _pq.read_table(_os.path.join(self.path, e["file"]))
+                have = set(t.column_names)
+                for row in t.to_pylist():
+                    yield tuple(
+                        row[n] if n in have else None for n in names
+                    )
+            prev = cur
+
+
+class SnapshotAppendDataSource(DataSource):
+    """``spark.readStream.format("snapshot_append").option("path", p)``
+    — the Delta streaming-source surface over snapshot tables, via the
+    Spark 4 Python streaming DataSource API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_append"
+
+    def schema(self):
+        return _snapshot_schema(str(self.options["path"]))
+
+    def simpleStreamReader(self, schema):
+        return SnapshotAppendStreamReader(self.options)
+
+
+def register_streaming(spark) -> None:
+    """Idempotently register the snapshot streaming source."""
+    spark.dataSource.register(SnapshotAppendDataSource)

@@ -6368,6 +6368,68 @@ def str11_stream_merge_snapshot(spark, sf_dir):
     )
 
 
+_STR12_TAIL_SQL = """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+    FROM customer GROUP BY c_mktsegment
+"""
+
+
+@query("str12_stream_snapshot_tail", _STR12_TAIL_SQL)
+def str12_stream_snapshot_tail(spark, sf_dir):
+    """Streaming READ of a snapshot table
+    (``datasources.SnapshotAppendDataSource`` — the Spark 4 Python
+    streaming-DataSource API standing in for Delta's
+    ``spark.readStream.format("delta")``): the table is built as
+    three commits (create + two insert-only merges, each cut a
+    disjoint third of customers), then a stream tails the manifest
+    history from version -1 — offsets are committed versions, each
+    micro-batch emits exactly the files INTRODUCED by the versions it
+    spans, and a version that rewrites already-streamed data raises
+    (Delta's ignoreChanges contract, pinned in pytest). The streamed
+    union must equal the full customer table, so the oracle is the
+    plain per-segment aggregate — a dropped version, a double-read
+    file, or a row emitted under the wrong schema shifts counts or
+    key sums.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import datasources, snapshot as snap
+    from aws_medallion_etl_spark import streaming as stx
+
+    tbl = _scratch("str12tbl", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    snap.snapshot_create(
+        spark, cust.where(F.col("c_custkey") % 3 == 0), tbl,
+        stats_cols=["c_custkey"],
+    )
+    for m in (1, 2):
+        # when_matched=None: the append-only writer shape the stream
+        # contract assumes — a default (update) merge would COW-rewrite
+        # range-overlapping files and trip the ignoreChanges guard
+        snap.merge_into(
+            spark, tbl, cust.where(F.col("c_custkey") % 3 == m),
+            on=["c_custkey"], when_matched=None,
+        )
+    datasources.register_streaming(spark)
+    stream = (
+        spark.readStream.format("snapshot_append")
+        .option("path", tbl).load()
+    )
+    stx.to_memory_sink(stream, "str12_tail", output_mode="append")
+    return (
+        spark.table("str12_tail")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("sum_keys"),
+        )
+    )
+
+
 _E2E_SEMANTIC_SAMPLE_SQL = f"""
     WITH {_SEMANTIC_CTES},
     dropped AS (SELECT DISTINCT id_b AS doc_id FROM sem_pairs),

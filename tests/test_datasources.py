@@ -46,3 +46,103 @@ def test_synthetic_docs_empty_relation(spark):
     )
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["doc_id", "text", "n_chars"]
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-append streaming source
+# ---------------------------------------------------------------------------
+
+def _mk_table(spark, tmp_path, name):
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path / name)
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    return path
+
+
+def test_snapshot_stream_reader_offsets_and_replay(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = _mk_table(spark, tmp_path, "tail1")
+    ins = spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    sn.merge_into(spark, path, ins, on=["k"], when_matched=None)
+
+    r = datasources.SnapshotAppendStreamReader({"path": path})
+    assert r.initialOffset() == {"version": -1}
+    rows, off = r.read({"version": -1})
+    rows = list(rows)
+    assert off == {"version": 1} and len(rows) == 30
+    assert {t[0] for t in rows} == set(range(20)) | set(range(100, 110))
+    # caught-up read advances nothing and emits nothing
+    empty, same = r.read(off)
+    assert list(empty) == [] and same == off
+    # replay between offsets is exact (checkpoint recovery path)
+    replay = list(r.readBetweenOffsets({"version": 0}, {"version": 1}))
+    assert {t[0] for t in replay} == set(range(100, 110))
+
+
+def test_snapshot_stream_refuses_rewrites_unless_ignored(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    # single data file so the cow rewrite's survivor count is pinned
+    path = str(tmp_path / "tail2")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1)
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    # a cow delete rewrites a streamed file -> append stream must refuse
+    sn.delete_where(spark, path, "k = 3", mode="cow")
+    r = datasources.SnapshotAppendStreamReader({"path": path})
+    with pytest.raises(ValueError, match="ignore_changes"):
+        list(r.read({"version": -1})[0])
+    # explicit opt-out skips the rewritten file (Delta ignoreChanges)
+    r2 = datasources.SnapshotAppendStreamReader(
+        {"path": path, "ignore_changes": "true"}
+    )
+    rows, off = r2.read({"version": -1})
+    rows = list(rows)
+    assert off == {"version": 1}
+    # Delta's documented ignoreChanges caveat holds here too: the cow
+    # rewrite's output file is NEW to the stream, so surviving rows
+    # re-emit as duplicates (20 original + 19 rewritten; k=3 only once)
+    assert len(rows) == 39
+    assert sum(1 for t in rows if t[0] == 3) == 1
+
+
+def test_snapshot_stream_end_to_end_picks_up_live_commit(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = _mk_table(spark, tmp_path, "tail3")
+    datasources.register_streaming(spark)
+    stream = (
+        spark.readStream.format("snapshot_append")
+        .option("path", path).load()
+    )
+    q = (stream.writeStream.format("memory")
+         .queryName("tail3_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        assert spark.table("tail3_sink").count() == 20
+        ins = spark.range(500, 505).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        sn.merge_into(spark, path, ins, on=["k"], when_matched=None)
+        q.processAllAvailable()
+        got = {r["k"] for r in spark.table("tail3_sink").collect()}
+        assert got == set(range(20)) | set(range(500, 505))
+    finally:
+        q.stop()
