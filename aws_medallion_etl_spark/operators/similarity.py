@@ -627,6 +627,58 @@ def dequantize_int8(qstruct: Column) -> Column:
     return F.transform(qstruct["q"], lambda q: q / s)
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training: per
+    query, the top-k most-similar corpus vectors from a DIFFERENT
+    group (source/domain/label) — similar enough to be hard, but
+    guaranteed negatives by the group exclusion (the DPR/contriever
+    in-batch-negatives upgrade, run corpus-wide).
+
+    Same plan shape as :func:`cosine_topk_bruteforce` — queries
+    broadcast, corpus scanned once, ``WindowGroupLimit`` prunes the
+    per-query heap — with the group-mismatch predicate applied BEFORE
+    scoring, so same-group pairs never cost a dot product. At corpus
+    scale, swap the candidate stage for the IVF/PQ paths (the
+    exclusion predicate composes with any of them); the exact form is
+    the correctness baseline the oracle checks.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(group_col).alias("__cg"),
+        as_double_vec(vec_col).alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(group_col).alias("__qg"),
+        as_double_vec(vec_col).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    pairs = c.join(F.broadcast(q), F.lit(True)).where(
+        ~F.col("__cg").eqNullSafe(F.col("__qg"))
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 4).alias("cosine"), "rank",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ + exact refine) — the FAISS-shaped ANN
 # memory/scan lever

@@ -2169,6 +2169,57 @@ def sim_topk_ivf_indexed(spark, sf_dir):
     )
 
 
+@query(
+    "sim_hard_negatives",
+    """
+    WITH m AS (
+        SELECT e.vec_id, d.source, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    q AS (SELECT * FROM m WHERE vec_id % 250 = 0),
+    norms AS (
+        SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        FROM (SELECT vec_id, unnest(v) AS x FROM m) GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT qid, vid, sum(x * y) AS dp
+        FROM (SELECT q.vec_id AS qid, m.vec_id AS vid,
+                     unnest(q.v) AS x, unnest(m.v) AS y
+              FROM q, m WHERE m.source <> q.source)
+        GROUP BY qid, vid
+    )
+    SELECT qid AS query_id, vid AS neighbor_id,
+           round(dp / (nq.nrm * nc.nrm), 4) AS cosine,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY dp / (nq.nrm * nc.nrm) DESC, vid) AS INT) AS rank
+    FROM dots
+    JOIN norms nq ON nq.vec_id = qid
+    JOIN norms nc ON nc.vec_id = vid
+    QUALIFY rank <= 5
+    """,
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (``similarity.hard_negative_topk``): per
+    query document, the 5 most-similar embeddings from a DIFFERENT
+    source — similar enough to be hard training negatives, guaranteed
+    negative by the group exclusion (the retriever-training
+    counterpart of SemDeDup's same-group collapse). The oracle
+    recomputes exact cross-source cosine top-5; group metadata rides a
+    vec_id = doc_id join. Same-group pairs are excluded BEFORE
+    scoring, so they never cost a dot product; at corpus scale the
+    candidate stage swaps to the IVF/PQ paths unchanged.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = emb.join(
+        F.broadcast(docs), emb["vec_id"] == docs["doc_id"]
+    ).select("vec_id", "embedding", "source")
+    qs = m.filter(F.col("vec_id") % 250 == 0)
+    return similarity.hard_negative_topk(
+        m, qs, "vec_id", "embedding", "source", k=5
+    )
+
+
 @query("sim_topk_ivf_pq", _SIM_TOPK_SQL)
 def sim_topk_ivf_pq(spark, sf_dir):
     """IVF-PQ with exact refine (``similarity.cosine_topk_ivf_pq``) —

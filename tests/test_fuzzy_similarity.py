@@ -1208,3 +1208,31 @@ def test_ivf_pq_shortlist_recall_floor(spark):
         m=16, codes=32, iters=3, shortlist=256)
         .select("query_id", "neighbor_id").collect()))
     assert len(pq & ivf) / len(ivf) >= 0.9
+
+
+def test_hard_negative_topk_excludes_same_group(spark):
+    # two tight same-group clusters + one cross-group near neighbor:
+    # the nearest SAME-group vector must never appear
+    rows = [
+        (1, "a", [1.0, 0.0]), (2, "a", [0.99, 0.14]),   # a-cluster
+        (3, "b", [0.9, 0.43]), (4, "b", [0.0, 1.0]),    # b: near + far
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "grp", "vec"])
+    q = df.where("vec_id = 1")
+    out = similarity.hard_negative_topk(
+        df, q, "vec_id", "vec", "grp", k=2
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(
+        out, key=lambda r: r["rank"])]
+    # 2 (same group, cosine ~0.99) excluded; 3 then 4 by similarity
+    assert got == [(3, 1), (4, 2)]
+    # NULL group never matches any group (null-safe exclusion)
+    dfn = spark.createDataFrame(
+        [(1, None, [1.0, 0.0]), (2, None, [0.99, 0.14]),
+         (3, "b", [0.5, 0.86])],
+        "vec_id bigint, grp string, vec array<double>",
+    )
+    outn = similarity.hard_negative_topk(
+        dfn, dfn.where("vec_id = 1"), "vec_id", "vec", "grp", k=5
+    ).collect()
+    assert {r["neighbor_id"] for r in outn} == {3}

@@ -61,6 +61,7 @@ SANCTIONED_NESTED_LOOP = {
     # aggregate, a bounded grid, or the deliberately-bounded query set):
     "dedup_embedding_cosine",   # 1-row random-hyperplane matrix
     "sim_topk_bruteforce",      # bounded query set broadcast (by design)
+    "sim_hard_negatives",       # same exact-baseline shape, group-filtered
     "corpus_tfidf_top_terms",   # 1-row corpus doc-count N
     "corpus_mix_sources",       # 1-row scarcest-source scaling factor
     "corpus_mix_sources_tokens",  # same 1-row scale, token-measured
