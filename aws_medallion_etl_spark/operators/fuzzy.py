@@ -788,6 +788,71 @@ def levenshtein_pairs(
     )
 
 
+def record_linkage_scores(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    block_col: str,
+    fields: list[tuple],
+    threshold: int,
+) -> DataFrame:
+    """Fellegi–Sunter-style record linkage: score blocked candidate
+    pairs from two files by per-field agreement weights, keep pairs at
+    or above ``threshold`` — the multi-field entity-resolution step
+    the single-field dedups (exact, levenshtein) feed into.
+
+    ``fields`` is a list of ``(col, kind, agree_w, disagree_w, param)``
+    comparators: ``"exact"`` (null-safe equality), ``"levenshtein"``
+    (edit distance <= param — a codegen'd JVM builtin), ``"abs_diff"``
+    (numeric tolerance <= param). A field agreeing adds ``agree_w``;
+    disagreeing (including one-sided NULL for the fuzzy kinds)
+    subtracts ``disagree_w`` — INTEGER weights, so the emitted score
+    is engine-exact. Returns ``(id_a, id_b, score)``.
+
+    Scale shape: candidates come from ONE equi-join on the blocking
+    key (never a cross join — the same candidate discipline as every
+    other dedup here); per-pair cost is a handful of codegen
+    comparisons. Blocking recall is the caller's contract, exactly as
+    in production linkage (a pair split across blocks is never
+    scored); weights per the classic log-likelihood-ratio framing,
+    precomputed offline.
+    """
+    kinds = {f[1] for f in fields}
+    bad = kinds - {"exact", "levenshtein", "abs_diff"}
+    if bad:
+        raise ValueError(f"record_linkage_scores: unknown kinds {bad}")
+    fa = a.select(
+        F.col(id_col).alias("id_a"), F.col(block_col).alias("__blk"),
+        *[F.col(f[0]).alias(f"__a_{f[0]}") for f in fields],
+    )
+    fb = b.select(
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk"),
+        *[F.col(f[0]).alias(f"__b_{f[0]}") for f in fields],
+    )
+    pairs = fa.join(fb, "__blk")
+    score = F.lit(0)
+    for col, kind, agree_w, disagree_w, param in fields:
+        la, lb = F.col(f"__a_{col}"), F.col(f"__b_{col}")
+        if kind == "exact":
+            hit = la.eqNullSafe(lb)
+        elif kind == "levenshtein":
+            hit = (
+                la.isNotNull() & lb.isNotNull()
+                & (F.levenshtein(la, lb) <= int(param))
+            )
+        else:  # abs_diff
+            hit = (
+                la.isNotNull() & lb.isNotNull()
+                & (F.abs(la - lb) <= param)
+            )
+        score = score + F.when(hit, int(agree_w)).otherwise(-int(disagree_w))
+    return (
+        pairs.withColumn("score", score.cast("long"))
+        .where(F.col("score") >= int(threshold))
+        .select("id_a", "id_b", "score")
+    )
+
+
 def dedup_against_corpus(
     new_df: DataFrame,
     corpus_df: DataFrame,

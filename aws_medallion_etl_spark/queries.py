@@ -6419,6 +6419,87 @@ def str11_stream_merge_snapshot(spark, sf_dir):
     )
 
 
+_J15_LINKAGE_SQL = """
+    WITH a AS (
+        SELECT c_custkey AS id, c_custkey // 4 AS blk,
+               c_name, c_mktsegment, c_acctbal
+        FROM customer
+    ),
+    b AS (
+        SELECT c_custkey + 10000000 AS id, c_custkey // 4 AS blk,
+               c_name || CASE WHEN c_custkey % 4 = 0 THEN ' x' ELSE '' END
+                   AS c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               c_acctbal + CASE WHEN c_custkey % 11 = 0 THEN 500.0
+                                WHEN c_custkey % 5 = 0 THEN 0.5
+                                ELSE 0.0 END AS c_acctbal
+        FROM customer
+    ),
+    scored AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(
+                 (CASE WHEN levenshtein(a.c_name, b.c_name) <= 3
+                       THEN 20 ELSE -20 END)
+               + (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                       THEN 5 ELSE -5 END)
+               + (CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 1.0
+                       THEN 10 ELSE -10 END)
+               AS BIGINT) AS score
+        FROM a JOIN b USING (blk)
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 5
+"""
+
+
+@query("j15_record_linkage", _J15_LINKAGE_SQL)
+def j15_record_linkage(spark, sf_dir):
+    """Fellegi–Sunter record linkage
+    (``fuzzy.record_linkage_scores``): two customer "files" — the
+    original and a deterministically perturbed second source (typo'd
+    names, segment lost to UNKNOWN, drifted balances, shifted ids) —
+    linked on a shared blocking key with integer per-field agreement
+    weights (levenshtein name, exact segment, toleranced balance).
+    Every true (k, k+10M) pair survives the threshold through its
+    perturbations while cross-pairs in a block score deeply negative;
+    the oracle rebuilds the same perturbed file and replays the exact
+    scoring arithmetic, so a wrong comparator, a null-handling slip,
+    or a blocking drift shifts the pair set or the BIGINT scores.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("ck"),
+        (F.floor(F.col("c_custkey") / 4)).alias("blk"),
+        "c_name", "c_mktsegment", "c_acctbal",
+    )
+    b = cust.select(
+        (F.col("c_custkey") + 10_000_000).alias("ck"),
+        (F.floor(F.col("c_custkey") / 4)).alias("blk"),
+        F.concat(
+            F.col("c_name"),
+            F.when(F.col("c_custkey") % 4 == 0, " x").otherwise(""),
+        ).alias("c_name"),
+        F.when(F.col("c_custkey") % 7 == 0, "UNKNOWN")
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 11 == 0, 500.0)
+            .when(F.col("c_custkey") % 5 == 0, 0.5)
+            .otherwise(0.0)
+        ).alias("c_acctbal"),
+    )
+    out = fuzzy.record_linkage_scores(
+        a, b, id_col="ck", block_col="blk",
+        fields=[
+            ("c_name", "levenshtein", 20, 20, 3),
+            ("c_mktsegment", "exact", 5, 5, None),
+            ("c_acctbal", "abs_diff", 10, 10, 1.0),
+        ],
+        threshold=5,
+    )
+    return out
+
+
 _STR12_TAIL_SQL = """
     SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(c_custkey) AS BIGINT) AS sum_keys

@@ -256,3 +256,51 @@ def test_quantile_bounds_ties_use_cumulative_rank(spark):
     assert (r["pct"], r["exact_disc"], r["approx_within_rank_bound"]) == (
         50, 1, True,
     )
+
+
+def test_record_linkage_scores_fields_and_threshold(spark):
+    a = spark.createDataFrame(
+        [(1, "B", "john smith", "gold", 100.0),
+         (2, "B", "mary jones", "blue", 50.0)],
+        ["id", "blk", "name", "seg", "bal"],
+    )
+    b = spark.createDataFrame(
+        [(11, "B", "john smyth", "gold", 100.4),   # 1 edit, seg ok, bal ok
+         (12, "B", "completely other", "gold", 100.0),  # only seg+bal hit
+         (13, "C", "john smith", "gold", 100.0)],  # right row, wrong block
+        ["id", "blk", "name", "seg", "bal"],
+    )
+    fields = [("name", "levenshtein", 20, 20, 2),
+              ("seg", "exact", 5, 5, None),
+              ("bal", "abs_diff", 10, 10, 1.0)]
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in fuzzy.record_linkage_scores(
+            a, b, "id", "blk", fields, threshold=10
+        ).collect()
+    }
+    # (1,11): +20+5+10 = 35; (1,12): -20+5+10 = -5 (below threshold);
+    # (2,11): -20-5-10; (1,13) never scored — blocking contract
+    assert got == {(1, 11): 35}
+    # NULL on a fuzzy field disagrees; on exact, null-safe equality
+    an = spark.createDataFrame(
+        [(1, "B", None, None)],
+        "id bigint, blk string, name string, seg string",
+    )
+    bn = spark.createDataFrame(
+        [(21, "B", None, None)],
+        "id bigint, blk string, name string, seg string",
+    )
+    fn = [("name", "levenshtein", 20, 20, 2), ("seg", "exact", 5, 5, None)]
+    rows = fuzzy.record_linkage_scores(
+        an, bn, "id", "blk", fn, threshold=-100
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["score"]) for r in rows] == [
+        (1, 21, -20 + 5)
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown kinds"):
+        fuzzy.record_linkage_scores(
+            a, b, "id", "blk", [("name", "soundex", 1, 1, None)], 0
+        )
