@@ -310,3 +310,33 @@ def dataset_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFra
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")).alias("fingerprint"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Groups of quasi-identifier values occupied by FEWER than ``k``
+    rows — the re-identification risk report (a record whose
+    quasi-identifier combination is rare is linkable back to a person
+    even after direct identifiers are redacted; the privacy
+    counterpart of ``corpus.redact_pii``, which only strips the
+    direct ones).
+
+    Returns ``(quasi_cols..., n_rows)`` for every violating group —
+    empty means the table IS k-anonymous at this ``k``. Consumers
+    suppress or generalize the flagged groups before release.
+
+    One hash aggregate over the quasi columns (map-side partials), a
+    HAVING filter — the output is bounded by the number of RARE
+    combinations, the one thing that grows slower as data grows.
+    """
+    if k < 2:
+        raise ValueError("k_anonymity_report: k must be >= 2")
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report: quasi_cols is empty")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") < k)
+        .select(*quasi_cols, F.col("n_rows").cast("long").alias("n_rows"))
+    )

@@ -4833,6 +4833,33 @@ _DQ_SKEW_SQL = """
 """
 
 
+@query(
+    "dq_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < 10
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity report (``dq.k_anonymity_report``): quasi-identifier
+    combinations — here (nation, market segment) — occupied by fewer
+    than k=10 customers, i.e. the groups a released dataset would have
+    to suppress or generalize because their members are re-identifiable
+    by the combination alone. The privacy counterpart of
+    ``corpus_redact_pii`` (which strips DIRECT identifiers); one
+    map-side-partial hash aggregate + HAVING, output bounded by the
+    count of RARE combinations.
+    """
+    from aws_medallion_etl_spark.operators import dq
+
+    return dq.k_anonymity_report(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"], k=10,
+    )
+
+
 @query("dq_skew_report", _DQ_SKEW_SQL)
 def dq_skew_report(spark, sf_dir):
     """Hottest-key report over the orders FK — the diagnosis that

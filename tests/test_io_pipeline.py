@@ -476,3 +476,23 @@ def test_expire_partitions_retention(spark, sf_dir, tmp_path):
         eio.expire_partitions(out, "run_date")
     with _pytest.raises(ValueError, match="keep must be"):
         eio.expire_partitions(out, "run_date", keep=0)
+
+
+def test_k_anonymity_report_flags_rare_groups(spark):
+    from aws_medallion_etl_spark.operators import dq
+    import pytest
+
+    rows = [("US", "a")] * 5 + [("US", "b")] * 2 + [("FR", "a")] * 1
+    df = spark.createDataFrame(rows, ["country", "seg"])
+    got = {
+        (r["country"], r["seg"]): r["n_rows"]
+        for r in dq.k_anonymity_report(df, ["country", "seg"], k=3).collect()
+    }
+    assert got == {("US", "b"): 2, ("FR", "a"): 1}
+    # k-anonymous table -> empty report
+    assert dq.k_anonymity_report(df, ["country"], k=3).count() == 1  # FR=1
+    assert dq.k_anonymity_report(df, ["country"], k=2).count() == 1
+    with pytest.raises(ValueError, match="k must be"):
+        dq.k_anonymity_report(df, ["country"], k=1)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        dq.k_anonymity_report(df, [], k=3)
