@@ -340,3 +340,41 @@ def k_anonymity_report(
         .where(F.col("n_rows") < k)
         .select(*quasi_cols, F.col("n_rows").cast("long").alias("n_rows"))
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,  # noqa: E741 — the literature's own name for the parameter
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE attribute takes fewer
+    than ``l`` distinct values — k-anonymity's complement: a group can
+    be large (k-anonymous) yet still leak the sensitive value outright
+    when every member shares it (the homogeneity attack l-diversity
+    exists to name).
+
+    Returns ``(quasi_cols..., n_rows, n_sensitive)`` for violating
+    groups; empty means every group is l-diverse. Same shape as
+    :func:`k_anonymity_report`: one hash aggregate (count + distinct
+    count per group), HAVING filter, output bounded by the violating
+    combinations. NULL sensitive values do not count as a distinct
+    value (an absent value discloses nothing).
+    """
+    if l < 2:
+        raise ValueError("l_diversity_report: l must be >= 2")
+    if not quasi_cols:
+        raise ValueError("l_diversity_report: quasi_cols is empty")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .where(F.col("n_sensitive") < l)
+        .select(
+            *quasi_cols,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_sensitive").cast("long").alias("n_sensitive"),
+        )
+    )

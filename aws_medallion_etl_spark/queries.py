@@ -4860,6 +4860,39 @@ def dq_k_anonymity(spark, sf_dir):
     )
 
 
+@query(
+    "dq_l_diversity",
+    """
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+    FROM customer
+    GROUP BY 1, 2
+    HAVING count(DISTINCT c_mktsegment) < 3
+    """,
+)
+def dq_l_diversity(spark, sf_dir):
+    """l-diversity report (``dq.l_diversity_report``): quasi groups —
+    (nation, account-balance band) — whose customers span fewer than
+    l=3 market segments, i.e. groups where the sensitive attribute is
+    near-homogeneous and leaks despite k-anonymity (the homogeneity
+    attack). Same single-aggregate shape as ``dq_k_anonymity``; the
+    float band key is identical double arithmetic on both engines so
+    group membership matches bit-for-bit.
+    """
+    from aws_medallion_etl_spark.operators import dq
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return dq.l_diversity_report(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", l=3
+    )
+
+
 @query("dq_skew_report", _DQ_SKEW_SQL)
 def dq_skew_report(spark, sf_dir):
     """Hottest-key report over the orders FK — the diagnosis that

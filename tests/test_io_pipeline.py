@@ -496,3 +496,23 @@ def test_k_anonymity_report_flags_rare_groups(spark):
         dq.k_anonymity_report(df, ["country"], k=1)
     with pytest.raises(ValueError, match="quasi_cols"):
         dq.k_anonymity_report(df, [], k=3)
+
+
+def test_l_diversity_report_homogeneous_groups(spark):
+    from aws_medallion_etl_spark.operators import dq
+    import pytest
+
+    rows = (
+        [("g1", "x")] * 4                      # homogeneous: 1 value
+        + [("g2", "x"), ("g2", "y")] * 2       # 2 values
+        + [("g3", "x"), ("g3", "y"), ("g3", "z")]  # 3 values - diverse
+        + [("g4", None), ("g4", "x")]          # NULL discloses nothing
+    )
+    df = spark.createDataFrame(rows, ["q", "s"])
+    got = {
+        r["q"]: (r["n_rows"], r["n_sensitive"])
+        for r in dq.l_diversity_report(df, ["q"], "s", l=3).collect()
+    }
+    assert got == {"g1": (4, 1), "g2": (4, 2), "g4": (2, 1)}
+    with pytest.raises(ValueError, match="l must be"):
+        dq.l_diversity_report(df, ["q"], "s", l=1)
