@@ -1009,6 +1009,167 @@ def cosine_topk_ivf_pq(
     )
 
 
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 16,
+    codes: int = 32,
+    iters: int = 3,
+) -> None:
+    """Materialize the IVF-PQ index: BOTH trainings (coarse spherical
+    k-means + residual PQ codebooks) paid once at build time, the
+    corpus written ``partitionBy(cell)`` carrying id + PQ codes + the
+    raw vector, and the models stored as JSON sidecars.
+
+    The production counterpart of :func:`cosine_topk_ivf_pq` exactly
+    as :func:`build_ivf_index` is of :func:`cosine_topk_ivf`: a query
+    batch statically prunes to its probed cells, ADC-scores the
+    codes-only columns (column pruning keeps the raw vectors OUT of
+    the candidate scan — parquet reads only the columns the stage
+    touches), and re-ranks the shortlist by exact cosine from the
+    SAME index files (one more column-pruned read of shortlist rows).
+    """
+    import json as _json
+    import os as _os
+
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    books = train_pq_codebooks(
+        corpus, id_col, vec_col, m, codes, iters, centroids=cents
+    )
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(vec_col).alias("__cv"),
+    )
+    enc = encode_pq(books)
+    out = base.select(
+        "neighbor_id", "__cv",
+        _assign_centroid(cents)(F.col("__cv")).alias("__cid"),
+    ).withColumn(
+        "__codes",
+        enc(_residual(_normalize(F.col("__cv")), F.col("__cid"), cents)),
+    )
+    out.write.mode("overwrite").partitionBy("__cid").parquet(f"{path}/cells")
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/centroids.json", "w") as fh:
+        _json.dump(cents, fh)
+    with open(f"{path}/codebooks.json", "w") as fh:
+        _json.dump(books, fh)
+
+
+def cosine_topk_ivf_pq_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 6,
+    shortlist: int = 256,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ ANN against a prebuilt :func:`build_ivf_pq_index`
+    layout: static partition pruning to the probed cells, ADC over the
+    stored codes (the candidate scan projects id + codes only — the
+    raw vector column is pruned away), exact re-rank of the shortlist
+    from the same files. Training cost: zero per query batch.
+    """
+    import json as _json
+
+    with open(f"{index_path}/centroids.json") as fh:
+        cents = _json.load(fh)
+    with open(f"{index_path}/codebooks.json") as fh:
+        books = _json.load(fh)
+    ncodes = len(books[0])
+
+    probe = _probe_centroids(cents, nprobe)
+    probed_cells = sorted(
+        r["__cid"]
+        for r in queries.select(
+            F.explode(probe(as_double_vec(vec_col))).alias("__cid")
+        ).distinct().collect()
+    )
+    cells = spark.read.parquet(f"{index_path}/cells").where(
+        F.col("__cid").isin(probed_cells)
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    lut = (
+        q.select(
+            "query_id",
+            _normalize(F.col("__qv")).alias("__nq"),
+            F.explode(probe(F.col("__qv"))).alias("__cid"),
+        )
+        .withColumn("__lut", _pq_lut(books)(F.col("__nq")))
+        .withColumn(
+            "__cdot",
+            dot(
+                F.col("__nq"),
+                F.element_at(_centroid_lit(cents), F.col("__cid") + 1),
+            ),
+        )
+        .drop("__nq")
+    )
+    cand = cells.select("neighbor_id", "__cid", "__codes").join(
+        F.broadcast(lut), "__cid"
+    )
+    if exclude_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    adc = cand.select(
+        "query_id", "neighbor_id",
+        (
+            F.col("__cdot")
+            + F.aggregate(
+                F.zip_with(
+                    F.sequence(F.lit(0), F.lit(len(books) - 1)),
+                    F.col("__codes"),
+                    lambda j, c: F.element_at(
+                        F.col("__lut"), (j * ncodes + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("__adc"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("__adc"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.withColumn("__srank", F.row_number().over(ws))
+        .where(F.col("__srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    full = cells.select(
+        "neighbor_id", "__cv"
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    refined = (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 4).alias("cosine"), "rank",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: cluster-bucketed semantic deduplication
 # ---------------------------------------------------------------------------

@@ -2245,6 +2245,35 @@ def sim_topk_ivf_pq(spark, sf_dir):
     )
 
 
+@query("sim_topk_ivf_pq_indexed", _SIM_TOPK_SQL)
+def sim_topk_ivf_pq_indexed(spark, sf_dir):
+    """IVF-PQ against a MATERIALIZED index
+    (``similarity.build_ivf_pq_index`` /
+    ``cosine_topk_ivf_pq_indexed``): both k-means trainings paid at
+    build time, cells written ``partitionBy``, PQ codes stored beside
+    the raw vectors. A query batch statically prunes to its probed
+    cells, ADC-scores a candidate scan that projects id + codes ONLY
+    (the 16–32x byte cut is physical: parquet column pruning keeps
+    vectors out of the candidate stage), and re-ranks the shortlist
+    with exact cosine from the same files — so the result hashes
+    against the same exact top-k oracle as the whole ANN family.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 250 == 0)
+    idx = _scratch("ivfpqidx", sf_dir)
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.build_ivf_pq_index(
+        emb, "vec_id", "embedding", idx,
+        n_centroids=8, m=16, codes=32, iters=3,
+    )
+    return similarity.cosine_topk_ivf_pq_indexed(
+        spark, idx, queries_df, "vec_id", "embedding",
+        k=5, nprobe=6, shortlist=256,
+    )
+
+
 @query("sim_topk_ivf_appended", _SIM_TOPK_SQL)
 def sim_topk_ivf_appended(spark, sf_dir):
     """IVF index GROWTH under the exact oracle: build on half the

@@ -1236,3 +1236,43 @@ def test_hard_negative_topk_excludes_same_group(spark):
         dfn, dfn.where("vec_id = 1"), "vec_id", "vec", "grp", k=5
     ).collect()
     assert {r["neighbor_id"] for r in outn} == {3}
+
+
+def test_ivf_pq_indexed_matches_inline(spark, tmp_path):
+    """The materialized IVF-PQ path must return exactly what the
+    inline path returns for the same config — training determinism,
+    codes round-tripped through parquet, ADC over stored columns."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id % 250 = 0")
+    idx = str(tmp_path / "ivfpq")
+    similarity.build_ivf_pq_index(
+        emb, "vec_id", "embedding", idx, n_centroids=8, m=16, codes=32,
+        iters=3,
+    )
+    inline = similarity.cosine_topk_ivf_pq(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=6,
+        m=16, codes=32, iters=3, shortlist=256,
+    ).collect()
+    indexed = similarity.cosine_topk_ivf_pq_indexed(
+        spark, idx, q, "vec_id", "embedding", k=5, nprobe=6, shortlist=256,
+    ).collect()
+    assert sorted(map(tuple, indexed)) == sorted(map(tuple, inline))
+
+
+def test_ivf_pq_index_candidate_scan_prunes_vector_column(spark, tmp_path):
+    """The ADC candidate stage must read id + codes ONLY — the raw
+    vector column stays out of its parquet scan (the physical byte
+    cut the operator exists for)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq2")
+    similarity.build_ivf_pq_index(
+        emb, "vec_id", "embedding", idx, n_centroids=8, m=16, codes=32,
+        iters=2,
+    )
+    cand = (
+        spark.read.parquet(f"{idx}/cells")
+        .select("neighbor_id", "__cid", "__codes")
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "__codes" in plan
+    assert "__cv" not in plan  # vector column pruned from the scan
