@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile_bounds", "s30_check_constraints",
         "str12_stream_snapshot_tail", "sim_hard_negatives",
         "j15_record_linkage", "dq_k_anonymity", "dq_l_diversity",
-        "sim_topk_ivf_pq_indexed",
+        "sim_topk_ivf_pq_indexed", "ts_ohlc_bars",
         # round-5 greens, three rounds stale — the final tranche
         # (VERDICT r8 "Next round" #2, listed explicitly)
         "s15_sorted_compact_roundtrip", "s1_csv_roundtrip",

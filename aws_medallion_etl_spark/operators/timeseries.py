@@ -129,3 +129,39 @@ def interpolate_linear(
         .otherwise(line)
     )
     return filled.withColumn(out_col, F.round(interp, ndigits))
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Daily OHLC downsampling — the hypertable/financial-rollup
+    classic: per (keys, day), the first (open) and last (close) value
+    by event time plus the high/low extremes and the bar's row count.
+
+    ``tiebreak_col`` pins determinism when two rows share a timestamp
+    (open/close are then the lowest/highest tiebreak value) — without
+    it, first/last inside a bar is partition-order-dependent and the
+    result would not be reproducible across engines or runs.
+
+    One hash aggregate: open/close via ``min_by``/``max_by`` on the
+    (ts, tiebreak) struct — map-side-combinable, so no window sort and
+    no per-bar shuffle beyond the groupBy; high/low/count ride the
+    same pass.
+    """
+    ts = F.col(ts_col)
+    ordk = F.struct(ts.alias("__t"), F.col(tiebreak_col).alias("__tb"))
+    v = F.col(value_col)
+    return (
+        df.groupBy(*key_cols, F.to_date(ts).alias("day"))
+        .agg(
+            F.min_by(v, ordk).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -4528,6 +4528,56 @@ def corpus_strip_boilerplate(spark, sf_dir):
     )
 
 
+_TS_OHLC_SQL = """
+    WITH base AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open,
+           CAST(max(cents) AS BIGINT) AS high,
+           CAST(min(cents) AS BIGINT) AS low,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM base GROUP BY event_type, day
+"""
+
+
+@query("ts_ohlc_bars", _TS_OHLC_SQL)
+def ts_ohlc_bars(spark, sf_dir):
+    """Daily OHLC bars (``timeseries.ohlc_bars``): per (event type,
+    day) the event-time-first (open) and -last (close) values plus
+    high/low extremes and bar counts — the hypertable downsampling
+    classic, computed as ONE map-side-combinable aggregate
+    (min_by/max_by on a (ts, event_id) struct; no window sort). The
+    oracle recomputes open/close via asc/desc row_number — a
+    tiebreak slip, a timezone drift in the day bucket, or a
+    non-deterministic first/last shows up as a flipped cents value.
+    Values compare as integer cents per the float-hash rule.
+    """
+    from aws_medallion_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return timeseries.ohlc_bars(
+        ev, ["event_type"], "ts", "cents", "event_id"
+    ).select(
+        "event_type", "day",
+        F.col("open").cast("long").alias("open"),
+        F.col("high").cast("long").alias("high"),
+        F.col("low").cast("long").alias("low"),
+        F.col("close").cast("long").alias("close"),
+        "n_rows",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-series gap filling — resample, LOCF, linear interpolation
 # ---------------------------------------------------------------------------

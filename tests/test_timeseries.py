@@ -107,3 +107,28 @@ def test_interpolate_matches_pandas(spark):
     )
     for d, expect in ref.items():
         assert abs(got[d.date()] - float(expect)) < 1e-9, (d, got[d.date()], expect)
+
+
+def test_ohlc_bars_order_ties_and_extremes(spark):
+    from aws_medallion_etl_spark.operators import timeseries
+
+    rows = [
+        # one key, one day: open=10 (earliest), close=40 (latest),
+        # high=50, low=5; a ts TIE at the open decided by tiebreak
+        ("a", "2024-01-01 00:00:00", 2, 99),
+        ("a", "2024-01-01 00:00:00", 1, 10),   # same ts, lower id -> open
+        ("a", "2024-01-01 05:00:00", 3, 50),
+        ("a", "2024-01-01 06:00:00", 4, 5),
+        ("a", "2024-01-01 23:00:00", 5, 40),
+        # second day: single row -> open=high=low=close
+        ("a", "2024-01-02 12:00:00", 6, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, ["k", "ts_s", "eid", "v"]
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "eid", "v")
+    out = {
+        str(r["day"]): (r["open"], r["high"], r["low"], r["close"], r["n_rows"])
+        for r in timeseries.ohlc_bars(df, ["k"], "ts", "v", "eid").collect()
+    }
+    assert out["2024-01-01"] == (10, 99, 5, 40, 5)
+    assert out["2024-01-02"] == (7, 7, 7, 7, 1)
