@@ -7701,6 +7701,65 @@ def s30_check_constraints(spark, sf_dir):
     )
 
 
+_S31_GENERATED_SQL = """
+    WITH merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 10
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM merged GROUP BY o_orderstatus
+"""
+
+
+@query("s31_generated_columns", _S31_GENERATED_SQL)
+def s31_generated_columns(spark, sf_dir):
+    """GENERATED ALWAYS AS columns (``snapshot_create(generated=...)``
+    + write-path recompute): the table declares
+    ``total_cents = CAST(round(o_totalprice * 100) AS BIGINT)``; the
+    creating batch and a later insert-only MERGE supply only the base
+    columns — the expression computes on every write path, so the
+    final aggregate can consume the generated column directly. The
+    oracle recomputes the same expression from the base columns over
+    the replayed history: a stale generated value (not recomputed on
+    merge), a writer-divergence slip, or a dropped manifest carry
+    shifts ``sum_cents``.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s31gen", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap.snapshot_create(
+        spark, orders.where(F.col("o_orderkey") % 2 == 0)
+        .repartitionByRange(4, "o_orderkey"),
+        path, stats_cols=["o_orderkey"],
+        generated={
+            "total_cents": "CAST(round(o_totalprice * 100) AS BIGINT)"
+        },
+    )
+    ins = orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10
+    )
+    snap.merge_into(
+        spark, path, ins, on=["o_orderkey"], when_matched=None
+    )
+    final = snap.snapshot_read(spark, path)
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_cents").cast("long").alias("sum_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Linear quality-classifier inference (text.quality_classifier_scores)
 # ---------------------------------------------------------------------------

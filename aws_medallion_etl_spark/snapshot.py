@@ -69,8 +69,9 @@ Implemented parity beyond MERGE: time travel, RESTORE, VACUUM with
 retention, OPTIMIZE, UPDATE/DELETE (cow + mor), stats-based read
 pruning, change data feed, CHECK constraints
 (:func:`add_constraint` — validated on existing data, enforced on
-every write path, carried through every commit), and per-app txn
-marks for exactly-once streaming upserts.
+every write path, carried through every commit), GENERATED ALWAYS AS
+columns (computed when absent, verified when provided, recomputed on
+UPDATE), and per-app txn marks for exactly-once streaming upserts.
 """
 
 from __future__ import annotations
@@ -357,6 +358,54 @@ def table_constraints(path: str) -> dict[str, str]:
     return dict(_read_manifest(path, v).get("constraints", {}))
 
 
+def _generated_fields(man: dict | None, generated: dict | None = None) -> dict:
+    """Manifest generated-column map: carried forward on every commit
+    (like txn marks and constraints), or replaced when given."""
+    cur = generated if generated is not None else dict(
+        (man or {}).get("generated", {})
+    )
+    return {"generated": cur} if cur else {}
+
+
+def table_generated_columns(path: str) -> dict[str, str]:
+    """The current version's GENERATED ALWAYS AS columns: {col: expr}."""
+    v = current_version(path)
+    if v is None:
+        raise ValueError(
+            f"table_generated_columns: {path} is not a snapshot table"
+        )
+    return dict(_read_manifest(path, v).get("generated", {}))
+
+
+def _apply_generated(
+    df: DataFrame, generated: dict[str, str], where: str
+) -> DataFrame:
+    """Delta's GENERATED ALWAYS AS write contract: a generated column
+    ABSENT from the incoming rows is computed from its expression; one
+    PROVIDED by the writer must equal the expression on every row
+    (null-safe) or the write refuses — a silently-divergent generated
+    value is a corrupt invariant, not a convenience."""
+    if not generated:
+        return df
+    provided = [c for c in generated if c in df.columns]
+    if provided:
+        mismatch = None
+        for c in provided:
+            m = ~F.col(c).eqNullSafe(F.expr(generated[c]))
+            mismatch = m if mismatch is None else (mismatch | m)
+        bad = df.where(mismatch).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"generated column(s) {provided} provided by {where} "
+                "disagree with their expressions — drop them from the "
+                "input or fix the values"
+            )
+    for c, expr in generated.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(expr))
+    return df
+
+
 def _validate_constraints(
     df: DataFrame, constraints: dict[str, str], where: str
 ) -> None:
@@ -395,6 +444,7 @@ def snapshot_create(
     stats_cols: list[str],
     txn: tuple[str, int] | None = None,
     constraints: dict[str, str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Create version 0 of a snapshot table from ``df``.
 
@@ -407,9 +457,14 @@ def snapshot_create(
     constraints ``{name: sql_expr}`` — the initial data is validated
     before anything commits, and every later write path enforces them
     on the rows it writes (Delta's ``ADD CONSTRAINT CHECK``).
+    ``generated`` declares GENERATED ALWAYS AS columns
+    ``{col: sql_expr}`` — computed here if absent (and on every later
+    merge/update), verified row-wise if the writer provides them.
     """
     if snapshot_versions(path):
         raise ValueError(f"snapshot_create: {path} is already a snapshot table")
+    if generated:
+        df = _apply_generated(df, generated, "snapshot_create data")
     if constraints:
         _validate_constraints(df, constraints, "snapshot_create data")
     files = _write_commit_files(df, path, 0, stats_cols)
@@ -419,6 +474,7 @@ def snapshot_create(
         "columns": stats_cols,
         **_txn_fields(None, txn),
         **_constraint_fields(None, constraints),
+        **_generated_fields(None, generated),
         **_files_fields(path, 0, files, stats_cols),
     })
     return 0
@@ -456,6 +512,7 @@ def add_constraint(
         "columns": man.get("columns", []),
         **_txn_fields(man, None),
         **_constraint_fields(None, cons),
+        **_generated_fields(man),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
     return new_v
@@ -482,6 +539,7 @@ def drop_constraint(path: str, name: str) -> int:
         "columns": man.get("columns", []),
         **_txn_fields(man, None),
         **_constraint_fields(None, cons),
+        **_generated_fields(man),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
     return new_v
@@ -853,6 +911,12 @@ def merge_into(
                     "txn_high_water": int(seen)}
     schema = StructType.fromJson(json.loads(man["schema"]))
     tcols = [f.name for f in schema.fields]
+    # GENERATED ALWAYS AS: compute absent generated columns from the
+    # source's other fields (verify provided ones) BEFORE the
+    # missing-column check — writers supply only the base columns
+    source = _apply_generated(
+        source, man.get("generated", {}), "merge source rows"
+    )
     missing = [c for c in tcols if c not in source.columns]
     if missing:
         raise ValueError(f"merge_into: source lacks target columns {missing}")
@@ -986,6 +1050,7 @@ def merge_into(
         "columns": stats_cols,
         **_txn_fields(man, txn),
         **_constraint_fields(man),
+        **_generated_fields(man),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {
@@ -1094,6 +1159,7 @@ def delete_where(
         "columns": stats_cols,
         **_txn_fields(man, None),
         **_constraint_fields(man),
+        **_generated_fields(man),
         **_files_fields(path, new_v, new_entries, stats_cols),
     })
     return {"version": new_v, "deleted_rows": deleted, "mode": mode, **report}
@@ -1135,6 +1201,13 @@ def update_where(
     bad = [c for c in assignments if c not in tcols]
     if bad:
         raise ValueError(f"update_where: unknown columns {bad}")
+    gen = man.get("generated", {})
+    gen_assigned = [c for c in assignments if c in gen]
+    if gen_assigned:
+        raise ValueError(
+            f"update_where: {gen_assigned} are GENERATED ALWAYS AS columns "
+            "— update their inputs instead; the expressions recompute"
+        )
     entries = _manifest_files(path, man)
     root = path.rstrip("/")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -1165,6 +1238,10 @@ def update_where(
     for c, expr in assignments.items():
         col = F.expr(expr) if isinstance(expr, str) else expr
         upd = upd.withColumn(c, col.cast(schema[c].dataType))
+    # recompute GENERATED columns from the post-SET row (their inputs
+    # may just have changed — Delta recomputes on update too)
+    for c, expr in gen.items():
+        upd = upd.withColumn(c, F.expr(expr).cast(schema[c].dataType))
     upd = upd.select(*[f.name for f in schema.fields])
     # the rewritten rows are the only NEW data — CHECK them post-SET
     _validate_constraints(
@@ -1201,6 +1278,8 @@ def update_where(
         "schema": man["schema"],
         "columns": stats_cols,
         **_txn_fields(man, None),
+        **_constraint_fields(man),
+        **_generated_fields(man),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {"version": new_v, "updated_rows": n_updated, "mode": mode,
@@ -1257,6 +1336,7 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
         # like txn marks, constraints carry from the CURRENT version:
         # a restore rolls back DATA, not the table's active contracts
         **_constraint_fields(cur),
+        **_generated_fields(cur),
         **_files_fields(path, new_v, entries, tgt.get("columns", [])),
     })
     return {"version": new_v, "restored_from": version,
@@ -1321,6 +1401,7 @@ def compact(
         "columns": stats_cols,
         **_txn_fields(man, None),
         **_constraint_fields(man),
+        **_generated_fields(man),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {

@@ -693,3 +693,62 @@ def test_add_constraint_validates_existing_and_carries(spark, tmp_path):
     assert got[9] == -9
     with pytest.raises(ValueError, match="no constraint"):
         sn.drop_constraint(path, "nope")
+
+
+# ---------------------------------------------------------------------------
+# Generated columns
+# ---------------------------------------------------------------------------
+
+def test_generated_columns_compute_verify_and_recompute(spark, tmp_path):
+    path = str(tmp_path / "gen")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    sn.snapshot_create(
+        spark, df, path, stats_cols=["k"],
+        generated={"cents": "CAST(round(v * 100) AS BIGINT)"},
+    )
+    got = {r["k"]: r["cents"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {1: 1000, 2: 2000}
+    assert sn.table_generated_columns(path) == {
+        "cents": "CAST(round(v * 100) AS BIGINT)"
+    }
+    # merge source WITHOUT the column -> computed
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(3, 30.0)], ["k", "v"]),
+        on=["k"], when_matched=None,
+    )
+    got = {r["k"]: r["cents"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got[3] == 3000
+    # merge source WITH a divergent value -> refused before commit
+    bad = spark.createDataFrame([(4, 40.0, 999)], ["k", "v", "cents"])
+    with pytest.raises(ValueError, match="disagree with their expressions"):
+        sn.merge_into(spark, path, bad, on=["k"])
+    assert sn.current_version(path) == 1
+    # update recomputes from the post-SET row; direct SET is refused
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+        sn.update_where(spark, path, "k = 1", {"cents": "0"}, mode="cow")
+    sn.update_where(spark, path, "k = 1", {"v": "v + 1"}, mode="cow")
+    got = {r["k"]: r["cents"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got[1] == 1100
+    # the generated map (and constraints) survive every commit kind
+    sn.add_constraint(spark, path, "v_pos", "v > 0")
+    sn.delete_where(spark, path, "k = 2", mode="cow")
+    sn.compact(spark, path, small_file_rows=10)
+    assert sn.table_generated_columns(path) != {}
+    assert sn.table_constraints(path) == {"v_pos": "v > 0"}
+
+
+def test_update_where_carries_constraints_forward(spark, tmp_path):
+    """Regression: update_where's commit used to drop the constraint
+    map — enforcement would silently end after any UPDATE."""
+    path = str(tmp_path / "carry")
+    df = spark.createDataFrame([(1, 10)], ["k", "v"])
+    sn.snapshot_create(
+        spark, df, path, stats_cols=["k"], constraints={"v_pos": "v > 0"},
+    )
+    sn.update_where(spark, path, "k = 1", {"v": "v + 1"}, mode="cow")
+    assert sn.table_constraints(path) == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        sn.merge_into(
+            spark, path, spark.createDataFrame([(2, -5)], ["k", "v"]),
+            on=["k"],
+        )
