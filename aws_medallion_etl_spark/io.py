@@ -678,6 +678,43 @@ def zorder_value(
     return z
 
 
+def zorder_clustered(
+    df: DataFrame,
+    cols: list[str],
+    target_files: int | None = None,
+    bits: int = 12,
+) -> DataFrame:
+    """Re-cluster ``df`` along the Morton curve over ``cols``: one
+    global min/max agg scales each column to ``[0, 2**bits)``, the
+    interleaved Z key drives ``repartitionByRange`` + in-file sort,
+    and the key is dropped — the LAYOUT carries the benefit. Shared by
+    :func:`write_zorder` and ``snapshot.compact(zorder_cols=...)``
+    (Delta ``OPTIMIZE ZORDER BY``)."""
+    if not cols:
+        raise ValueError("zorder_clustered needs at least one column")
+    lo_hi = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = lo_hi[f"__mn_{c}"], lo_hi[f"__mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            scaled.append(F.lit(0))
+            continue
+        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+        # nulls first: a null key scales to 0, keeping the file range
+        # honest (stats min/max ignore nulls anyway)
+        scaled.append(
+            F.coalesce(F.floor(frac * top), F.lit(0)).cast("long")
+        )
+    zed = df.withColumn("__z", zorder_value(scaled, bits=bits))
+    return zed.repartitionByRange(
+        *([target_files] if target_files else []), F.col("__z")
+    ).sortWithinPartitions("__z").drop("__z")
+
+
 def write_zorder(
     df: DataFrame,
     path: str,
@@ -705,29 +742,7 @@ def write_zorder(
     then covers a degenerate range and skipping degrades gracefully,
     never incorrectly.
     """
-    if not cols:
-        raise ValueError("write_zorder needs at least one column")
-    lo_hi = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
-    ).collect()[0]
-    top = (1 << bits) - 1
-    scaled = []
-    for c in cols:
-        mn, mx = lo_hi[f"__mn_{c}"], lo_hi[f"__mx_{c}"]
-        if mn is None or mx is None or mx == mn:
-            scaled.append(F.lit(0))
-            continue
-        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
-        # nulls first: a null key scales to 0, keeping the file range
-        # honest (stats min/max ignore nulls anyway)
-        scaled.append(
-            F.coalesce(F.floor(frac * top), F.lit(0)).cast("long")
-        )
-    zed = df.withColumn("__z", zorder_value(scaled, bits=bits))
-    parted = zed.repartitionByRange(
-        *([target_files] if target_files else []), F.col("__z")
-    ).sortWithinPartitions("__z").drop("__z")
+    parted = zorder_clustered(df, cols, target_files, bits)
     parted.write.mode(mode).option("compression", "snappy").parquet(path)
 
 

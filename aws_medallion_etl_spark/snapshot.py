@@ -1348,6 +1348,7 @@ def compact(
     path: str,
     small_file_rows: int = 500_000,
     target_file_rows: int = 1_000_000,
+    zorder_cols: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE: rewrite every file carrying a deletion vector and
     bin-pack undersized files, as one new answer-invariant version.
@@ -1359,6 +1360,16 @@ def compact(
     DV sidecars become :func:`vacuum` garbage. This is the debt-payoff
     half of the merge-on-read trade — run it on the cadence Delta
     users run OPTIMIZE.
+
+    ``zorder_cols`` is Delta's ``OPTIMIZE ... ZORDER BY``: the
+    rewritten files re-cluster along the Morton curve over those
+    columns instead of the stats-key range, so the manifest's per-file
+    min/max bounds stay tight in EVERY listed dimension — read-side
+    pruning (:func:`snapshot_read` ``prune=``) then skips files for a
+    predicate on ANY of them. The explicit trade (Delta's too): each
+    single column's per-file range is a bit wider than a pure
+    range-cluster would give, so single-key MERGE pruning trades a
+    little selectivity for multi-dimensional skipping.
     """
     import math
 
@@ -1387,13 +1398,17 @@ def compact(
     df = _scan_live(spark, root, schema, rewrite)
     new_v = base_v + 1
     stats_cols = man.get("columns", [])
-    # range-cluster on the stats key so the compacted files keep tight
-    # min/max bounds — a round-robin repartition would widen every
-    # file's range to the whole table and kill merge pruning
-    df = (
-        df.repartitionByRange(n_out, *stats_cols)
-        if stats_cols else df.repartition(n_out)
-    )
+    # re-cluster so the compacted files keep tight min/max bounds — a
+    # round-robin repartition would widen every file's range to the
+    # whole table and kill merge pruning. Default: range on the stats
+    # key; zorder_cols: Morton curve over the listed dimensions
+    if zorder_cols:
+        df = eio.zorder_clustered(df, zorder_cols, n_out)
+    else:
+        df = (
+            df.repartitionByRange(n_out, *stats_cols)
+            if stats_cols else df.repartition(n_out)
+        )
     new_files = _write_commit_files(df, path, new_v, stats_cols)
     _commit(path, new_v, {
         "version": new_v,

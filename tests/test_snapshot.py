@@ -752,3 +752,37 @@ def test_update_where_carries_constraints_forward(spark, tmp_path):
             spark, path, spark.createDataFrame([(2, -5)], ["k", "v"]),
             on=["k"],
         )
+
+
+def test_compact_zorder_multi_dim_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after a z-ordered compact, read-side
+    pruning must skip files for a predicate on the SECOND dimension —
+    which a pure range-cluster on the first cannot do — and the table
+    content must be unchanged."""
+    path = str(tmp_path / "zo")
+    n = 4096
+    df = spark.range(0, n).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 2654435761) % n).alias("b"),  # decorrelated dim
+        (F.col("id") % 7).alias("v"),
+    )
+    sn.snapshot_create(
+        spark, df.repartition(8), path, stats_cols=["a", "b"]
+    )
+    rep = sn.compact(
+        spark, path, small_file_rows=10**9, target_file_rows=512,
+        zorder_cols=["a", "b"],
+    )
+    assert rep["files_added"] >= 4
+    full = sn.snapshot_read(spark, path)
+    assert full.count() == n
+    # second-dimension predicate prunes files via manifest stats
+    pruned_b = sn.snapshot_read(spark, path, prune={"b": (0, n // 8)})
+    assert 0 < len(pruned_b.inputFiles()) < len(full.inputFiles())
+    # ... and the first dimension still prunes too
+    pruned_a = sn.snapshot_read(spark, path, prune={"a": (0, n // 8)})
+    assert 0 < len(pruned_a.inputFiles()) < len(full.inputFiles())
+    # answers equal the unpruned read + WHERE exactly
+    want = sorted(r["a"] for r in full.where(F.col("b") <= n // 8).collect())
+    got = sorted(r["a"] for r in pruned_b.where(F.col("b") >= 0).collect())
+    assert got == want
