@@ -86,7 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str12_stream_snapshot_tail", "sim_hard_negatives",
         "j15_record_linkage", "dq_k_anonymity", "dq_l_diversity",
         "sim_topk_ivf_pq_indexed", "ts_ohlc_bars",
-        "s31_generated_columns",
+        "s31_generated_columns", "str13_stream_cdf",
         # round-5 greens, three rounds stale — the final tranche
         # (VERDICT r8 "Next round" #2, listed explicitly)
         "s15_sorted_compact_roundtrip", "s1_csv_roundtrip",

@@ -6701,6 +6701,87 @@ def str12_stream_snapshot_tail(spark, sf_dir):
     )
 
 
+_STR13_CDF_SQL = """
+    WITH maxk AS (SELECT max(c_custkey) AS mk FROM customer),
+    ins AS (
+        SELECT c_custkey + mk + 100 AS k FROM customer, maxk
+        WHERE c_custkey % 25 = 0
+    ),
+    upd AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 0),
+    v1_state AS (
+        SELECT c_custkey AS k FROM customer
+        UNION ALL SELECT k FROM ins
+    ),
+    del AS (SELECT k FROM v1_state WHERE k % 7 = 3),
+    ch AS (
+        SELECT 'insert' AS _change_type, 1 AS _commit_version, k FROM ins
+        UNION ALL SELECT 'update_preimage', 1, k FROM upd
+        UNION ALL SELECT 'update_postimage', 1, k FROM upd
+        UNION ALL SELECT 'delete', 2, k FROM del
+    )
+    SELECT _change_type, CAST(_commit_version AS BIGINT) AS _commit_version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS sum_keys
+    FROM ch GROUP BY 1, 2
+"""
+
+
+@query("str13_stream_cdf", _STR13_CDF_SQL)
+def str13_stream_cdf(spark, sf_dir):
+    """Streaming CHANGE DATA FEED (``datasources.SnapshotCDFDataSource``
+    — Delta's ``readChangeFeed``): the stream attaches at the created
+    table's current version, then a MERGE (update+insert) and a cow
+    DELETE commit land WHILE it runs; each micro-batch carries the
+    per-commit row-level changes typed with ``_change_type`` and
+    stamped ``_commit_version``. Unlike the endpoint-folded batch
+    ``snapshot_changes``, the stream sees EVERY commit — an insert in
+    v1 deleted in v2 appears in both feeds. The oracle replays the
+    per-commit change sets from the same mod rules; ``sum_keys`` pins
+    exact membership per (type, version).
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import datasources, snapshot as snap
+
+    tbl = _scratch("str13tbl", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    snap.snapshot_create(
+        spark, cust.repartitionByRange(8, "c_custkey"), tbl,
+        stats_cols=["c_custkey"],
+    )
+    datasources.register_cdf_streaming(spark)
+    stream = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", tbl).option("key_cols", "c_custkey").load()
+    )
+    q = (stream.writeStream.format("memory")
+         .queryName("str13_feed").outputMode("append").start())
+    try:
+        maxk = cust.agg(F.max("c_custkey")).first()[0]
+        upd = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1000
+        )
+        ins = cust.where(F.col("c_custkey") % 25 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(maxk + 100)
+        )
+        snap.merge_into(spark, tbl, upd.unionByName(ins), on=["c_custkey"])
+        snap.delete_where(spark, tbl, F.col("c_custkey") % 7 == 3, mode="cow")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table("str13_feed")
+        .groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("sum_keys"),
+        )
+    )
+
+
 _E2E_SEMANTIC_SAMPLE_SQL = f"""
     WITH {_SEMANTIC_CTES},
     dropped AS (SELECT DISTINCT id_b AS doc_id FROM sem_pairs),

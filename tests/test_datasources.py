@@ -146,3 +146,52 @@ def test_snapshot_stream_end_to_end_picks_up_live_commit(spark, tmp_path):
         assert got == set(range(20)) | set(range(500, 505))
     finally:
         q.stop()
+
+
+def test_snapshot_cdf_stream_per_commit_changes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path / "cdfs")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(20)], ["k", "v"]
+    )
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    r = datasources.SnapshotCDFStreamReader(
+        {"path": path, "key_cols": "k"}
+    )
+    # CDF attaches at the CURRENT version — history is not replayed
+    assert r.initialOffset() == {"version": 0}
+    # v1: update 3, insert 100; v2: mor-delete 5
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(3, -3), (100, 1000)], ["k", "v"]),
+        on=["k"],
+    )
+    sn.delete_where(spark, path, "k = 5", mode="mor")
+    rows, off = r.read({"version": 0})
+    rows = sorted(rows)
+    assert off == {"version": 2}
+    assert rows == sorted([
+        (3, 30, "update_preimage", 1), (3, -3, "update_postimage", 1),
+        (100, 1000, "insert", 1), (5, 50, "delete", 2),
+    ])
+    # replay between offsets reproduces exactly (checkpoint recovery)
+    again = sorted(r.readBetweenOffsets({"version": 0}, {"version": 2}))
+    assert again == rows
+    # an insert-then-delete across commits appears in BOTH feeds
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(200, 1)], ["k", "v"]),
+        on=["k"], when_matched=None,
+    )
+    sn.delete_where(spark, path, "k = 200", mode="cow")
+    step, off2 = r.read(off)
+    step = sorted(step)
+    assert off2 == {"version": 4}
+    assert step == sorted([(200, 1, "insert", 3), (200, 1, "delete", 4)])
+    # missing key_cols option is an explicit error
+    import pytest
+
+    with pytest.raises(ValueError, match="key_cols"):
+        datasources.SnapshotCDFStreamReader({"path": path})
