@@ -1,8 +1,11 @@
 """Similarity search over embedding columns (array<float>).
 
 Beyond-reference extensions (SURVEY.md §7.2 M7): brute-force cosine
-top-k as the correctness baseline, and a random-hyperplane-LSH
-bucketed variant as the scale path.
+top-k as the correctness baseline; random-hyperplane LSH, IVF (inline,
+materialized-index, and appendable), and IVF-PQ with residual product
+quantization + exact shortlist refine (inline and materialized) as the
+scale paths; plus SemDeDup cluster-bucketed semantic dedup,
+cross-group hard-negative mining, and int8 embedding quantization.
 
 Design for 100 TB:
 
