@@ -329,9 +329,19 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
         from aws_medallion_etl_spark import snapshot as snap
 
         out = []
-        versions = [
-            v for v in snap.snapshot_versions(self.path) if v0 <= v <= v1
-        ]
+        all_vs = snap.snapshot_versions(self.path)
+        versions = [v for v in all_vs if v0 <= v <= v1]
+        if not versions or versions[0] != v0:
+            # the stream's offset predates the retained history (vacuum
+            # pruned manifests past it): silently zipping from the
+            # first survivor would SKIP the pruned commits' changes —
+            # fail loudly instead (Delta's CDF raises the same way)
+            raise ValueError(
+                f"snapshot_cdf: offset version {v0} of {self.path} is no "
+                f"longer retained (have {all_vs}) — the feed cannot "
+                "reconstruct the pruned commits; restart from a fresh "
+                "offset or lengthen vacuum retention"
+            )
         for prev_v, v in zip(versions, versions[1:]):
             man_a = snap._read_manifest(self.path, prev_v)
             man_b = snap._read_manifest(self.path, v)

@@ -195,3 +195,30 @@ def test_snapshot_cdf_stream_per_commit_changes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="key_cols"):
         datasources.SnapshotCDFStreamReader({"path": path})
+
+
+def test_snapshot_cdf_refuses_vacuumed_offset(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path / "cdfvac")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    for i in range(3):
+        sn.merge_into(
+            spark, path,
+            spark.createDataFrame([(100 + i, i)], ["k", "v"]),
+            on=["k"], when_matched=None,
+        )
+    sn.vacuum(path, keep_versions=1, retention_seconds=0)
+    r = datasources.SnapshotCDFStreamReader({"path": path, "key_cols": "k"})
+    # an offset pointing at a pruned manifest must raise, never skip
+    with pytest.raises(ValueError, match="no longer retained"):
+        r.read({"version": 0})
+    # the retained frontier still streams
+    rows, off = r.read({"version": 3})
+    assert list(rows) == [] and off == {"version": 3}
