@@ -169,6 +169,11 @@ class SnapshotAppendStreamReader(SimpleDataSourceStreamReader):
         from aws_medallion_etl_spark import snapshot as snap
 
         names = [f.name for f in _snapshot_schema(self.path).fields]
+        cur_man = snap._read_manifest(
+            self.path, snap.current_version(self.path)
+        )
+        cmap = cur_man.get("colmap") or {}
+        phys = [cmap.get(n, n) for n in names]
         versions = [v for v in snap.snapshot_versions(self.path) if v <= v1]
         prev: dict[str, tuple] = {}
         if v0 >= 0:
@@ -206,8 +211,10 @@ class SnapshotAppendStreamReader(SimpleDataSourceStreamReader):
                 t = _pq.read_table(_os.path.join(self.path, e["file"]))
                 have = set(t.column_names)
                 for row in t.to_pylist():
+                    # files speak PHYSICAL column names (renames are
+                    # manifest-only); emit in logical schema order
                     yield tuple(
-                        row[n] if n in have else None for n in names
+                        row[p] if p in have else None for p in phys
                     )
             prev = cur
 
@@ -348,6 +355,8 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
             names = [
                 f["name"] for f in _json.loads(man_b["schema"])["fields"]
             ]
+            cmap = man_b.get("colmap") or {}
+            phys = [cmap.get(n, n) for n in names]
             kidx = [names.index(k) for k in self.key_cols]
             vidx = [i for i in range(len(names)) if i not in kidx]
 
@@ -360,13 +369,15 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
             old = {
                 tuple(r[i] for i in kidx): r
                 for r in _live_rows_pyarrow(
-                    self.path, [e for e in ea if sig(e) not in common], names
+                    self.path, [e for e in ea if sig(e) not in common],
+                    phys,
                 )
             }
             new = {
                 tuple(r[i] for i in kidx): r
                 for r in _live_rows_pyarrow(
-                    self.path, [e for e in eb if sig(e) not in common], names
+                    self.path, [e for e in eb if sig(e) not in common],
+                    phys,
                 )
             }
             for k, r in new.items():

@@ -6760,6 +6760,12 @@ def str13_stream_cdf(spark, sf_dir):
     q = (stream.writeStream.format("memory")
          .queryName("str13_feed").outputMode("append").start())
     try:
+        # pin the stream's starting offset at the CURRENT version
+        # before committing anything: initialOffset is evaluated
+        # lazily at the first micro-batch, so on a busy scheduler a
+        # commit could land first and the feed would attach AFTER it
+        # (observed as a lost v1 batch in a 14-query session)
+        q.processAllAvailable()
         maxk = cust.agg(F.max("c_custkey")).first()[0]
         upd = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
             "c_acctbal", F.col("c_acctbal") + 1000

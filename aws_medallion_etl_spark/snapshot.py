@@ -211,12 +211,40 @@ def _read_dv(spark: SparkSession, root: str, refs: list[str]) -> DataFrame:
     )
 
 
+def _phys(colmap: dict | None, logical: str) -> str:
+    """Physical (on-disk parquet) name of a logical column — identity
+    unless a rename remapped it (Delta column mapping)."""
+    return (colmap or {}).get(logical, logical)
+
+
+def _physical_schema(schema: StructType, colmap: dict | None) -> StructType:
+    """The logical schema with field names swapped to their physical
+    parquet names (types/nullability unchanged)."""
+    if not colmap:
+        return schema
+    return StructType([
+        StructField(_phys(colmap, f.name), f.dataType, f.nullable)
+        for f in schema.fields
+    ])
+
+
+def _to_physical(df: DataFrame, schema: StructType, colmap: dict | None):
+    """Rename a LOGICAL-named frame to physical column names for a
+    data-file write (no-op without a colmap)."""
+    if not colmap:
+        return df
+    return df.select(*[
+        F.col(f.name).alias(_phys(colmap, f.name)) for f in schema.fields
+    ])
+
+
 def _scan_live(
     spark: SparkSession,
     root: str,
     schema: StructType,
     entries: list[dict],
     with_pos: bool = False,
+    colmap: dict | None = None,
 ) -> DataFrame:
     """Live rows of ``entries`` — deletion vectors applied.
 
@@ -226,6 +254,11 @@ def _scan_live(
     the stable within-file row ordinal) so callers can mint NEW
     deletion vectors. A DV-free table takes the plain-read fast path:
     no metadata columns, no join — the pre-DV plan shape exactly.
+
+    ``colmap`` is the manifest's column mapping ({logical: physical}):
+    files are read under their PHYSICAL names and aliased back to the
+    logical schema — renames and drops are manifest-only operations
+    and never rewrite a byte of data (Delta column mapping).
 
     Scale shape: the anti-join keys are (file, position); the DV side
     is deletes-since-last-compact — AQE broadcasts it in the common
@@ -237,11 +270,16 @@ def _scan_live(
     files = [os.path.join(root, e["file"]) for e in entries]
     if not files:
         return spark.createDataFrame([], schema)
+    phys = _physical_schema(schema, colmap)
+    to_logical = [
+        F.col(_phys(colmap, f.name)).alias(f.name) for f in schema.fields
+    ]
     refs = sorted({r for e in entries for r in e.get("dv") or []})
     if not refs and not with_pos:
-        return spark.read.schema(schema).parquet(*files)
-    df = spark.read.schema(schema).parquet(*files).select(
-        "*",
+        df = spark.read.schema(phys).parquet(*files)
+        return df.select(*to_logical) if colmap else df
+    df = spark.read.schema(phys).parquet(*files).select(
+        *to_logical,
         F.expr(
             "concat('data/', "
             "substring_index(_metadata.file_path, '/data/', -1))"
@@ -283,20 +321,31 @@ def _commit(path: str, version: int, manifest: dict) -> None:
 
 
 def _write_commit_files(
-    df: DataFrame, path: str, version: int, stats_cols: list[str]
+    df: DataFrame,
+    path: str,
+    version: int,
+    stats_cols: list[str],
+    schema: StructType | None = None,
+    colmap: dict | None = None,
 ) -> list[dict]:
     """Write ``df`` as the data files of commit ``version`` and return
     manifest entries (paths relative to the table root).
 
-    The commit dir carries a uuid suffix so a crashed attempt or a
-    racing writer at the same version can never collide — the loser's
-    files stay unreferenced (invisible) until :func:`vacuum`.
+    ``df`` carries LOGICAL column names; with a column mapping it is
+    renamed to the physical names before the write (every data file on
+    disk speaks physical — ``stats_cols``, the manifest's footer-stat
+    list, is physical too). The commit dir carries a uuid suffix so a
+    crashed attempt or a racing writer at the same version can never
+    collide — the loser's files stay unreferenced (invisible) until
+    :func:`vacuum`.
     """
     root = path.rstrip("/")
     commit_rel = os.path.join(
         _DATA_DIR, f"c{version:05d}-{uuid.uuid4().hex[:8]}"
     )
     commit_dir = os.path.join(root, commit_rel)
+    if colmap and schema is not None:
+        df = _to_physical(df, schema, colmap)
     df.write.mode("error").parquet(commit_dir)
     entries = eio.collect_file_stats(commit_dir, stats_cols)
     for e in entries:
@@ -365,6 +414,137 @@ def _generated_fields(man: dict | None, generated: dict | None = None) -> dict:
         (man or {}).get("generated", {})
     )
     return {"generated": cur} if cur else {}
+
+
+def _colmap_fields(man: dict | None, colmap: dict | None = None) -> dict:
+    """Manifest column-mapping map (logical → physical parquet name):
+    carried forward on every commit, or replaced when given."""
+    cur = colmap if colmap is not None else dict(
+        (man or {}).get("colmap", {})
+    )
+    return {"colmap": cur} if cur else {}
+
+
+def _expr_references(exprs: dict[str, str], col: str) -> list[str]:
+    """Names of stored expressions (constraints / generated columns)
+    that mention ``col`` as a whole word — the conservative screen
+    rename/drop uses to refuse breaking a stored contract."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(col)}\b")
+    return sorted(n for n, e in exprs.items() if pat.search(e))
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Delta column mapping's RENAME COLUMN: a pure manifest commit —
+    the logical schema renames the field and the column map remembers
+    its PHYSICAL parquet name, so every data file carries by reference
+    and reads alias physical → logical. Zero data movement at any
+    table size.
+
+    Refused when ``old`` is referenced by a CHECK constraint or a
+    generated-column expression (the stored SQL would silently break —
+    Delta refuses identically; drop the contract first). Honest
+    limitation, stated here because it is Delta's too in
+    no-column-mapping mode: the batch/streaming CHANGE FEEDS align
+    versions by LOGICAL name, so a feed spanning the rename boundary
+    sees the renamed column as dropped+added rather than continuous.
+    """
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"rename_column: {path} is not a snapshot table")
+    man = _read_manifest(path, vs[-1])
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"rename_column: no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    refs = _expr_references(
+        {**man.get("constraints", {}),
+         **{f"generated:{k}": v for k, v in man.get("generated", {}).items()}},
+        old,
+    )
+    if refs:
+        raise ValueError(
+            f"rename_column: {old!r} is referenced by stored expressions "
+            f"{refs} — drop/recreate them around the rename"
+        )
+    cmap = dict(man.get("colmap", {}))
+    physical = cmap.pop(old, old)
+    cmap[new] = physical
+    gen = dict(man.get("generated", {}))
+    if old in gen:
+        gen[new] = gen.pop(old)
+    new_schema = StructType([
+        StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+        for f in schema.fields
+    ])
+    entries = _manifest_files(path, man)
+    new_v = vs[-1] + 1
+    _commit(path, new_v, {
+        "version": new_v,
+        "schema": new_schema.json(),
+        "columns": man.get("columns", []),
+        **_txn_fields(man, None),
+        **_constraint_fields(man),
+        **_generated_fields(None, gen),
+        **_colmap_fields(None, cmap),
+        **_files_fields(path, new_v, entries, man.get("columns", [])),
+    })
+    return new_v
+
+
+def drop_column(path: str, col: str) -> int:
+    """Delta column mapping's DROP COLUMN: a pure manifest commit —
+    the field leaves the logical schema (and its mapping); the bytes
+    stay in the files, invisible to every read, reclaimed only when
+    COW/compact naturally rewrite. Refused when the column is a stats
+    column (merge pruning depends on it) or referenced by a stored
+    constraint / generated expression."""
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"drop_column: {path} is not a snapshot table")
+    man = _read_manifest(path, vs[-1])
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"drop_column: no column {col!r} (have {names})")
+    cmap = dict(man.get("colmap", {}))
+    if _phys(cmap, col) in man.get("columns", []):
+        raise ValueError(
+            f"drop_column: {col!r} is a manifest stats column — merge "
+            "pruning depends on it; re-create the table around it"
+        )
+    refs = _expr_references(
+        {**man.get("constraints", {}), **man.get("generated", {})}, col
+    )
+    gen = dict(man.get("generated", {}))
+    if col in gen:
+        del gen[col]  # dropping a generated column drops its rule
+        refs = [r for r in refs if r != col]
+    if refs:
+        raise ValueError(
+            f"drop_column: {col!r} is referenced by stored expressions "
+            f"{refs} — drop them first"
+        )
+    cmap.pop(col, None)
+    new_schema = StructType(
+        [f for f in schema.fields if f.name != col]
+    )
+    entries = _manifest_files(path, man)
+    new_v = vs[-1] + 1
+    _commit(path, new_v, {
+        "version": new_v,
+        "schema": new_schema.json(),
+        "columns": man.get("columns", []),
+        **_txn_fields(man, None),
+        **_constraint_fields(man),
+        **_generated_fields(None, gen),
+        **_colmap_fields(None, cmap),
+        **_files_fields(path, new_v, entries, man.get("columns", [])),
+    })
+    return new_v
 
 
 def table_generated_columns(path: str) -> dict[str, str]:
@@ -501,7 +681,8 @@ def add_constraint(
     schema = StructType.fromJson(json.loads(man["schema"]))
     entries = _manifest_files(path, man)
     _validate_constraints(
-        _scan_live(spark, path.rstrip("/"), schema, entries),
+        _scan_live(spark, path.rstrip("/"), schema, entries,
+                   colmap=man.get("colmap")),
         {name: expr}, "existing table data",
     )
     cons[name] = expr
@@ -513,6 +694,7 @@ def add_constraint(
         **_txn_fields(man, None),
         **_constraint_fields(None, cons),
         **_generated_fields(man),
+        **_colmap_fields(man),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
     return new_v
@@ -540,6 +722,7 @@ def drop_constraint(path: str, name: str) -> int:
         **_txn_fields(man, None),
         **_constraint_fields(None, cons),
         **_generated_fields(man),
+        **_colmap_fields(man),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
     return new_v
@@ -622,14 +805,17 @@ def snapshot_read(
             raise ValueError(
                 f"snapshot_read: prune columns {missing} not in table schema"
             )
+        cmap = man.get("colmap") or {}
         entries = [
             e for e in entries
             if all(
-                _entry_in_range(e, c, lo, hi)
+                # manifest stats are keyed by PHYSICAL names
+                _entry_in_range(e, _phys(cmap, c), lo, hi)
                 for c, (lo, hi) in prune.items()
             )
         ]
-    df = _scan_live(spark, path.rstrip("/"), schema, entries)
+    df = _scan_live(spark, path.rstrip("/"), schema, entries,
+                    colmap=man.get("colmap"))
     if prune:
         for c, (lo, hi) in prune.items():
             if lo is not None:
@@ -692,12 +878,14 @@ def snapshot_changes(
 
     schema_from = StructType.fromJson(json.loads(man_from["schema"]))
     val_cols = [f.name for f in schema_to.fields if f.name not in key_cols]
-    old = _scan_live(spark, root, schema_from, from_churn).select(*[
+    old = _scan_live(spark, root, schema_from, from_churn,
+                     colmap=man_from.get("colmap")).select(*[
         (F.col(f.name) if f.name in schema_from.fieldNames()
          else F.lit(None).cast(f.dataType)).alias(f.name)
         for f in schema_to.fields
     ])
-    new = _scan_live(spark, root, schema_to, to_churn)
+    new = _scan_live(spark, root, schema_to, to_churn,
+                     colmap=man_to.get("colmap"))
 
     o = old.select(
         *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
@@ -986,8 +1174,16 @@ def merge_into(
             )
 
     man_files = _manifest_files(path, man)
+    # pruning speaks PHYSICAL: manifest stats are keyed by on-disk
+    # names, so translate the key columns (and the probe frame) when a
+    # rename remapped them
+    cmap = man.get("colmap") or {}
+    on_phys = [_phys(cmap, c) for c in on]
+    src_probe = src.select(*[
+        F.col(c).alias(_phys(cmap, c)) for c in on
+    ])
     touched, untouched = _touched_files(
-        spark, man_files, man.get("columns", []), src, on
+        spark, man_files, man.get("columns", []), src_probe, on_phys
     )
     root = path.rstrip("/")
     new_v = base_v + 1
@@ -998,7 +1194,8 @@ def merge_into(
     # append path: all old files carry by reference.
     append_only = when_matched is None or not touched
     tgt = _scan_live(
-        spark, root, schema, touched, with_pos=mor and not append_only
+        spark, root, schema, touched, with_pos=mor and not append_only,
+        colmap=cmap,
     )
     tgt_keys = tgt.select(*on).distinct()
 
@@ -1043,7 +1240,8 @@ def merge_into(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        new_files = _write_commit_files(out, path, new_v, stats_cols)
+        new_files = _write_commit_files(out, path, new_v, stats_cols,
+                                        schema, man.get("colmap"))
     _commit(path, new_v, {
         "version": new_v,
         "schema": schema.json() if evolved else man["schema"],
@@ -1051,6 +1249,7 @@ def merge_into(
         **_txn_fields(man, txn),
         **_constraint_fields(man),
         **_generated_fields(man),
+        **_colmap_fields(man),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {
@@ -1103,7 +1302,8 @@ def delete_where(
     new_v = base_v + 1
     stats_cols = man.get("columns", [])
 
-    live = _scan_live(spark, root, schema, entries, with_pos=True)
+    live = _scan_live(spark, root, schema, entries, with_pos=True,
+                      colmap=man.get("colmap"))
     hits = live.where(pred).select(
         F.col("__file").alias("file"), F.col("__pos").alias("row_index")
     )
@@ -1142,7 +1342,8 @@ def delete_where(
         # manifest ever references it under cow) for vacuum.
         touched = [e for e in entries if e["file"] in counts]
         carried = [e for e in entries if e["file"] not in counts]
-        surv = _scan_live(spark, root, schema, touched, with_pos=True)
+        surv = _scan_live(spark, root, schema, touched, with_pos=True,
+                          colmap=man.get("colmap"))
         dvh = _read_dv(spark, root, [dv_rel])
         surv = surv.join(
             dvh,
@@ -1150,7 +1351,8 @@ def delete_where(
             & (F.col("__pos") == F.col("__dvp")),
             "left_anti",
         ).drop("__file", "__pos")
-        new_files = _write_commit_files(surv, path, new_v, stats_cols)
+        new_files = _write_commit_files(surv, path, new_v, stats_cols,
+                                         schema, man.get("colmap"))
         new_entries = carried + new_files
         report = {"files_rewritten": len(touched), "files_with_dv": 0}
     _commit(path, new_v, {
@@ -1160,6 +1362,7 @@ def delete_where(
         **_txn_fields(man, None),
         **_constraint_fields(man),
         **_generated_fields(man),
+        **_colmap_fields(man),
         **_files_fields(path, new_v, new_entries, stats_cols),
     })
     return {"version": new_v, "deleted_rows": deleted, "mode": mode, **report}
@@ -1214,7 +1417,8 @@ def update_where(
     new_v = base_v + 1
     stats_cols = man.get("columns", [])
 
-    live = _scan_live(spark, root, schema, entries, with_pos=True)
+    live = _scan_live(spark, root, schema, entries, with_pos=True,
+                      colmap=man.get("colmap"))
     matched = live.where(pred)
     hits = matched.select(
         F.col("__file").alias("file"), F.col("__pos").alias("row_index")
@@ -1256,12 +1460,14 @@ def update_where(
                 e["dv"] = list(e.get("dv") or []) + [dv_rel]
                 e["dv_rows"] = int(e.get("dv_rows") or 0) + counts[e["file"]]
             carried.append(e)
-        new_files = _write_commit_files(upd, path, new_v, stats_cols)
+        new_files = _write_commit_files(upd, path, new_v, stats_cols,
+                                         schema, man.get("colmap"))
         report = {"files_rewritten": 0, "files_with_dv": len(counts)}
     else:
         touched = [e for e in entries if e["file"] in counts]
         carried = [e for e in entries if e["file"] not in counts]
-        surv = _scan_live(spark, root, schema, touched, with_pos=True)
+        surv = _scan_live(spark, root, schema, touched, with_pos=True,
+                          colmap=man.get("colmap"))
         dvh = _read_dv(spark, root, [dv_rel])
         surv = surv.join(
             dvh,
@@ -1270,7 +1476,8 @@ def update_where(
             "left_anti",
         ).drop("__file", "__pos")
         new_files = _write_commit_files(
-            surv.unionByName(upd), path, new_v, stats_cols
+            surv.unionByName(upd), path, new_v, stats_cols,
+            schema, man.get("colmap")
         )
         report = {"files_rewritten": len(touched), "files_with_dv": 0}
     _commit(path, new_v, {
@@ -1280,6 +1487,7 @@ def update_where(
         **_txn_fields(man, None),
         **_constraint_fields(man),
         **_generated_fields(man),
+        **_colmap_fields(man),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {"version": new_v, "updated_rows": n_updated, "mode": mode,
@@ -1337,6 +1545,8 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
         # a restore rolls back DATA, not the table's active contracts
         **_constraint_fields(cur),
         **_generated_fields(cur),
+        # colmap belongs to the restored SCHEMA — travel with it
+        **_colmap_fields(tgt),
         **_files_fields(path, new_v, entries, tgt.get("columns", [])),
     })
     return {"version": new_v, "restored_from": version,
@@ -1395,7 +1605,8 @@ def compact(
         int(e.get("rows") or 0) - int(e.get("dv_rows") or 0) for e in rewrite
     )
     n_out = max(1, math.ceil(live_rows / max(1, target_file_rows)))
-    df = _scan_live(spark, root, schema, rewrite)
+    df = _scan_live(spark, root, schema, rewrite,
+                    colmap=man.get("colmap"))
     new_v = base_v + 1
     stats_cols = man.get("columns", [])
     # re-cluster so the compacted files keep tight min/max bounds — a
@@ -1409,7 +1620,8 @@ def compact(
             df.repartitionByRange(n_out, *stats_cols)
             if stats_cols else df.repartition(n_out)
         )
-    new_files = _write_commit_files(df, path, new_v, stats_cols)
+    new_files = _write_commit_files(df, path, new_v, stats_cols,
+                                    schema, man.get("colmap"))
     _commit(path, new_v, {
         "version": new_v,
         "schema": man["schema"],
@@ -1417,6 +1629,7 @@ def compact(
         **_txn_fields(man, None),
         **_constraint_fields(man),
         **_generated_fields(man),
+        **_colmap_fields(man),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {

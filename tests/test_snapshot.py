@@ -786,3 +786,121 @@ def test_compact_zorder_multi_dim_pruning(spark, tmp_path):
     want = sorted(r["a"] for r in full.where(F.col("b") <= n // 8).collect())
     got = sorted(r["a"] for r in pruned_b.where(F.col("b") >= 0).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: rename / drop without rewrite
+# ---------------------------------------------------------------------------
+
+def test_rename_column_manifest_only_full_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "cm")
+    df = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y")], ["k", "bal", "tag"]
+    )
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    files_before = {
+        e["file"] for e in sn._manifest_files(
+            path, sn._read_manifest(path, 0))
+    }
+    sn.rename_column(path, "bal", "balance")
+    # pure manifest commit: same data files, new logical name
+    files_after = {
+        e["file"] for e in sn._manifest_files(
+            path, sn._read_manifest(path, 1))
+    }
+    assert files_after == files_before
+    got = {r["k"]: r["balance"]
+           for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+    # time travel to v0 still reads the OLD name
+    old = sn.snapshot_read(spark, path, version=0)
+    assert "bal" in old.columns and "balance" not in old.columns
+    # writes speak the new logical name end-to-end
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(3, 30.0, "z")], ["k", "balance", "tag"]),
+        on=["k"],
+    )
+    sn.update_where(spark, path, "k = 1", {"balance": "balance + 5"},
+                    mode="cow")
+    sn.delete_where(spark, path, "k = 2", mode="mor")
+    sn.compact(spark, path, small_file_rows=10)
+    got = {r["k"]: r["balance"]
+           for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {1: 15.0, 3: 30.0}
+    # key-range pruning still works after the rename (stats physical)
+    rep = sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(99, 1.0, "q")], ["k", "balance", "tag"]),
+        on=["k"],
+    )
+    assert rep["files_added"] >= 1
+    # renaming the stats KEY column itself: reads+prunes keep working
+    sn.rename_column(path, "k", "pk")
+    pruned = sn.snapshot_read(spark, path, prune={"pk": (99, 99)})
+    assert [r["pk"] for r in pruned.collect()] == [99]
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(100, 2.0, "r")], ["pk", "balance", "tag"]),
+        on=["pk"], when_matched=None,
+    )
+    assert sn.snapshot_read(spark, path).where("pk = 100").count() == 1
+
+
+def test_rename_refuses_contract_references_and_conflicts(spark, tmp_path):
+    path = str(tmp_path / "cm2")
+    df = spark.createDataFrame([(1, 10)], ["k", "v"])
+    sn.snapshot_create(
+        spark, df, path, stats_cols=["k"],
+        constraints={"v_pos": "v > 0"},
+    )
+    with pytest.raises(ValueError, match="referenced by stored"):
+        sn.rename_column(path, "v", "val")
+    with pytest.raises(ValueError, match="already exists"):
+        sn.rename_column(path, "k", "v")
+    with pytest.raises(ValueError, match="no column"):
+        sn.rename_column(path, "nope", "x")
+
+
+def test_drop_column_invisible_without_rewrite(spark, tmp_path):
+    path = str(tmp_path / "cm3")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], ["k", "v", "tag"]
+    )
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    v1 = sn.drop_column(path, "tag")
+    got = sn.snapshot_read(spark, path)
+    assert got.columns == ["k", "v"]
+    # bytes still there: time travel to v0 reads the column
+    assert "tag" in sn.snapshot_read(spark, path, version=0).columns
+    # stats column is protected
+    with pytest.raises(ValueError, match="stats column"):
+        sn.drop_column(path, "k")
+    # a later merge needs only the surviving columns
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(3, 30)], ["k", "v"]),
+        on=["k"], when_matched=None,
+    )
+    assert sn.snapshot_read(spark, path).count() == 3
+    assert v1 == 1
+
+
+def test_rename_then_cdf_and_generated_interplay(spark, tmp_path):
+    path = str(tmp_path / "cm4")
+    df = spark.createDataFrame([(1, 2.0)], ["k", "price"])
+    sn.snapshot_create(
+        spark, df, path, stats_cols=["k"],
+        generated={"cents": "CAST(round(price * 100) AS BIGINT)"},
+    )
+    # renaming a generated col's BASE column is refused (expr breaks)
+    with pytest.raises(ValueError, match="referenced by stored"):
+        sn.rename_column(path, "price", "cost")
+    # renaming the GENERATED column itself carries its rule
+    sn.rename_column(path, "cents", "price_cents")
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(2, 3.0)], ["k", "price"]),
+        on=["k"], when_matched=None,
+    )
+    got = {r["k"]: r["price_cents"]
+           for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {1: 200, 2: 300}
