@@ -59,15 +59,17 @@ Layout::
   because old manifests don't reference the new sidecar.
 
 Differences from Delta, stated honestly: schema evolution on merge is
-add-column only (``schema_evolution=True``; no drop/retype),
-deletion vectors are position LISTS not bitmaps (each delete commit
-appends one sidecar ref per touched file; ``compact`` resets the
-list — bounded by deletes-since-last-compact, same debt Delta's
-OPTIMIZE pays down), single-table transactions only, and the
+add-column only (``schema_evolution=True``; no retype), deletion
+vectors are position LISTS not bitmaps (each delete commit appends
+one sidecar ref per touched file; ``compact`` resets the list —
+bounded by deletes-since-last-compact, same debt Delta's OPTIMIZE
+pays down), single-table transactions only, and the
 optimistic-concurrency loser must re-run rather than auto-rebase.
 Implemented parity beyond MERGE: time travel, RESTORE, VACUUM with
-retention, OPTIMIZE, UPDATE/DELETE (cow + mor), stats-based read
-pruning, change data feed, CHECK constraints
+retention, OPTIMIZE (+ ZORDER BY), UPDATE/DELETE (cow + mor),
+stats-based read pruning, change data feed (batch + streaming),
+column mapping (RENAME/DROP COLUMN as pure manifest commits —
+physical parquet names are immutable), CHECK constraints
 (:func:`add_constraint` — validated on existing data, enforced on
 every write path, carried through every commit), GENERATED ALWAYS AS
 columns (computed when absent, verified when provided, recomputed on
