@@ -447,3 +447,78 @@ def test_merge_clusters_any_batch_order_matches_from_scratch(spark, case):
         labels = spark.createDataFrame(labels.collect(), "id long, cluster_id long")
     got = sorted((r.id, r.cluster_id) for r in labels.collect())
     assert got == _naive_cc_min_labels(edges)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot column mapping under random op sequences vs a dict model
+# ---------------------------------------------------------------------------
+
+_SNAP_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), st.integers(2, 5), st.integers(-9, 9)),
+        st.tuples(st.just("update"), st.integers(2, 4), st.integers(1, 9)),
+        st.tuples(st.just("delete"), st.integers(2, 6), st.just(0)),
+        st.tuples(st.just("rename"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=_SNAP_OPS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_colmap_op_sequences_match_model(spark, tmp_path_factory, ops):
+    """Random interleavings of MERGE / UPDATE / DELETE / RENAME against
+    a trivially-correct dict model: column mapping must be invisible to
+    every data operation — same keys, same values, whatever the rename
+    history — because renames are manifest-only and physical names are
+    immutable."""
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path_factory.mktemp("snapprop") / "tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    keys = list(range(8))
+    model = {k: k * 10 for k in keys}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in model.items()], ["k", "v0"]
+    )
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    vname = "v0"
+    gen = 0
+    for op, m, d in ops:
+        if op == "merge":  # upsert keys % m == 0 to value d, insert m+20
+            src_rows = [(k, d) for k in keys if k % m == 0] + [(m + 20, d)]
+            sn.merge_into(
+                spark, path,
+                spark.createDataFrame(src_rows, ["k", vname]),
+                on=["k"],
+            )
+            for k, v in src_rows:
+                model[k] = v
+        elif op == "update":
+            sn.update_where(
+                spark, path, f"k % {m} = 1", {vname: f"{vname} + {d}"},
+                mode="cow" if d % 2 else "mor",
+            )
+            for k in list(model):
+                if k % m == 1:
+                    model[k] += d
+        elif op == "delete":
+            sn.delete_where(
+                spark, path, f"k % {m} = 0", mode="mor" if m % 2 else "cow",
+            )
+            for k in list(model):
+                if k % m == 0:
+                    del model[k]
+        else:  # rename the value column
+            gen += 1
+            new = f"v{gen}"
+            sn.rename_column(path, vname, new)
+            vname = new
+    got = {
+        r["k"]: r[vname] for r in sn.snapshot_read(spark, path).collect()
+    }
+    assert got == model
