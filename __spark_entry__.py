@@ -62,67 +62,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history run FIRST — the harness records ~50 verdicts per round, so
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
-    first verdict. Round 9 head: the round-8 red (its compare is now
-    integer-exact), then t_top_dup_ngrams (rewritten in r8/r9, its
-    latest driver verdict predates the rewrite), then any new round-9
-    queries, then the 20 queries whose latest green is round 5 (the
-    last staleness tranche — judge's r8 ask #2), then the oldest
-    round-6 block; fresher greens roll to round 10.
+    first verdict. Round 10 head: new round-10 queries (no verdict
+    yet), then the two snapshot streaming queries whose readers were
+    reimplemented on the partitioned DataSourceStreamReader API this
+    round (their latest verdicts predate the rewrite), then the final
+    43 queries whose latest driver green is round 6 (VERDICT r9
+    "Next round" #1 — this tranche retires the entire rotation debt).
     """
     first = [
-        # round-8 red — the compare now hashes integer-exact columns
-        "t_quality_classifier",
-        # plan-stale: rewired onto the heavy-hitter screen in r8 and
-        # probe-gated in r9; latest driver verdict (r6) predates both
-        "t_top_dup_ngrams",
-        # new round-9 queries — no verdict yet
-        "s24_merge_schema_evolution",
-        "s25_delete_vectors", "s26_compact_optimize",
-        "str11_stream_merge_snapshot", "s27_update_restore",
-        "t_bpe_pair_counts", "t_corpus_diversity", "sim_topk_ivf_pq",
-        "s28_snapshot_skipping", "s29_change_data_feed",
-        "corpus_bloom_decontaminate", "corpus_strip_boilerplate",
-        "sketch_quantile_bounds", "s30_check_constraints",
-        "str12_stream_snapshot_tail", "sim_hard_negatives",
-        "j15_record_linkage", "dq_k_anonymity", "dq_l_diversity",
-        "sim_topk_ivf_pq_indexed", "ts_ohlc_bars",
-        "s31_generated_columns", "str13_stream_cdf",
-        # round-5 greens, three rounds stale — the final tranche
-        # (VERDICT r8 "Next round" #2, listed explicitly)
-        "s15_sorted_compact_roundtrip", "s1_csv_roundtrip",
-        "s45_sink_roundtrip", "s6_reject_quarantine_roundtrip",
-        "sim_topk_ivf_indexed", "sim_topk_lsh", "sketch_distinct_bounds",
-        "str1_stream_windowed_counts", "str2_stream_sessionize",
-        "str3_stream_running_totals",
-        "t_repetition_ngrams", "t_token_count", "u4_intersect_except",
-        "w10_distribution_ranks", "w11_range_frame",
-        "w12_funnel_conversion", "w2w3_scd2_from_history",
-        "w6_trailing_average", "w8_sessionize", "w9_ntile_quartiles",
-        # round-6 greens, the oldest remaining block — ~28 fit the
-        # ~50-row budget, the tail rolls to round 10
-        "a14_histogram", "a15_cube", "a16_unpivot",
-        "a1_topk_customers", "a2_conditional_agg_owner",
+        # new round-10 queries — no verdict yet (prepended as added)
+        # readers rewritten this round (driver-side -> partitioned);
+        # latest greens (r9) predate the rewrite
+        "str12_stream_snapshot_tail", "str13_stream_cdf",
+        # the 43 round-6-stale queries — the whole remaining debt
         "a3_yearly_rollup", "a4_distinct_counts", "a5_global_minmax",
-        "a6_frequency_classify",
-        "corpus_dedup_chunks", "corpus_shuffle_shards",
-        "corpus_weighted_sample",
+        "a6_frequency_classify", "corpus_dedup_chunks",
+        "corpus_shuffle_shards", "corpus_weighted_sample",
         "dedup_audit_cluster_sizes", "dedup_clusters_merged",
         "dedup_containment", "dedup_cross_source_matrix",
-        "dedup_semantic_clusters", "dedup_url_canonical",
-        "dq_date_gaps", "dq_skew_report", "dq_winsorize",
-        "e2e_corpus_curation", "e2e_semantic_curation",
-        "emb_centroid_coherence",
-        "f_map_funcs", "f_pandas_udaf_median", "f_sql_udf",
-        "f_variant_extract",
+        "dedup_semantic_clusters", "dedup_url_canonical", "dq_date_gaps",
+        "dq_skew_report", "dq_winsorize", "e2e_corpus_curation",
+        "e2e_semantic_curation", "emb_centroid_coherence", "f_map_funcs",
+        "f_pandas_udaf_median", "f_sql_udf", "f_variant_extract",
         "graph_pagerank_hubs", "inc_rollup_merge", "j14_inferred_members",
-        "mm_image_metadata",
-        "s18_orc_roundtrip", "s19_jsonl_roundtrip", "s20_python_datasource",
-        "s21_binaryfile_scan", "s22_schema_evolution_scan",
-        "sketch_rolling_distinct",
+        "mm_image_metadata", "s18_orc_roundtrip", "s19_jsonl_roundtrip",
+        "s20_python_datasource", "s21_binaryfile_scan",
+        "s22_schema_evolution_scan", "sketch_rolling_distinct",
         "str8_stream_incremental_dedup", "str9_stream_incremental_clusters",
         "t_bigram_logprob", "t_js_divergence", "t_oov_rate", "t_strip_html",
-        "ts_gapfill_interp", "ts_trend_slope",
-        "w13_clean_path_conversions", "w14_max_drawdown",
+        "ts_gapfill_interp", "ts_trend_slope", "w13_clean_path_conversions",
+        "w14_max_drawdown"
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"
