@@ -23,6 +23,8 @@ custom-source flexibility; bulk analytics stays on parquet/ORC scans.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -380,12 +382,24 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
                     phys,
                 )
             }
+            def differs(a, b):
+                # NaN-aware: batch snapshot_changes compares with
+                # eqNullSafe, under which NaN == NaN — Python's != says
+                # NaN != NaN, which would emit phantom update pairs for
+                # every untouched NaN row on a touched-file diff
+                if a is b:
+                    return False
+                if (isinstance(a, float) and isinstance(b, float)
+                        and math.isnan(a) and math.isnan(b)):
+                    return False
+                return a != b
+
             for k, r in new.items():
                 if k not in old:
                     out.append((*r, "insert", v))
                 else:
                     o = old[k]
-                    if any(o[i] != r[i] for i in vidx):
+                    if any(differs(o[i], r[i]) for i in vidx):
                         out.append((*o, "update_preimage", v))
                         out.append((*r, "update_postimage", v))
             for k, r in old.items():

@@ -418,13 +418,45 @@ def _generated_fields(man: dict | None, generated: dict | None = None) -> dict:
     return {"generated": cur} if cur else {}
 
 
-def _colmap_fields(man: dict | None, colmap: dict | None = None) -> dict:
-    """Manifest column-mapping map (logical → physical parquet name):
-    carried forward on every commit, or replaced when given."""
+def _colmap_fields(
+    man: dict | None,
+    colmap: dict | None = None,
+    dropped: list[str] | None = None,
+) -> dict:
+    """Manifest column-mapping map (logical → physical parquet name)
+    plus the RETIRED physical names (``dropped_phys``): both carried
+    forward on every commit, or replaced when given. Retired names are
+    never reused — a schema-evolving merge that re-adds a dropped
+    column's logical name must map it to a FRESH physical name, or old
+    files would resurrect the dropped column's bytes instead of
+    reading NULL (Delta avoids this with per-column physical IDs)."""
     cur = colmap if colmap is not None else dict(
         (man or {}).get("colmap", {})
     )
-    return {"colmap": cur} if cur else {}
+    gone = dropped if dropped is not None else list(
+        (man or {}).get("dropped_phys", [])
+    )
+    out: dict = {"colmap": cur} if cur else {}
+    if gone:
+        out["dropped_phys"] = gone
+    return out
+
+
+def _reserved_physical(man: dict, schema: StructType) -> set[str]:
+    """Every physical parquet name that may exist in ANY live data
+    file of the table: the current columns' physical names plus the
+    retired (dropped) physical names still present in pre-drop files."""
+    cmap = man.get("colmap") or {}
+    live = {_phys(cmap, f.name) for f in schema.fields}
+    return live | set(man.get("dropped_phys", []))
+
+
+def _fresh_physical(reserved: set[str]) -> str:
+    """A physical parquet name no live or retired column ever used."""
+    while True:
+        name = f"col-{uuid.uuid4().hex[:12]}"
+        if name not in reserved:
+            return name
 
 
 def _expr_references(exprs: dict[str, str], col: str) -> list[str]:
@@ -491,7 +523,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         **_txn_fields(man, None),
         **_constraint_fields(man),
         **_generated_fields(None, gen),
-        **_colmap_fields(None, cmap),
+        **_colmap_fields(man, cmap),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
     return new_v
@@ -530,7 +562,14 @@ def drop_column(path: str, col: str) -> int:
             f"drop_column: {col!r} is referenced by stored expressions "
             f"{refs} — drop them first"
         )
+    retired = _phys(cmap, col)
     cmap.pop(col, None)
+    # retire the physical name FOREVER: pre-drop files still carry its
+    # bytes, so a re-added column with the same logical name must get a
+    # fresh physical name or those bytes would silently resurrect
+    dropped = list(man.get("dropped_phys", []))
+    if retired not in dropped:
+        dropped.append(retired)
     new_schema = StructType(
         [f for f in schema.fields if f.name != col]
     )
@@ -543,7 +582,7 @@ def drop_column(path: str, col: str) -> int:
         **_txn_fields(man, None),
         **_constraint_fields(man),
         **_generated_fields(None, gen),
-        **_colmap_fields(None, cmap),
+        **_colmap_fields(None, cmap, dropped),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
     return new_v
@@ -1120,8 +1159,22 @@ def merge_into(
             "pass schema_evolution=True to append them, or drop them "
             "from the source"
         )
+    cmap = dict(man.get("colmap") or {})
     if schema_evolution and extra:
         evolved = extra
+        # a new column's physical parquet name defaults to its logical
+        # name — UNLESS that physical name is already taken (a renamed
+        # column still owns its original physical name) or was retired
+        # by a DROP (pre-drop files still carry its bytes, which must
+        # read as NULL, never resurrect). Either way the new column
+        # gets a fresh unique physical name via the column map — the
+        # Delta per-column-physical-ID move.
+        reserved = _reserved_physical(man, schema)
+        for c in evolved:
+            if c in reserved:
+                fresh = _fresh_physical(reserved)
+                cmap[c] = fresh
+                reserved.add(fresh)
         new_fields = [
             StructField(f.name, f.dataType, True)
             for f in source.select(*evolved).schema.fields
@@ -1160,10 +1213,13 @@ def merge_into(
     src = source.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
-    # CHECK constraints gate the rows this merge can WRITE (updates +
-    # inserts come from the source verbatim); a delete-only merge
-    # writes nothing and is exempt, like Delta's
-    if when_matched == "update" or when_not_matched == "insert":
+    # CHECK constraints gate only the rows this merge can WRITE, like
+    # Delta: with both update AND insert enabled every source row is
+    # written (validate the whole source — no join needed); with just
+    # one branch, the written set is the semi/anti join against the
+    # target keys, validated below once tgt_keys exists. A delete-only
+    # merge writes nothing and is exempt.
+    if when_matched == "update" and when_not_matched == "insert":
         _validate_constraints(
             src, man.get("constraints", {}), "merge source rows"
         )
@@ -1178,8 +1234,8 @@ def merge_into(
     man_files = _manifest_files(path, man)
     # pruning speaks PHYSICAL: manifest stats are keyed by on-disk
     # names, so translate the key columns (and the probe frame) when a
-    # rename remapped them
-    cmap = man.get("colmap") or {}
+    # rename remapped them (``cmap`` may have gained fresh physical
+    # names for evolved columns above)
     on_phys = [_phys(cmap, c) for c in on]
     src_probe = src.select(*[
         F.col(c).alias(_phys(cmap, c)) for c in on
@@ -1200,6 +1256,22 @@ def merge_into(
         colmap=cmap,
     )
     tgt_keys = tgt.select(*on).distinct()
+    # deferred single-branch constraint validation: only the concrete
+    # written subset (matched source rows for update-only, unmatched
+    # for insert-only) — unmatched rows of an update-only merge are
+    # never written and must not block it (stricter-than-Delta bug,
+    # round-10 advice)
+    if man.get("constraints"):
+        if when_matched == "update" and when_not_matched != "insert":
+            _validate_constraints(
+                src.join(tgt_keys, on, "semi"),
+                man["constraints"], "merge update rows",
+            )
+        elif when_not_matched == "insert" and when_matched != "update":
+            _validate_constraints(
+                src.join(tgt_keys, on, "left_anti"),
+                man["constraints"], "merge insert rows",
+            )
 
     stats_cols = man.get("columns", on)
     dv_counts: dict[str, int] = {}
@@ -1243,7 +1315,7 @@ def merge_into(
         for p in parts[1:]:
             out = out.unionByName(p)
         new_files = _write_commit_files(out, path, new_v, stats_cols,
-                                        schema, man.get("colmap"))
+                                        schema, cmap or None)
     _commit(path, new_v, {
         "version": new_v,
         "schema": schema.json() if evolved else man["schema"],
@@ -1251,7 +1323,7 @@ def merge_into(
         **_txn_fields(man, txn),
         **_constraint_fields(man),
         **_generated_fields(man),
-        **_colmap_fields(man),
+        **_colmap_fields(man, cmap),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {
@@ -1537,7 +1609,27 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
             f"{version} were vacuumed (first: {missing[0]}) — the version "
             "is no longer restorable"
         )
+    # the carried-forward constraints are ACTIVE contracts — the
+    # restored (older) data must satisfy them, exactly as
+    # add_constraint validates existing rows. Without this, a restore
+    # could silently reinstate rows violating a constraint added after
+    # the restored version (round-10 advice).
+    if cur.get("constraints"):
+        _validate_constraints(
+            _scan_live(
+                spark, root,
+                StructType.fromJson(json.loads(tgt["schema"])),
+                entries, colmap=tgt.get("colmap"),
+            ),
+            cur["constraints"],
+            f"restored rows of version {version}",
+        )
     new_v = cur_v + 1
+    # retired physical names only ever grow — union both manifests so
+    # no fresh-physical-name guarantee is lost across the rollback
+    dropped = list(dict.fromkeys(
+        list(tgt.get("dropped_phys", [])) + list(cur.get("dropped_phys", []))
+    ))
     _commit(path, new_v, {
         "version": new_v,
         "schema": tgt["schema"],
@@ -1548,7 +1640,7 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
         **_constraint_fields(cur),
         **_generated_fields(cur),
         # colmap belongs to the restored SCHEMA — travel with it
-        **_colmap_fields(tgt),
+        **_colmap_fields(tgt, dropped=dropped),
         **_files_fields(path, new_v, entries, tgt.get("columns", [])),
     })
     return {"version": new_v, "restored_from": version,

@@ -222,3 +222,27 @@ def test_snapshot_cdf_refuses_vacuumed_offset(spark, tmp_path):
     # the retained frontier still streams
     rows, off = r.read({"version": 3})
     assert list(rows) == [] and off == {"version": 3}
+
+
+def test_snapshot_cdf_stream_nan_rows_not_phantom_updates(spark, tmp_path):
+    """Round-10 advice: batch CDF compares with eqNullSafe (NaN==NaN);
+    the stream diff must agree — a NaN value column in a touched file
+    must NOT emit phantom update pre/post pairs for untouched rows."""
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path / "cdfnan")
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 20.0)], ["k", "v"]
+    ).coalesce(1)
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    r = datasources.SnapshotCDFStreamReader({"path": path, "key_cols": "k"})
+    # COW-update row k=2 in the single file that also holds the NaN row
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(2, 22.0)], ["k", "v"]),
+        on=["k"],
+    )
+    rows, off = r.read({"version": 0})
+    assert off == {"version": 1}
+    kinds = sorted((t[0], t[2]) for t in rows)
+    # only k=2 changed; the NaN row k=1 must not appear at all
+    assert kinds == [(2, "update_postimage"), (2, "update_preimage")]

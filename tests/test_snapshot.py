@@ -904,3 +904,122 @@ def test_rename_then_cdf_and_generated_interplay(spark, tmp_path):
     got = {r["k"]: r["price_cents"]
            for r in sn.snapshot_read(spark, path).collect()}
     assert got == {1: 200, 2: 300}
+
+
+def test_dropped_column_readd_reads_null_not_old_bytes(spark, tmp_path):
+    """Round-10 advice (high): after DROP COLUMN, a schema-evolving
+    merge re-adding the same logical name must NOT resurrect the
+    dropped column's bytes from pre-drop files — the re-added column
+    gets a FRESH physical name, so old files read NULL (Delta's
+    per-column physical-ID behavior)."""
+    path = str(tmp_path / "cm5")
+    df = spark.createDataFrame(
+        [(1, 10, "secret-a"), (2, 20, "secret-b")], ["k", "v", "tag"]
+    )
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    sn.drop_column(path, "tag")
+    # re-add 'tag' through schema evolution with NEW values for k=3
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(3, 30, "fresh")], ["k", "v", "tag"]),
+        on=["k"], when_matched=None, schema_evolution=True,
+    )
+    got = {r["k"]: r["tag"] for r in sn.snapshot_read(spark, path).collect()}
+    # pre-drop rows MUST be NULL — "secret-a"/"secret-b" may never leak
+    assert got == {1: None, 2: None, 3: "fresh"}
+    man = sn._read_manifest(path, sn.current_version(path))
+    assert man["colmap"]["tag"].startswith("col-")
+    assert "tag" in man["dropped_phys"]
+    # and the fresh physical name survives a further plain merge
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(4, 40, "later")], ["k", "v", "tag"]),
+        on=["k"], when_matched=None,
+    )
+    got = {r["k"]: r["tag"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {1: None, 2: None, 3: "fresh", 4: "later"}
+
+
+def test_readd_after_rename_gets_fresh_physical_name(spark, tmp_path):
+    """Round-10 advice (low): rename a->b leaves physical 'a' owned by
+    b; a schema-evolving merge adding a NEW column 'a' must remap it to
+    a fresh physical name instead of dying on a duplicate parquet
+    field (or silently reading b's bytes)."""
+    path = str(tmp_path / "cm6")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 100)], ["k", "a"]), path,
+        stats_cols=["k"],
+    )
+    sn.rename_column(path, "a", "b")
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(2, 200, 5)], ["k", "b", "a"]),
+        on=["k"], when_matched=None, schema_evolution=True,
+    )
+    rows = {r["k"]: (r["b"], r["a"])
+            for r in sn.snapshot_read(spark, path).collect()}
+    assert rows == {1: (100, None), 2: (200, 5)}
+    man = sn._read_manifest(path, sn.current_version(path))
+    # b still reads physical 'a'; new 'a' got a fresh physical name
+    assert man["colmap"]["b"] == "a"
+    assert man["colmap"]["a"].startswith("col-")
+
+
+def test_merge_constraints_check_only_written_rows(spark, tmp_path):
+    """Round-10 advice (low): an update-only merge must ignore
+    constraint violations in UNMATCHED source rows (they are never
+    written); Delta validates only written rows."""
+    path = str(tmp_path / "cn1")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]),
+        path, stats_cols=["k"], constraints={"v_pos": "v > 0"},
+    )
+    src = spark.createDataFrame([(1, 11), (99, -5)], ["k", "v"])
+    # update-only: k=99 never matches, its v=-5 must not block
+    sn.merge_into(spark, path, src, on=["k"],
+                  when_matched="update", when_not_matched=None)
+    got = {r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {1: 11, 2: 20}
+    # but a MATCHED violating row still raises
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        sn.merge_into(
+            spark, path,
+            spark.createDataFrame([(2, -1)], ["k", "v"]), on=["k"],
+            when_matched="update", when_not_matched=None,
+        )
+    # insert-only: a violating row that MATCHES (never inserted) passes
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(1, -7), (3, 30)], ["k", "v"]), on=["k"],
+        when_matched=None, when_not_matched="insert",
+    )
+    got = {r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {1: 11, 2: 20, 3: 30}
+    # both branches enabled: any source row violating raises
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        sn.merge_into(
+            spark, path,
+            spark.createDataFrame([(4, -4)], ["k", "v"]), on=["k"],
+            when_matched="update", when_not_matched="insert",
+        )
+
+
+def test_restore_revalidates_active_constraints(spark, tmp_path):
+    """Round-10 advice (low): restore carries the CURRENT constraints
+    forward, so it must re-validate the restored (older) rows against
+    them — reinstating violating rows silently would break the active
+    contract."""
+    path = str(tmp_path / "cn2")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, -10), (2, 20)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    # v1: fix the negative row, then add the constraint (validates ok)
+    sn.update_where(spark, path, "k = 1", {"v": "10"})
+    sn.add_constraint(spark, path, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        sn.restore(spark, path, 0)  # v0 has v=-10 under an active check
+    # restoring a compliant version still works
+    v = sn.restore(spark, path, 1)["version"]
+    assert {r["v"] for r in sn.snapshot_read(spark, path).collect()} == {10, 20}
+    assert v == sn.current_version(path)
