@@ -24,12 +24,13 @@ custom-source flexibility; bulk analytics stays on parquet/ORC scans.
 from __future__ import annotations
 
 import math
+import zlib
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 
@@ -108,25 +109,38 @@ def _snapshot_schema(path: str):
     )
 
 
-class SnapshotAppendStreamReader(SimpleDataSourceStreamReader):
-    """Driver-side micro-batch reader over a snapshot table's manifest
+class _SnapshotFilePartition(InputPartition):
+    """One NEW data file of one committed version: everything an
+    executor task needs to emit its rows, no driver state."""
+
+    def __init__(self, path: str, file: str, phys: list[str]):
+        self.path = path
+        self.file = file
+        self.phys = phys
+
+
+class SnapshotAppendStreamReader(DataSourceStreamReader):
+    """Partitioned micro-batch reader over a snapshot table's manifest
     history — the semantics of ``spark.readStream`` on a Delta table.
 
     Offsets are ``{"version": N}``; each batch emits the rows of data
-    files INTRODUCED by versions ``(start, current]`` (append
-    semantics: with mor/append-only writers, new files contain exactly
-    the new rows). A version that REMOVES a previously-streamed file
-    or attaches a deletion vector to one is a data change a pure
-    append stream cannot represent — it raises unless
+    files INTRODUCED by versions ``(start, end]`` (append semantics:
+    with mor/append-only writers, new files contain exactly the new
+    rows). A version that REMOVES a previously-streamed file or
+    attaches a deletion vector to one is a data change a pure append
+    stream cannot represent — planning raises unless
     ``ignore_changes=true``, exactly Delta's
     ``ignoreChanges``/``ignoreDeletes`` contract. Reading committed
     manifests only means a concurrent writer can never expose a half
     batch.
 
-    Scale notes: this is the SIMPLE (driver-side) reader — rows flow
-    through one Python process, right-sized for CDC-scale feeds (the
-    deltas, not the table). A corpus-scale backfill belongs on the
-    partitioned batch path (``snapshot_read``), not a stream replay.
+    Scale shape (the round-10 promotion off the driver): the DRIVER
+    only diffs manifests — ``partitions()`` returns one
+    ``InputPartition`` per new data file, and EXECUTOR tasks read the
+    files via pyarrow in parallel; no row ever flows through a single
+    driver-side Python process. Planning is a pure function of the
+    immutable manifest history, so checkpoint replay of
+    ``partitions(start, end)`` reproduces the batch exactly.
     """
 
     def __init__(self, options):
@@ -135,48 +149,36 @@ class SnapshotAppendStreamReader(SimpleDataSourceStreamReader):
             str(options.get("ignore_changes", "false")).lower() == "true"
         )
 
-    # -- SimpleDataSourceStreamReader interface -------------------------
+    # -- DataSourceStreamReader interface --------------------------------
     def initialOffset(self):
         return {"version": -1}
 
-    def read(self, start):
+    def latestOffset(self):
         from aws_medallion_etl_spark import snapshot as snap
 
         cur = snap.current_version(self.path)
-        v0 = int(start["version"])
-        if cur is None or cur <= v0:
-            return iter([]), dict(start)
-        # a MATERIALIZED list-iterator, not a generator: Spark's
-        # simple-reader prefetch cache calls next() on the return value
-        # AND copy.copy()s it between planning and execution — a
-        # generator fails the copy, a bare list fails the next(). Batch
-        # size = the delta between offsets — CDC-scale by design (see
-        # class doc).
-        return iter(list(self._rows_between(v0, cur))), {"version": cur}
+        return {"version": -1 if cur is None else int(cur)}
 
-    def readBetweenOffsets(self, start, end):
-        return iter(list(
-            self._rows_between(int(start["version"]), int(end["version"]))
-        ))
-
-    def commit(self, end):
-        pass
-
-    # -- internals -------------------------------------------------------
-    def _rows_between(self, v0: int, v1: int):
-        import os as _os
-
-        import pyarrow.parquet as _pq
+    def partitions(self, start, end):
+        import json as _json
 
         from aws_medallion_etl_spark import snapshot as snap
 
-        names = [f.name for f in _snapshot_schema(self.path).fields]
-        cur_man = snap._read_manifest(
-            self.path, snap.current_version(self.path)
-        )
-        cmap = cur_man.get("colmap") or {}
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0:
+            return []
+        # projection speaks the END manifest's logical schema + column
+        # map — deterministic per (start, end), so replay re-plans the
+        # identical partitions
+        man_end = snap._read_manifest(self.path, v1)
+        names = [
+            f["name"] for f in _json.loads(man_end["schema"])["fields"]
+        ]
+        cmap = man_end.get("colmap") or {}
         phys = [cmap.get(n, n) for n in names]
-        versions = [v for v in snap.snapshot_versions(self.path) if v <= v1]
+        versions = [
+            v for v in snap.snapshot_versions(self.path) if v0 < v <= v1
+        ]
         prev: dict[str, tuple] = {}
         if v0 >= 0:
             prev = {
@@ -185,9 +187,8 @@ class SnapshotAppendStreamReader(SimpleDataSourceStreamReader):
                     self.path, snap._read_manifest(self.path, v0)
                 )
             }
+        parts: list[_SnapshotFilePartition] = []
         for v in versions:
-            if v <= v0:
-                continue
             entries = snap._manifest_files(
                 self.path, snap._read_manifest(self.path, v)
             )
@@ -207,24 +208,36 @@ class SnapshotAppendStreamReader(SimpleDataSourceStreamReader):
                     "that; set option ignore_changes=true to skip, or "
                     "consume snapshot_changes() in batch"
                 )
-            for e in entries:
-                if e["file"] in prev:
-                    continue
-                t = _pq.read_table(_os.path.join(self.path, e["file"]))
-                have = set(t.column_names)
-                for row in t.to_pylist():
-                    # files speak PHYSICAL column names (renames are
-                    # manifest-only); emit in logical schema order
-                    yield tuple(
-                        row[p] if p in have else None for p in phys
-                    )
+            parts.extend(
+                _SnapshotFilePartition(self.path, e["file"], phys)
+                for e in entries if e["file"] not in prev
+            )
             prev = cur
+        return parts
+
+    def read(self, partition):
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(_os.path.join(partition.path, partition.file))
+        have = set(t.column_names)
+        for row in t.to_pylist():
+            # files speak PHYSICAL column names (renames are
+            # manifest-only); emit in logical schema order
+            yield tuple(
+                row[p] if p in have else None for p in partition.phys
+            )
+
+    def commit(self, end):
+        pass
 
 
 class SnapshotAppendDataSource(DataSource):
     """``spark.readStream.format("snapshot_append").option("path", p)``
     — the Delta streaming-source surface over snapshot tables, via the
-    Spark 4 Python streaming DataSource API."""
+    Spark 4 Python streaming DataSource API (partition-planning
+    reader: executors scan new files in parallel)."""
 
     @classmethod
     def name(cls) -> str:
@@ -233,7 +246,7 @@ class SnapshotAppendDataSource(DataSource):
     def schema(self):
         return _snapshot_schema(str(self.options["path"]))
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return SnapshotAppendStreamReader(self.options)
 
 
@@ -249,7 +262,7 @@ def register_streaming(spark) -> None:
 def _live_rows_pyarrow(path: str, entries: list[dict], names: list[str]):
     """Rows of the given manifest entries as python tuples, deletion
     vectors applied — the pyarrow mirror of ``snapshot._scan_live``
-    for the driver-side stream reader (no Spark inside a DataSource).
+    for stream-reader EXECUTOR tasks (no Spark inside a DataSource).
     Missing columns (pre-evolution files) read as None."""
     import os as _os
 
@@ -277,20 +290,66 @@ def _live_rows_pyarrow(path: str, entries: list[dict], names: list[str]):
     return out
 
 
-class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
+def _cdf_key_bucket(key: tuple, n: int) -> int:
+    """Deterministic cross-process bucket of a key tuple. Python's
+    ``hash`` is salted per process — useless across executors; crc32 of
+    the canonical repr is stable for the primitive key types a CDF key
+    can hold (int/str/float/bool/date/None)."""
+    return zlib.crc32(repr(key).encode("utf-8")) % n
+
+
+def _cdf_differs(a, b) -> bool:
+    """NaN-aware value inequality: batch snapshot_changes compares with
+    eqNullSafe, under which NaN == NaN — Python's != says NaN != NaN,
+    which would emit phantom update pairs for every untouched NaN row
+    on a touched-file diff."""
+    if a is b:
+        return False
+    if (isinstance(a, float) and isinstance(b, float)
+            and math.isnan(a) and math.isnan(b)):
+        return False
+    return a != b
+
+
+class _CdfStepPartition(InputPartition):
+    """One key-hash bucket of one version step's keyed diff: the
+    churned manifest entries of both sides travel with the partition,
+    so the executor task needs no driver state."""
+
+    def __init__(self, path, commit_v, entries_a, entries_b, phys, kidx,
+                 bucket, n_buckets):
+        self.path = path
+        self.commit_v = commit_v
+        self.entries_a = entries_a
+        self.entries_b = entries_b
+        self.phys = phys
+        self.kidx = kidx
+        self.bucket = bucket
+        self.n_buckets = n_buckets
+
+
+class SnapshotCDFStreamReader(DataSourceStreamReader):
     """Streaming CHANGE DATA FEED over a snapshot table — Delta's
     ``readChangeFeed`` surface: each micro-batch emits the row-level
     changes of the versions committed since the last offset, typed as
     ``_change_type`` ∈ (insert, delete, update_preimage,
     update_postimage) with the ``_commit_version`` that produced them.
 
-    Per consecutive version pair the reader diffs the manifests FIRST
-    ((file, DV-set) signatures — files carried unchanged never load),
-    reads only the churned files via pyarrow with deletion vectors
-    applied, and computes the keyed diff driver-side — exact
-    ``snapshot_changes`` semantics, per single version step, no Spark
-    job inside the source. CDC-scale by design, like the append
-    reader: the rows that flow are the CHANGES, not the table.
+    Per consecutive version pair, PLANNING (driver) diffs the manifests
+    only — (file, DV-set) signatures; files carried unchanged never
+    load — and emits ``diff_partitions`` key-hash-bucket partitions per
+    step. EXECUTOR tasks read the churned files via pyarrow, keep only
+    their key bucket, and compute the keyed diff — exact
+    ``snapshot_changes`` semantics, no row ever flowing through a
+    driver-side process (the round-10 promotion off the driver).
+
+    Scale trade, stated honestly: every bucket task re-reads the
+    step's churned files (IO amplification = ``diff_partitions``) but
+    decodes/materializes only its share of rows, so wall-clock
+    parallelizes across buckets AND version steps while per-task
+    memory is bounded by churn/buckets. ``diff_partitions`` defaults
+    to 1 (CDC-scale churn: one task per step, still executor-side);
+    raise it when single commits rewrite many files.
     """
 
     def __init__(self, options):
@@ -301,6 +360,9 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
                 "snapshot_cdf: option key_cols (comma-separated) is required"
             )
         self.key_cols = [k.strip() for k in keys.split(",") if k.strip()]
+        self.diff_partitions = max(
+            1, int(options.get("diff_partitions", 1))
+        )
 
     def initialOffset(self):
         from aws_medallion_etl_spark import snapshot as snap
@@ -311,33 +373,20 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
         v = snap.current_version(self.path)
         return {"version": -1 if v is None else int(v)}
 
-    def read(self, start):
+    def latestOffset(self):
         from aws_medallion_etl_spark import snapshot as snap
 
-        cur = snap.current_version(self.path)
-        v0 = int(start["version"])
-        if cur is None or cur <= v0:
-            return iter([]), dict(start)
-        return (
-            iter(self._changes_between(v0, cur)),
-            {"version": int(cur)},
-        )
+        v = snap.current_version(self.path)
+        return {"version": -1 if v is None else int(v)}
 
-    def readBetweenOffsets(self, start, end):
-        return iter(
-            self._changes_between(int(start["version"]), int(end["version"]))
-        )
-
-    def commit(self, end):
-        pass
-
-    # -- internals -------------------------------------------------------
-    def _changes_between(self, v0: int, v1: int):
+    def partitions(self, start, end):
         import json as _json
 
         from aws_medallion_etl_spark import snapshot as snap
 
-        out = []
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0:
+            return []
         all_vs = snap.snapshot_versions(self.path)
         versions = [v for v in all_vs if v0 <= v <= v1]
         if not versions or versions[0] != v0:
@@ -351,6 +400,7 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
                 "reconstruct the pruned commits; restart from a fresh "
                 "offset or lengthen vacuum retention"
             )
+        parts: list[_CdfStepPartition] = []
         for prev_v, v in zip(versions, versions[1:]):
             man_a = snap._read_manifest(self.path, prev_v)
             man_b = snap._read_manifest(self.path, v)
@@ -360,7 +410,6 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
             cmap = man_b.get("colmap") or {}
             phys = [cmap.get(n, n) for n in names]
             kidx = [names.index(k) for k in self.key_cols]
-            vidx = [i for i in range(len(names)) if i not in kidx]
 
             def sig(e):
                 return (e["file"], tuple(sorted(e.get("dv") or [])))
@@ -368,44 +417,47 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
             ea = snap._manifest_files(self.path, man_a)
             eb = snap._manifest_files(self.path, man_b)
             common = {sig(e) for e in ea} & {sig(e) for e in eb}
-            old = {
-                tuple(r[i] for i in kidx): r
-                for r in _live_rows_pyarrow(
-                    self.path, [e for e in ea if sig(e) not in common],
-                    phys,
-                )
-            }
-            new = {
-                tuple(r[i] for i in kidx): r
-                for r in _live_rows_pyarrow(
-                    self.path, [e for e in eb if sig(e) not in common],
-                    phys,
-                )
-            }
-            def differs(a, b):
-                # NaN-aware: batch snapshot_changes compares with
-                # eqNullSafe, under which NaN == NaN — Python's != says
-                # NaN != NaN, which would emit phantom update pairs for
-                # every untouched NaN row on a touched-file diff
-                if a is b:
-                    return False
-                if (isinstance(a, float) and isinstance(b, float)
-                        and math.isnan(a) and math.isnan(b)):
-                    return False
-                return a != b
+            churn_a = [e for e in ea if sig(e) not in common]
+            churn_b = [e for e in eb if sig(e) not in common]
+            if not churn_a and not churn_b:
+                continue  # manifest-only commit (rename/constraint)
+            for b in range(self.diff_partitions):
+                parts.append(_CdfStepPartition(
+                    self.path, v, churn_a, churn_b, phys, kidx,
+                    b, self.diff_partitions,
+                ))
+        return parts
 
-            for k, r in new.items():
-                if k not in old:
-                    out.append((*r, "insert", v))
-                else:
-                    o = old[k]
-                    if any(differs(o[i], r[i]) for i in vidx):
-                        out.append((*o, "update_preimage", v))
-                        out.append((*r, "update_postimage", v))
-            for k, r in old.items():
-                if k not in new:
-                    out.append((*r, "delete", v))
-        return out
+    def read(self, partition):
+        p = partition
+        vidx = [i for i in range(len(p.phys)) if i not in p.kidx]
+
+        def keyed(entries):
+            rows = {}
+            for r in _live_rows_pyarrow(p.path, entries, p.phys):
+                k = tuple(r[i] for i in p.kidx)
+                if p.n_buckets > 1 and _cdf_key_bucket(
+                        k, p.n_buckets) != p.bucket:
+                    continue
+                rows[k] = r
+            return rows
+
+        old = keyed(p.entries_a)
+        new = keyed(p.entries_b)
+        for k, r in new.items():
+            if k not in old:
+                yield (*r, "insert", p.commit_v)
+            else:
+                o = old[k]
+                if any(_cdf_differs(o[i], r[i]) for i in vidx):
+                    yield (*o, "update_preimage", p.commit_v)
+                    yield (*r, "update_postimage", p.commit_v)
+        for k, r in old.items():
+            if k not in new:
+                yield (*r, "delete", p.commit_v)
+
+    def commit(self, end):
+        pass
 
 
 class SnapshotCDFDataSource(DataSource):
@@ -428,7 +480,7 @@ class SnapshotCDFDataSource(DataSource):
             ]
         )
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return SnapshotCDFStreamReader(self.options)
 
 

@@ -65,6 +65,16 @@ def _mk_table(spark, tmp_path, name):
     return path
 
 
+def _drain(r, start, end=None):
+    """Plan + read a partitioned stream reader between offsets — the
+    harness's microbatch loop, minus Spark."""
+    end = end if end is not None else r.latestOffset()
+    rows = []
+    for p in r.partitions(start, end):
+        rows.extend(r.read(p))
+    return rows, end
+
+
 def test_snapshot_stream_reader_offsets_and_replay(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -78,15 +88,20 @@ def test_snapshot_stream_reader_offsets_and_replay(spark, tmp_path):
 
     r = datasources.SnapshotAppendStreamReader({"path": path})
     assert r.initialOffset() == {"version": -1}
-    rows, off = r.read({"version": -1})
-    rows = list(rows)
+    assert r.latestOffset() == {"version": 1}
+    # the round-10 promotion: planning returns one partition per NEW
+    # data file — a multi-file table yields a multi-partition batch
+    # that executors scan in parallel, nothing flows driver-side
+    parts = r.partitions({"version": -1}, {"version": 1})
+    assert len(parts) > 1
+    rows, off = _drain(r, {"version": -1})
     assert off == {"version": 1} and len(rows) == 30
     assert {t[0] for t in rows} == set(range(20)) | set(range(100, 110))
-    # caught-up read advances nothing and emits nothing
-    empty, same = r.read(off)
-    assert list(empty) == [] and same == off
-    # replay between offsets is exact (checkpoint recovery path)
-    replay = list(r.readBetweenOffsets({"version": 0}, {"version": 1}))
+    # caught-up planning yields no partitions (start == end)
+    assert r.partitions(off, off) == []
+    # replay between offsets is exact (checkpoint recovery path:
+    # partitions() re-planned from the same offsets)
+    replay, _ = _drain(r, {"version": 0}, {"version": 1})
     assert {t[0] for t in replay} == set(range(100, 110))
 
 
@@ -106,13 +121,12 @@ def test_snapshot_stream_refuses_rewrites_unless_ignored(spark, tmp_path):
     sn.delete_where(spark, path, "k = 3", mode="cow")
     r = datasources.SnapshotAppendStreamReader({"path": path})
     with pytest.raises(ValueError, match="ignore_changes"):
-        list(r.read({"version": -1})[0])
+        r.partitions({"version": -1}, r.latestOffset())
     # explicit opt-out skips the rewritten file (Delta ignoreChanges)
     r2 = datasources.SnapshotAppendStreamReader(
         {"path": path, "ignore_changes": "true"}
     )
-    rows, off = r2.read({"version": -1})
-    rows = list(rows)
+    rows, off = _drain(r2, {"version": -1})
     assert off == {"version": 1}
     # Delta's documented ignoreChanges caveat holds here too: the cow
     # rewrite's output file is NEW to the stream, so surviving rows
@@ -170,23 +184,33 @@ def test_snapshot_cdf_stream_per_commit_changes(spark, tmp_path):
         on=["k"],
     )
     sn.delete_where(spark, path, "k = 5", mode="mor")
-    rows, off = r.read({"version": 0})
+    rows, off = _drain(r, {"version": 0})
     rows = sorted(rows)
     assert off == {"version": 2}
     assert rows == sorted([
         (3, 30, "update_preimage", 1), (3, -3, "update_postimage", 1),
         (100, 1000, "insert", 1), (5, 50, "delete", 2),
     ])
-    # replay between offsets reproduces exactly (checkpoint recovery)
-    again = sorted(r.readBetweenOffsets({"version": 0}, {"version": 2}))
-    assert again == rows
+    # replay between offsets reproduces exactly (checkpoint recovery:
+    # partitions() re-planned from the committed offsets)
+    again, _ = _drain(r, {"version": 0}, {"version": 2})
+    assert sorted(again) == rows
+    # key-hash sub-partitioning (diff_partitions > 1) splits each
+    # version step across executor tasks and reassembles the SAME diff
+    rb = datasources.SnapshotCDFStreamReader(
+        {"path": path, "key_cols": "k", "diff_partitions": 3}
+    )
+    parts = rb.partitions({"version": 0}, {"version": 2})
+    assert len(parts) == 6  # 2 version steps x 3 key buckets
+    bucketed, _ = _drain(rb, {"version": 0}, {"version": 2})
+    assert sorted(bucketed) == rows
     # an insert-then-delete across commits appears in BOTH feeds
     sn.merge_into(
         spark, path, spark.createDataFrame([(200, 1)], ["k", "v"]),
         on=["k"], when_matched=None,
     )
     sn.delete_where(spark, path, "k = 200", mode="cow")
-    step, off2 = r.read(off)
+    step, off2 = _drain(r, off)
     step = sorted(step)
     assert off2 == {"version": 4}
     assert step == sorted([(200, 1, "insert", 3), (200, 1, "delete", 4)])
@@ -218,10 +242,9 @@ def test_snapshot_cdf_refuses_vacuumed_offset(spark, tmp_path):
     r = datasources.SnapshotCDFStreamReader({"path": path, "key_cols": "k"})
     # an offset pointing at a pruned manifest must raise, never skip
     with pytest.raises(ValueError, match="no longer retained"):
-        r.read({"version": 0})
-    # the retained frontier still streams
-    rows, off = r.read({"version": 3})
-    assert list(rows) == [] and off == {"version": 3}
+        r.partitions({"version": 0}, r.latestOffset())
+    # the retained frontier still streams (caught up -> no partitions)
+    assert r.partitions({"version": 3}, {"version": 3}) == []
 
 
 def test_snapshot_cdf_stream_nan_rows_not_phantom_updates(spark, tmp_path):
@@ -241,7 +264,7 @@ def test_snapshot_cdf_stream_nan_rows_not_phantom_updates(spark, tmp_path):
         spark, path, spark.createDataFrame([(2, 22.0)], ["k", "v"]),
         on=["k"],
     )
-    rows, off = r.read({"version": 0})
+    rows, off = _drain(r, {"version": 0})
     assert off == {"version": 1}
     kinds = sorted((t[0], t[2]) for t in rows)
     # only k=2 changed; the NaN row k=1 must not appear at all
