@@ -269,3 +269,28 @@ def test_snapshot_cdf_stream_nan_rows_not_phantom_updates(spark, tmp_path):
     kinds = sorted((t[0], t[2]) for t in rows)
     # only k=2 changed; the NaN row k=1 must not appear at all
     assert kinds == [(2, "update_postimage"), (2, "update_preimage")]
+
+
+def test_snapshot_cdf_stream_continuous_across_rename(spark, tmp_path):
+    """The streaming CDF reads both diff sides under the end-manifest
+    PHYSICAL names, so a rename between commits never produces phantom
+    changes — only genuinely updated rows emit (batch parity)."""
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path / "cdfren2")
+    sn.snapshot_create(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], ["k", "a"]).coalesce(1),
+        path, stats_cols=["k"],
+    )
+    r = datasources.SnapshotCDFStreamReader({"path": path, "key_cols": "k"})
+    sn.rename_column(path, "a", "b")  # v1: manifest-only
+    sn.merge_into(                    # v2: update k=2 under the new name
+        spark, path, spark.createDataFrame([(2, 22)], ["k", "b"]),
+        on=["k"],
+    )
+    rows, off = _drain(r, {"version": 0})
+    assert off == {"version": 2}
+    assert sorted(rows) == [
+        (2, 20, "update_preimage", 2), (2, 22, "update_postimage", 2),
+    ]
