@@ -70,7 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     "Next round" #1 — this tranche retires the entire rotation debt).
     """
     first = [
-        # new round-10 queries — no verdict yet (prepended as added)
+        # new round-10 queries — no verdict yet
+        "s32_auto_optimize", "s33_cdf_rename_continuity",
         # readers rewritten this round (driver-side -> partitioned);
         # latest greens (r9) predate the rewrite
         "str12_stream_snapshot_tail", "str13_stream_cdf",
