@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # new round-10 queries — no verdict yet
         "s32_auto_optimize", "s33_cdf_rename_continuity",
+        "s34_multi_table_txn",
         # readers rewritten this round (driver-side -> partitioned);
         # latest greens (r9) predate the rewrite
         "str12_stream_snapshot_tail", "str13_stream_cdf",
