@@ -49,44 +49,43 @@ _STR1_SQL = """
 """
 
 
-def _events_stream(spark, sf_dir: str, tag: str) -> DataFrame:
+def _events_stream(spark, sf_dir: str, tag: str, copies: int = 1) -> DataFrame:
     """File-source events STREAM with ``ts`` normalized to TIMESTAMP.
 
     File-source streams must declare their schema; ``_events_probe``
     supplies it plus the encoding-appropriate ``ts`` rebuild (one
     dispatch shared with the batch path, so a future encoding change
     is fixed in one place). The file-stream source monitors a
-    DIRECTORY; the (read-only) events file is staged into a scratch
-    dir via symlink.
+    DIRECTORY; the (read-only) events data is staged into a scratch
+    dir via symlink — REBUILT from scratch every call, because a
+    deterministic scratch dir outliving a regenerated source would
+    serve a stale or doubled corpus while the oracle reads fresh.
+
+    ``copies`` stages every data file N times under distinct link
+    names — the duplicate-delivery fixture for dedup streams. A
+    Spark-written source is a DIRECTORY of part files and the file
+    stream source does not recurse into subdirectories (a symlinked
+    dir is silently ZERO rows), so the part files themselves are
+    staged in either case.
     """
     import os
+    import shutil
 
     batch_schema, rebuild = _events_probe(spark, sf_dir)
     src_dir = _scratch(tag, sf_dir)
-    os.makedirs(src_dir, exist_ok=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
     src = f"{sf_dir}/events.parquet"
-    # the scratch dir is deterministic and can outlive a REBUILT source
-    # (overwrite writes fresh part names): prune dangling links first —
-    # the file-stream source lists them and fails, and a dangling link
-    # also defeats the exists-check below (FileExistsError on relink)
-    for entry in os.listdir(src_dir):
-        stale = f"{src_dir}/{entry}"
-        if os.path.islink(stale) and not os.path.exists(stale):
-            os.remove(stale)
     if os.path.isdir(src):
-        # a Spark-written table is a DIRECTORY of part files; the file
-        # stream source does not recurse into subdirectories, so a
-        # symlinked directory is silently invisible (zero rows) — stage
-        # the data files themselves
-        for part in os.listdir(src):
-            if part.endswith(".parquet"):
-                link = f"{src_dir}/{part}"
-                if not os.path.exists(link):
-                    os.symlink(f"{src}/{part}", link)
+        parts = [
+            (f"{src}/{p}", p) for p in sorted(os.listdir(src))
+            if p.endswith(".parquet")
+        ]
     else:
-        link = f"{src_dir}/events.parquet"
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        parts = [(src, "events.parquet")]
+    for c in range(copies):
+        for target, name in parts:
+            os.symlink(target, f"{src_dir}/c{c}-{name}")
     return rebuild(spark.readStream.schema(batch_schema).parquet(src_dir))
 
 
@@ -363,18 +362,9 @@ def str4_stream_dedup(spark, sf_dir):
     the append-mode sink equals the batch aggregate over the
     SINGLE-copy table — any dup leaking through or row over-dropped
     breaks count and sum."""
-    import os
-
     from aws_medallion_etl_spark import streaming
 
-    _schema, rebuild = _events_probe(spark, sf_dir)
-    src_dir = _scratch("str4src", sf_dir)
-    os.makedirs(src_dir, exist_ok=True)
-    for name in ("events.parquet", "events_copy.parquet"):
-        link = f"{src_dir}/{name}"
-        if not os.path.exists(link):
-            os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = rebuild(spark.readStream.schema(_schema).parquet(src_dir))
+    stream = _events_stream(spark, sf_dir, "str4src", copies=2)
     deduped = streaming.stream_dedup(stream, ["event_id"], "ts", watermark="60 days")
     streaming.to_memory_sink(deduped, "str4_dedup", output_mode="append")
     return (

@@ -49,7 +49,11 @@ Layout::
   never rewrite a data file: the deleted/superseded row POSITIONS
   (``_metadata.row_index``, Spark's stable within-file row ordinal)
   are written as a parquet sidecar under ``_deletes/`` and the new
-  manifest attaches the sidecar reference to each affected file.
+  manifest attaches the sidecar reference to each affected file,
+  COALESCED to Delta's one-DV-per-file model: a mint that touches a
+  file which already carries dead positions unions them into the new
+  sidecar and REPLACES the file's ref (``_mint_dv``), so a file holds
+  at most ONE sidecar ref no matter how many MOR commits touched it.
   Readers anti-join live rows against the referenced positions — the
   Delta deletion-vector read path, with a position list standing in
   for the roaring bitmap. A merge touching 100 rows of a 1 GB file
@@ -60,11 +64,12 @@ Layout::
 
 Differences from Delta, stated honestly: schema evolution on merge is
 add-column only (``schema_evolution=True``; no retype), deletion
-vectors are position LISTS not bitmaps (each delete commit appends
-one sidecar ref per touched file; ``compact`` resets the list —
-bounded by deletes-since-last-compact, same debt Delta's OPTIMIZE
-pays down — and :func:`auto_optimize` bounds the debt with a
-manifest-tracked trigger), and the optimistic-concurrency loser must
+vectors are position LISTS not bitmaps (one coalesced sidecar ref per
+touched file — read fan-in never grows with commit count; position
+ROW volume is deletes-since-last-compact, same debt Delta's OPTIMIZE
+pays down, purged by ``compact`` and bounded between runs by
+:func:`auto_optimize`'s manifest-tracked trigger), and the
+optimistic-concurrency loser must
 re-run rather than auto-rebase. Beyond Delta: MULTI-table atomic
 commits exist here (:func:`multi_table_txn` — gated versions flipped
 visible by one marker link) where Delta is single-table only.
@@ -272,6 +277,72 @@ def _read_dv(spark: SparkSession, root: str, refs: list[str]) -> DataFrame:
         .parquet(*[os.path.join(root, r) for r in refs])
         .select(F.col("file").alias("__dvf"), F.col("row_index").alias("__dvp"))
     )
+
+
+def _mint_dv(
+    spark: SparkSession,
+    root: str,
+    entries: list[dict],
+    hits: DataFrame,
+    new_v: int,
+) -> tuple[str, dict[str, int], dict[str, int]]:
+    """Write the version's deletion-vector sidecar, COALESCED to one
+    ref per touched file (Delta's one-DV-per-file model).
+
+    ``hits`` is the (``file``, ``row_index``) frame of rows newly
+    marked dead by this commit — minted from a :func:`_scan_live`
+    read, so it is disjoint from every position already dead. Touched
+    files that ALREADY carry dead positions get those positions
+    unioned into the new sidecar, and the caller replaces their ref
+    list with ``[dv_rel]`` — the read-side anti-join fan-in is bounded
+    at one sidecar per file no matter how many MOR commits touched it
+    (prior behaviour stacked one ref per commit; read cost grew with
+    commit count until :func:`compact`). Untouched files keep their
+    old refs; old sidecars stay referenced by old manifests (time
+    travel) until :func:`vacuum` reclaims them.
+
+    Returns ``(dv_rel, totals, new_counts)``: the manifest-relative
+    sidecar path, per-file TOTAL dead rows (the touched entries' new
+    ``dv_rows``), and per-file rows newly marked by THIS call (the
+    user-facing deleted/updated counts). Empty ``hits`` → empty
+    sidecar dir, both dicts empty — the caller removes the dir on its
+    zero path. Both counts come from the WRITTEN sidecar, so the
+    manifest can never disagree with the bytes on disk.
+    """
+    dv_rel = os.path.join(_DELETES_DIR, f"d{new_v:05d}-{uuid.uuid4().hex[:8]}")
+    dv_dir = os.path.join(root, dv_rel)
+    hits.write.mode("error").parquet(dv_dir)
+    prior_rows = {
+        e["file"]: int(e.get("dv_rows") or 0)
+        for e in entries if e.get("dv")
+    }
+    if prior_rows:
+        # union the touched files' existing dead positions into the new
+        # sidecar (touched set read back from disk — no hits recompute)
+        touched = (
+            spark.read.schema(_dv_schema()).parquet(dv_dir)
+            .select("file").distinct()
+        )
+        prior_refs = sorted({r for e in entries for r in e.get("dv") or []})
+        carry = (
+            _read_dv(spark, root, prior_refs)
+            .select(
+                F.col("__dvf").alias("file"),
+                F.col("__dvp").alias("row_index"),
+            )
+            .join(F.broadcast(touched), "file", "semi")
+        )
+        carry.write.mode("append").parquet(dv_dir)
+    totals = {
+        r["file"]: r["cnt"]
+        for r in spark.read.schema(_dv_schema()).parquet(dv_dir)
+        .groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    new_counts = {
+        f: c - prior_rows.get(f, 0)
+        for f, c in totals.items() if c - prior_rows.get(f, 0) > 0
+    }
+    return dv_rel, totals, new_counts
 
 
 def _phys(colmap: dict | None, logical: str) -> str:
@@ -1461,22 +1532,17 @@ def merge_into(
         carried += list(touched)
         parts = []
     elif mor:
-        dv_rel = os.path.join(_DELETES_DIR, f"d{new_v:05d}-{uuid.uuid4().hex[:8]}")
         matched = tgt.join(src.select(*on), on, "semi").select(
             F.col("__file").alias("file"), F.col("__pos").alias("row_index")
         )
-        matched.write.mode("error").parquet(os.path.join(root, dv_rel))
-        dv_counts = {
-            r["file"]: r["cnt"]
-            for r in spark.read.schema(_dv_schema())
-            .parquet(os.path.join(root, dv_rel))
-            .groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
+        dv_rel, dv_totals, dv_counts = _mint_dv(
+            spark, root, touched, matched, new_v
+        )
         for e in touched:
-            if e["file"] in dv_counts:
+            if e["file"] in dv_totals:
                 e = dict(e)
-                e["dv"] = list(e.get("dv") or []) + [dv_rel]
-                e["dv_rows"] = int(e.get("dv_rows") or 0) + dv_counts[e["file"]]
+                e["dv"] = [dv_rel]          # coalesced: one ref per file
+                e["dv_rows"] = dv_totals[e["file"]]
             carried.append(e)
         parts = []
         if when_matched == "update":
@@ -1562,17 +1628,11 @@ def delete_where(
     hits = live.where(pred).select(
         F.col("__file").alias("file"), F.col("__pos").alias("row_index")
     )
-    dv_rel = os.path.join(_DELETES_DIR, f"d{new_v:05d}-{uuid.uuid4().hex[:8]}")
-    dv_dir = os.path.join(root, dv_rel)
     # positions land on disk BEFORE the manifest link (same crash
     # contract as data files); counts come from the written sidecar so
     # the manifest can never disagree with it
-    hits.write.mode("error").parquet(dv_dir)
-    counts = {
-        r["file"]: r["cnt"]
-        for r in spark.read.schema(_dv_schema()).parquet(dv_dir)
-        .groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    dv_rel, totals, counts = _mint_dv(spark, root, entries, hits, new_v)
+    dv_dir = os.path.join(root, dv_rel)
     deleted = sum(counts.values())
     if not deleted:
         import shutil
@@ -1583,10 +1643,10 @@ def delete_where(
     if mode == "mor":
         new_entries = []
         for e in entries:
-            if e["file"] in counts:
+            if e["file"] in totals:
                 e = dict(e)
-                e["dv"] = list(e.get("dv") or []) + [dv_rel]
-                e["dv_rows"] = int(e.get("dv_rows") or 0) + counts[e["file"]]
+                e["dv"] = [dv_rel]          # coalesced: one ref per file
+                e["dv_rows"] = totals[e["file"]]
             new_entries.append(e)
         report = {"files_rewritten": 0, "files_with_dv": len(counts)}
     else:
@@ -1678,14 +1738,8 @@ def update_where(
     hits = matched.select(
         F.col("__file").alias("file"), F.col("__pos").alias("row_index")
     )
-    dv_rel = os.path.join(_DELETES_DIR, f"d{new_v:05d}-{uuid.uuid4().hex[:8]}")
+    dv_rel, totals, counts = _mint_dv(spark, root, entries, hits, new_v)
     dv_dir = os.path.join(root, dv_rel)
-    hits.write.mode("error").parquet(dv_dir)
-    counts = {
-        r["file"]: r["cnt"]
-        for r in spark.read.schema(_dv_schema()).parquet(dv_dir)
-        .groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
     n_updated = sum(counts.values())
     if not n_updated:
         import shutil
@@ -1710,10 +1764,10 @@ def update_where(
     if mode == "mor":
         carried = []
         for e in entries:
-            if e["file"] in counts:
+            if e["file"] in totals:
                 e = dict(e)
-                e["dv"] = list(e.get("dv") or []) + [dv_rel]
-                e["dv_rows"] = int(e.get("dv_rows") or 0) + counts[e["file"]]
+                e["dv"] = [dv_rel]          # coalesced: one ref per file
+                e["dv_rows"] = totals[e["file"]]
             carried.append(e)
         new_files = _write_commit_files(upd, path, new_v, stats_cols,
                                          schema, man.get("colmap"))
@@ -1921,14 +1975,16 @@ def maintenance_report(
     sidecar_threshold: int = 8,
 ) -> dict:
     """Per-table merge-on-read DEBT report from the manifest ONLY (no
-    data read, O(files) driver time): each MOR delete/merge commit
-    appends one DV-sidecar reference per touched file, and read cost
-    grows with deletes-since-last-compact until someone runs
+    data read, O(files) driver time): MOR delete/merge commits leave
+    dead positions in DV sidecars, and the anti-join row volume grows
+    with deletes-since-last-compact until someone runs
     :func:`compact`. This is Delta's OPTIMIZE-recommendation analogue
     (round-10 judge ask #4): a file is DEBT-HEAVY when its dead-row
     ratio crosses ``dv_ratio_threshold`` or it carries more than
-    ``sidecar_threshold`` sidecar refs (each ref is an extra parquet
-    read + anti-join fan-in on scan).
+    ``sidecar_threshold`` sidecar refs. Since ``_mint_dv`` coalesces
+    to one ref per file (Delta's one-DV-per-file model) the ref-count
+    trigger is defensive — it can only fire on manifests written
+    before coalescing; the dead-row ratio is the live signal.
 
     Returns ``{"version", "files", "files_with_dv", "rows_live",
     "rows_dead", "dv_ratio", "sidecar_refs", "debt_files",

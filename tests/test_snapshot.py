@@ -321,10 +321,17 @@ def test_delete_where_mor_marks_without_rewriting(spark, tmp_path):
         (i, i * 10) for i in range(100) if i % 10 != 3
     ]
     assert len(_rows(spark, path, version=0)) == 100      # time travel
-    # a second delete stacks a second sidecar ref on the same files
+    # a second delete COALESCES into a fresh single ref per touched
+    # file (Delta's one-DV-per-file model): dead rows accumulate, the
+    # read-side sidecar fan-in does not
     rep2 = sn.delete_where(spark, path, "k % 10 = 4", mode="mor")
     assert rep2["deleted_rows"] == 10 and rep2["files_rewritten"] == 0
+    ents2 = sn._manifest_files(path, sn._read_manifest(path, 2))
+    assert all(len(e.get("dv") or []) <= 1 for e in ents2)
+    assert sum(e.get("dv_rows", 0) for e in ents2) == 20
     assert len(_rows(spark, path)) == 80
+    # time travel between the two deletes reads through the OLD sidecar
+    assert len(_rows(spark, path, version=1)) == 90
     # zero matches -> no version churn
     rep3 = sn.delete_where(spark, path, "k > 10000")
     assert rep3["deleted_rows"] == 0
@@ -394,6 +401,41 @@ def test_compact_purges_dv_and_packs_small_files(spark, tmp_path):
     # compacted files keep range-clustered stats for merge pruning
     rep2 = sn.compact(spark, path)
     assert rep2["files_rewritten"] == 0                 # clean = no-op
+
+
+def test_mor_dv_refs_coalesce_to_one_per_file(spark, tmp_path):
+    """The one-DV-per-file invariant across every MOR mint path
+    (delete_where / update_where / merge_into): no matter how many
+    commits touch a file, its entry carries exactly ONE sidecar ref
+    with the cumulative dead-row count, every intermediate version
+    time-travels correctly through its own sidecar generation, and
+    reads never double-apply a position."""
+    path = str(tmp_path / "coal")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).coalesce(1)
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    sn.delete_where(spark, path, "k < 5", mode="mor")            # v1: 5 dead
+    sn.delete_where(spark, path, "k >= 45", mode="mor")          # v2: 10 dead
+    sn.update_where(spark, path, "k = 10", {"v": "999"},
+                    mode="mor")                                  # v3: 11 dead
+    src = spark.createDataFrame([(20, -1), (60, -2)], ["k", "v"])
+    sn.merge_into(spark, path, src, on=["k"], when_matched="update",
+                  when_not_matched="insert", write_mode="mor")    # v4: 12 dead
+    for ver, dead in ((1, 5), (2, 10), (3, 11), (4, 12)):
+        ents = sn._manifest_files(path, sn._read_manifest(path, ver))
+        assert all(len(e.get("dv") or []) <= 1 for e in ents), (
+            f"v{ver}: a file carries more than one sidecar ref"
+        )
+        assert sum(e.get("dv_rows", 0) for e in ents) == dead
+    live = {r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()}
+    assert len(live) == 41 and live[10] == 999
+    assert live[20] == -1 and live[60] == -2
+    # each version's coalesced sidecar is self-contained: time travel
+    assert len(_rows(spark, path, version=1)) == 45
+    assert len(_rows(spark, path, version=2)) == 40
+    assert {r["k"]: r["v"] for r in sn.snapshot_read(
+        spark, path, version=2).collect()}[10] == 100
 
 
 def test_vacuum_reclaims_unreferenced_dv_sidecars(spark, tmp_path):
@@ -1094,11 +1136,15 @@ def test_auto_optimize_fires_on_dv_debt(spark, tmp_path):
     rep3 = sn.maintenance_report(path)
     assert rep3["rows_dead"] == 0 and rep3["sidecar_refs"] == 0
     assert rep3["compaction_recommended"] is False
-    # sidecar-COUNT threshold alone also triggers (many tiny deletes)
+    # many tiny deletes COALESCE to one sidecar ref per file — read
+    # fan-in is bounded by the file count, not the commit count, so
+    # the sidecar-COUNT trigger stays quiet (it is defensive, for
+    # pre-coalesce manifests) and only the dead-row ratio matters
     for k in range(40, 44):
         sn.delete_where(spark, path, f"k = {k}", mode="mor")
     rep4 = sn.maintenance_report(path, sidecar_threshold=3)
-    assert rep4["compaction_recommended"] and rep4["sidecar_refs"] == 4
+    assert rep4["sidecar_refs"] == 1 and rep4["rows_dead"] == 4
+    assert not rep4["compaction_recommended"]
 
 
 def _mk2(spark, tmp_path):

@@ -10,8 +10,9 @@ Replication is workload-preserving, not byte-duplication:
   shingles/minhashes never collide across replicas — the near-dup
   rate per replica is exactly the generator's, not an artificial
   10x-duplicate corpus that would blow up every LSH bucket;
-* embeddings flip signs per (replica, dimension) parity — norms and
-  intra-replica geometry are preserved, cross-replica cosine decays.
+* embeddings get a per-replica diagonal ±1 mask (pseudo-random per
+  (replica, dim)) — norms and intra-replica geometry are preserved
+  exactly, cross-replica cosine concentrates near 0.
 
 Usage: python tools/stress_bench.py [query ...]   (default: heavy set)
 Writes STRESS_local.json {query: {sf01_sec, sf1_sec, ratio}}.
@@ -103,13 +104,24 @@ def build(spark) -> None:
         *[c for c in d.columns if c not in ("doc_id", "text")],
     )).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
 
-    # per-(replica, dim) sign flips preserve norms; transform index
-    # parity keyed by replica
+    # per-replica diagonal ±1 sign mask, pseudo-random per (replica,
+    # dim) via xxhash64: CONSTANT within a replica (cos(S_i x, S_i y)
+    # = cos(x, y) — intra-replica near-dup geometry preserved
+    # exactly), decorrelated across replicas (signs agree on ~half
+    # the dims, so cross-replica cosine of the same base vector
+    # concentrates near 0 at O(1/sqrt(dim))). The earlier (j+i)%2
+    # parity mask had only TWO distinct values, so same-parity
+    # replicas carried IDENTICAL vectors — 5 exact cross-replica
+    # duplicates per vector at 10x, inflating every semantic-dedup
+    # candidate set quadratically instead of preserving the per-
+    # replica near-dup rate.
     reps(emb, lambda d, i: d.select(
         shift("vec_id", k_vec, i),
         F.transform(
             "embedding",
-            lambda x, j: F.when(((j + F.lit(i)) % 2) == 0, x).otherwise(-x),
+            lambda x, j: F.when(
+                F.pmod(F.xxhash64(j, F.lit(i)), F.lit(2)) == 0, x
+            ).otherwise(-x),
         ).alias("embedding"),
         *[c for c in d.columns if c not in ("vec_id", "embedding")],
     )).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
