@@ -1177,6 +1177,19 @@ def cosine_topk_ivf_pq_indexed(
 # SemDeDup: cluster-bucketed semantic deduplication
 # ---------------------------------------------------------------------------
 
+def auto_seed_count(n_rows: int, cluster_size: int = 256) -> int:
+    """Seed count for a FIXED expected cluster size — the SemDeDup
+    scaling contract.
+
+    A constant seed count is quadratic in disguise: per-cluster pair
+    work grows as (N/k)^2, so 10x data costs 100x cosines. Holding the
+    expected cluster SIZE constant instead (k = ceil(N / size), floor
+    8) keeps total pair work at N * size / 2 — linear in the corpus
+    with a fixed per-row constant, which is what a 100 TB run needs.
+    """
+    return max(8, -(-int(n_rows) // int(cluster_size)))
+
+
 def assign_seed_clusters(
     corpus: DataFrame,
     id_col: str,
@@ -1193,7 +1206,35 @@ def assign_seed_clusters(
     (ties break toward the SMALLEST seed id), so cluster assignment is
     a deterministic function of the vector alone and the plan stays a
     single scan + project — the corpus never moves for assignment.
+
+    Past ~32 seeds the unrolled literal expression stops being the
+    right physical form (janino method-size limits turn whole-stage
+    codegen off and compile time grows with k — the measured trade
+    behind ``_assign_centroid``), so large seed sets switch to the
+    same Arrow-batched BLAS argmax the IVF path uses: one
+    (batch x dim) @ (dim x k) multiply per batch, still a pure
+    projection with zero shuffle. Ties break to the smallest seed id
+    in both forms (seeds are scanned id-ascending; ``np.argmax``
+    returns the first maximum).
     """
+    if len(seeds) > 32:
+        from pyspark.sql.functions import pandas_udf
+
+        ordered = sorted(seeds, key=lambda s: int(s[0]))
+        ids = [int(s) for s, _ in ordered]
+        C = np.array([v for _, v in ordered], dtype=np.float64).T
+        C = C / np.sqrt((C * C).sum(axis=0))  # cosine = dot vs unit seeds
+
+        @pandas_udf("int")
+        def _nearest(vecs: pd.Series) -> pd.Series:
+            m = np.vstack(vecs.to_numpy()).astype(np.float64)
+            return pd.Series(np.argmax(m @ C, axis=1).astype(np.int32))
+
+        id_arr = F.array(*[F.lit(i) for i in ids])
+        return corpus.withColumn(
+            "cluster",
+            F.element_at(id_arr, _nearest(as_double_vec(vec_col)) + F.lit(1)),
+        )
     v = as_double_vec(vec_col)
     nrm = l2_norm(v)
     entries = []
@@ -1236,7 +1277,7 @@ def semantic_dedup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_seeds: int = 8,
+    n_seeds: int | str = "auto",
     seeds: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): confine the quadratic pairwise
@@ -1246,15 +1287,23 @@ def semantic_dedup_pairs(
     that semantic duplicates land in the same embedding-space cluster,
     so pairing within clusters costs O(N^2 / k) with recall loss only
     for cross-cluster near-dups (bounded by cluster coherence). Plan:
-    one scan assigns clusters via codegen argmax (no shuffle), then a
-    single equi-join shuffle keyed on ``cluster`` generates candidate
+    one scan assigns clusters via argmax projection (no shuffle), then
+    a single equi-join shuffle keyed on ``cluster`` generates candidate
     pairs — exactly the partitioning a 1000-executor run wants, since
     each cluster's pairs build on one executor from co-located rows.
+
+    ``n_seeds="auto"`` (the default) holds the expected cluster SIZE
+    constant via :func:`auto_seed_count` — a fixed k is quadratic in
+    disguise ((N/k)^2 per cluster), a fixed cluster size keeps total
+    pair work linear in N. The seed-count probe is a parquet
+    metadata-only ``count()``.
 
     Returns ``(cluster, id_a < id_b, cosine >= threshold)`` with
     cosine rounded to 4 digits.
     """
     if seeds is None:
+        if n_seeds == "auto":
+            n_seeds = auto_seed_count(corpus.count())
         seeds = lowest_id_seeds(corpus, id_col, vec_col, n_seeds)
     assigned = assign_seed_clusters(corpus, id_col, vec_col, seeds)
     # ship the RAW float32 vectors through the cluster exchange (half
@@ -1290,7 +1339,7 @@ def semantic_dedup_keep(
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_seeds: int = 8,
+    n_seeds: int | str = "auto",
     seeds: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup keep-set: drop every vector that has a LOWER-id

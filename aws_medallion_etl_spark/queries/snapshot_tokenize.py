@@ -94,8 +94,12 @@ _SEMANTIC_CTES = """
             GROUP BY vec_id
          ),
          seeds AS (
+            -- fixed expected cluster SIZE, not fixed k: mirrors
+            -- similarity.auto_seed_count (max(8, ceil(N / 256)))
             SELECT v.vec_id AS seed_id, v.vec AS svec, n.nrm AS snrm
-            FROM v JOIN n USING (vec_id) ORDER BY vec_id LIMIT 8
+            FROM v JOIN n USING (vec_id) ORDER BY vec_id
+            LIMIT greatest(8, CAST(ceil(CAST((SELECT count(*) FROM v)
+                                             AS DOUBLE) / 256.0) AS BIGINT))
          ),
          scored AS (
             SELECT v.vec_id, s.seed_id,
@@ -137,13 +141,16 @@ def dedup_semantic_clusters(spark, sf_dir):
     centroids, and the quadratic pairwise cosine is confined to one
     equi-join shuffle keyed on ``cluster`` — O(N^2/k) work laid out
     exactly as a 1000-executor cluster wants it (each cluster's pairs
-    build from co-located rows). Seeds here are the 8 lowest-id
-    vectors (the deterministic, oracle-checkable contract); production
-    feeds ``kmeans_centroids`` into the same assignment/pairing path.
+    build from co-located rows). Seeds are the lowest-id vectors (the
+    deterministic, oracle-checkable contract) with k scaling to hold
+    the expected cluster SIZE constant (``auto_seed_count`` — a fixed
+    k would be quadratic at scale; the oracle mirrors the formula in
+    its LIMIT); production feeds ``kmeans_centroids`` into the same
+    assignment/pairing path.
     """
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup_pairs(
-        emb, "vec_id", "embedding", threshold=0.35, n_seeds=8
+        emb, "vec_id", "embedding", threshold=0.35, n_seeds="auto"
     )
 
 
@@ -1195,7 +1202,7 @@ def e2e_semantic_curation(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     kept_emb = similarity.semantic_dedup_keep(
-        emb, "vec_id", "embedding", threshold=0.35, n_seeds=8
+        emb, "vec_id", "embedding", threshold=0.35, n_seeds="auto"
     )
     survivors = docs.join(
         kept_emb.select(F.col("vec_id").alias("doc_id")), "doc_id"

@@ -834,6 +834,36 @@ def test_semantic_dedup_planted_duplicate_and_keep_policy(spark):
     )
 
 
+def test_semantic_dedup_large_seed_set_matches_codegen_path(spark):
+    """>32 seeds flips assignment to the Arrow BLAS argmax — it must
+    agree with the unrolled codegen form on every vector, and the
+    auto count must hold the cluster-size contract."""
+    assert similarity.auto_seed_count(500) == 8
+    assert similarity.auto_seed_count(2000) == 8
+    assert similarity.auto_seed_count(20000) == 79
+    assert similarity.auto_seed_count(200000) == 782
+
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = similarity.lowest_id_seeds(emb, "vec_id", "embedding", 40)
+    via_arrow = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.assign_seed_clusters(
+            emb, "vec_id", "embedding", seeds
+        ).select("vec_id", "cluster").collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    S = np.array([s[1] for s in seeds], dtype=np.float64)
+    sids = np.array([s[0] for s in seeds])
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        cos = Sn @ (v / np.linalg.norm(v))
+        best = sids[np.lexsort((sids, -cos))[0]]
+        assert via_arrow[r["vec_id"]] == best, r["vec_id"]
+
+
 def test_semantic_dedup_assignment_plan_has_no_shuffle(spark):
     """Cluster assignment must stay scan+project — no Exchange."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
