@@ -71,8 +71,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     first = [
         # new round-10 queries — no verdict yet
+        "s35_shallow_clone", "s36_table_history",
         "s32_auto_optimize", "s33_cdf_rename_continuity",
         "s34_multi_table_txn",
+        # semantic dedup re-contracted this round (auto-scaled seed
+        # count, oracle LIMIT formula changed) — re-verdict wanted
+        "dedup_semantic_clusters", "e2e_semantic_curation",
         # readers rewritten this round (driver-side -> partitioned);
         # latest greens (r9) predate the rewrite
         "str12_stream_snapshot_tail", "str13_stream_cdf",

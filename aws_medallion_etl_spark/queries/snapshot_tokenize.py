@@ -2565,3 +2565,152 @@ def s34_multi_table_txn(spark, sf_dir):
             .alias("sum_cents"),
         )
     )
+
+
+_S35_CLONE_SQL = """
+    WITH v1 AS (
+        SELECT p_partkey, p_brand, p_size,
+               CASE WHEN p_size > 40 THEN p_retailprice + 1000
+                    ELSE p_retailprice END AS p_retailprice
+        FROM part
+    ),
+    src AS (
+        SELECT p_partkey, p_brand, p_size,
+               CASE WHEN p_partkey % 3 = 0 THEN p_retailprice * 2
+                    ELSE p_retailprice END AS p_retailprice
+        FROM v1
+    ),
+    cln AS (SELECT * FROM v1 WHERE p_partkey % 7 <> 0),
+    lab AS (
+        SELECT 'source' AS side, * FROM src
+        UNION ALL
+        SELECT 'clone' AS side, * FROM cln
+    )
+    SELECT side, p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(p_size) AS BIGINT) AS sum_size,
+           round(sum(p_retailprice), 2) AS total_price
+    FROM lab GROUP BY side, p_brand
+"""
+
+
+@query("s35_shallow_clone", _S35_CLONE_SQL)
+def s35_shallow_clone(spark, sf_dir):
+    """SHALLOW CLONE of a snapshot table (``snapshot.shallow_clone`` —
+    Delta's ``CREATE TABLE ... SHALLOW CLONE``): the clone's v0
+    references the source's data by symlink, copying no bytes, then
+    BOTH tables evolve independently — a CoW update on the source, a
+    CoW delete on the clone. The oracle recomputes both end states
+    from the base table: a clone that leaked the source's later
+    update (or vice versa), or that read stale/partial data through
+    the links, shifts the per-side aggregates.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    src_p = _scratch("s35src", sf_dir)
+    cln_p = _scratch("s35cln", sf_dir)
+    shutil.rmtree(src_p, ignore_errors=True)
+    shutil.rmtree(cln_p, ignore_errors=True)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    snap.snapshot_create(
+        spark, part.repartitionByRange(8, "p_partkey"), src_p,
+        stats_cols=["p_partkey"],
+    )
+    snap.update_where(                                        # source v1
+        spark, src_p, "p_size > 40",
+        {"p_retailprice": "p_retailprice + 1000"}, mode="mor",
+    )
+    snap.shallow_clone(src_p, cln_p)                          # clone @ v1
+    snap.update_where(                                        # source v2
+        spark, src_p, "p_partkey % 3 = 0",
+        {"p_retailprice": "p_retailprice * 2"}, mode="cow",
+    )
+    snap.delete_where(spark, cln_p, "p_partkey % 7 = 0", mode="cow")
+    both = (
+        snap.snapshot_read(spark, src_p).withColumn("side", F.lit("source"))
+        .unionByName(
+            snap.snapshot_read(spark, cln_p).withColumn("side", F.lit("clone"))
+        )
+    )
+    return both.groupBy("side", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").cast("long").alias("sum_size"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
+
+
+_S36_HISTORY_SQL = """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM part),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS del FROM part
+          WHERE p_partkey % 7 = 0),
+    u AS (SELECT CAST(count(*) AS BIGINT) AS upd FROM part
+          WHERE p_partkey % 3 = 0 AND p_partkey % 7 <> 0)
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS version, 'CREATE' AS operation,
+               total AS rows_affected, total AS live_rows FROM n
+        UNION ALL
+        SELECT 1, 'DELETE', del, total - del FROM n, d
+        UNION ALL
+        SELECT 2, 'UPDATE', upd, total - del FROM n, d, u
+        UNION ALL
+        SELECT 3, 'OPTIMIZE', 0, total - del FROM n, d
+        UNION ALL
+        SELECT 4, 'RESTORE', 0, total FROM n
+    ) ORDER BY version
+"""
+
+
+@query("s36_table_history", _S36_HISTORY_SQL)
+def s36_table_history(spark, sf_dir):
+    """DESCRIBE HISTORY parity (``snapshot.snapshot_history``): every
+    commit records its operation name + deterministic metrics in the
+    manifest (Delta's commitInfo), and history reads them back newest
+    first. The prover drives a known op sequence (CREATE, MOR DELETE,
+    COW UPDATE, OPTIMIZE, RESTORE) and emits the version/op ledger
+    with data-derivable metrics; the oracle recomputes the affected-
+    and live-row counts from the base table, so a mislabeled op, a
+    wrong metric, or a live-row drift (DV bookkeeping) flips the
+    compare. Timestamps and file counts are real but partition-count-
+    dependent, so the ledger intentionally excludes them.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s36hist", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    snap.snapshot_create(
+        spark, part.repartitionByRange(8, "p_partkey"), path,
+        stats_cols=["p_partkey"],
+    )
+    snap.delete_where(spark, path, "p_partkey % 7 = 0", mode="mor")
+    snap.update_where(
+        spark, path, "p_partkey % 3 = 0",
+        {"p_retailprice": "p_retailprice * 2"}, mode="cow",
+    )
+    snap.compact(spark, path, small_file_rows=10_000)
+    snap.restore(spark, path, 0)
+    ledger = [
+        (
+            int(h["version"]),
+            h["operation"],
+            int(
+                h["metrics"].get("rows_written")
+                or h["metrics"].get("deleted_rows")
+                or h["metrics"].get("updated_rows")
+                or 0
+            ),
+            int(h["live_rows"]),
+        )
+        for h in reversed(snap.snapshot_history(path))
+    ]
+    return spark.createDataFrame(
+        ledger,
+        "version long, operation string, rows_affected long, live_rows long",
+    )

@@ -639,6 +639,15 @@ def _txn_fields(man: dict | None, txn: tuple[str, int] | None) -> dict:
     return {"txn": cur} if cur else {}
 
 
+def _op_fields(name: str, metrics: dict | None = None) -> dict:
+    """Manifest operation record (Delta's commitInfo analogue): the
+    op NAME plus a small dict of deterministic metrics, surfaced by
+    :func:`snapshot_history`. Unlike txn/constraints this is NOT
+    carried forward — each commit describes itself; legacy manifests
+    without one read back as UNKNOWN."""
+    return {"op": {"name": name, "metrics": dict(metrics or {})}}
+
+
 def _constraint_fields(man: dict | None, constraints: dict | None = None) -> dict:
     """Manifest CHECK-constraint map: previous map carried forward
     (every commit path — a compaction must not amnesia constraints),
@@ -772,6 +781,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         **_constraint_fields(man),
         **_generated_fields(None, gen),
         **_colmap_fields(man, cmap),
+        **_op_fields("RENAME COLUMN", {"from": old, "to": new}),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
     return new_v
@@ -831,6 +841,7 @@ def drop_column(path: str, col: str) -> int:
         **_constraint_fields(man),
         **_generated_fields(None, gen),
         **_colmap_fields(None, cmap, dropped),
+        **_op_fields("DROP COLUMN", {"column": col}),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
     return new_v
@@ -944,6 +955,9 @@ def snapshot_create(
         **_txn_fields(None, txn),
         **_constraint_fields(None, constraints),
         **_generated_fields(None, generated),
+        **_op_fields(
+            "CREATE", {"rows_written": sum(int(e["rows"]) for e in files)}
+        ),
         **_files_fields(path, 0, files, stats_cols),
     })
     return 0
@@ -984,6 +998,7 @@ def add_constraint(
         **_constraint_fields(None, cons),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **_op_fields("ADD CONSTRAINT", {"name": name}),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
     return new_v
@@ -1012,6 +1027,7 @@ def drop_constraint(path: str, name: str) -> int:
         **_constraint_fields(None, cons),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **_op_fields("DROP CONSTRAINT", {"name": name}),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
     return new_v
@@ -1571,6 +1587,11 @@ def merge_into(
         **_constraint_fields(man),
         **_generated_fields(man),
         **_colmap_fields(man, cmap),
+        **_op_fields("MERGE", {
+            "files_added": len(new_files),
+            "files_dv": len(dv_counts),
+            "dv_rows_added": sum(dv_counts.values()),
+        }),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {
@@ -1678,6 +1699,7 @@ def delete_where(
         **_constraint_fields(man),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **_op_fields("DELETE", {"deleted_rows": deleted, "mode": mode}),
         **_files_fields(path, new_v, new_entries, stats_cols),
     })
     return {"version": new_v, "deleted_rows": deleted, "mode": mode, **report}
@@ -1797,6 +1819,7 @@ def update_where(
         **_constraint_fields(man),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **_op_fields("UPDATE", {"updated_rows": n_updated, "mode": mode}),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {"version": new_v, "updated_rows": n_updated, "mode": mode,
@@ -1876,6 +1899,7 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
         **_generated_fields(cur),
         # colmap belongs to the restored SCHEMA — travel with it
         **_colmap_fields(tgt, dropped=dropped),
+        **_op_fields("RESTORE", {"restored_version": int(version)}),
         **_files_fields(path, new_v, entries, tgt.get("columns", [])),
     })
     return {"version": new_v, "restored_from": version,
@@ -1959,6 +1983,11 @@ def compact(
         **_constraint_fields(man),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **_op_fields("OPTIMIZE", {
+            "files_rewritten": len(rewrite),
+            "files_added": len(new_files),
+            "zorder": list(zorder_cols or []),
+        }),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
     return {
@@ -2099,6 +2128,24 @@ def vacuum(
     removed_files = skipped_recent = 0
     reclaimed_dirs: set[str] = set()
     data_root = os.path.join(root, _DATA_DIR)
+    # symlinked commit dirs (shallow clones referencing their source):
+    # os.walk below never descends into them — the bytes behind a link
+    # belong to the source table and are NEVER deleted here. A link no
+    # retained manifest references anymore is itself reclaimed (the
+    # link, not the target), same retention window as real files.
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            d = os.path.join(data_root, name)
+            if not os.path.islink(d):
+                continue
+            rel_prefix = os.path.join(_DATA_DIR, name) + os.sep
+            if any(f.startswith(rel_prefix) for f in live):
+                continue
+            if os.lstat(d).st_mtime > cutoff:
+                skipped_recent += 1
+                continue
+            os.unlink(d)
+            removed_files += 1
     for dirpath, _dirs, names in os.walk(data_root):
         for name in names:
             f = os.path.join(dirpath, name)
@@ -2157,6 +2204,14 @@ def vacuum(
         for name in sorted(os.listdir(del_root)):
             d = os.path.join(del_root, name)
             rel = os.path.normpath(os.path.relpath(d, root))
+            if os.path.islink(d):
+                # a shallow clone's reference into its SOURCE — drop
+                # the link itself when unreferenced, never the bytes
+                # behind it (they belong to the source table)
+                if rel not in live_dv and os.lstat(d).st_mtime <= cutoff:
+                    os.unlink(d)
+                    removed_dv_dirs += 1
+                continue
             if not os.path.isdir(d) or rel in live_dv:
                 continue
             ages = [
@@ -2194,3 +2249,95 @@ def vacuum(
         "skipped_recent": skipped_recent,
         "kept_versions": keep,
     }
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """Delta's ``DESCRIBE HISTORY``: one record per committed version,
+    NEWEST first — version, commit timestamp (manifest mtime, the same
+    clock Delta's commitInfo reads), operation name, the operation's
+    deterministic metrics, and the version's file/live-row footprint.
+
+    Commits predating the op record (or written by an external tool)
+    read back as ``UNKNOWN`` with empty metrics — history never fails
+    on a legacy table. Driver cost is O(versions) manifest reads, the
+    same bookkeeping scan every other maintenance entry point does.
+    """
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"snapshot_history: {path} is not a snapshot table")
+    out = []
+    for v in reversed(vs):
+        man = _read_manifest(path, v)
+        entries = _manifest_files(path, man)
+        op = man.get("op") or {}
+        out.append({
+            "version": v,
+            "timestamp": os.path.getmtime(_manifest_path(path, v)),
+            "operation": op.get("name", "UNKNOWN"),
+            "metrics": dict(op.get("metrics", {})),
+            "n_files": len(entries),
+            "live_rows": sum(
+                int(e["rows"]) - int(e.get("dv_rows") or 0) for e in entries
+            ),
+        })
+    return out
+
+
+def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
+    """Delta's ``CREATE TABLE ... SHALLOW CLONE src [VERSION AS OF n]``:
+    a NEW snapshot table whose v0 references the source's data by
+    link, copying no data bytes.
+
+    Mechanics: the source version's live commit dirs (and the DV
+    sidecar dirs its entries reference) are SYMLINKED under the
+    clone's root, and the clone's v0 manifest carries the source's
+    file entries verbatim — every path in a manifest is table-root-
+    relative, so scans, merge pruning, DV minting, compaction, and
+    CDF on the clone work unchanged through the links. The clone
+    evolves independently: its writes land in its own commit dirs
+    (uuid-suffixed — no collision with linked dirs), and
+    :func:`vacuum` on the clone only ever unlinks SYMLINKS to source
+    dirs, never the source's bytes. Schema, CHECK constraints,
+    generated columns, and the column mapping travel with the clone;
+    the txn high-water map does NOT (a clone is a new table — an
+    idempotent writer must not skip its first write because the
+    source saw that batch).
+
+    Delta's documented caveat applies identically: ``VACUUM`` on the
+    SOURCE can delete files the clone still references (here: dangle
+    the symlinks). Clone while the source's retention covers the
+    cloned version, or compact the clone to own its bytes.
+    """
+    src_root = src.rstrip("/")
+    dst_root = dst.rstrip("/")
+    vs = snapshot_versions(src_root)
+    if not vs:
+        raise ValueError(f"shallow_clone: {src} is not a snapshot table")
+    if snapshot_versions(dst_root):
+        raise ValueError(f"shallow_clone: {dst} is already a snapshot table")
+    v = vs[-1] if version is None else int(version)
+    if v not in vs:
+        raise ValueError(f"shallow_clone: version {v} not in {vs}")
+    man = _read_manifest(src_root, v)
+    entries = _manifest_files(src_root, man)
+    rel_dirs = sorted(
+        {os.path.dirname(e["file"]) for e in entries}
+        | {r for e in entries for r in e.get("dv") or []}
+    )
+    for rel in rel_dirs:
+        link = os.path.join(dst_root, rel)
+        os.makedirs(os.path.dirname(link), exist_ok=True)
+        if not os.path.lexists(link):
+            os.symlink(os.path.join(src_root, rel), link)
+    _commit(dst_root, 0, {
+        "version": 0,
+        "schema": man["schema"],
+        "columns": man.get("columns", []),
+        **_constraint_fields(man),
+        **_generated_fields(man),
+        **_colmap_fields(man),
+        **_op_fields("CLONE", {"source": src_root, "source_version": v}),
+        "cloned_from": {"path": src_root, "version": v},
+        **_files_fields(dst_root, 0, entries, man.get("columns", [])),
+    })
+    return 0

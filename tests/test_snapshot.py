@@ -1253,3 +1253,93 @@ def test_multi_table_txn_guards(spark, tmp_path):
         with sn.multi_table_txn(dim):
             with sn.multi_table_txn(fact):
                 pass
+
+
+def test_snapshot_history_records_operations_newest_first(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(0, -1), (200, 1)], ["k", "v"]), on=["k"],
+    )
+    sn.delete_where(spark, path, "k >= 90 AND k < 95", mode="mor")
+    sn.update_where(spark, path, "k < 3", {"v": "v + 1"}, mode="cow")
+    sn.compact(spark, path, small_file_rows=10_000)
+    sn.restore(spark, path, 1)
+    hist = sn.snapshot_history(path)
+    assert [h["version"] for h in hist] == [5, 4, 3, 2, 1, 0]
+    assert [h["operation"] for h in hist] == [
+        "RESTORE", "OPTIMIZE", "UPDATE", "DELETE", "MERGE", "CREATE",
+    ]
+    assert hist[-1]["metrics"]["rows_written"] == 100
+    assert hist[2]["metrics"] == {"updated_rows": 3, "mode": "cow"}
+    assert hist[3]["metrics"]["deleted_rows"] == 5
+    assert hist[0]["metrics"] == {"restored_version": 1}
+    # live_rows tracks DV-dead rows: v2's MOR delete kills 5 of 101
+    byv = {h["version"]: h for h in hist}
+    assert byv[1]["live_rows"] == 101 and byv[2]["live_rows"] == 96
+    # timestamps are monotone non-decreasing with version
+    ts = [h["timestamp"] for h in reversed(hist)]
+    assert ts == sorted(ts)
+    with pytest.raises(ValueError, match="not a snapshot table"):
+        sn.snapshot_history(str(tmp_path / "nope"))
+
+
+def test_shallow_clone_reads_source_version_and_evolves_independently(
+    spark, tmp_path
+):
+    path, _ = _mk(spark, tmp_path)
+    sn.merge_into(                                    # v1 on source
+        spark, path, spark.createDataFrame([(0, -1)], ["k", "v"]), on=["k"],
+    )
+    clone = str(tmp_path / "clone")
+    assert sn.shallow_clone(path, clone) == 0
+    assert _rows(spark, clone) == _rows(spark, path)
+    # no data bytes copied: every data entry resolves through a symlink
+    data = os.path.join(clone, "data")
+    assert all(
+        os.path.islink(os.path.join(data, n)) for n in os.listdir(data)
+    )
+    # clone evolves; source frozen
+    sn.update_where(spark, clone, "k < 2", {"v": "v - 100"}, mode="mor")
+    got_clone = dict(_rows(spark, clone))
+    assert got_clone[0] == -101 and got_clone[1] == -90
+    assert dict(_rows(spark, path))[0] == -1
+    # source evolves; clone frozen
+    sn.delete_where(spark, path, "k >= 50", mode="cow")
+    assert len(_rows(spark, path)) == 50
+    assert len(_rows(spark, clone)) == 100
+    # time-travel clone pins an OLDER version
+    old = str(tmp_path / "clone0")
+    sn.shallow_clone(path, old, version=0)
+    assert _rows(spark, old) == [(i, i * 10) for i in range(100)]
+    assert sn.snapshot_history(old)[0]["metrics"]["source_version"] == 0
+    # guards
+    with pytest.raises(ValueError, match="already a snapshot table"):
+        sn.shallow_clone(path, clone)
+    with pytest.raises(ValueError, match="not a snapshot table"):
+        sn.shallow_clone(str(tmp_path / "nope"), str(tmp_path / "c2"))
+
+
+def test_shallow_clone_vacuum_never_touches_source_bytes(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path)
+    # give the source a DV so the clone references a dv sidecar too
+    sn.delete_where(spark, path, "k = 7", mode="mor")
+    clone = str(tmp_path / "clone")
+    sn.shallow_clone(path, clone)
+    assert len(_rows(spark, clone)) == 99
+    # compact the clone so it owns its bytes; the links become garbage
+    sn.compact(spark, clone, small_file_rows=10_000)
+    sn.vacuum(clone, keep_versions=1, retention_seconds=0)
+    # links gone from the clone...
+    leftover = [
+        n for n in os.listdir(os.path.join(clone, "data"))
+        if os.path.islink(os.path.join(clone, "data", n))
+    ]
+    assert leftover == []
+    dvdir = os.path.join(clone, "_deletes")
+    assert not os.path.isdir(dvdir) or not any(
+        os.path.islink(os.path.join(dvdir, n)) for n in os.listdir(dvdir)
+    )
+    # ...and the SOURCE is byte-for-byte intact
+    assert len(_rows(spark, path)) == 99
+    assert _rows(spark, clone) == _rows(spark, path)
