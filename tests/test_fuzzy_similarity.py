@@ -409,6 +409,43 @@ def test_kmeans_centroids_deterministic_and_normalized(spark):
         assert abs(sum(x * x for x in c) - 1.0) < 1e-9
 
 
+def test_kmeans_sampled_training_contract(spark):
+    """FAISS-style sampled training: at or below the cap the sample IS
+    the corpus (bit-identical to full training); above it the Lloyd
+    rounds run on a deterministic hash-sample — reproducible and
+    still unit-norm."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = similarity.kmeans_centroids(emb, "vec_id", "embedding", 4, iters=2)
+    # 500 rows <= both caps: default (1024) and an explicit 500
+    assert full == similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", 4, iters=2, train_sample_cap=500
+    )
+    sampled = similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", 4, iters=2, train_sample_cap=200
+    )
+    assert sampled == similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", 4, iters=2, train_sample_cap=200
+    )
+    assert sampled != full  # trained on a strict subset
+    for c in sampled:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+    books_full = similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=32, iters=1
+    )
+    assert books_full == similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=32, iters=1,
+        train_sample_cap=500,
+    )
+    books_s = similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=32, iters=1,
+        train_sample_cap=250,
+    )
+    assert books_s == similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=32, iters=1,
+        train_sample_cap=250,
+    )
+
+
 def test_ivf_indexed_matches_unindexed(spark, tmp_path):
     """The materialized-index path must return exactly what the
     inline path returns for the same (n_centroids, nprobe, k)."""
