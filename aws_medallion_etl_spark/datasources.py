@@ -148,16 +148,35 @@ class SnapshotAppendStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
         )
+        mv = options.get("max_versions_per_trigger")
+        self.max_versions = int(mv) if mv is not None else None
+        self._last_end: int | None = None
 
     # -- DataSourceStreamReader interface --------------------------------
     def initialOffset(self):
+        # a FRESH stream rate-limits from the very first batch; after a
+        # checkpoint restart this is never called, so the first resumed
+        # batch is unbounded (the documented soft-limit behaviour)
+        self._last_end = -1
         return {"version": -1}
 
     def latestOffset(self):
         from aws_medallion_etl_spark import snapshot as snap
 
         cur = snap.current_version(self.path)
-        return {"version": -1 if cur is None else int(cur)}
+        end = -1 if cur is None else int(cur)
+        # admission control (Delta's maxFilesPerTrigger analogue at
+        # version granularity): bound how far a single micro-batch
+        # advances, so a backfill over a long history drains in bounded
+        # batches instead of one giant one. SOFT limit, like Delta's:
+        # after a checkpoint restart the tracker is empty and the first
+        # batch takes whatever the WAL or current version dictates;
+        # replay correctness is untouched because partitions(start,
+        # end) honors any window exactly.
+        if self.max_versions is not None and self._last_end is not None:
+            end = min(end, self._last_end + self.max_versions)
+        self._last_end = max(end, self._last_end or -1)
+        return {"version": end}
 
     def partitions(self, start, end):
         import json as _json

@@ -1069,13 +1069,39 @@ def _entry_in_range(entry: dict, col: str, lo, hi) -> bool:
     return True
 
 
+def version_at_timestamp(path: str, ts: float) -> int:
+    """Delta's ``TIMESTAMP AS OF``: the latest committed version whose
+    commit time (manifest mtime — the clock :func:`snapshot_history`
+    reports) is at or before ``ts`` (unix seconds). Raises if the
+    table's first commit is later than ``ts``, exactly like Delta."""
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"version_at_timestamp: {path} is not a snapshot table")
+    best = None
+    for v in vs:
+        if os.path.getmtime(_manifest_path(path, v)) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"version_at_timestamp: {path} has no commit at or before "
+            f"{ts} (earliest version {vs[0]})"
+        )
+    return best
+
+
 def snapshot_read(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Read a pinned manifest version (default: latest) — time travel.
+
+    ``timestamp`` (unix seconds, exclusive with ``version``) is
+    Delta's ``TIMESTAMP AS OF``: the read pins the latest version
+    committed at or before that instant via
+    :func:`version_at_timestamp`.
 
     Plans exactly the manifest's file list; files added by later
     commits or orphaned by crashed ones are invisible by construction.
@@ -1095,6 +1121,12 @@ def snapshot_read(
     vs = snapshot_versions(path)
     if not vs:
         raise ValueError(f"snapshot_read: {path} is not a snapshot table")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "snapshot_read: pass version OR timestamp, not both"
+            )
+        version = version_at_timestamp(path, timestamp)
     v = vs[-1] if version is None else version
     if v not in vs:
         raise ValueError(f"snapshot_read: {path} has no version {v} (have {vs})")
@@ -2088,7 +2120,10 @@ def auto_optimize(
 
 
 def vacuum(
-    path: str, keep_versions: int = 1, retention_seconds: float = 86400.0
+    path: str,
+    keep_versions: int = 1,
+    retention_seconds: float = 86400.0,
+    dry_run: bool = False,
 ) -> dict:
     """Delete data files referenced by NO retained manifest (crash
     orphans and files only older versions point at), and drop the
@@ -2103,7 +2138,13 @@ def vacuum(
     let the writer's ``os.link`` succeed while referencing vanished
     data. Only pass ``retention_seconds=0`` when no writer can be
     running (the same contract Delta documents for shrinking the
-    retention below the default)."""
+    retention below the default).
+
+    ``dry_run=True`` is Delta's ``VACUUM ... DRY RUN``: the full sweep
+    runs — same retention window, same counts in the report — but
+    nothing is deleted; the report gains ``would_remove``, the
+    root-relative paths (and pruned manifest versions) the real run
+    would reclaim."""
     import time
 
     if keep_versions < 1:
@@ -2127,6 +2168,18 @@ def vacuum(
     cutoff = time.time() - retention_seconds
     removed_files = skipped_recent = 0
     reclaimed_dirs: set[str] = set()
+    would_remove: list[str] = []
+
+    def _unlink(p: str) -> None:
+        if dry_run:
+            would_remove.append(os.path.relpath(p, root))
+            return
+        os.unlink(p)
+
+    def _rmdir(p: str) -> None:
+        if not dry_run:
+            os.rmdir(p)
+
     data_root = os.path.join(root, _DATA_DIR)
     # symlinked commit dirs (shallow clones referencing their source):
     # os.walk below never descends into them — the bytes behind a link
@@ -2144,7 +2197,7 @@ def vacuum(
             if os.lstat(d).st_mtime > cutoff:
                 skipped_recent += 1
                 continue
-            os.unlink(d)
+            _unlink(d)
             removed_files += 1
     for dirpath, _dirs, names in os.walk(data_root):
         for name in names:
@@ -2154,12 +2207,12 @@ def vacuum(
                 if os.path.getmtime(f) > cutoff:
                     skipped_recent += 1
                     continue
-                os.unlink(f)
+                _unlink(f)
                 removed_files += 1
                 reclaimed_dirs.add(dirpath)
     for v in vs:
         if v not in keep:
-            os.unlink(_manifest_path(path, v))
+            _unlink(_manifest_path(path, v))
     # ABORTED multi-table-transaction slots: invisible manifests whose
     # gate marker never appeared. Past the retention window (an
     # in-flight transaction is younger than it) drop the manifest +
@@ -2177,11 +2230,11 @@ def vacuum(
         if os.path.getmtime(mp) > cutoff:
             skipped_recent += 1
             continue
-        os.unlink(mp)
+        _unlink(mp)
         removed_aborted += 1
         for name in os.listdir(_snap_dir(path)):
             if name.startswith(f"v{v:05d}.gated-"):
-                os.unlink(os.path.join(_snap_dir(path), name))
+                _unlink(os.path.join(_snap_dir(path), name))
     # sidecar file-list checkpoints: drop those no retained manifest
     # references (pruned versions', and crashed/losing writers') —
     # same retention window as data files (a racing writer stages its
@@ -2193,7 +2246,7 @@ def vacuum(
         ):
             f = os.path.join(_snap_dir(path), name)
             if os.path.getmtime(f) <= cutoff:
-                os.unlink(f)
+                _unlink(f)
     # deletion-vector sidecar dirs referenced by NO retained manifest
     # (pruned versions', compacted-away debt, and zero-match or cow
     # delete leftovers) — same retention window: an in-flight mor
@@ -2209,7 +2262,7 @@ def vacuum(
                 # the link itself when unreferenced, never the bytes
                 # behind it (they belong to the source table)
                 if rel not in live_dv and os.lstat(d).st_mtime <= cutoff:
-                    os.unlink(d)
+                    _unlink(d)
                     removed_dv_dirs += 1
                 continue
             if not os.path.isdir(d) or rel in live_dv:
@@ -2221,8 +2274,8 @@ def vacuum(
                 skipped_recent += 1
                 continue
             for n in os.listdir(d):
-                os.unlink(os.path.join(d, n))
-            os.rmdir(d)
+                _unlink(os.path.join(d, n))
+            _rmdir(d)
             removed_dv_dirs += 1
     # drop commit dirs holding no parquet anymore (markers like
     # _SUCCESS go with them) so the layout stays legible — but never
@@ -2239,16 +2292,20 @@ def vacuum(
             continue
         if not any(n.endswith(".parquet") for n in names):
             for n in names:
-                os.unlink(os.path.join(dirpath, n))
+                _unlink(os.path.join(dirpath, n))
             if not os.listdir(dirpath):
-                os.rmdir(dirpath)
-    return {
+                _rmdir(dirpath)
+    out = {
         "removed_files": removed_files,
         "removed_dv_dirs": removed_dv_dirs,
         "removed_aborted": removed_aborted,
         "skipped_recent": skipped_recent,
         "kept_versions": keep,
     }
+    if dry_run:
+        out["dry_run"] = True
+        out["would_remove"] = sorted(would_remove)
+    return out
 
 
 def snapshot_history(path: str) -> list[dict]:

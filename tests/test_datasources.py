@@ -294,3 +294,96 @@ def test_snapshot_cdf_stream_continuous_across_rename(spark, tmp_path):
     assert sorted(rows) == [
         (2, 20, "update_preimage", 2), (2, 22, "update_postimage", 2),
     ]
+
+
+def test_snapshot_stream_rate_limit_bounds_each_batch(spark, tmp_path):
+    """max_versions_per_trigger drains a long history in bounded
+    micro-batches (Delta's maxFilesPerTrigger analogue), totals equal
+    the unbounded drain, and replay windows stay exact."""
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path / "rate")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1)
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    for i in range(1, 6):  # versions 1..5, 10 new rows each
+        ins = spark.range(i * 100, i * 100 + 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+        sn.merge_into(spark, path, ins, on=["k"], when_matched=None)
+    r = datasources.SnapshotAppendStreamReader(
+        {"path": path, "max_versions_per_trigger": "2"}
+    )
+    start = r.initialOffset()
+    batches = []
+    while True:
+        end = r.latestOffset()
+        if end == start:
+            break
+        rows, _ = _drain(r, start, end)
+        batches.append((start["version"], end["version"], len(rows)))
+        start = end
+    # 6 committed versions (0..5) drain as 2+2+2
+    assert [(-1, 1), (1, 3), (3, 5)] == [(a, b) for a, b, _ in batches]
+    assert sum(n for _, _, n in batches) == 60
+    # unbounded reader sees the same total in ONE batch
+    r2 = datasources.SnapshotAppendStreamReader({"path": path})
+    rows, off = _drain(r2, r2.initialOffset())
+    assert off == {"version": 5} and len(rows) == 60
+
+
+def test_snapshot_timestamp_time_travel_and_vacuum_dry_run(spark, tmp_path):
+    import os
+    import time
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path / "ts")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    t_after_v0 = time.time()
+    # keep commit mtimes strictly ordered around the probe instant
+    time.sleep(0.05)
+    sn.delete_where(spark, path, "k >= 20", mode="cow")
+    # TIMESTAMP AS OF: the probe instant pins v0, now() pins v1
+    assert sn.version_at_timestamp(path, t_after_v0) == 0
+    assert sn.snapshot_read(spark, path, timestamp=t_after_v0).count() == 30
+    assert sn.snapshot_read(spark, path, timestamp=time.time()).count() == 20
+    with pytest.raises(ValueError, match="no commit at or before"):
+        sn.version_at_timestamp(path, t_after_v0 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        sn.snapshot_read(spark, path, version=0, timestamp=t_after_v0)
+    # VACUUM DRY RUN: reports exactly what the real run then removes,
+    # and removes NOTHING itself
+    before = sorted(
+        os.path.join(dp, n)
+        for dp, _, ns in os.walk(path) for n in ns
+    )
+    rep = sn.vacuum(path, keep_versions=1, retention_seconds=0, dry_run=True)
+    assert rep["dry_run"] and rep["removed_files"] > 0
+    assert len(rep["would_remove"]) > 0
+    after = sorted(
+        os.path.join(dp, n)
+        for dp, _, ns in os.walk(path) for n in ns
+    )
+    assert before == after, "dry run must not delete"
+    assert sn.snapshot_read(spark, path, version=0).count() == 30
+    real = sn.vacuum(path, keep_versions=1, retention_seconds=0)
+    assert real["removed_files"] == rep["removed_files"]
+    gone = set(before) - set(
+        os.path.join(dp, n) for dp, _, ns in os.walk(path) for n in ns
+    )
+    would = {os.path.join(path, p) for p in rep["would_remove"]}
+    assert would <= gone  # the real sweep also drops pruned manifests
+    assert sn.snapshot_read(spark, path).count() == 20  # live intact
+    with pytest.raises(ValueError, match="no version"):
+        sn.snapshot_read(spark, path, version=0)

@@ -109,7 +109,16 @@ def _build(spark) -> None:
     is_near = (
         (F.col("doc_id") % 20 == 13) & (F.col("doc_id") >= 64) & ~is_exact
     )
-    base_id = F.col("doc_id") - 1 - F.pmod(H("bsrc", F.col("doc_id")), F.lit(50))
+    # bases must be NON-dup docs: a dup of a dup chains mutations into
+    # long connected components the measured sf0.1 structure does not
+    # have (256 isolated >=0.8-containment PAIRS among 5000 docs).
+    # doc ids =13 (mod 20) and =5 (mod 640) are the dup classes; step
+    # a colliding candidate down one (5-1 and 13-1 are both clean).
+    raw_base = (
+        F.col("doc_id") - 1 - F.pmod(H("bsrc", F.col("doc_id")), F.lit(50))
+    )
+    raw_base = raw_base - F.when(raw_base % 20 == 13, 1).otherwise(0)
+    base_id = raw_base - F.when(raw_base % 640 == 5, 1).otherwise(0)
     d = d.select(
         "doc_id",
         is_near.alias("near"),
@@ -146,7 +155,8 @@ def _build(spark) -> None:
 
     e = spark.range(N_VECS).select(F.col("id").alias("vec_id"))
     vnear = (F.col("vec_id") % 20 == 13) & (F.col("vec_id") >= 20)
-    vbase = F.col("vec_id") - 1 - F.pmod(H("vb", F.col("vec_id")), F.lit(20))
+    raw_vb = F.col("vec_id") - 1 - F.pmod(H("vb", F.col("vec_id")), F.lit(20))
+    vbase = raw_vb - F.when(raw_vb % 20 == 13, 1).otherwise(0)
     e = e.select(
         "vec_id",
         F.when(
