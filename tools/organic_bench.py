@@ -243,8 +243,11 @@ def _build(spark) -> None:
         "l_linenumber",
         (1.0 + F.pmod(H("qt", *k), F.lit(50))).cast("double").alias("l_quantity"),
         F.round(1000.0 + U("ep", *k) * 99000.0, 2).alias("l_extendedprice"),
-        (F.pmod(H("dc", *k), F.lit(11)) / 100.0).alias("l_discount"),
-        (F.pmod(H("tx", *k), F.lit(9)) / 100.0).alias("l_tax"),
+        # round(u * max, 2): halves the boundary-bin mass exactly like
+        # the measured distribution (P(0.10) ~= 5%, not 1/11) — the
+        # e2e circuit breaker's ~8.6% reject contract depends on it
+        F.round(U("dc", *k) * 0.10, 2).alias("l_discount"),
+        F.round(U("tx", *k) * 0.08, 2).alias("l_tax"),
         pick("rf", ["R", "A", "N"], *k).alias("l_returnflag"),
         pick("ls", ["O", "F"], *k).alias("l_linestatus"),
         F.to_timestamp(
