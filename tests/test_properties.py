@@ -522,3 +522,87 @@ def test_snapshot_colmap_op_sequences_match_model(spark, tmp_path_factory, ops):
         r["k"]: r[vname] for r in sn.snapshot_read(spark, path).collect()
     }
     assert got == model
+
+
+_HIST_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), st.integers(2, 5), st.integers(-9, 9)),
+        st.tuples(st.just("update"), st.integers(2, 4), st.integers(1, 9)),
+        st.tuples(st.just("delete"), st.integers(2, 6), st.just(0)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_HIST_OPS, clone_at=st.integers(0, 3))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_history_and_clone_invariants(
+    spark, tmp_path_factory, ops, clone_at
+):
+    """Random MERGE / UPDATE / DELETE sequences against a dict model:
+    after every commit, DESCRIBE HISTORY's head must name the op and
+    its live_rows must equal the actual read; a SHALLOW CLONE taken at
+    a random mid-point must keep serving that point's model state no
+    matter what the source does afterwards; VACUUM DRY RUN never
+    changes what any reader sees."""
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path_factory.mktemp("histprop") / "tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    keys = list(range(10))
+    model = {k: k * 10 for k in keys}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in model.items()], ["k", "v"]
+    )
+    sn.snapshot_create(spark, df, path, stats_cols=["k"])
+    expect_ops = ["CREATE"]
+    clone_path = clone_model = None
+    for i, (op, m, d) in enumerate(ops):
+        if clone_path is None and i == min(clone_at, len(ops) - 1):
+            clone_path = str(tmp_path_factory.mktemp("histprop") / "cln")
+            sn.shallow_clone(path, clone_path)
+            clone_model = dict(model)
+        if op == "merge":
+            src_rows = [(k, d) for k in keys if k % m == 0] + [(m + 50, d)]
+            sn.merge_into(
+                spark, path, spark.createDataFrame(src_rows, ["k", "v"]),
+                on=["k"],
+            )
+            model.update(src_rows)
+            expect_ops.append("MERGE")
+        elif op == "update":
+            sn.update_where(
+                spark, path, f"k % {m} = 1", {"v": f"v + {d}"},
+                mode="cow" if d % 2 else "mor",
+            )
+            for k in model:
+                if k % m == 1:
+                    model[k] += d
+            expect_ops.append("UPDATE")
+        else:
+            sn.delete_where(
+                spark, path, f"k % {m} = 0", mode="mor" if m % 2 else "cow",
+            )
+            model = {k: v for k, v in model.items() if k % m != 0}
+            expect_ops.append("DELETE")
+        hist = sn.snapshot_history(path)
+        assert [h["operation"] for h in reversed(hist)] == expect_ops
+        assert hist[0]["live_rows"] == len(model)
+        got = {
+            r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()
+        }
+        assert got == model
+    # dry-run vacuum is invisible to every reader
+    sn.vacuum(path, keep_versions=1, retention_seconds=0, dry_run=True)
+    got = {r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == model
+    # the clone still serves its capture point exactly
+    assert clone_path is not None
+    got_c = {
+        r["k"]: r["v"] for r in sn.snapshot_read(spark, clone_path).collect()
+    }
+    assert got_c == clone_model

@@ -101,6 +101,17 @@ def main() -> int:
         k: round(rec["sf1_10x"][k] / max(rec["sf01"][k], 1), 2)
         for k in rec["sf01"]
     }
+    # the organic tier (tools/organic_bench.py), when built: same 10x
+    # row count but NO replica decorrelation — its candidate_pairs
+    # ratio is the measured quadratic term of the bounded-vocabulary
+    # regime, next to the replicated tier's linear one
+    organic = "/tmp/mdl_organic_sf1"
+    if os.path.exists(os.path.join(organic, "_built")):
+        rec["organic_sf1"] = measure(spark, organic)
+        rec["ratios_organic"] = {
+            k: round(rec["organic_sf1"][k] / max(rec["sf01"][k], 1), 2)
+            for k in rec["sf01"]
+        }
     with open(OUT, "w") as fh:
         json.dump(rec, fh, indent=1, sort_keys=True)
     print(json.dumps(rec, indent=1, sort_keys=True))
