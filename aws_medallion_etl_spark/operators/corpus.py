@@ -972,3 +972,106 @@ def dedup_by_canonical_url(
         .drop("__rn")
         .withColumnRenamed("__curl", "canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr pass)
+# ---------------------------------------------------------------------------
+
+def trim_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, width: int = 10
+) -> DataFrame:
+    """Remove every duplicated ``width``-token span except its FIRST
+    corpus occurrence — span-level exact dedup, one level finer than
+    document/chunk dedup (a boilerplate paragraph pasted into thousands
+    of otherwise-unique docs survives both; this pass cuts it).
+
+    Semantics (deterministic): a window of ``width`` consecutive tokens
+    starting at position ``s`` of doc ``d`` is *duplicated* when the
+    identical token sequence occurs anywhere else in the corpus (other
+    doc, or other position of the same doc). The lexicographically
+    smallest ``(id, s)`` occurrence of each duplicated span is
+    canonical and keeps its tokens; every other occurrence marks its
+    ``width`` positions for removal (overlapping spans union). Output:
+    one row per input doc — ``(id, text_clean, n_removed)``.
+
+    Scale shape — the suffix-array batch equivalent as three keyed
+    hash shuffles, no windows over a global partition:
+
+    1. explode window starts; ``groupBy(gram)`` with map-side combine
+       carries ``(gram hash, count, min (id, s))`` — the posting list
+       aggregate, linear in corpus tokens;
+    2. occurrences join back on the gram hash (AQE broadcasts the
+       aggregate when small);
+    3. covered positions explode (bounded: ``width`` rows per
+       duplicated occurrence) and LEFT ANTI against the token stream.
+
+    ``width`` is the only recall knob: spans shorter than ``width``
+    survive (Lee et al. use 50 BPE tokens; smaller widths trim more
+    aggressively). Grams are compared by 128-bit content (two
+    independent xxhash64 seeds over the joined window) — at 100 TB the
+    collision odds stay negligible without shuffling raw token runs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__t"),
+    )
+    n_win = F.greatest(F.size("__t") - F.lit(width - 1), F.lit(0))
+    win = F.sequence(F.lit(0), n_win - 1)
+    occ = toks.where(n_win > 0).select(
+        "__id", F.explode(win).alias("__s"), "__t"
+    ).select(
+        "__id", "__s",
+        F.xxhash64(
+            F.array_join(F.slice("__t", F.col("__s") + 1, width), " ")
+        ).alias("__g1"),
+        F.xxhash64(
+            F.array_join(F.slice("__t", F.col("__s") + 1, width), " "),
+            F.lit(1),
+        ).alias("__g2"),
+    )
+    stats = occ.groupBy("__g1", "__g2").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("__id", "__s")).alias("__canon"),
+    )
+    dup = (
+        occ.join(stats, ["__g1", "__g2"])
+        .where(
+            (F.col("__cnt") > 1)
+            & (F.struct("__id", "__s") != F.col("__canon"))
+        )
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__s") + width - 1)
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    stream = toks.select(
+        "__id", F.posexplode("__t").alias("__p", "__tok")
+    )
+    kept = stream.join(dup, ["__id", "__p"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    base = toks.select("__id", F.size("__t").alias("__n"))
+    return (
+        base.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (F.col("__n") - F.coalesce("__kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )

@@ -621,3 +621,41 @@ def test_strip_boilerplate_threshold_and_order(spark):
     assert out[1] == "c1 c1 u1 u1"
     assert out[2] == "c1 c1 u2 u2"
     assert out[3] == "u3 u3"
+
+
+def test_trim_dup_spans_removes_all_but_first_occurrence(spark):
+    """A 10-token run pasted into doc 2 at an UNALIGNED offset is
+    removed there and kept at its first occurrence; unique text
+    survives untouched; overlapping duplicate windows union."""
+    run = " ".join(f"w{i}" for i in range(12))  # 12-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + run + " beta"),
+            (2, "x y z " + run + " tail unique tokens here"),
+            (3, "completely unrelated text with nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.trim_dup_spans(docs, "doc_id", "text", width=10)
+        .collect()
+    }
+    # doc 1 is the canonical (lowest id) occurrence — fully intact
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_clean"] == "alpha " + run + " beta"
+    # doc 2 loses exactly the 12 shared tokens (3 overlapping dup
+    # windows at offsets 3,4,5 cover positions 3..14), keeps the rest
+    assert out[2]["n_removed"] == 12
+    assert out[2]["text_clean"] == "x y z tail unique tokens here"
+    assert out[3]["n_removed"] == 0
+    # a doc shorter than the window can never be trimmed
+    short = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_removed"]
+        for r in corpus.trim_dup_spans(short, "doc_id", "text", width=10)
+        .collect()
+    }
+    assert got == {1: 0, 2: 0}
