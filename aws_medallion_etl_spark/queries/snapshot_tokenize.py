@@ -2714,3 +2714,52 @@ def s36_table_history(spark, sf_dir):
         ledger,
         "version long, operation string, rows_affected long, live_rows long",
     )
+
+
+_S37_CONVERT_SQL = """
+    WITH conv AS (
+        SELECT p_partkey, p_brand, p_size,
+               CASE WHEN p_partkey % 4 = 0 THEN p_retailprice + 50
+                    ELSE p_retailprice END AS p_retailprice
+        FROM part
+    )
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(p_size) AS BIGINT) AS sum_size,
+           round(sum(p_retailprice), 2) AS total_price
+    FROM conv WHERE p_partkey % 9 <> 0
+    GROUP BY p_brand
+"""
+
+
+@query("s37_convert_in_place", _S37_CONVERT_SQL)
+def s37_convert_in_place(spark, sf_dir):
+    """CONVERT TO DELTA parity (``snapshot.snapshot_convert``): an
+    existing plain-parquet directory becomes a snapshot table IN PLACE
+    — v0 references the files where they lie, zero bytes copied — and
+    then evolves through the normal write paths (a CoW update and a
+    MOR delete here). The oracle replays the same predicates over the
+    base table: a convert that dropped/duplicated rows, mis-read
+    footer stats, or broke later DML shifts the per-brand aggregates.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s37conv", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    part.repartitionByRange(6, "p_partkey").write.parquet(path)
+    snap.snapshot_convert(spark, path, stats_cols=["p_partkey"])
+    snap.update_where(
+        spark, path, "p_partkey % 4 = 0",
+        {"p_retailprice": "p_retailprice + 50"}, mode="cow",
+    )
+    snap.delete_where(spark, path, "p_partkey % 9 = 0", mode="mor")
+    final = snap.snapshot_read(spark, path)
+    return final.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").cast("long").alias("sum_size"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )

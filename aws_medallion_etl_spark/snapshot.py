@@ -412,11 +412,15 @@ def _scan_live(
     if not refs and not with_pos:
         df = spark.read.schema(phys).parquet(*files)
         return df.select(*to_logical) if colmap else df
+    # manifest-relative path rebuilt from the URI by splitting on the
+    # table root itself (works for files under data/ AND for
+    # snapshot_convert'ed files lying at the root — those have no
+    # /data/ segment at all); no URI-scheme assumption
+    root_sep = root.rstrip("/") + "/"
     df = spark.read.schema(phys).parquet(*files).select(
         *to_logical,
-        F.expr(
-            "concat('data/', "
-            "substring_index(_metadata.file_path, '/data/', -1))"
+        F.substring_index(
+            F.col("_metadata.file_path"), root_sep, -1
         ).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
     )
@@ -2210,6 +2214,30 @@ def vacuum(
                 _unlink(f)
                 removed_files += 1
                 reclaimed_dirs.add(dirpath)
+    # CONVERTED tables (snapshot_convert) reference files OUTSIDE
+    # data/ — once a rewrite strands one, it is reclaimed here under
+    # the same liveness/retention rules (Delta's contract: VACUUM owns
+    # every unreferenced file inside the table directory). Managed
+    # dirs are excluded; data/ was swept symlink-aware above.
+    for dirpath, dirs, names in os.walk(root):
+        if dirpath == root:
+            dirs[:] = [
+                d for d in dirs
+                if d not in (_DATA_DIR, _SNAP_DIR, _DELETES_DIR)
+                and not os.path.islink(os.path.join(dirpath, d))
+            ]
+        for name in names:
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            f = os.path.join(dirpath, name)
+            rel = os.path.normpath(os.path.relpath(f, root))
+            if rel in live:
+                continue
+            if os.path.getmtime(f) > cutoff:
+                skipped_recent += 1
+                continue
+            _unlink(f)
+            removed_files += 1
     for v in vs:
         if v not in keep:
             _unlink(_manifest_path(path, v))
@@ -2306,6 +2334,56 @@ def vacuum(
         out["dry_run"] = True
         out["would_remove"] = sorted(would_remove)
     return out
+
+
+def snapshot_convert(
+    spark: SparkSession, path: str, stats_cols: list[str]
+) -> int:
+    """Delta's ``CONVERT TO DELTA``: turn an EXISTING plain-parquet
+    dataset directory into a snapshot table IN PLACE — zero bytes
+    copied, zero files moved.
+
+    Version 0's manifest references the directory's parquet files
+    where they lie (manifest paths are table-root-relative, so the
+    files simply live beside ``data/`` instead of under it); per-file
+    ``stats_cols`` min/max come from the parquet FOOTERS (one footer
+    read per file, no data pages — the same cost Delta pays). Every
+    later commit (merge/delete/update/compact) behaves normally and
+    writes under ``data/``; once a rewrite strands an original file,
+    :func:`vacuum`'s root sweep reclaims it under the usual
+    retention/liveness rules — exactly Delta's contract that VACUUM
+    owns every unreferenced file inside the table directory.
+
+    Hive-partitioned layouts (``key=value`` subdirectories) are
+    refused: their partition VALUES live in directory names, which a
+    direct file read would silently drop — Delta's converter demands
+    the partition schema for the same reason; this engine's tables
+    carry pruning via manifest stats instead, so flatten first.
+    """
+    root = path.rstrip("/")
+    if snapshot_versions(root):
+        raise ValueError(f"snapshot_convert: {root} is already a snapshot table")
+    entries = eio.collect_file_stats(root, stats_cols)
+    if not entries:
+        raise ValueError(f"snapshot_convert: no parquet files under {root}")
+    bad = [e["file"] for e in entries if "=" in os.path.dirname(e["file"])]
+    if bad:
+        raise ValueError(
+            "snapshot_convert: hive-partitioned layout not supported "
+            f"(partition values live in dir names): {bad[:3]}"
+        )
+    schema = spark.read.parquet(root).schema
+    _commit(root, 0, {
+        "version": 0,
+        "schema": schema.json(),
+        "columns": stats_cols,
+        **_op_fields("CONVERT", {
+            "n_files": len(entries),
+            "rows_converted": sum(int(e["rows"]) for e in entries),
+        }),
+        **_files_fields(root, 0, entries, stats_cols),
+    })
+    return 0
 
 
 def snapshot_history(path: str) -> list[dict]:

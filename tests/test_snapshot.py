@@ -1343,3 +1343,55 @@ def test_shallow_clone_vacuum_never_touches_source_bytes(spark, tmp_path):
     # ...and the SOURCE is byte-for-byte intact
     assert len(_rows(spark, path)) == 99
     assert _rows(spark, clone) == _rows(spark, path)
+
+
+def test_snapshot_convert_in_place_and_vacuum_reclaims_originals(
+    spark, tmp_path
+):
+    """CONVERT TO DELTA parity: a plain parquet directory becomes a
+    snapshot table in place (zero copies), evolves normally, and once
+    a compact strands the original files the root vacuum sweep
+    reclaims them; hive-partitioned layouts are refused."""
+    import time as _time
+
+    path = str(tmp_path / "plain")
+    spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4).write.parquet(path)
+    originals = {
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    }
+    assert sn.snapshot_convert(spark, path, stats_cols=["k"]) == 0
+    assert sorted(
+        (r["k"], r["v"]) for r in sn.snapshot_read(spark, path).collect()
+    ) == [(i, i * 3) for i in range(50)]
+    hist = sn.snapshot_history(path)
+    assert hist[0]["operation"] == "CONVERT"
+    assert hist[0]["metrics"]["rows_converted"] == 50
+    # no bytes moved: the originals still sit at the root
+    assert originals <= set(os.listdir(path))
+    # normal evolution: merge writes under data/, stats pruning works
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(0, -1), (500, 1)], ["k", "v"]), on=["k"],
+    )
+    got = dict(
+        (r["k"], r["v"]) for r in sn.snapshot_read(spark, path).collect()
+    )
+    assert got[0] == -1 and got[500] == 1 and len(got) == 51
+    # compact strands the originals; the root sweep reclaims them
+    sn.compact(spark, path, small_file_rows=10_000)
+    _time.sleep(0.05)
+    rep = sn.vacuum(path, keep_versions=1, retention_seconds=0)
+    assert rep["removed_files"] >= len(originals)
+    assert not (originals & set(os.listdir(path)))
+    assert len(sn.snapshot_read(spark, path).collect()) == 51
+    # refusals: double convert, hive layout
+    with pytest.raises(ValueError, match="already a snapshot table"):
+        sn.snapshot_convert(spark, path, stats_cols=["k"])
+    part = str(tmp_path / "hive")
+    spark.range(0, 10).select(
+        (F.col("id") % 2).alias("p"), F.col("id").alias("k")
+    ).write.partitionBy("p").parquet(part)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        sn.snapshot_convert(spark, part, stats_cols=["k"])
