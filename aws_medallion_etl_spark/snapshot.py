@@ -2418,10 +2418,15 @@ def snapshot_history(path: str) -> list[dict]:
     return out
 
 
-def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
-    """Delta's ``CREATE TABLE ... SHALLOW CLONE src [VERSION AS OF n]``:
-    a NEW snapshot table whose v0 references the source's data by
-    link, copying no data bytes.
+def shallow_clone(
+    src: str,
+    dst: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> int:
+    """Delta's ``CREATE TABLE ... SHALLOW CLONE src [VERSION AS OF n |
+    TIMESTAMP AS OF t]``: a NEW snapshot table whose v0 references the
+    source's data by link, copying no data bytes.
 
     Mechanics: the source version's live commit dirs (and the DV
     sidecar dirs its entries reference) are SYMLINKED under the
@@ -2450,6 +2455,10 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
         raise ValueError(f"shallow_clone: {src} is not a snapshot table")
     if snapshot_versions(dst_root):
         raise ValueError(f"shallow_clone: {dst} is already a snapshot table")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("shallow_clone: pass version OR timestamp, not both")
+        version = version_at_timestamp(src_root, timestamp)
     v = vs[-1] if version is None else int(version)
     if v not in vs:
         raise ValueError(f"shallow_clone: version {v} not in {vs}")
