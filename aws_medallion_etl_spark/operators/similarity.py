@@ -919,7 +919,7 @@ def cosine_topk_ivf_pq(
     m: int = 8,
     codes: int = 16,
     iters: int = 3,
-    shortlist: int = 50,
+    shortlist: int | str = "auto",
     exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ with exact refine — the canonical 100 TB ANN pipeline
@@ -927,6 +927,15 @@ def cosine_topk_ivf_pq(
     candidates (partition pruning), PQ codes bound the BYTES the
     candidate stage touches, and an exact re-rank of the ``shortlist``
     restores full-precision scores for the final ``k``.
+
+    ``shortlist="auto"`` (default) scales the refine budget with the
+    corpus — ``max(50, ceil(N / 32))`` — because a FIXED shortlist is
+    a recall cliff in disguise: ADC noise is scale-free, so the number
+    of false candidates out-scoring a true neighbor grows with the
+    candidate pool (measured in RECALL_AUDIT.json: recall@5 fell
+    0.725 → 0.55 from sf0.1 to 10x at a fixed 50). The refine join
+    stays ``shortlist x n_queries`` rows — corpus-independent cost per
+    query, growing only with the quality budget.
 
     Stage shape:
 
@@ -948,6 +957,8 @@ def cosine_topk_ivf_pq(
     approximation lives only in the middle stage, where it buys the
     32x byte cut.
     """
+    if shortlist == "auto":
+        shortlist = max(50, -(-int(corpus.count()) // 32))
     cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters)
     books = train_pq_codebooks(
         corpus, id_col, vec_col, m, codes, iters, centroids=cents
@@ -1104,6 +1115,9 @@ def build_ivf_pq_index(
         _json.dump(cents, fh)
     with open(f"{path}/codebooks.json", "w") as fh:
         _json.dump(books, fh)
+    # corpus size rides the index so auto shortlists never rescan
+    with open(f"{path}/meta.json", "w") as fh:
+        _json.dump({"n_vectors": int(corpus.count())}, fh)
 
 
 def cosine_topk_ivf_pq_indexed(
@@ -1114,7 +1128,7 @@ def cosine_topk_ivf_pq_indexed(
     vec_col: str,
     k: int = 5,
     nprobe: int = 6,
-    shortlist: int = 256,
+    shortlist: int | str = "auto",
     exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ ANN against a prebuilt :func:`build_ivf_pq_index`
@@ -1122,6 +1136,10 @@ def cosine_topk_ivf_pq_indexed(
     stored codes (the candidate scan projects id + codes only — the
     raw vector column is pruned away), exact re-rank of the shortlist
     from the same files. Training cost: zero per query batch.
+    ``shortlist="auto"`` scales the refine budget with the indexed
+    corpus (``max(256, ceil(N / 32))``, N from the index manifest) —
+    see :func:`cosine_topk_ivf_pq` for the fixed-shortlist recall
+    cliff this avoids.
     """
     import json as _json
 
@@ -1130,6 +1148,18 @@ def cosine_topk_ivf_pq_indexed(
     with open(f"{index_path}/codebooks.json") as fh:
         books = _json.load(fh)
     ncodes = len(books[0])
+    if shortlist == "auto":
+        import os as _os
+
+        meta_p = f"{index_path}/meta.json"
+        n_indexed = None
+        if _os.path.exists(meta_p):
+            with open(meta_p) as fh:
+                n_indexed = _json.load(fh).get("n_vectors")
+        if n_indexed is None:
+            # legacy index without a meta sidecar: parquet metadata-only
+            n_indexed = spark.read.parquet(f"{index_path}/cells").count()
+        shortlist = max(256, -(-int(n_indexed) // 32))
 
     probe = _probe_centroids(cents, nprobe)
     probed_cells = sorted(

@@ -1,0 +1,193 @@
+"""Measured RECALL of every approximate method against its exact
+reference — the quality half of STRESS_local.json's speed numbers.
+
+Each approximate family in the inventory claims a recall story
+("empirically 1.0 at grading scales", "exact by pigeonhole",
+"cluster-confined by design"). This tool turns those claims into a
+machine-checkable record at sf0.1 AND the 10x stress tier:
+
+* ``sim_topk_lsh``   (4 planes x 24 tables)      vs brute-force top-5
+* ``sim_topk_ivf``   (8 cells, nprobe 6)         vs brute-force top-5
+* ``sim_topk_ivf_pq``(m=16, codes=32, refine)    vs brute-force top-5
+* ``dedup_minhash_lsh`` (64 hashes, 16 bands)    vs exact n-gram Jaccard
+* ``dedup_simhash_rotations`` (sf0.1 only — the exact reference is the
+  full O(N^2) Hamming pair set)                  vs exact Hamming<=3
+* ``dedup_semantic_clusters`` (SemDeDup auto-k)  vs exact cosine pairs
+  — the ONE family whose recall is below 1 BY DESIGN (cross-cluster
+  near-dups are the paper's documented trade); the measured number is
+  the honest value of that trade at each scale.
+
+Top-k recall = mean over queries of |approx ∩ exact| / k.
+Pair recall  = |approx ∩ exact| / |exact|.
+
+Writes RECALL_AUDIT.json (merging across invocations).
+Usage: python tools/recall_audit.py [sf01] [10x]   (default: both)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "RECALL_AUDIT.json")
+DIRS = {"sf01": "/root/testdata/sf0.1", "10x": "/tmp/mdl_stress_sf1"}
+
+
+def _topk_sets(df, qcol, ncol):
+    rows = df.collect()
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[qcol], set()).add(r[ncol])
+    return out
+
+
+def _topk_recall(approx, exact, qcol="query_id", ncol="neighbor_id"):
+    a, e = _topk_sets(approx, qcol, ncol), _topk_sets(exact, qcol, ncol)
+    per_q = [
+        len(a.get(q, set()) & ids) / max(len(ids), 1) for q, ids in e.items()
+    ]
+    return round(sum(per_q) / max(len(per_q), 1), 4), len(e)
+
+
+def _pair_recall(approx, exact, ca=("id_a", "id_b")):
+    a = {(r[ca[0]], r[ca[1]]) for r in approx.collect()}
+    e = {(r[ca[0]], r[ca[1]]) for r in exact.collect()}
+    return (
+        round(len(a & e) / max(len(e), 1), 4), len(e), len(a)
+    )
+
+
+def measure(spark, sf_dir: str, with_simhash: bool) -> dict:
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark.operators import fuzzy, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    out: dict = {}
+
+    exact_topk = similarity.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5
+    ).cache()
+    exact_topk.count()
+
+    lsh = similarity.cosine_topk_lsh(
+        emb, queries, "vec_id", "embedding", k=5, planes=4, dim=64, tables=24
+    )
+    r, nq = _topk_recall(lsh, exact_topk)
+    out["sim_topk_lsh"] = {"recall_at_5": r, "n_queries": nq}
+
+    ivf = similarity.cosine_topk_ivf(
+        emb, queries, "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=6, iters=3,
+    )
+    r, nq = _topk_recall(ivf, exact_topk)
+    out["sim_topk_ivf"] = {"recall_at_5": r, "n_queries": nq}
+
+    pq = similarity.cosine_topk_ivf_pq(
+        emb, queries, "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=6, m=16, codes=32, iters=3,
+    )
+    r, nq = _topk_recall(pq, exact_topk)
+    out["sim_topk_ivf_pq"] = {"recall_at_5": r, "n_queries": nq}
+    exact_topk.unpersist()
+
+    exact_jac = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    ).cache()
+    mh = fuzzy.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
+    )
+    r, ne, na = _pair_recall(mh, exact_jac)
+    out["dedup_minhash_lsh"] = {
+        "pair_recall": r, "n_exact_pairs": ne, "n_approx_pairs": na,
+    }
+    exact_jac.unpersist()
+
+    exact_cos = similarity.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, method="exact"
+    ).cache()
+    sem = similarity.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, n_seeds="auto"
+    ).cache()
+    r, ne, na = _pair_recall(sem, exact_cos)
+    out["dedup_semantic_clusters"] = {
+        "pair_recall": r, "n_exact_pairs": ne, "n_approx_pairs": na,
+        "note": "cluster-confined BY DESIGN (SemDeDup trade); at the "
+                "loose 0.35 threshold the exact set is dominated by "
+                "weak background pairs — see the 0.6 row for the "
+                "near-dup regime the operator exists for",
+    }
+    # the number that matters for DEDUP: recall over HIGH-similarity
+    # pairs (the actual near-duplicates), not loose background cosines
+    hi_exact = exact_cos.where(F.col("cosine") >= 0.6)
+    hi_sem = sem.where(F.col("cosine") >= 0.6)
+    r, ne, na = _pair_recall(hi_sem, hi_exact)
+    out["dedup_semantic_clusters_cos06"] = {
+        "pair_recall": r, "n_exact_pairs": ne, "n_approx_pairs": na,
+    }
+    sem.unpersist()
+    exact_cos.unpersist()
+
+    if with_simhash:
+        sigs = fuzzy.simhash_md5_signature(docs, "doc_id", "text").cache()
+        banded = fuzzy.simhash_pairs_from_signatures(
+            sigs, max_hamming=3, prefix_bits=16, rotations=4
+        )
+        a = sigs.select(
+            F.col("__id").alias("id_a"), F.col("simhash").alias("__sa")
+        )
+        b = sigs.select(
+            F.col("__id").alias("id_b"), F.col("simhash").alias("__sb")
+        )
+        full = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .where(F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))) <= 3)
+            .select("id_a", "id_b")
+        )
+        r, ne, na = _pair_recall(banded, full)
+        out["dedup_simhash_rotations"] = {
+            "pair_recall": r, "n_exact_pairs": ne, "n_approx_pairs": na,
+            "note": "pigeonhole claims EXACTLY 1.0 — anything else is a bug",
+        }
+        sigs.unpersist()
+    return out
+
+
+def main() -> int:
+    which = sys.argv[1:] or ["sf01", "10x"]
+
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell"
+    )
+    from aws_medallion_etl_spark import get_spark
+
+    spark = get_spark(app_name="recall-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    doc = {}
+    if os.path.exists(OUT):
+        try:
+            doc = json.load(open(OUT))
+        except (ValueError, OSError):
+            doc = {}
+    for tag in which:
+        sf_dir = DIRS[tag]
+        if not os.path.isdir(sf_dir):
+            print(f"skip {tag}: {sf_dir} missing", file=sys.stderr)
+            continue
+        doc[tag] = measure(spark, sf_dir, with_simhash=(tag == "sf01"))
+        print(tag, json.dumps(doc[tag]), file=sys.stderr)
+    with open(OUT, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    print(json.dumps(doc))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
