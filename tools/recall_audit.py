@@ -34,7 +34,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "RECALL_AUDIT.json")
-DIRS = {"sf01": "/root/testdata/sf0.1", "10x": "/tmp/mdl_stress_sf1"}
+DIRS = {
+    "sf01": "/root/testdata/sf0.1",
+    "10x": "/tmp/mdl_stress_sf1",
+    # the organic tier's embeddings carry ~1000 PLANTED near-dup pairs
+    # at cos ~0.95 (tools/organic_bench.py) — the one corpus where
+    # "recall on actual near-duplicates" is measurable with a real
+    # sample size instead of background coincidences
+    "organic": "/tmp/mdl_organic_sf1",
+}
 
 
 def _topk_sets(df, qcol, ncol):
@@ -129,6 +137,12 @@ def measure(spark, sf_dir: str, with_simhash: bool) -> dict:
     hi_sem = sem.where(F.col("cosine") >= 0.6)
     r, ne, na = _pair_recall(hi_sem, hi_exact)
     out["dedup_semantic_clusters_cos06"] = {
+        "pair_recall": r, "n_exact_pairs": ne, "n_approx_pairs": na,
+    }
+    hi_exact = exact_cos.where(F.col("cosine") >= 0.9)
+    hi_sem = sem.where(F.col("cosine") >= 0.9)
+    r, ne, na = _pair_recall(hi_sem, hi_exact)
+    out["dedup_semantic_clusters_cos09"] = {
         "pair_recall": r, "n_exact_pairs": ne, "n_approx_pairs": na,
     }
     sem.unpersist()
