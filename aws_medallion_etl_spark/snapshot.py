@@ -2233,7 +2233,13 @@ def vacuum(
             rel = os.path.normpath(os.path.relpath(f, root))
             if rel in live:
                 continue
-            if os.path.getmtime(f) > cutoff:
+            # a clone-of-converted table links single FILES at the
+            # root: age the LINK (its target may be gone or foreign)
+            mt = (
+                os.lstat(f).st_mtime if os.path.islink(f)
+                else os.path.getmtime(f)
+            )
+            if mt > cutoff:
                 skipped_recent += 1
                 continue
             _unlink(f)
@@ -2464,11 +2470,15 @@ def shallow_clone(
         raise ValueError(f"shallow_clone: version {v} not in {vs}")
     man = _read_manifest(src_root, v)
     entries = _manifest_files(src_root, man)
-    rel_dirs = sorted(
-        {os.path.dirname(e["file"]) for e in entries}
+    # link whole commit dirs where files live under one (the normal
+    # layout); a CONVERTED source's files sit at the table root with
+    # no parent dir to link — those are linked per FILE (linking the
+    # parent would alias the entire source root onto the clone)
+    rel_links = sorted(
+        {os.path.dirname(e["file"]) or e["file"] for e in entries}
         | {r for e in entries for r in e.get("dv") or []}
     )
-    for rel in rel_dirs:
+    for rel in rel_links:
         link = os.path.join(dst_root, rel)
         os.makedirs(os.path.dirname(link), exist_ok=True)
         if not os.path.lexists(link):

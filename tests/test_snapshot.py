@@ -1395,3 +1395,33 @@ def test_snapshot_convert_in_place_and_vacuum_reclaims_originals(
     ).write.partitionBy("p").parquet(part)
     with pytest.raises(ValueError, match="hive-partitioned"):
         sn.snapshot_convert(spark, part, stats_cols=["k"])
+
+
+def test_shallow_clone_of_converted_table_links_files(spark, tmp_path):
+    """Cloning a CONVERTED table (files at the source root, no commit
+    dir) links each file individually — never the source root itself —
+    and the clone evolves and vacuums independently."""
+    src = str(tmp_path / "conv")
+    spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(3).write.parquet(src)
+    sn.snapshot_convert(spark, src, stats_cols=["k"])
+    clone = str(tmp_path / "cln")
+    sn.shallow_clone(src, clone)
+    assert not os.path.islink(clone), "clone root must be a real dir"
+    links = [
+        n for n in os.listdir(clone)
+        if os.path.islink(os.path.join(clone, n)) and n.endswith(".parquet")
+    ]
+    assert len(links) == 3, "one link per converted file"
+    assert _rows(spark, clone) == _rows(spark, src)
+    sn.delete_where(spark, clone, "k >= 20", mode="cow")
+    assert len(_rows(spark, clone)) == 20
+    assert len(_rows(spark, src)) == 40
+    # the cow rewrite strands the links; vacuum removes links only
+    sn.vacuum(clone, keep_versions=1, retention_seconds=0)
+    assert not any(
+        os.path.islink(os.path.join(clone, n)) for n in os.listdir(clone)
+    )
+    assert len(_rows(spark, src)) == 40  # source bytes untouched
+    assert len(_rows(spark, clone)) == 20
