@@ -382,6 +382,9 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         self.diff_partitions = max(
             1, int(options.get("diff_partitions", 1))
         )
+        mv = options.get("max_versions_per_trigger")
+        self.max_versions = int(mv) if mv is not None else None
+        self._last_end: int | None = None
 
     def initialOffset(self):
         from aws_medallion_etl_spark import snapshot as snap
@@ -390,13 +393,21 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         # next (Delta's startingVersion=latest); a backfill of history
         # is the batch snapshot_changes call
         v = snap.current_version(self.path)
-        return {"version": -1 if v is None else int(v)}
+        self._last_end = -1 if v is None else int(v)
+        return {"version": self._last_end}
 
     def latestOffset(self):
         from aws_medallion_etl_spark import snapshot as snap
 
         v = snap.current_version(self.path)
-        return {"version": -1 if v is None else int(v)}
+        end = -1 if v is None else int(v)
+        # same soft admission control as the append reader: bound the
+        # version span a single micro-batch diffs (first batch after a
+        # checkpoint restart is unbounded — documented, replay-exact)
+        if self.max_versions is not None and self._last_end is not None:
+            end = min(end, self._last_end + self.max_versions)
+        self._last_end = max(end, self._last_end or -1)
+        return {"version": end}
 
     def partitions(self, start, end):
         import json as _json

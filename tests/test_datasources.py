@@ -387,3 +387,38 @@ def test_snapshot_timestamp_time_travel_and_vacuum_dry_run(spark, tmp_path):
     assert sn.snapshot_read(spark, path).count() == 20  # live intact
     with pytest.raises(ValueError, match="no version"):
         sn.snapshot_read(spark, path, version=0)
+
+
+def test_snapshot_cdf_stream_rate_limit(spark, tmp_path):
+    """CDF admission control: each micro-batch diffs a bounded version
+    span; totals equal the unbounded drain."""
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path / "cdfrate")
+    sn.snapshot_create(
+        spark,
+        spark.createDataFrame([(k, k) for k in range(10)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    r = datasources.SnapshotCDFStreamReader(
+        {"path": path, "key_cols": "k", "max_versions_per_trigger": "1"}
+    )
+    start = r.initialOffset()
+    for i in range(1, 4):  # v1..v3: one update each
+        sn.merge_into(
+            spark, path,
+            spark.createDataFrame([(i, -i)], ["k", "v"]), on=["k"],
+        )
+    batches = []
+    while True:
+        end = r.latestOffset()
+        if end == start:
+            break
+        rows, _ = _drain(r, start, end)
+        batches.append((start["version"], end["version"], len(rows)))
+        start = end
+    assert [(a, b) for a, b, _ in batches] == [(0, 1), (1, 2), (2, 3)]
+    # each update emits a pre+post image pair
+    assert all(n == 2 for _, _, n in batches)
