@@ -21,5 +21,6 @@ from aws_medallion_etl_spark.queries import core  # noqa: E402,F401
 from aws_medallion_etl_spark.queries import dedup_corpus  # noqa: E402,F401
 from aws_medallion_etl_spark.queries import streaming_corpus  # noqa: E402,F401
 from aws_medallion_etl_spark.queries import snapshot_tokenize  # noqa: E402,F401
+from aws_medallion_etl_spark.queries import snapshot_dml  # noqa: E402,F401
 
 from aws_medallion_etl_spark.queries.core import lineitem_rules  # noqa: E402,F401
