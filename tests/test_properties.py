@@ -579,16 +579,19 @@ def test_snapshot_history_and_clone_invariants(
                 spark, path, f"k % {m} = 1", {"v": f"v + {d}"},
                 mode="cow" if d % 2 else "mor",
             )
+            if any(k % m == 1 for k in model):
+                # zero-match DML commits NO version (documented)
+                expect_ops.append("UPDATE")
             for k in model:
                 if k % m == 1:
                     model[k] += d
-            expect_ops.append("UPDATE")
         else:
             sn.delete_where(
                 spark, path, f"k % {m} = 0", mode="mor" if m % 2 else "cow",
             )
+            if any(k % m == 0 for k in model):
+                expect_ops.append("DELETE")
             model = {k: v for k, v in model.items() if k % m != 0}
-            expect_ops.append("DELETE")
         hist = sn.snapshot_history(path)
         assert [h["operation"] for h in reversed(hist)] == expect_ops
         assert hist[0]["live_rows"] == len(model)
