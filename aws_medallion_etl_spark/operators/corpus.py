@@ -1033,16 +1033,20 @@ def trim_dup_spans(
             F.lit(1),
         ).alias("__g2"),
     )
+    # canonical = min over the LINEARIZED (id, start) key — the same
+    # arithmetic an engine without struct ordering (the oracle) uses,
+    # so both sides pick the identical occurrence for any document
+    # under 1e6 window starts (struct-lexicographic min would diverge
+    # from the oracle's arithmetic exactly when starts exceed the
+    # oracle's multiplier)
+    occ_key = F.col("__id") * F.lit(1_000_000) + F.col("__s")
     stats = occ.groupBy("__g1", "__g2").agg(
         F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct("__id", "__s")).alias("__canon"),
+        F.min(occ_key).alias("__canon"),
     )
     dup = (
         occ.join(stats, ["__g1", "__g2"])
-        .where(
-            (F.col("__cnt") > 1)
-            & (F.struct("__id", "__s") != F.col("__canon"))
-        )
+        .where((F.col("__cnt") > 1) & (occ_key != F.col("__canon")))
         .select(
             "__id",
             F.explode(

@@ -412,7 +412,7 @@ def kmeans_centroids(
             vecs = (
                 vecs.where(
                     F.pmod(F.xxhash64(F.col("__id")), F.lit(denom))
-                    < int(denom * cap / n)
+                    < max(1, int(denom * cap / n))
                 ).persist()
             )
         cents = [
@@ -793,7 +793,7 @@ def train_pq_codebooks(
             vecs = (
                 vecs.where(
                     F.pmod(F.xxhash64(F.col("__id")), F.lit(denom))
-                    < int(denom * cap / n)
+                    < max(1, int(denom * cap / n))
                 ).persist()
             )
         seed_rows = vecs.orderBy("__id").limit(codes).collect()

@@ -1910,7 +1910,8 @@ def str7_stream_jsonl_ingest(spark, sf_dir):
 _TRIM_SPANS_SQL = """
     WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
         FROM documents
     ),
     occ AS (
@@ -1922,14 +1923,14 @@ _TRIM_SPANS_SQL = """
     ),
     st AS (
         SELECT gram, count(*) AS cnt,
-               min(doc_id * 1024 + s) AS canon
+               min(doc_id * 1000000 + s) AS canon
         FROM occ GROUP BY gram
     ),
     dup AS (
         SELECT DISTINCT occ.doc_id, occ.s + j AS p
         FROM occ JOIN st USING (gram),
              LATERAL (SELECT unnest(range(0, 10)) AS j)
-        WHERE st.cnt > 1 AND occ.doc_id * 1024 + occ.s <> st.canon
+        WHERE st.cnt > 1 AND occ.doc_id * 1000000 + occ.s <> st.canon
     ),
     stream AS (
         SELECT doc_id, i AS p, t[i + 1] AS tok

@@ -180,13 +180,80 @@ def snapshot_versions(path: str) -> list[int]:
     return out
 
 
-def _next_version(path: str) -> int:
-    """The next claimable version slot: one past the highest CLAIMED
-    slot, visible or not — an aborted transaction's slot is dead and
-    must be skipped, never reused (its manifest file still exists and
-    the exclusive ``os.link`` would refuse it anyway)."""
-    slots, _ = _list_slots(path)
-    return (slots[-1] + 1) if slots else 0
+def _txn_is_aborted(gate: dict) -> bool:
+    """Explicitly aborted: the coordinator dropped an ``.aborted``
+    marker next to where the commit marker would have gone."""
+    anchor_dir = os.path.join(_snap_dir(gate["anchor"]), _TXNS_DIR)
+    return os.path.exists(os.path.join(anchor_dir, f"{gate['id']}.aborted"))
+
+
+# a gated slot with neither marker and younger than this is an
+# IN-FLIGHT transaction holding the table's commit intent; past it the
+# coordinator is presumed crashed and the slot dead (vacuum's
+# retention sweep uses the same presumption)
+STALE_TXN_SECONDS = 3600.0
+
+
+def _next_version(path: str, base_v: int | None = None) -> int:
+    """The next claimable version slot — one past the highest CLAIMED
+    slot — with WRITE-INTENT semantics over gated slots (the round-10
+    lost-update fix).
+
+    A slot above the caller's read base can be in three states:
+
+    * DEAD (aborted marker, or gated-pending but older than
+      ``STALE_TXN_SECONDS`` — a crashed coordinator): skipped, never
+      reused (the manifest file still exists and the exclusive
+      ``os.link`` would refuse the slot anyway);
+    * gated PENDING and fresh: an in-flight :func:`multi_table_txn`
+      holds the table's commit intent. Skipping it would let this
+      writer commit a manifest based on pre-transaction state that
+      silently drops the transaction's write the instant its marker
+      links — the classic lost update. The writer must WAIT: raise the
+      same commit-conflict error a slot race raises;
+    * COMMITTED (normal or gate marker present): the caller's base
+      read is stale — raise so it re-reads and re-runs, standard OCC.
+
+    ``base_v=None`` (table-creation paths) keeps the bare
+    next-free-slot behaviour.
+    """
+    import time
+
+    slots, gated = _list_slots(path)
+    nxt = (slots[-1] + 1) if slots else 0
+    if base_v is None:
+        return nxt
+    for v in slots:
+        if v <= base_v:
+            continue
+        if v not in gated:
+            raise RuntimeError(
+                f"snapshot commit conflict: version {v} of {path} was "
+                "committed concurrently — re-read the table and re-run"
+            )
+        gate = _read_manifest(path, v).get("txn_gate")
+        if gate is None or _txn_is_committed(gate):
+            raise RuntimeError(
+                f"snapshot commit conflict: version {v} of {path} was "
+                "committed concurrently — re-read the table and re-run"
+            )
+        if _txn_is_aborted(gate):
+            continue
+        own = _ACTIVE_TXN.get()
+        if own is not None and gate["id"] == own["id"]:
+            raise RuntimeError(
+                "multi_table_txn: one commit per table per transaction "
+                f"— {path} already committed in this transaction"
+            )
+        if time.time() - os.path.getmtime(_manifest_path(path, v)) \
+                > STALE_TXN_SECONDS:
+            continue
+        raise RuntimeError(
+            f"snapshot commit conflict: version {v} of {path} is held "
+            f"by in-flight multi-table transaction {gate['id']} — "
+            "retry after it commits or aborts"
+        )
+    return nxt
 
 
 def current_version(path: str) -> int | None:
@@ -285,6 +352,7 @@ def _mint_dv(
     entries: list[dict],
     hits: DataFrame,
     new_v: int,
+    carry: bool = True,
 ) -> tuple[str, dict[str, int], dict[str, int]]:
     """Write the version's deletion-vector sidecar, COALESCED to one
     ref per touched file (Delta's one-DV-per-file model).
@@ -312,10 +380,17 @@ def _mint_dv(
     dv_rel = os.path.join(_DELETES_DIR, f"d{new_v:05d}-{uuid.uuid4().hex[:8]}")
     dv_dir = os.path.join(root, dv_rel)
     hits.write.mode("error").parquet(dv_dir)
-    prior_rows = {
-        e["file"]: int(e.get("dv_rows") or 0)
-        for e in entries if e.get("dv")
-    }
+    prior_rows = (
+        {
+            e["file"]: int(e.get("dv_rows") or 0)
+            for e in entries if e.get("dv")
+        }
+        # cow callers (carry=False) only use the sidecar as the
+        # rewrite's anti-join side and never reference it in the
+        # manifest — reading and re-writing the table's whole DV debt
+        # into it would be pure wasted IO
+        if carry else {}
+    )
     if prior_rows:
         # union the touched files' existing dead positions into the new
         # sidecar (touched set read back from disk — no hits recompute)
@@ -415,13 +490,19 @@ def _scan_live(
     # manifest-relative path rebuilt from the URI by splitting on the
     # table root itself (works for files under data/ AND for
     # snapshot_convert'ed files lying at the root — those have no
-    # /data/ segment at all); no URI-scheme assumption
+    # /data/ segment at all); no URI-scheme assumption. The URI is
+    # percent-DECODED first: a root containing a space reads as %20 in
+    # _metadata.file_path (verified empirically) and would never match
+    # the raw separator. URLDecoder's bonus '+'→space rule is fenced
+    # by pre-escaping literal '+' (raw in Hadoop URIs) to %2B, and a
+    # raw '%' round-trips because the URI carries it as %25.
     root_sep = root.rstrip("/") + "/"
+    decoded = F.url_decode(
+        F.replace(F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B"))
+    )
     df = spark.read.schema(phys).parquet(*files).select(
         *to_logical,
-        F.substring_index(
-            F.col("_metadata.file_path"), root_sep, -1
-        ).alias("__file"),
+        F.substring_index(decoded, root_sep, -1).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
     )
     if refs:
@@ -473,22 +554,34 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         # sidecar BEFORE the manifest link: readers only pay the
         # gate-check JSON read for slots whose sidecar exists, and a
         # crash between the two writes leaves an orphan sidecar with
-        # no manifest — harmless, vacuumed later
+        # no manifest — vacuumed later
         with open(_gate_sidecar_path(path, version, txn["id"]), "w"):
             pass
-        txn["claimed"].append((norm, version))
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     try:
         os.link(tmp, _manifest_path(path, version))
     except FileExistsError:
+        if txn is not None and norm in txn["paths"]:
+            # the slot was NOT claimed: drop the speculative gate
+            # sidecar so the lost race leaves no phantom — the caller
+            # may legitimately re-run the merge inside the same txn
+            try:
+                os.unlink(_gate_sidecar_path(path, version, txn["id"]))
+            except FileNotFoundError:
+                pass
         raise RuntimeError(
             f"snapshot commit conflict: version {version} of {path} was "
             "committed concurrently — re-read the table and re-run the merge"
         ) from None
     finally:
         os.unlink(tmp)
+    if txn is not None and norm in txn["paths"]:
+        # claim recorded only AFTER the exclusive link succeeded — a
+        # lost race must not leave a phantom (path, version) in the
+        # transaction's marker list
+        txn["claimed"].append((norm, version))
 
 
 @contextlib.contextmanager
@@ -510,6 +603,18 @@ def multi_table_txn(*paths: str):
     slots, skipped by later writers, reclaimed by :func:`vacuum`).
     No torn state is observable at any point: readers see either every
     table's old version or every table's new version.
+
+    Concurrency: a gated slot is a WRITE INTENT — an independent
+    writer that would have to commit past a fresh pending gate raises
+    a commit conflict instead of basing its manifest on
+    pre-transaction state (which would silently drop the
+    transaction's write the instant the marker linked — the lost
+    update the round-10 review caught). Explicitly aborted
+    transactions drop an ``.aborted`` marker so their dead slots stop
+    blocking immediately; a coordinator that CRASHES mid-transaction
+    blocks writers on its tables for ``STALE_TXN_SECONDS`` (then its
+    slots are presumed dead) — the honest price of marker-file
+    atomicity without a lock service.
 
     Requirements, stated honestly: all tables must live on one
     filesystem (the marker is an ``os.link``); the anchor path in each
@@ -776,7 +881,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         for f in schema.fields
     ])
     entries = _manifest_files(path, man)
-    new_v = _next_version(path)
+    new_v = _next_version(path, vs[-1])
     _commit(path, new_v, {
         "version": new_v,
         "schema": new_schema.json(),
@@ -836,7 +941,7 @@ def drop_column(path: str, col: str) -> int:
         [f for f in schema.fields if f.name != col]
     )
     entries = _manifest_files(path, man)
-    new_v = _next_version(path)
+    new_v = _next_version(path, vs[-1])
     _commit(path, new_v, {
         "version": new_v,
         "schema": new_schema.json(),
@@ -993,7 +1098,7 @@ def add_constraint(
         {name: expr}, "existing table data",
     )
     cons[name] = expr
-    new_v = _next_version(path)
+    new_v = _next_version(path, base_v)
     _commit(path, new_v, {
         "version": new_v,
         "schema": man["schema"],
@@ -1022,7 +1127,7 @@ def drop_constraint(path: str, name: str) -> int:
                          f"(have {sorted(cons)})")
     del cons[name]
     entries = _manifest_files(path, man)
-    new_v = _next_version(path)
+    new_v = _next_version(path, base_v)
     _commit(path, new_v, {
         "version": new_v,
         "schema": man["schema"],
@@ -1548,7 +1653,7 @@ def merge_into(
         spark, man_files, man.get("columns", []), src_probe, on_phys
     )
     root = path.rstrip("/")
-    new_v = _next_version(path)
+    new_v = _next_version(path, base_v)
     mor = write_mode == "mor"
     # mor with nothing to mark (no matched-row action, or no candidate
     # files) degrades to pure append — and cow with when_matched=None
@@ -1677,7 +1782,7 @@ def delete_where(
     entries = _manifest_files(path, man)
     root = path.rstrip("/")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    new_v = _next_version(path)
+    new_v = _next_version(path, base_v)
     stats_cols = man.get("columns", [])
 
     live = _scan_live(spark, root, schema, entries, with_pos=True,
@@ -1688,7 +1793,9 @@ def delete_where(
     # positions land on disk BEFORE the manifest link (same crash
     # contract as data files); counts come from the written sidecar so
     # the manifest can never disagree with it
-    dv_rel, totals, counts = _mint_dv(spark, root, entries, hits, new_v)
+    dv_rel, totals, counts = _mint_dv(
+        spark, root, entries, hits, new_v, carry=(mode == "mor")
+    )
     dv_dir = os.path.join(root, dv_rel)
     deleted = sum(counts.values())
     if not deleted:
@@ -1787,7 +1894,7 @@ def update_where(
     entries = _manifest_files(path, man)
     root = path.rstrip("/")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    new_v = _next_version(path)
+    new_v = _next_version(path, base_v)
     stats_cols = man.get("columns", [])
 
     live = _scan_live(spark, root, schema, entries, with_pos=True,
@@ -1796,7 +1903,9 @@ def update_where(
     hits = matched.select(
         F.col("__file").alias("file"), F.col("__pos").alias("row_index")
     )
-    dv_rel, totals, counts = _mint_dv(spark, root, entries, hits, new_v)
+    dv_rel, totals, counts = _mint_dv(
+        spark, root, entries, hits, new_v, carry=(mode == "mor")
+    )
     dv_dir = os.path.join(root, dv_rel)
     n_updated = sum(counts.values())
     if not n_updated:
@@ -1918,7 +2027,7 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
             cur["constraints"],
             f"restored rows of version {version}",
         )
-    new_v = _next_version(path)
+    new_v = _next_version(path, cur_v)
     # retired physical names only ever grow — union both manifests so
     # no fresh-physical-name guarantee is lost across the rollback
     dropped = list(dict.fromkeys(
@@ -1996,7 +2105,7 @@ def compact(
     n_out = max(1, math.ceil(live_rows / max(1, target_file_rows)))
     df = _scan_live(spark, root, schema, rewrite,
                     colmap=man.get("colmap"))
-    new_v = _next_version(path)
+    new_v = _next_version(path, base_v)
     stats_cols = man.get("columns", [])
     # re-cluster so the compacted files keep tight min/max bounds — a
     # round-robin repartition would widen every file's range to the
@@ -2269,6 +2378,28 @@ def vacuum(
         for name in os.listdir(_snap_dir(path)):
             if name.startswith(f"v{v:05d}.gated-"):
                 _unlink(os.path.join(_snap_dir(path), name))
+    # gate sidecars with no live purpose: slot never claimed (writer
+    # crashed between the sidecar write and the manifest link) or txn
+    # already committed (finalizer crashed before its cleanup). Either
+    # way the sidecar only forces the slow gate-check path in
+    # snapshot_versions — reclaim past the retention window.
+    slot_set = set(slots)
+    for name in sorted(os.listdir(_snap_dir(path))):
+        if ".gated-" not in name or not name.startswith("v"):
+            continue
+        f = os.path.join(_snap_dir(path), name)
+        try:
+            v = int(name[1:6])
+        except ValueError:
+            continue
+        if os.path.getmtime(f) > cutoff:
+            continue
+        if v not in slot_set:
+            _unlink(f)          # orphan: sidecar without a manifest
+            continue
+        gate = _read_manifest(path, v).get("txn_gate")
+        if gate is not None and _txn_is_committed(gate):
+            _unlink(f)          # committed txn: finalizer died pre-cleanup
     # sidecar file-list checkpoints: drop those no retained manifest
     # references (pruned versions', and crashed/losing writers') —
     # same retention window as data files (a racing writer stages its

@@ -1425,3 +1425,73 @@ def test_shallow_clone_of_converted_table_links_files(spark, tmp_path):
     )
     assert len(_rows(spark, src)) == 40  # source bytes untouched
     assert len(_rows(spark, clone)) == 20
+
+
+def test_txn_gate_blocks_independent_writer_no_lost_update(spark, tmp_path):
+    """A pending multi-table transaction's gated slot is a WRITE
+    INTENT: an independent writer conflicts instead of committing a
+    manifest based on pre-transaction state (which would silently drop
+    the txn's write when the marker links)."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 1), (2, 2)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    try:
+        with sn.multi_table_txn(path):
+            sn.merge_into(
+                spark, path,
+                spark.createDataFrame([(3, 3)], ["k", "v"]),
+                on=["k"], when_matched=None,
+            )
+            # simulate an INDEPENDENT writer (no txn context)
+            tok = sn._ACTIVE_TXN.set(None)
+            try:
+                with pytest.raises(RuntimeError, match="in-flight"):
+                    sn.merge_into(
+                        spark, path,
+                        spark.createDataFrame([(9, 9)], ["k", "v"]),
+                        on=["k"], when_matched=None,
+                    )
+            finally:
+                sn._ACTIVE_TXN.reset(tok)
+    finally:
+        pass
+    # the txn committed; its write is present, nothing lost
+    got = {r["k"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {1, 2, 3}
+    # after commit the writer proceeds normally
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(9, 9)], ["k", "v"]),
+        on=["k"], when_matched=None,
+    )
+    assert sn.snapshot_read(spark, path).count() == 4
+    # stale-base OCC: claiming against an outdated base conflicts
+    with pytest.raises(RuntimeError, match="committed concurrently"):
+        sn._next_version(path, 0)
+
+
+def test_vacuum_reclaims_orphan_gate_sidecars(spark, tmp_path):
+    """Gate sidecars left by a crash (no manifest) or a dead finalizer
+    (txn committed) are reclaimed so snapshot_versions regains its
+    no-JSON fast path."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 1)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    snap_dir = sn._snap_dir(path)
+    # crash orphan: sidecar for a slot that never got a manifest
+    open(os.path.join(snap_dir, "v00007.gated-deadbeef"), "w").close()
+    # dead finalizer: committed txn whose sidecar cleanup never ran
+    with sn.multi_table_txn(path) as txn_id:
+        sn.merge_into(
+            spark, path, spark.createDataFrame([(2, 2)], ["k", "v"]),
+            on=["k"], when_matched=None,
+        )
+    open(os.path.join(snap_dir, f"v00001.gated-{txn_id}"), "w").close()
+    assert sn.snapshot_read(spark, path).count() == 2
+    sn.vacuum(path, keep_versions=2, retention_seconds=0)
+    leftovers = [n for n in os.listdir(snap_dir) if ".gated-" in n]
+    assert leftovers == []
+    assert sn.snapshot_read(spark, path).count() == 2
