@@ -62,42 +62,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history run FIRST — the harness records ~50 verdicts per round, so
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
-    first verdict. Round 10 head: new round-10 queries (no verdict
-    yet), then the two snapshot streaming queries whose readers were
-    reimplemented on the partitioned DataSourceStreamReader API this
-    round (their latest verdicts predate the rewrite), then the final
-    43 queries whose latest driver green is round 6 (VERDICT r9
-    "Next round" #1 — this tranche retires the entire rotation debt).
+    first verdict. Round 11 head (exactly 52 uniques, sized to the
+    ~50-verdict rotation budget): the two queries registered after the
+    round-10 tranche ran (never driver-checked), then the 50 queries
+    whose latest driver green is round 7 — the freshness ladder
+    (VERDICT r10 "Next round" #1). Everything behind the head has a
+    verdict from r8-r10.
     """
     first = [
-        # new round-10 queries — no verdict yet
-        "s35_shallow_clone", "s36_table_history",
-        "s32_auto_optimize", "s33_cdf_rename_continuity",
-        "s34_multi_table_txn",
-        # semantic dedup re-contracted this round (auto-scaled seed
-        # count, oracle LIMIT formula changed) — re-verdict wanted
-        "dedup_semantic_clusters", "e2e_semantic_curation",
-        # readers rewritten this round (driver-side -> partitioned);
-        # latest greens (r9) predate the rewrite
-        "str12_stream_snapshot_tail", "str13_stream_cdf",
-        # the 43 round-6-stale queries — the whole remaining debt
-        "a3_yearly_rollup", "a4_distinct_counts", "a5_global_minmax",
-        "a6_frequency_classify", "corpus_dedup_chunks",
-        "corpus_shuffle_shards", "corpus_weighted_sample",
-        "dedup_audit_cluster_sizes", "dedup_clusters_merged",
-        "dedup_containment", "dedup_cross_source_matrix",
-        "dedup_semantic_clusters", "dedup_url_canonical", "dq_date_gaps",
-        "dq_skew_report", "dq_winsorize", "e2e_corpus_curation",
-        "e2e_semantic_curation", "emb_centroid_coherence", "f_map_funcs",
-        "f_pandas_udaf_median", "f_sql_udf", "f_variant_extract",
-        "graph_pagerank_hubs", "inc_rollup_merge", "j14_inferred_members",
-        "mm_image_metadata", "s18_orc_roundtrip", "s19_jsonl_roundtrip",
-        "s20_python_datasource", "s21_binaryfile_scan",
-        "s22_schema_evolution_scan", "sketch_rolling_distinct",
-        "str8_stream_incremental_dedup", "str9_stream_incremental_clusters",
-        "t_bigram_logprob", "t_js_divergence", "t_oov_rate", "t_strip_html",
-        "ts_gapfill_interp", "ts_trend_slope", "w13_clean_path_conversions",
-        "w14_max_drawdown"
+        # registered after the r10 tranche — no driver verdict yet
+        "s37_convert_in_place", "corpus_trim_dup_spans",
+        # the 50 queries whose latest green is round 7
+        "a10_rollup_status_year", "a11_pivot_status_by_year",
+        "a12_percentiles", "a7_exact_dedup", "a9_share_of_total",
+        "c1_circuit_breaker_stats", "corpus_bm25",
+        "corpus_contamination_report", "corpus_decontaminate",
+        "corpus_mix_sources_tokens", "corpus_pack_greedy",
+        "corpus_split_leakage_safe", "dedup_incremental_lsh_appended",
+        "dedup_simhash_rotations", "dim_date_calendar",
+        "dq_dataset_fingerprint", "dq_mad_outliers", "f_array_funcs",
+        "f_boolean_parse", "f_date_funcs", "f_math_funcs",
+        "f_string_funcs", "f_url_funcs", "j1_enrich_left_defaults",
+        "j2_referential_semi", "j3_orphans_anti", "j4_fk_resolve_fallback",
+        "j5_scd2_apply_changes", "j6_joinback_aggregate",
+        "j7_scalar_stats_zscore", "o2_rank_multikey",
+        "o3_diagnostics_sample", "p5_validation_reject_reasons",
+        "p6_validation_split_rejects", "p_projection_family",
+        "s11_jdbc_publish_roundtrip", "s12_sql_endpoint",
+        "s14_bucketed_join", "s16_file_skipping_scan", "s17_zorder_scan",
+        "s8_provenance_by_file", "sim_topk_bruteforce",
+        "sim_topk_ivf_appended", "sketch_heavy_hitters",
+        "str10_stream_pack", "str4_stream_dedup", "str5_stream_static_join",
+        "str6_stream_stream_join", "str7_stream_jsonl_ingest",
+        "t_unigram_logprob",
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"
