@@ -90,6 +90,7 @@ import contextlib
 import contextvars
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -193,6 +194,55 @@ def _txn_is_aborted(gate: dict) -> bool:
 # retention sweep uses the same presumption)
 STALE_TXN_SECONDS = 3600.0
 
+# liveness heartbeat: the coordinator refreshes ``<txn_id>.alive`` in
+# the anchor's _txns dir every TXN_HEARTBEAT_SECONDS while the
+# transaction is open. Where the heartbeat exists, staleness is judged
+# from IT, not from the per-table manifest mtime — so a healthy
+# transaction whose tail outlasts STALE_TXN_SECONDS after its first
+# table commit never goes stale (the round-10 lost-update window), and
+# a crashed coordinator releases its tables after
+# STALE_HEARTBEAT_SECONDS (8 missed beats) instead of a full hour.
+TXN_HEARTBEAT_SECONDS = 15.0
+STALE_HEARTBEAT_SECONDS = 120.0
+
+
+def _txn_heartbeat_path(anchor: str, txn_id: str) -> str:
+    return os.path.join(_snap_dir(anchor), _TXNS_DIR, f"{txn_id}.alive")
+
+
+def _txn_is_stale(gate: dict, manifest_path: str) -> bool:
+    """Presumed-crashed test for a PENDING gated slot (shared by
+    :func:`_next_version` and :func:`vacuum` so the two can never
+    disagree about which transactions are dead).
+
+    Heartbeat-first: a coordinator that is alive — however slow —
+    keeps its ``.alive`` file fresh, so it is never presumed crashed.
+    Only when no heartbeat exists (pre-heartbeat writer, or the
+    coordinator died before its first beat) does the coarse
+    manifest-mtime window apply.
+    """
+    hb = _txn_heartbeat_path(gate["anchor"], gate["id"])
+    try:
+        return time.time() - os.path.getmtime(hb) > STALE_HEARTBEAT_SECONDS
+    except OSError:
+        pass
+    try:
+        return time.time() - os.path.getmtime(manifest_path) \
+            > STALE_TXN_SECONDS
+    except OSError:
+        return True
+
+
+def _norm_table_path(p: str) -> str:
+    """Canonical spelling for transaction-registration matching: a
+    commit inside :func:`multi_table_txn` must gate regardless of
+    whether the caller spells the table relative/absolute, through a
+    symlink, or with doubled slashes — an unmatched spelling would
+    silently commit UNGATED and quietly lose atomicity (round-10
+    advice). ``realpath`` also collapses symlinks so a clone alias and
+    its target register as one table."""
+    return os.path.realpath(os.path.abspath(p))
+
 
 def _next_version(path: str, base_v: int | None = None) -> int:
     """The next claimable version slot — one past the highest CLAIMED
@@ -201,10 +251,14 @@ def _next_version(path: str, base_v: int | None = None) -> int:
 
     A slot above the caller's read base can be in three states:
 
-    * DEAD (aborted marker, or gated-pending but older than
-      ``STALE_TXN_SECONDS`` — a crashed coordinator): skipped, never
-      reused (the manifest file still exists and the exclusive
-      ``os.link`` would refuse the slot anyway);
+    * DEAD (aborted marker, or presumed crashed per
+      :func:`_txn_is_stale` — stale heartbeat, or no heartbeat and an
+      old manifest): skipped, never reused (the manifest file still
+      exists and the exclusive ``os.link`` would refuse the slot
+      anyway). The presumption is safe against a coordinator that is
+      merely slow: its commit-point fence re-checks every claimed slot
+      is still its table's highest and fails the transaction instead
+      of silently losing to the writer that skipped past it;
     * gated PENDING and fresh: an in-flight :func:`multi_table_txn`
       holds the table's commit intent. Skipping it would let this
       writer commit a manifest based on pre-transaction state that
@@ -217,8 +271,6 @@ def _next_version(path: str, base_v: int | None = None) -> int:
     ``base_v=None`` (table-creation paths) keeps the bare
     next-free-slot behaviour.
     """
-    import time
-
     slots, gated = _list_slots(path)
     nxt = (slots[-1] + 1) if slots else 0
     if base_v is None:
@@ -245,8 +297,7 @@ def _next_version(path: str, base_v: int | None = None) -> int:
                 "multi_table_txn: one commit per table per transaction "
                 f"— {path} already committed in this transaction"
             )
-        if time.time() - os.path.getmtime(_manifest_path(path, v)) \
-                > STALE_TXN_SECONDS:
+        if _txn_is_stale(gate, _manifest_path(path, v)):
             continue
         raise RuntimeError(
             f"snapshot commit conflict: version {v} of {path} is held "
@@ -537,7 +588,10 @@ def _commit(path: str, version: int, manifest: dict) -> None:
     d = _snap_dir(path)
     os.makedirs(d, exist_ok=True)
     txn = _ACTIVE_TXN.get()
-    norm = path.rstrip("/")
+    # canonical spelling on BOTH sides (registration normalizes too):
+    # relative/symlinked/doubled-slash spellings of a registered table
+    # must gate, not silently commit past the transaction
+    norm = _norm_table_path(path)
     if txn is not None and norm in txn["paths"]:
         if any(p == norm for p, _ in txn["claimed"]):
             # a second commit to the same table would base its content
@@ -611,17 +665,26 @@ def multi_table_txn(*paths: str):
     transaction's write the instant the marker linked — the lost
     update the round-10 review caught). Explicitly aborted
     transactions drop an ``.aborted`` marker so their dead slots stop
-    blocking immediately; a coordinator that CRASHES mid-transaction
-    blocks writers on its tables for ``STALE_TXN_SECONDS`` (then its
-    slots are presumed dead) — the honest price of marker-file
-    atomicity without a lock service.
+    blocking immediately. Liveness (round-11): the coordinator runs a
+    daemon heartbeat thread refreshing ``<txn_id>.alive`` every
+    ``TXN_HEARTBEAT_SECONDS``, so a healthy-but-slow transaction never
+    trips the staleness presumption no matter how long its tail runs,
+    and a CRASHED coordinator releases its tables after
+    ``STALE_HEARTBEAT_SECONDS`` (~2 min) instead of a full
+    ``STALE_TXN_SECONDS`` hour. And because staleness is still a
+    presumption, the commit point carries a FENCE: before linking the
+    marker, every claimed (path, version) must still be the highest
+    claimed slot of its table — if any writer presumed this
+    transaction dead and committed past it, the transaction FAILS
+    loudly rather than "succeeding" into a version history that never
+    saw its write (the round-10 silent-lost-update advice).
 
     Requirements, stated honestly: all tables must live on one
-    filesystem (the marker is an ``os.link``); the anchor path in each
-    gated manifest is recorded as given, so reads must use the same
-    path spelling; and gate checks add one small JSON read per gated
-    slot until the finalizer removes the sidecars (steady state:
-    zero overhead).
+    filesystem (the marker is an ``os.link``); registration and commit
+    match on ``os.path.realpath`` canonical spellings, so
+    relative/symlinked aliases of a registered table gate correctly;
+    and gate checks add one small JSON read per gated slot until the
+    finalizer removes the sidecars (steady state: zero overhead).
 
     Usage::
 
@@ -630,35 +693,90 @@ def multi_table_txn(*paths: str):
             snapshot.merge_into(spark, fact_path, facts, on=["fk"])
         # both versions became visible atomically here
     """
+    import threading
+
     if not paths:
         raise ValueError("multi_table_txn: at least one table path required")
     if _ACTIVE_TXN.get() is not None:
         raise RuntimeError("multi_table_txn: transactions do not nest")
-    anchor = paths[0].rstrip("/")
+    anchor = _norm_table_path(paths[0])
     txn = {
         "id": uuid.uuid4().hex[:16],
         "anchor": anchor,
-        "paths": {p.rstrip("/") for p in paths},
+        "paths": {_norm_table_path(p) for p in paths},
         "claimed": [],
     }
-    token = _ACTIVE_TXN.set(txn)
-    try:
-        yield txn["id"]
-    except BaseException:
-        # abort: claimed versions stay gated-invisible; drop a marker
-        # for operators/vacuum to distinguish aborted from in-flight
-        _ACTIVE_TXN.reset(token)
+    tdir = os.path.join(_snap_dir(anchor), _TXNS_DIR)
+    os.makedirs(tdir, exist_ok=True)
+    # liveness heartbeat: created before any table commit so a gated
+    # slot's staleness is judged from the beat, never the coarse
+    # manifest-mtime window; refreshed by a daemon thread so a slow
+    # transaction body (a long Spark job) cannot go stale
+    hb = _txn_heartbeat_path(anchor, txn["id"])
+    with open(hb, "w"):
+        pass
+    stop_beat = threading.Event()
+
+    def _beat() -> None:
+        while not stop_beat.wait(TXN_HEARTBEAT_SECONDS):
+            try:
+                os.utime(hb)
+            except OSError:
+                return
+
+    beater = threading.Thread(
+        target=_beat, name=f"txn-heartbeat-{txn['id']}", daemon=True
+    )
+    beater.start()
+
+    def _drop_heartbeat() -> None:
+        stop_beat.set()
         try:
-            tdir = os.path.join(_snap_dir(anchor), _TXNS_DIR)
-            os.makedirs(tdir, exist_ok=True)
+            os.unlink(hb)
+        except OSError:
+            pass
+
+    def _abort() -> None:
+        # claimed versions stay gated-invisible; drop a marker for
+        # operators/vacuum to distinguish aborted from in-flight
+        try:
             with open(os.path.join(tdir, f"{txn['id']}.aborted"), "w"):
                 pass
         except OSError:
             pass
+        _drop_heartbeat()
+
+    token = _ACTIVE_TXN.set(txn)
+    try:
+        yield txn["id"]
+    except BaseException:
+        _ACTIVE_TXN.reset(token)
+        _abort()
         raise
     _ACTIVE_TXN.reset(token)
-    tdir = os.path.join(_snap_dir(anchor), _TXNS_DIR)
-    os.makedirs(tdir, exist_ok=True)
+    # COMMIT-POINT FENCE (round-10 advice): staleness is a presumption,
+    # so a writer may have presumed this transaction crashed and
+    # committed past a claimed slot on pre-transaction state. Linking
+    # the marker now would make this transaction "succeed" while its
+    # write is already superseded by a version that never saw it — a
+    # silent lost update on BOTH sides. Verify every claimed slot is
+    # still its table's highest claimed slot; otherwise fail loudly.
+    overtaken = []
+    for p, v in txn["claimed"]:
+        slots, _g = _list_slots(p)
+        if slots and slots[-1] > v:
+            overtaken.append((p, v, slots[-1]))
+    if overtaken:
+        _abort()
+        detail = "; ".join(
+            f"{p}: claimed v{v} but v{top} exists" for p, v, top in overtaken
+        )
+        raise RuntimeError(
+            "multi_table_txn: commit fence failed — a concurrent writer "
+            "presumed this transaction dead and committed past its "
+            f"claimed slot ({detail}); the transaction is aborted and "
+            "none of its writes are visible — re-read and re-run"
+        )
     marker = _txn_marker_path(anchor, txn["id"])
     tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
@@ -670,6 +788,7 @@ def multi_table_txn(*paths: str):
         os.link(tmp, marker)  # THE atomic multi-table commit point
     finally:
         os.unlink(tmp)
+    _drop_heartbeat()
     # finalize: sidecars are now redundant (marker proves the commit);
     # removing them restores the zero-overhead listing fast path
     for p, v in txn["claimed"]:
@@ -2258,8 +2377,6 @@ def vacuum(
     nothing is deleted; the report gains ``would_remove``, the
     root-relative paths (and pruned manifest versions) the real run
     would reclaim."""
-    import time
-
     if keep_versions < 1:
         raise ValueError("vacuum: keep_versions must be >= 1")
     vs = snapshot_versions(path)
@@ -2270,7 +2387,25 @@ def vacuum(
     live = set()
     live_refs = set()
     live_dv = set()
-    for v in keep:
+    # PENDING gated slots (in-flight multi-table transactions that are
+    # neither aborted nor presumed crashed) are live too: their marker
+    # may link any moment, at which point every file they reference
+    # becomes the table — deleting those files mid-flight would let
+    # the commit publish dangling references (round-10 advice).
+    pending = []
+    all_slots, gated_slots = _list_slots(path)
+    for v in all_slots:
+        if v in vs or v not in gated_slots:
+            continue
+        gate = _read_manifest(path, v).get("txn_gate")
+        if (
+            gate is not None
+            and not _txn_is_committed(gate)
+            and not _txn_is_aborted(gate)
+            and not _txn_is_stale(gate, _manifest_path(path, v))
+        ):
+            pending.append(v)
+    for v in keep + pending:
         man = _read_manifest(path, v)
         if "files_ref" in man:
             live_refs.add(man["files_ref"])
@@ -2356,11 +2491,15 @@ def vacuum(
     for v in vs:
         if v not in keep:
             _unlink(_manifest_path(path, v))
-    # ABORTED multi-table-transaction slots: invisible manifests whose
-    # gate marker never appeared. Past the retention window (an
-    # in-flight transaction is younger than it) drop the manifest +
-    # gate sidecars; the slot's data files are already unreferenced
-    # and fall to the normal sweep on the next run.
+    # DEAD multi-table-transaction slots: invisible manifests whose
+    # gate marker never appeared. Explicitly ABORTED slots are
+    # reclaimable past the retention window; PENDING slots (neither
+    # marker) additionally require the liveness presumption
+    # (_txn_is_stale — the same test writers use), because retention
+    # is caller-settable independently of transaction duration:
+    # vacuum(retention_seconds=0) during an IN-FLIGHT transaction must
+    # not delete a participant's manifest — a later marker link would
+    # then publish torn multi-table state (round-10 advice).
     removed_aborted = 0
     slots, gated = _list_slots(path)
     for v in slots:
@@ -2371,6 +2510,9 @@ def vacuum(
         if gate is None or _txn_is_committed(gate):
             continue
         if os.path.getmtime(mp) > cutoff:
+            skipped_recent += 1
+            continue
+        if not _txn_is_aborted(gate) and not _txn_is_stale(gate, mp):
             skipped_recent += 1
             continue
         _unlink(mp)
@@ -2395,7 +2537,15 @@ def vacuum(
         if os.path.getmtime(f) > cutoff:
             continue
         if v not in slot_set:
-            _unlink(f)          # orphan: sidecar without a manifest
+            # orphan: sidecar without a manifest. The writer links its
+            # manifest milliseconds after the sidecar write, so a
+            # TRULY orphaned sidecar is old; a young one may belong to
+            # a commit in flight THIS instant — deleting it would make
+            # the about-to-link gated manifest read as VISIBLE while
+            # pending (torn state). Age past the staleness floor even
+            # when the caller sets retention_seconds=0.
+            if time.time() - os.path.getmtime(f) > STALE_HEARTBEAT_SECONDS:
+                _unlink(f)
             continue
         gate = _read_manifest(path, v).get("txn_gate")
         if gate is not None and _txn_is_committed(gate):

@@ -5,6 +5,7 @@ merge path's equality with the full-rewrite operator."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1481,8 +1482,15 @@ def test_vacuum_reclaims_orphan_gate_sidecars(spark, tmp_path):
         path, stats_cols=["k"],
     )
     snap_dir = sn._snap_dir(path)
-    # crash orphan: sidecar for a slot that never got a manifest
-    open(os.path.join(snap_dir, "v00007.gated-deadbeef"), "w").close()
+    # crash orphan: sidecar for a slot that never got a manifest.
+    # Backdated past the staleness floor — a YOUNG manifest-less
+    # sidecar may be a commit in flight this instant (the writer links
+    # the manifest milliseconds later) and must survive even
+    # retention_seconds=0 (see the companion test below).
+    orphan = os.path.join(snap_dir, "v00007.gated-deadbeef")
+    open(orphan, "w").close()
+    old = time.time() - sn.STALE_HEARTBEAT_SECONDS - 60
+    os.utime(orphan, (old, old))
     # dead finalizer: committed txn whose sidecar cleanup never ran
     with sn.multi_table_txn(path) as txn_id:
         sn.merge_into(
@@ -1495,3 +1503,131 @@ def test_vacuum_reclaims_orphan_gate_sidecars(spark, tmp_path):
     leftovers = [n for n in os.listdir(snap_dir) if ".gated-" in n]
     assert leftovers == []
     assert sn.snapshot_read(spark, path).count() == 2
+
+
+def test_txn_heartbeat_slow_vs_crashed_coordinator(spark, tmp_path):
+    """Round-11 liveness: a SLOW coordinator (fresh heartbeat, old
+    manifest) still blocks independent writers no matter how long its
+    tail runs; a CRASHED one (stale heartbeat) releases its tables
+    after STALE_HEARTBEAT_SECONDS instead of the coarse hour."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 1)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    with sn.multi_table_txn(path) as txn_id:
+        sn.merge_into(
+            spark, path, spark.createDataFrame([(2, 2)], ["k", "v"]),
+            on=["k"], when_matched=None,
+        )
+        hb = sn._txn_heartbeat_path(sn._norm_table_path(path), txn_id)
+        assert os.path.exists(hb)
+        # SLOW: backdate the MANIFEST far past STALE_TXN_SECONDS — the
+        # fresh heartbeat must keep the slot alive (pre-heartbeat code
+        # would presume it crashed here: the round-10 lost-update hole)
+        mp = sn._manifest_path(path, 1)
+        old = time.time() - sn.STALE_TXN_SECONDS - 60
+        os.utime(mp, (old, old))
+        tok = sn._ACTIVE_TXN.set(None)
+        try:
+            with pytest.raises(RuntimeError, match="in-flight"):
+                sn._next_version(path, 0)
+            # CRASHED: stale heartbeat releases the slot
+            os.utime(hb, (old, old))
+            assert sn._next_version(path, 0) == 2
+        finally:
+            sn._ACTIVE_TXN.reset(tok)
+        os.utime(hb)  # restore liveness so the commit proceeds
+    assert {r["k"] for r in sn.snapshot_read(spark, path).collect()} == {1, 2}
+    # heartbeat file removed on clean commit
+    assert not os.path.exists(hb)
+
+
+def test_txn_commit_fence_refuses_superseded_write(spark, tmp_path):
+    """Round-10 advice (medium): if a writer presumed this transaction
+    dead and committed past its claimed slot, the marker link must NOT
+    proceed — the transaction fails loudly instead of 'succeeding'
+    into a history that never saw its write."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 1)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    with pytest.raises(RuntimeError, match="commit fence"):
+        with sn.multi_table_txn(path):
+            sn.merge_into(
+                spark, path, spark.createDataFrame([(2, 2)], ["k", "v"]),
+                on=["k"], when_matched=None,
+            )
+            # simulate the overtaking writer: it saw a stale gate,
+            # skipped slot 1, and committed slot 2 on pre-txn state
+            tok = sn._ACTIVE_TXN.set(None)
+            try:
+                sn._commit(path, 2, sn._read_manifest(path, 0))
+            finally:
+                sn._ACTIVE_TXN.reset(tok)
+    # no torn or silent state: the txn's write never surfaces, the
+    # overtaking writer's version is the table
+    assert sn.snapshot_versions(path) == [0, 2]
+    assert {r["k"] for r in sn.snapshot_read(spark, path).collect()} == {1}
+
+
+def test_vacuum_spares_inflight_txn_manifest(spark, tmp_path):
+    """Round-10 advice (medium): vacuum(retention_seconds=0) during an
+    in-flight multi-table transaction must not delete a participant's
+    gated manifest — a later marker link would publish torn state."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 1)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    with sn.multi_table_txn(path):
+        sn.merge_into(
+            spark, path, spark.createDataFrame([(2, 2)], ["k", "v"]),
+            on=["k"], when_matched=None,
+        )
+        rep = sn.vacuum(path, keep_versions=1, retention_seconds=0)
+        assert rep["removed_aborted"] == 0
+        assert os.path.exists(sn._manifest_path(path, 1))
+    # the transaction committed intact despite the mid-flight vacuum
+    assert {r["k"] for r in sn.snapshot_read(spark, path).collect()} == {1, 2}
+    # an ABORTED slot still reclaims once marked
+    with pytest.raises(RuntimeError, match="boom"):
+        with sn.multi_table_txn(path):
+            sn.merge_into(
+                spark, path, spark.createDataFrame([(3, 3)], ["k", "v"]),
+                on=["k"], when_matched=None,
+            )
+            raise RuntimeError("boom")
+    rep = sn.vacuum(path, keep_versions=2, retention_seconds=0)
+    assert rep["removed_aborted"] == 1
+
+
+def test_txn_registration_matches_path_spellings(spark, tmp_path):
+    """Round-10 advice (low): a commit inside the block using a
+    different spelling of a registered path (doubled slash, relative,
+    symlink) must gate — not silently commit ungated."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 1)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    alias = str(tmp_path / "alias")
+    os.symlink(path, alias)
+    doubled = str(tmp_path) + "//t/"
+    for i, spelling in enumerate((doubled, alias)):
+        base_v = sn.current_version(path)
+        with sn.multi_table_txn(path):
+            sn.merge_into(
+                spark, spelling,
+                spark.createDataFrame([(100 + i, i)], ["k", "v"]),
+                on=["k"], when_matched=None,
+            )
+            # GATED: the new slot is claimed but invisible — an
+            # unmatched spelling would have committed it visibly here
+            assert sn.current_version(path) == base_v
+            new_slot = sn._list_slots(path)[0][-1]
+            assert new_slot == base_v + 1
+            assert sn._read_manifest(path, new_slot)["txn_gate"] is not None
+        assert sn.current_version(path) == base_v + 1
+    assert sn.snapshot_read(spark, path).count() == 3
