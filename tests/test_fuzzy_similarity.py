@@ -1364,3 +1364,137 @@ def test_semantic_dedup_multi_probe_superset_and_dedup(spark):
     assert set(one) <= set(two)
     for k, v in one.items():
         assert two[k] == v
+
+
+def test_density_guard_under_budget_is_exact(spark):
+    """Round-11 admission control: under the budget the probe is a
+    pure observer — results are identical to the guard-disabled run
+    and no cap is applied."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat today"),
+         (2, "the cat sat on the mat today friends"),
+         (3, "completely different text about spark engines")],
+        ["doc_id", "text"],
+    )
+    guarded = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=None
+    ).collect()
+    assert fuzzy.last_admission["auto_cap"] is None
+    assert fuzzy.last_admission["predicted_pairs"] > 0
+    exact = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=None, candidate_budget=None,
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, exact))
+
+
+def test_density_guard_over_budget_auto_screens(spark):
+    """Over budget, the guard auto-applies the smallest sufficient
+    stop-shingle screen: ubiquitous boilerplate shingles are dropped,
+    rare-evidence near-dup pairs survive."""
+    # 40 docs all sharing one boilerplate sentence (quadratic mass),
+    # plus one true near-dup pair with rare-shingle evidence
+    boiler = "all rights reserved by the example corporation"
+    rows = [(i, f"{boiler} doc number {i} unique tail {i}") for i in range(40)]
+    rows += [(100, "zebra quokka lemur wombat octopus narwhal pangolin"),
+             (101, "zebra quokka lemur wombat octopus narwhal axolotl")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=None, candidate_budget=300,
+    ).collect()
+    adm = fuzzy.last_admission
+    assert adm["auto_cap"] is not None
+    assert adm["predicted_pairs"] > 300
+    assert adm["screened_pairs"] <= 300
+    # the rare-evidence pair survives the screen
+    assert any(r["id_a"] == 100 and r["id_b"] == 101 for r in pairs)
+
+
+def test_density_guard_error_mode_refuses_with_histogram(spark):
+    boiler = "all rights reserved by the example corporation"
+    rows = [(i, f"{boiler} doc number {i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(RuntimeError, match="df histogram"):
+        fuzzy.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5,
+            max_shingle_df=None, candidate_budget=10,
+            on_over_budget="error",
+        ).collect()
+
+
+def test_density_guard_refuses_when_screen_cannot_help(spark):
+    """A corpus that IS mostly duplicate pairs puts the pair mass in
+    low-df shingles — no stop-shingle screen fits the budget, so the
+    guard refuses with guidance instead of silently blowing up."""
+    rows = []
+    for i in range(30):
+        rows.append((2 * i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"))
+        rows.append((2 * i + 1, f"alpha{i} beta{i} gamma{i} delta{i} zeta{i}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(RuntimeError, match="minhash_lsh_pairs"):
+        fuzzy.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5,
+            max_shingle_df=None, candidate_budget=5,
+        ).collect()
+
+
+def test_density_guard_cross_side_dedup_against_corpus(spark):
+    """The incremental (new-vs-corpus) path predicts Sum(df_new *
+    df_old) and screens on combined df when over budget."""
+    boiler = "standard legal disclaimer text here"
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler} corpus doc {i}") for i in range(30)]
+        + [(900, "rare evidence shingle chain one two three")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"{boiler} new doc {i}") for i in range(30)]
+        + [(999, "rare evidence shingle chain one two three")],
+        ["doc_id", "text"],
+    )
+    kept = fuzzy.dedup_against_corpus(
+        new, corpus, "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_df=None, candidate_budget=200,
+    )
+    adm = fuzzy.last_admission
+    assert adm["op"] == "dedup_against_corpus"
+    assert adm["auto_cap"] is not None
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # the exact duplicate (999 == 900) is still caught: its evidence
+    # is rare shingles the screen never touches
+    assert 999 not in kept_ids
+    # under-budget cross run stays exact and records no cap
+    fuzzy.dedup_against_corpus(
+        new, corpus, "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_df=None,
+    ).collect()
+    assert fuzzy.last_admission["auto_cap"] is None
+
+
+def test_auto_shortlist_pool_proportional_and_capped():
+    """Round-10 advice: the auto refine budget is 1/24 of the
+    per-query candidate pool — flat when n_centroids scales with the
+    corpus (fixed cell size), linear at fixed n_centroids (documented),
+    and hard-capped at 50k."""
+    auto = similarity._auto_shortlist
+    # identical to the round-10 measured-good N/32 at default config
+    assert auto(20_000, 6, 8, 50) == max(50, -(-20_000 // 32))
+    # fixed CELL SIZE (n_centroids grows with N): budget stays flat
+    assert auto(1_000_000, 6, 4_000, 50) == auto(10_000_000, 6, 40_000, 50)
+    # fixed n_centroids: linear growth, then the cap
+    assert auto(10_000_000, 6, 8, 50) == 50_000
+    assert auto(100, 6, 8, 256) == 256  # floor
+
+
+def test_trim_dup_spans_rejects_non_numeric_ids(spark):
+    """Round-10 advice: a string id_col fails fast with guidance, not
+    an opaque ANSI CAST_INVALID_INPUT at execution time."""
+    from aws_medallion_etl_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [("doc-a", "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(TypeError, match="integral"):
+        corpus_ops.trim_dup_spans(docs, "doc_id", "text", width=5)
