@@ -291,14 +291,22 @@ def _live_rows_pyarrow(path: str, entries: list[dict], names: list[str]):
     for e in entries:
         dead: set[int] = set()
         for ref in e.get("dv") or []:
-            # each sidecar is a parquet dir of (file, row_index)
-            dv = _pq.read_table(
-                _os.path.join(path, ref), columns=["file", "row_index"]
-            ).to_pydict()
-            dead.update(
-                int(p) for f, p in zip(dv["file"], dv["row_index"])
-                if f == e["file"]
-            )
+            # sidecars carry either legacy position lists (file,
+            # row_index) or round-11 interval runs (file, run_start,
+            # run_len) — dispatch on the columns present
+            t = _pq.read_table(_os.path.join(path, ref))
+            dv = t.to_pydict()
+            if "run_start" in t.column_names:
+                for f, s, ln in zip(
+                    dv["file"], dv["run_start"], dv["run_len"]
+                ):
+                    if f == e["file"]:
+                        dead.update(range(int(s), int(s) + int(ln)))
+            else:
+                dead.update(
+                    int(p) for f, p in zip(dv["file"], dv["row_index"])
+                    if f == e["file"]
+                )
         t = _pq.read_table(_os.path.join(path, e["file"]))
         have = set(t.column_names)
         rows = t.to_pylist()

@@ -380,20 +380,40 @@ def _manifest_files(path: str, man: dict) -> list[dict]:
 
 
 def _dv_schema() -> StructType:
+    """SUPERSET schema covering both sidecar encodings: the legacy
+    position-list rows (``row_index``) and the round-11 interval-run
+    rows (``run_start``, ``run_len`` — Delta stores roaring bitmaps;
+    runs are the sorted-position equivalent on plain parquet). Reading
+    any sidecar with this schema yields NULLs for the columns its
+    encoding doesn't carry, which is what :func:`_read_dv` dispatches
+    on — old tables stay readable forever."""
     from pyspark.sql.types import LongType, StringType
 
     return StructType([
         StructField("file", StringType(), False),
-        StructField("row_index", LongType(), False),
+        StructField("row_index", LongType(), True),
+        StructField("run_start", LongType(), True),
+        StructField("run_len", LongType(), True),
     ])
 
 
 def _read_dv(spark: SparkSession, root: str, refs: list[str]) -> DataFrame:
-    """Union of deletion-vector sidecars as (``__dvf``, ``__dvp``)."""
-    return (
-        spark.read.schema(_dv_schema())
-        .parquet(*[os.path.join(root, r) for r in refs])
-        .select(F.col("file").alias("__dvf"), F.col("row_index").alias("__dvp"))
+    """Union of deletion-vector sidecars as (``__dvf``, ``__dvp``) —
+    interval runs expand to positions HERE (map-side, inside the scan
+    stage), so every consumer keeps the position-level anti-join while
+    the bytes on disk stay run-compressed."""
+    raw = spark.read.schema(_dv_schema()).parquet(
+        *[os.path.join(root, r) for r in refs]
+    )
+    pos = F.when(
+        F.col("row_index").isNotNull(), F.array(F.col("row_index"))
+    ).otherwise(
+        F.sequence(
+            F.col("run_start"), F.col("run_start") + F.col("run_len") - 1
+        )
+    )
+    return raw.select(
+        F.col("file").alias("__dvf"), F.explode(pos).alias("__dvp")
     )
 
 
@@ -420,6 +440,19 @@ def _mint_dv(
     old refs; old sidecars stay referenced by old manifests (time
     travel) until :func:`vacuum` reclaims them.
 
+    Round-11 encoding: the sidecar stores INTERVAL RUNS ``(file,
+    run_start, run_len)`` of the sorted dead positions, not one row
+    per position — contiguous deletes (range deletes, CDC sweeps, the
+    common delete-heavy shapes) collapse to a handful of rows, so
+    sidecar bytes stay sublinear in deletes between compactions (the
+    plain-parquet stand-in for Delta's roaring bitmaps; the last
+    read-path protocol gap from the round-10 verdict). Positions are
+    unique per file by construction — hits come from a live scan, so
+    they are disjoint from every already-dead position — which makes
+    the run math exact. :func:`_read_dv` re-expands runs map-side and
+    still reads LEGACY position-list sidecars (old manifests/time
+    travel) through the same superset schema.
+
     Returns ``(dv_rel, totals, new_counts)``: the manifest-relative
     sidecar path, per-file TOTAL dead rows (the touched entries' new
     ``dv_rows``), and per-file rows newly marked by THIS call (the
@@ -428,9 +461,24 @@ def _mint_dv(
     zero path. Both counts come from the WRITTEN sidecar, so the
     manifest can never disagree with the bytes on disk.
     """
+    import shutil
+    from pyspark.sql import Window
+
     dv_rel = os.path.join(_DELETES_DIR, f"d{new_v:05d}-{uuid.uuid4().hex[:8]}")
     dv_dir = os.path.join(root, dv_rel)
-    hits.write.mode("error").parquet(dv_dir)
+    # stage the raw hit positions first (hits may be expensive to
+    # recompute — same discipline as before), then run-encode into the
+    # final sidecar and drop the staging dir
+    # no leading dot: Spark reads dot-dirs passed directly but logs a
+    # scary "All paths were ignored" WARN; a crash-leftover stage dir
+    # is unreferenced by every manifest, so vacuum's normal DV sweep
+    # reclaims it by age like any dead sidecar
+    tmp_rel = os.path.join(_DELETES_DIR, f"stage-{uuid.uuid4().hex[:8]}")
+    tmp_dir = os.path.join(root, tmp_rel)
+    hits.write.mode("error").parquet(tmp_dir)
+    staged = spark.read.schema(
+        "file string, row_index long"
+    ).parquet(tmp_dir)
     prior_rows = (
         {
             e["file"]: int(e.get("dv_rows") or 0)
@@ -443,14 +491,11 @@ def _mint_dv(
         if carry else {}
     )
     if prior_rows:
-        # union the touched files' existing dead positions into the new
-        # sidecar (touched set read back from disk — no hits recompute)
-        touched = (
-            spark.read.schema(_dv_schema()).parquet(dv_dir)
-            .select("file").distinct()
-        )
+        # union the touched files' existing dead positions (touched
+        # set read back from disk — no hits recompute)
+        touched = staged.select("file").distinct()
         prior_refs = sorted({r for e in entries for r in e.get("dv") or []})
-        carry = (
+        carried = (
             _read_dv(spark, root, prior_refs)
             .select(
                 F.col("__dvf").alias("file"),
@@ -458,11 +503,26 @@ def _mint_dv(
             )
             .join(F.broadcast(touched), "file", "semi")
         )
-        carry.write.mode("append").parquet(dv_dir)
+        staged = staged.unionAll(carried)
+    # run-encode: consecutive positions share (row_index - rank), the
+    # classic gaps-and-islands key; one shuffle keyed on file, sized
+    # by this commit's dead rows (not the table)
+    w = Window.partitionBy("file").orderBy("row_index")
+    runs = (
+        staged.withColumn("__rk", F.col("row_index") - F.row_number().over(w))
+        .groupBy("file", "__rk")
+        .agg(
+            F.min("row_index").alias("run_start"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .select("file", "run_start", "run_len")
+    )
+    runs.write.mode("error").parquet(dv_dir)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     totals = {
-        r["file"]: r["cnt"]
+        r["file"]: int(r["cnt"])
         for r in spark.read.schema(_dv_schema()).parquet(dv_dir)
-        .groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        .groupBy("file").agg(F.sum("run_len").alias("cnt")).collect()
     }
     new_counts = {
         f: c - prior_rows.get(f, 0)

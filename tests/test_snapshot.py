@@ -1631,3 +1631,85 @@ def test_txn_registration_matches_path_spellings(spark, tmp_path):
             assert sn._read_manifest(path, new_slot)["txn_gate"] is not None
         assert sn.current_version(path) == base_v + 1
     assert sn.snapshot_read(spark, path).count() == 3
+
+
+def _dv_sidecar_rows(root):
+    """Total parquet rows across the CURRENT manifest's DV sidecars."""
+    import pyarrow.parquet as pq
+
+    v = sn.current_version(root)
+    entries = sn._manifest_files(root, sn._read_manifest(root, v))
+    refs = sorted({r for e in entries for r in e.get("dv") or []})
+    return sum(
+        pq.read_table(os.path.join(root, r)).num_rows for r in refs
+    )
+
+
+def test_dv_sidecars_run_encoded_sublinear_in_deletes(spark, tmp_path):
+    """Round-10 verdict ask #5: a delete-heavy MOR history must not
+    grow sidecar read volume linearly with deleted rows — interval
+    runs keep the coalesced sidecar at O(runs), not O(positions)."""
+    path = str(tmp_path / "t")
+    n = 6000
+    sn.snapshot_create(
+        spark,
+        spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).coalesce(1),
+        path, stats_cols=["k"],
+    )
+    # 50 MOR delete commits, each killing a contiguous 100-key block
+    for i in range(50):
+        sn.delete_where(
+            spark, path, f"k >= {i * 100} AND k < {i * 100 + 100}",
+            mode="mor",
+        )
+    assert sn.snapshot_read(spark, path).count() == n - 5000
+    rows = _dv_sidecar_rows(path)
+    # 5000 dead positions; contiguous blocks collapse — the coalesced
+    # sidecar holds runs, orders of magnitude below the position count
+    assert rows <= 60, f"sidecar rows {rows} not sublinear in 5000 deletes"
+    # correctness after the whole history: exact survivor set
+    got = {r["k"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == set(range(5000, n))
+
+
+def test_dv_legacy_position_list_sidecars_still_read(spark, tmp_path):
+    """Old tables carry (file, row_index) position-list sidecars; the
+    superset-schema read path must expand both encodings identically
+    (time travel over pre-round-11 manifests)."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark,
+        spark.range(10).select(F.col("id").alias("k")).coalesce(1),
+        path, stats_cols=["k"],
+    )
+    v = sn.current_version(path)
+    entries = sn._manifest_files(path, sn._read_manifest(path, v))
+    data_file = entries[0]["file"]
+    # hand-write a LEGACY sidecar killing positions 2 and 7
+    legacy_rel = os.path.join("_deletes", "legacy-test")
+    spark.createDataFrame(
+        [(data_file, 2), (data_file, 7)], "file string, row_index long"
+    ).write.parquet(os.path.join(path, legacy_rel))
+    out = sn._read_dv(spark, path, [legacy_rel]).collect()
+    assert sorted(r["__dvp"] for r in out) == [2, 7]
+    # and a MOR delete on top CARRIES the legacy positions into the
+    # new run-encoded sidecar
+    man = sn._read_manifest(path, v)
+    ents = sn._manifest_files(path, man)
+    ents[0]["dv"] = [legacy_rel]
+    ents[0]["dv_rows"] = 2
+    new_man = {
+        k: val for k, val in man.items()
+        if k not in ("files", "files_ref", "n_files")
+    }
+    new_man["version"] = v + 1
+    new_man.update(
+        sn._files_fields(path, v + 1, ents, man.get("columns") or [])
+    )
+    sn._commit(path, v + 1, new_man)
+    assert sn.snapshot_read(spark, path).count() == 8
+    sn.delete_where(spark, path, "k = 5", mode="mor")
+    got = {r["k"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {0, 1, 3, 4, 6, 8, 9}
