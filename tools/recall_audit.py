@@ -64,9 +64,11 @@ def _topk_recall(approx, exact, qcol="query_id", ncol="neighbor_id"):
 def _pair_recall(approx, exact, ca=("id_a", "id_b")):
     a = {(r[ca[0]], r[ca[1]]) for r in approx.collect()}
     e = {(r[ca[0]], r[ca[1]]) for r in exact.collect()}
-    return (
-        round(len(a & e) / max(len(e), 1), 4), len(e), len(a)
-    )
+    # an EMPTY exact reference means this corpus carries no pairs in
+    # the measured regime (e.g. cos>=0.9 exists only on the organic
+    # tier's planted dups) — report None, not a misleading 0.0
+    r = round(len(a & e) / len(e), 4) if e else None
+    return (r, len(e), len(a))
 
 
 def measure(spark, sf_dir: str, with_simhash: bool) -> dict:
@@ -106,7 +108,8 @@ def measure(spark, sf_dir: str, with_simhash: bool) -> dict:
     exact_topk.unpersist()
 
     exact_jac = fuzzy.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None,
+        candidate_budget=None,  # the EXACT reference must never screen
     ).cache()
     mh = fuzzy.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
@@ -115,6 +118,35 @@ def measure(spark, sf_dir: str, with_simhash: bool) -> dict:
     out["dedup_minhash_lsh"] = {
         "pair_recall": r, "n_exact_pairs": ne, "n_approx_pairs": na,
     }
+    # round-11: the density guard's auto-screen divergence, measured
+    # where the guard FIRES. On the organic tier the real default
+    # budget (50M) triggers; elsewhere force it with a budget of a
+    # quarter of this corpus's measured prediction so the row exists
+    # at every tier. If even the low-df bucket exceeds the forced
+    # budget the guard refuses by contract — recorded as such.
+    # the density probe runs (and records last_admission) at plan-BUILD
+    # time — no action needed to learn the prediction
+    fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+    predicted = (fuzzy.last_admission or {}).get("predicted_pairs", 0)
+    budget = min(fuzzy.DEFAULT_CANDIDATE_BUDGET, max(1, predicted // 4))
+    try:
+        scr = fuzzy.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8,
+            max_shingle_df=None, candidate_budget=budget,
+        )
+        r, ne, na = _pair_recall(scr, exact_jac)
+        out["dedup_jaccard_density_guard"] = {
+            "pair_recall": r, "n_exact_pairs": ne, "n_approx_pairs": na,
+            "budget": budget, "predicted_pairs": predicted,
+            "auto_cap": (fuzzy.last_admission or {}).get("auto_cap"),
+        }
+    except RuntimeError as e:
+        out["dedup_jaccard_density_guard"] = {
+            "budget": budget, "predicted_pairs": predicted,
+            "refused": str(e)[:160],
+        }
     exact_jac.unpersist()
 
     exact_cos = similarity.cosine_near_dup_pairs(
