@@ -1142,3 +1142,80 @@ def s37_convert_in_place(spark, sf_dir):
         F.sum("p_size").cast("long").alias("sum_size"),
         F.round(F.sum("p_retailprice"), 2).alias("total_price"),
     )
+
+
+_S38_DEEP_CLONE_SQL = """
+    WITH v1 AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey % 6 <> 0
+    ),
+    v2 AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 500
+                    ELSE c_acctbal END AS c_acctbal
+        FROM v1
+    ),
+    lab AS (
+        SELECT 'clone_current' AS side, * FROM v2
+        UNION ALL
+        SELECT 'clone_v0' AS side, * FROM v1
+    )
+    SELECT side, c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_keys,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM lab GROUP BY side, c_mktsegment
+"""
+
+
+@query("s38_deep_clone", _S38_DEEP_CLONE_SQL)
+def s38_deep_clone(spark, sf_dir):
+    """DEEP CLONE + incremental re-clone (``snapshot.deep_clone`` —
+    Delta's ``CREATE OR REPLACE ... DEEP CLONE``): the clone OWNS
+    copies of the source's bytes (data files AND the MOR delete's DV
+    sidecars), so deleting from the source and vacuuming it to one
+    version — the operation that dangles a shallow clone's links —
+    leaves the clone fully readable. The source then evolves and an
+    INCREMENTAL re-clone copies only the new files, committing clone
+    v1 that mirrors the refreshed source. The query reads both clone
+    versions AFTER the source vacuum: clone v0 must equal the source
+    as first cloned (MOR DVs applied), the current clone the
+    refreshed state — the oracle recomputes both from the base table.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    src_p = _scratch("s38src", sf_dir)
+    cln_p = _scratch("s38cln", sf_dir)
+    shutil.rmtree(src_p, ignore_errors=True)
+    shutil.rmtree(cln_p, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    snap.snapshot_create(
+        spark, cust.repartitionByRange(6, "c_custkey"), src_p,
+        stats_cols=["c_custkey"],
+    )
+    snap.delete_where(spark, src_p, "c_custkey % 6 = 0", mode="mor")
+    snap.deep_clone(src_p, cln_p)                       # clone v0 @ src v1
+    snap.update_where(                                  # src v2
+        spark, src_p, "c_mktsegment = 'BUILDING'",
+        {"c_acctbal": "c_acctbal + 500"}, mode="cow",
+    )
+    snap.deep_clone(src_p, cln_p)                       # incremental -> clone v1
+    # the shallow-clone killer: drop most of the source's bytes
+    snap.delete_where(spark, src_p, "c_custkey >= 0", mode="cow")
+    snap.vacuum(src_p, keep_versions=1, retention_seconds=0)
+    both = (
+        snap.snapshot_read(spark, cln_p)
+        .withColumn("side", F.lit("clone_current"))
+        .unionByName(
+            snap.snapshot_read(spark, cln_p, version=0)
+            .withColumn("side", F.lit("clone_v0"))
+        )
+    )
+    return both.groupBy("side", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("c_custkey").cast("long").alias("sum_keys"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

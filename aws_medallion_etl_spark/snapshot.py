@@ -2836,3 +2836,93 @@ def shallow_clone(
         **_files_fields(dst_root, 0, entries, man.get("columns", [])),
     })
     return 0
+
+
+def deep_clone(
+    src: str,
+    dst: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> int:
+    """Delta's ``CREATE OR REPLACE TABLE ... DEEP CLONE src [VERSION
+    AS OF n | TIMESTAMP AS OF t]``: a new table OWNING physical copies
+    of the source version's bytes — the durable sibling of
+    :func:`shallow_clone` (reference parity: the medallion promotion
+    pattern that snapshots gold for a consumer who must survive source
+    retention, `Meta_Guideline.md` gold-layer publish).
+
+    Unlike a shallow clone, ``VACUUM`` on the SOURCE can never dangle
+    anything here: every data file and DV sidecar dir the cloned
+    manifest references is copied under the clone's root (``copy2``
+    follows symlinks, so deep-cloning a SHALLOW clone also yields a
+    fully-owned table). Schema, CHECK constraints, generated columns,
+    and the column mapping travel; the txn high-water map does NOT
+    (same reasoning as shallow_clone).
+
+    INCREMENTAL re-clone (Delta's documented re-clone optimization):
+    running ``deep_clone(src, dst)`` again onto an existing deep clone
+    of the SAME source copies only the files the clone does not
+    already hold — file paths are uuid-suffixed and immutable once
+    written, so presence == identity — and commits a NEW clone version
+    mirroring the requested source version's file set. Files only the
+    older clone versions reference stay until :func:`vacuum`.
+    """
+    import shutil
+
+    src_root = src.rstrip("/")
+    dst_root = dst.rstrip("/")
+    vs = snapshot_versions(src_root)
+    if not vs:
+        raise ValueError(f"deep_clone: {src} is not a snapshot table")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("deep_clone: pass version OR timestamp, not both")
+        version = version_at_timestamp(src_root, timestamp)
+    v = vs[-1] if version is None else int(version)
+    if v not in vs:
+        raise ValueError(f"deep_clone: version {v} not in {vs}")
+    prior = snapshot_versions(dst_root)
+    if prior:
+        cf = _read_manifest(dst_root, prior[-1]).get("cloned_from") or {}
+        if cf.get("path") != src_root or not cf.get("deep"):
+            raise ValueError(
+                f"deep_clone: {dst} exists and is not a deep clone of "
+                f"{src} — incremental re-clone only refreshes a clone "
+                "of the same source"
+            )
+        new_v = _next_version(dst_root, prior[-1])
+    else:
+        new_v = 0
+    man = _read_manifest(src_root, v)
+    entries = _manifest_files(src_root, man)
+    copied = 0
+    for rel in sorted({e["file"] for e in entries}):
+        dstf = os.path.join(dst_root, rel)
+        if os.path.exists(dstf):
+            continue
+        os.makedirs(os.path.dirname(dstf), exist_ok=True)
+        shutil.copy2(os.path.join(src_root, rel), dstf)
+        copied += 1
+    for rel in sorted({r for e in entries for r in e.get("dv") or []}):
+        dstd = os.path.join(dst_root, rel)
+        if os.path.exists(dstd):
+            continue
+        shutil.copytree(
+            os.path.join(src_root, rel), dstd, symlinks=False
+        )
+        copied += 1
+    _commit(dst_root, new_v, {
+        "version": new_v,
+        "schema": man["schema"],
+        "columns": man.get("columns", []),
+        **_constraint_fields(man),
+        **_generated_fields(man),
+        **_colmap_fields(man),
+        **_op_fields("CLONE", {
+            "source": src_root, "source_version": v,
+            "deep": True, "files_copied": copied,
+        }),
+        "cloned_from": {"path": src_root, "version": v, "deep": True},
+        **_files_fields(dst_root, new_v, entries, man.get("columns", [])),
+    })
+    return new_v

@@ -1713,3 +1713,74 @@ def test_dv_legacy_position_list_sidecars_still_read(spark, tmp_path):
     sn.delete_where(spark, path, "k = 5", mode="mor")
     got = {r["k"] for r in sn.snapshot_read(spark, path).collect()}
     assert got == {0, 1, 3, 4, 6, 8, 9}
+
+
+def test_deep_clone_survives_source_vacuum(spark, tmp_path):
+    """DEEP CLONE owns its bytes: deleting from the source and
+    vacuuming it to the bone cannot dangle the clone (the failure
+    mode shallow_clone documents)."""
+    src = str(tmp_path / "src")
+    clone = str(tmp_path / "deep")
+    sn.snapshot_create(
+        spark, spark.range(40).select(F.col("id").alias("k")), src,
+        stats_cols=["k"],
+    )
+    assert sn.deep_clone(src, clone) == 0
+    # no symlinks anywhere under the clone — bytes are owned
+    for dirpath, _dirs, names in os.walk(clone):
+        for n in names:
+            assert not os.path.islink(os.path.join(dirpath, n))
+    sn.delete_where(spark, src, "k >= 0", mode="cow")  # empty the source
+    sn.vacuum(src, keep_versions=1, retention_seconds=0)
+    assert sn.snapshot_read(spark, src).count() == 0
+    assert sn.snapshot_read(spark, clone).count() == 40
+
+
+def test_deep_clone_incremental_reclone(spark, tmp_path):
+    """Re-cloning the same source copies only NEW files and commits a
+    new clone version mirroring the source's current file set."""
+    src = str(tmp_path / "src")
+    clone = str(tmp_path / "deep")
+    sn.snapshot_create(
+        spark, spark.range(20).select(F.col("id").alias("k")), src,
+        stats_cols=["k"],
+    )
+    sn.deep_clone(src, clone)
+    sn.merge_into(
+        spark, src, spark.createDataFrame([(100,)], ["k"]),
+        on=["k"], when_matched=None,
+    )
+    v = sn.deep_clone(src, clone)
+    assert v == 1
+    hist = sn.snapshot_history(clone)
+    assert hist[0]["operation"] == "CLONE"
+    # incremental: only the merge commit's files were copied
+    assert 0 < hist[0]["metrics"]["files_copied"] <= 2
+    assert sn.snapshot_read(spark, clone).count() == 21
+    # the first clone version still time-travels
+    assert sn.snapshot_read(spark, clone, version=0).count() == 20
+    # refuses to refresh a table that isn't a deep clone of this src
+    other = str(tmp_path / "other")
+    sn.snapshot_create(
+        spark, spark.range(3).select(F.col("id").alias("k")), other,
+        stats_cols=["k"],
+    )
+    with pytest.raises(ValueError, match="incremental re-clone"):
+        sn.deep_clone(src, other)
+
+
+def test_deep_clone_of_shallow_clone_owns_bytes(spark, tmp_path):
+    """copy2 follows symlinks: deep-cloning a SHALLOW clone produces a
+    fully-owned table that survives vacuum of the original."""
+    src = str(tmp_path / "src")
+    shallow = str(tmp_path / "shallow")
+    deep = str(tmp_path / "deep")
+    sn.snapshot_create(
+        spark, spark.range(15).select(F.col("id").alias("k")), src,
+        stats_cols=["k"],
+    )
+    sn.shallow_clone(src, shallow)
+    sn.deep_clone(shallow, deep)
+    sn.delete_where(spark, src, "k >= 0", mode="cow")
+    sn.vacuum(src, keep_versions=1, retention_seconds=0)
+    assert sn.snapshot_read(spark, deep).count() == 15
