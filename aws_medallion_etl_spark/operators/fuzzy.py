@@ -121,6 +121,11 @@ def _density_guard(
         global last_admission
         last_admission = None
         return sh
+    if on_over_budget not in ("screen", "error"):
+        raise ValueError(
+            f"{op}: on_over_budget must be 'screen' or 'error', "
+            f"got {on_over_budget!r}"
+        )
     keys = keys or ["shingle"]
     counts = sh.groupBy(*keys).agg(F.count(F.lit(1)).alias("__df"))
     hist = _df_histogram(

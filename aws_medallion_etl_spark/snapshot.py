@@ -846,6 +846,13 @@ def multi_table_txn(*paths: str):
         }))
     try:
         os.link(tmp, marker)  # THE atomic multi-table commit point
+    except OSError:
+        # a failed link must ABORT, not just raise: leaving the
+        # heartbeat running would keep the dead transaction's gated
+        # slots blocking every writer forever (fresh beat + pending
+        # gate reads as alive)
+        _abort()
+        raise
     finally:
         os.unlink(tmp)
     _drop_heartbeat()
