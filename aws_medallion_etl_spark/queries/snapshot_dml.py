@@ -1219,3 +1219,75 @@ def s38_deep_clone(spark, sf_dir):
         F.sum("c_custkey").cast("long").alias("sum_keys"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+_S39_OVERWRITE_SQL = """
+    WITH refreshed AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus <> 'F'
+    ),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 25
+                    ELSE o_totalprice END AS o_totalprice
+        FROM refreshed
+    ),
+    lab AS (
+        SELECT 'current' AS side, * FROM merged
+        UNION ALL
+        SELECT 'v0' AS side, o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+    )
+    SELECT side, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM lab GROUP BY side, o_orderstatus
+"""
+
+
+@query("s39_insert_overwrite", _S39_OVERWRITE_SQL)
+def s39_insert_overwrite(spark, sf_dir):
+    """INSERT OVERWRITE full refresh (``snapshot.snapshot_overwrite``
+    — Delta's atomic overwrite / the reference's full-load re-land,
+    `Meta_Guideline.md` full-load ingestion): the table is replaced
+    wholesale by the refreshed extract in ONE atomic version — no
+    delete-then-write window — then a MERGE lands on top of the
+    refreshed state, and v0 still time-travels to the original data.
+    The oracle recomputes the refreshed+merged state and the original
+    side by side; a torn overwrite, a leaked old file, or a
+    constraint/schema drift shifts the per-side aggregates.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s39ovw", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap.snapshot_create(
+        spark, orders.repartitionByRange(6, "o_orderkey"), path,
+        stats_cols=["o_orderkey"],
+    )
+    # the full refresh: this run's extract dropped the finished orders
+    snap.snapshot_overwrite(
+        spark, orders.where(F.col("o_orderstatus") != "F"), path
+    )
+    # incremental on top of the refresh
+    upd = orders.where(
+        (F.col("o_orderstatus") != "F") & (F.col("o_orderkey") % 10 == 1)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 25)
+    snap.merge_into(spark, path, upd, on=["o_orderkey"])
+    both = (
+        snap.snapshot_read(spark, path).withColumn("side", F.lit("current"))
+        .unionByName(
+            snap.snapshot_read(spark, path, version=0)
+            .withColumn("side", F.lit("v0"))
+        )
+    )
+    return both.groupBy("side", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -1258,6 +1258,98 @@ def snapshot_create(
     return 0
 
 
+def snapshot_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    replace_schema: bool = False,
+) -> int:
+    """Delta's ``INSERT OVERWRITE`` / ``CREATE OR REPLACE TABLE AS
+    SELECT``: a new version whose file set is EXACTLY ``df`` — the
+    full-refresh write of the medallion pattern (the reference's
+    full-load bronze tables re-land the whole extract each run,
+    `Meta_Guideline.md` full-load ingestion). Old files simply stop
+    being referenced: time travel to prior versions keeps working
+    until :func:`vacuum` reclaims them, and the commit is atomic like
+    every other (a reader sees the old table or the new one, never a
+    mix — unlike a plain parquet overwrite, which deletes before it
+    writes).
+
+    Default mode (INSERT OVERWRITE): ``df`` must match the table's
+    logical schema (names + types); CHECK constraints are validated
+    on the new data, GENERATED ALWAYS AS columns are computed/verified,
+    and the column mapping carries forward (files are written under
+    physical names). ``replace_schema=True`` is CREATE OR REPLACE:
+    the schema becomes ``df``'s and table metadata RESETS (constraints,
+    generated columns, column mapping — Delta's REPLACE defines the
+    table anew; re-declare what should survive). ``stats_cols``
+    defaults to the table's current stats columns (intersected with
+    the new schema under replace).
+    """
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(
+            f"snapshot_overwrite: {path} is not a snapshot table "
+            "(use snapshot_create)"
+        )
+    base_v = vs[-1]
+    man = _read_manifest(path, base_v)
+    if replace_schema:
+        constraints: dict = {}
+        generated: dict = {}
+        colmap = {}
+        dropped: list[str] = []
+        schema = df.schema
+        stats = stats_cols if stats_cols is not None else [
+            c for c in man.get("columns", []) if c in df.columns
+        ]
+    else:
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        want = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if sorted(want) != sorted(got):
+            raise ValueError(
+                "snapshot_overwrite: data does not match the table "
+                f"schema (table {sorted(want)}, data {sorted(got)}) — "
+                "pass replace_schema=True for CREATE OR REPLACE"
+            )
+        constraints = dict(man.get("constraints", {}))
+        generated = dict(man.get("generated", {}))
+        colmap = dict(man.get("colmap", {}))
+        dropped = list(man.get("dropped_phys", []))
+        stats = stats_cols if stats_cols is not None else man.get(
+            "columns", []
+        )
+        df = df.select(*[f.name for f in schema.fields])  # column order
+        if generated:
+            df = _apply_generated(df, generated, "snapshot_overwrite data")
+        if constraints:
+            _validate_constraints(df, constraints, "snapshot_overwrite data")
+    new_v = _next_version(path, base_v)
+    files = _write_commit_files(
+        df, path, new_v, stats,
+        schema=None if replace_schema else schema,
+        colmap=colmap or None,
+    )
+    _commit(path, new_v, {
+        "version": new_v,
+        "schema": (df.schema if replace_schema else schema).json(),
+        "columns": stats,
+        **_txn_fields(man, txn),
+        **_constraint_fields(None, constraints),
+        **_generated_fields(None, generated),
+        **_colmap_fields(None, colmap, dropped),
+        **_op_fields("OVERWRITE", {
+            "rows_written": sum(int(e["rows"]) for e in files),
+            "replace_schema": bool(replace_schema),
+        }),
+        **_files_fields(path, new_v, files, stats),
+    })
+    return new_v
+
+
 def add_constraint(
     spark: SparkSession, path: str, name: str, expr: str
 ) -> int:

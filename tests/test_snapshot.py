@@ -1784,3 +1784,92 @@ def test_deep_clone_of_shallow_clone_owns_bytes(spark, tmp_path):
     sn.delete_where(spark, src, "k >= 0", mode="cow")
     sn.vacuum(src, keep_versions=1, retention_seconds=0)
     assert sn.snapshot_read(spark, deep).count() == 15
+
+
+def test_snapshot_overwrite_full_refresh_and_time_travel(spark, tmp_path):
+    """INSERT OVERWRITE: the new version's file set is exactly the new
+    data, atomically; old versions time-travel until vacuum."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark,
+        spark.range(50).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v")),
+        path, stats_cols=["k"],
+        constraints={"v_nonneg": "v >= 0"},
+    )
+    v = sn.snapshot_overwrite(
+        spark,
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), F.lit(1).alias("v").cast("long")
+        ),
+        path,
+    )
+    assert v == 1
+    assert sn.snapshot_read(spark, path).count() == 20
+    assert sn.snapshot_read(spark, path, version=0).count() == 50
+    hist = sn.snapshot_history(path)
+    assert hist[0]["operation"] == "OVERWRITE"
+    assert hist[0]["metrics"]["rows_written"] == 20
+    # constraints survive and are enforced on the overwrite data
+    with pytest.raises(ValueError, match="v_nonneg"):
+        sn.snapshot_overwrite(
+            spark,
+            spark.range(3).select(
+                F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+            ),
+            path,
+        )
+    # schema mismatch fails closed without replace_schema
+    with pytest.raises(ValueError, match="replace_schema"):
+        sn.snapshot_overwrite(
+            spark, spark.range(3).select(F.col("id").alias("other")), path
+        )
+    # vacuum reclaims the overwritten files
+    rep = sn.vacuum(path, keep_versions=1, retention_seconds=0)
+    assert rep["removed_files"] > 0
+    assert sn.snapshot_read(spark, path).count() == 20
+
+
+def test_snapshot_overwrite_replace_schema_resets_metadata(spark, tmp_path):
+    """CREATE OR REPLACE: new schema, table metadata reset."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark,
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v")),
+        path, stats_cols=["k"], constraints={"v_cap": "v < 3"},
+    )
+    sn.rename_column(path, "k", "key")  # v is bound by v_cap; k is free
+    v = sn.snapshot_overwrite(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("doc"), F.lit("x").alias("body")
+        ),
+        path, replace_schema=True, stats_cols=["doc"],
+    )
+    got = sn.snapshot_read(spark, path)
+    assert set(got.columns) == {"doc", "body"} and got.count() == 5
+    assert sn.table_constraints(path) == {}
+    # the pre-replace version still reads with its own schema
+    old = sn.snapshot_read(spark, path, version=1)
+    assert set(old.columns) == {"key", "v"}
+    assert v == 2
+
+
+def test_snapshot_overwrite_respects_column_mapping(spark, tmp_path):
+    """INSERT OVERWRITE after RENAME writes under physical names and
+    reads back logically."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark,
+        spark.range(8).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        path, stats_cols=["k"],
+    )
+    sn.rename_column(path, "v", "doubled")
+    sn.snapshot_overwrite(
+        spark,
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("doubled")
+        ),
+        path,
+    )
+    got = {(r["k"], r["doubled"]) for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {(i, i * 10) for i in range(4)}
