@@ -2249,12 +2249,19 @@ def update_where(
             "files_added": len(new_files), **report}
 
 
-def restore(spark: SparkSession, path: str, version: int) -> dict:
-    """Delta's ``RESTORE TABLE ... VERSION AS OF N``: commit a NEW
-    version whose content is exactly version ``N``'s — a roll-back
-    that is itself history (time travel to the bad versions still
-    works until vacuum prunes them). Zero data movement: the new
-    manifest re-references version N's files and DV sidecars.
+def restore(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> dict:
+    """Delta's ``RESTORE TABLE ... VERSION AS OF N`` (or ``TIMESTAMP
+    AS OF t``): commit a NEW version whose content is exactly version
+    ``N``'s — a roll-back that is itself history (time travel to the
+    bad versions still works until vacuum prunes them). Zero data
+    movement: the new manifest re-references version N's files and DV
+    sidecars. ``timestamp`` resolves to the latest version committed
+    at or before the instant, same clock as history/clone.
 
     The per-app txn high-water marks are carried from the CURRENT
     version, not the restored one — rolling them back would make an
@@ -2267,6 +2274,12 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
     vs = snapshot_versions(path)
     if not vs:
         raise ValueError(f"restore: {path} is not a snapshot table")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("restore: pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
+    if version is None:
+        raise ValueError("restore: a version or timestamp is required")
     if version not in vs:
         raise ValueError(f"restore: {path} has no version {version} "
                          f"(have {vs})")

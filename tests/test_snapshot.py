@@ -1873,3 +1873,23 @@ def test_snapshot_overwrite_respects_column_mapping(spark, tmp_path):
     )
     got = {(r["k"], r["doubled"]) for r in sn.snapshot_read(spark, path).collect()}
     assert got == {(i, i * 10) for i in range(4)}
+
+
+def test_restore_timestamp_as_of(spark, tmp_path):
+    """RESTORE TIMESTAMP AS OF resolves through the same clock as
+    history/clone and rolls back to the version live at the instant."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.range(10).select(F.col("id").alias("k")), path,
+        stats_cols=["k"],
+    )
+    t_after_v0 = os.path.getmtime(sn._manifest_path(path, 0)) + 0.001
+    sn.delete_where(spark, path, "k >= 5", mode="cow")
+    assert sn.snapshot_read(spark, path).count() == 5
+    rep = sn.restore(spark, path, timestamp=t_after_v0)
+    assert rep["restored_from"] == 0
+    assert sn.snapshot_read(spark, path).count() == 10
+    with pytest.raises(ValueError, match="version OR timestamp"):
+        sn.restore(spark, path, 0, timestamp=t_after_v0)
+    with pytest.raises(ValueError, match="required"):
+        sn.restore(spark, path)
