@@ -2434,6 +2434,87 @@ def compact(
     }
 
 
+def snapshot_fsck(path: str, all_versions: bool = False) -> dict:
+    """Manifest-vs-filesystem integrity check (Delta has FSCK REPAIR
+    TABLE; this is the detect half, driver-side O(files) stat calls,
+    zero data reads).
+
+    Verifies, for the current version (or every retained version with
+    ``all_versions=True``): every referenced data file exists, every
+    referenced DV sidecar dir exists, and clone symlinks resolve
+    (a vacuumed shallow-clone SOURCE leaves dangling links — the
+    documented caveat, now detectable before a reader trips on it).
+    Also reports transaction-gate state: pending / aborted / stale
+    gated slots (a stale count > 0 means a presumed-crashed
+    coordinator is still holding manifests vacuum can reclaim).
+
+    Returns ``{"version"|"versions", "files_checked", "missing_files",
+    "missing_dv", "dangling_links", "gated": {pending, aborted,
+    stale}, "clean"}`` — ``clean`` is True iff nothing is missing or
+    dangling. Repair is deliberately NOT automatic: the right fix is
+    RESTORE to an intact version, re-clone, or vacuum — all explicit.
+    """
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"snapshot_fsck: {path} is not a snapshot table")
+    root = path.rstrip("/")
+    check = vs if all_versions else [vs[-1]]
+    missing_files: list[str] = []
+    missing_dv: list[str] = []
+    dangling: list[str] = []
+    checked = 0
+    seen: set[str] = set()
+    for v in check:
+        for e in _manifest_files(path, _read_manifest(path, v)):
+            rels = [e["file"]] + list(e.get("dv") or [])
+            for i, rel in enumerate(rels):
+                if rel in seen:
+                    continue
+                seen.add(rel)
+                checked += 1
+                f = os.path.join(root, rel)
+                if os.path.exists(f):
+                    continue
+                # distinguish a DANGLING LINK (the shallow-clone
+                # source-vacuum caveat: some ancestor — the linked
+                # commit dir — or the path itself is a symlink whose
+                # target is gone) from a plainly missing path
+                parts = rel.split(os.sep)
+                link_broken = any(
+                    os.path.islink(os.path.join(root, *parts[: j + 1]))
+                    for j in range(len(parts))
+                )
+                if link_broken:
+                    dangling.append(rel)
+                else:
+                    (missing_files if i == 0 else missing_dv).append(rel)
+    slots, gated = _list_slots(path)
+    gate_state = {"pending": 0, "aborted": 0, "stale": 0}
+    for v in slots:
+        if v in vs or v not in gated:
+            continue
+        gate = _read_manifest(path, v).get("txn_gate")
+        if gate is None or _txn_is_committed(gate):
+            continue
+        if _txn_is_aborted(gate):
+            gate_state["aborted"] += 1
+        elif _txn_is_stale(gate, _manifest_path(path, v)):
+            gate_state["stale"] += 1
+        else:
+            gate_state["pending"] += 1
+    out = {
+        ("versions" if all_versions else "version"):
+            (check if all_versions else check[0]),
+        "files_checked": checked,
+        "missing_files": sorted(missing_files),
+        "missing_dv": sorted(missing_dv),
+        "dangling_links": sorted(dangling),
+        "gated": gate_state,
+        "clean": not (missing_files or missing_dv or dangling),
+    }
+    return out
+
+
 def maintenance_report(
     path: str,
     dv_ratio_threshold: float = 0.2,

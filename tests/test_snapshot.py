@@ -1893,3 +1893,45 @@ def test_restore_timestamp_as_of(spark, tmp_path):
         sn.restore(spark, path, 0, timestamp=t_after_v0)
     with pytest.raises(ValueError, match="required"):
         sn.restore(spark, path)
+
+
+def test_snapshot_fsck_clean_and_detects_damage(spark, tmp_path):
+    """FSCK detects missing data files, missing DV sidecars, and the
+    shallow-clone dangling-link caveat; a healthy table is clean."""
+    src = str(tmp_path / "src")
+    sn.snapshot_create(
+        spark,
+        spark.range(30).select(F.col("id").alias("k")).coalesce(2),
+        src, stats_cols=["k"],
+    )
+    sn.delete_where(spark, src, "k % 7 = 0", mode="mor")
+    rep = sn.snapshot_fsck(src)
+    assert rep["clean"] and rep["files_checked"] > 0
+    assert rep["gated"] == {"pending": 0, "aborted": 0, "stale": 0}
+    # an in-flight txn reads as pending, not damage
+    with sn.multi_table_txn(src):
+        sn.merge_into(
+            spark, src, spark.createDataFrame([(99,)], ["k"]),
+            on=["k"], when_matched=None,
+        )
+        mid = sn.snapshot_fsck(src)
+        assert mid["clean"] and mid["gated"]["pending"] == 1
+    # damage 1: delete a referenced data file
+    v = sn.current_version(src)
+    ent = sn._manifest_files(src, sn._read_manifest(src, v))
+    os.unlink(os.path.join(src, ent[0]["file"]))
+    rep = sn.snapshot_fsck(src)
+    assert not rep["clean"] and rep["missing_files"] == [ent[0]["file"]]
+    # damage 2: a shallow clone whose source got vacuumed underneath
+    clone = str(tmp_path / "cln")
+    fresh = str(tmp_path / "fresh")
+    sn.snapshot_create(
+        spark, spark.range(10).select(F.col("id").alias("k")), fresh,
+        stats_cols=["k"],
+    )
+    sn.shallow_clone(fresh, clone)
+    sn.delete_where(spark, fresh, "k >= 0", mode="cow")
+    sn.vacuum(fresh, keep_versions=1, retention_seconds=0)
+    crep = sn.snapshot_fsck(clone)
+    assert not crep["clean"] and crep["dangling_links"]
+    assert crep["missing_files"] == []
