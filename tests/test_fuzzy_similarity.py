@@ -1498,3 +1498,35 @@ def test_trim_dup_spans_rejects_non_numeric_ids(spark):
     )
     with pytest.raises(TypeError, match="integral"):
         corpus_ops.trim_dup_spans(docs, "doc_id", "text", width=5)
+
+
+def test_density_guard_respects_block_col(spark):
+    """With block_col the guard predicts per-(shingle, block) — a
+    shingle ubiquitous in one language but split across blocks must
+    not be screened based on its GLOBAL df."""
+    boiler = "common header words repeated in every document here"
+    rows = [(i, f"{boiler} en doc {i}", "en") for i in range(25)]
+    rows += [(100 + i, f"{boiler} de doc {i}", "de") for i in range(25)]
+    rows += [(900, "rare evidence chain alpha beta gamma delta", "en"),
+             (901, "rare evidence chain alpha beta gamma epsilon", "en")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    # global prediction would be ~2x the per-block one; a budget
+    # between them only fits when the guard keys on (shingle, block)
+    fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        block_col="lang", max_shingle_df=None,
+    )
+    blocked_pred = fuzzy.last_admission["predicted_pairs"]
+    fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=None,
+    )
+    global_pred = fuzzy.last_admission["predicted_pairs"]
+    assert blocked_pred < global_pred
+    # and the screen under block_col still finds the rare-evidence pair
+    pairs = fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        block_col="lang", max_shingle_df=None, candidate_budget=200,
+    ).collect()
+    assert fuzzy.last_admission["auto_cap"] is not None
+    assert any(r["id_a"] == 900 and r["id_b"] == 901 for r in pairs)

@@ -609,3 +609,54 @@ def test_snapshot_history_and_clone_invariants(
         r["k"]: r["v"] for r in sn.snapshot_read(spark, clone_path).collect()
     }
     assert got_c == clone_model
+
+
+@given(
+    positions=st.sets(
+        st.integers(min_value=0, max_value=300), min_size=1, max_size=80
+    ),
+    positions2=st.sets(
+        st.integers(min_value=0, max_value=300), min_size=0, max_size=40
+    ),
+)
+@settings(**SETTINGS)
+def test_dv_run_encode_expand_roundtrip(spark, tmp_path_factory, positions, positions2):
+    """Round-11 DV interval runs: _mint_dv's gaps-and-islands encoding
+    followed by _read_dv's expansion is the identity on any position
+    set — singletons, adjacent runs, full ranges, multi-file."""
+    import uuid as _uuid
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    root = str(tmp_path_factory.mktemp("dvprop") / _uuid.uuid4().hex[:8])
+    import os as _os
+
+    _os.makedirs(root, exist_ok=True)
+    rows = [("data/f1.parquet", int(p)) for p in positions]
+    rows += [("data/f2.parquet", int(p)) for p in positions2]
+    hits = spark.createDataFrame(rows, "file string, row_index long")
+    dv_rel, totals, new_counts = sn._mint_dv(
+        spark, root, entries=[], hits=hits, new_v=0, carry=False
+    )
+    assert totals.get("data/f1.parquet", 0) == len(positions)
+    assert totals.get("data/f2.parquet", 0) == len(positions2)
+    got = {
+        (r["__dvf"], r["__dvp"])
+        for r in sn._read_dv(spark, root, [dv_rel]).collect()
+    }
+    want = {("data/f1.parquet", p) for p in positions} | {
+        ("data/f2.parquet", p) for p in positions2
+    }
+    assert got == want
+    # encoded rows = number of maximal runs, never more than positions
+    import pyarrow.parquet as pq
+
+    n_runs = pq.read_table(_os.path.join(root, dv_rel)).num_rows
+
+    def runs(ps):
+        ps = sorted(ps)
+        return sum(
+            1 for i, p in enumerate(ps) if i == 0 or p != ps[i - 1] + 1
+        )
+
+    assert n_runs == runs(positions) + runs(positions2)
