@@ -1307,6 +1307,18 @@ def snapshot_overwrite(
         ]
     else:
         schema = StructType.fromJson(json.loads(man["schema"]))
+        constraints = dict(man.get("constraints", {}))
+        generated = dict(man.get("generated", {}))
+        colmap = dict(man.get("colmap", {}))
+        dropped = list(man.get("dropped_phys", []))
+        stats = stats_cols if stats_cols is not None else man.get(
+            "columns", []
+        )
+        # generated columns FIRST: a writer may omit them (Delta
+        # computes GENERATED ALWAYS AS on write) — the schema gate
+        # below must see the completed frame
+        if generated:
+            df = _apply_generated(df, generated, "snapshot_overwrite data")
         want = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
         if sorted(want) != sorted(got):
@@ -1315,18 +1327,9 @@ def snapshot_overwrite(
                 f"schema (table {sorted(want)}, data {sorted(got)}) — "
                 "pass replace_schema=True for CREATE OR REPLACE"
             )
-        constraints = dict(man.get("constraints", {}))
-        generated = dict(man.get("generated", {}))
-        colmap = dict(man.get("colmap", {}))
-        dropped = list(man.get("dropped_phys", []))
-        stats = stats_cols if stats_cols is not None else man.get(
-            "columns", []
-        )
-        df = df.select(*[f.name for f in schema.fields])  # column order
-        if generated:
-            df = _apply_generated(df, generated, "snapshot_overwrite data")
         if constraints:
             _validate_constraints(df, constraints, "snapshot_overwrite data")
+        df = df.select(*[f.name for f in schema.fields])  # column order
     new_v = _next_version(path, base_v)
     files = _write_commit_files(
         df, path, new_v, stats,

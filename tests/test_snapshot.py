@@ -1935,3 +1935,21 @@ def test_snapshot_fsck_clean_and_detects_damage(spark, tmp_path):
     crep = sn.snapshot_fsck(clone)
     assert not crep["clean"] and crep["dangling_links"]
     assert crep["missing_files"] == []
+
+
+def test_snapshot_overwrite_computes_generated_columns(spark, tmp_path):
+    """A writer may omit GENERATED ALWAYS AS columns on overwrite —
+    they are computed before the schema gate, Delta-style."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark,
+        spark.range(6).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("twice")
+        ),
+        path, stats_cols=["k"], generated={"twice": "k * 2"},
+    )
+    sn.snapshot_overwrite(
+        spark, spark.range(10, 14).select(F.col("id").alias("k")), path
+    )
+    got = {(r["k"], r["twice"]) for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {(i, i * 2) for i in range(10, 14)}
