@@ -1556,8 +1556,10 @@ def snapshot_changes(
     spark: SparkSession,
     path: str,
     key_cols: list[str],
-    v_from: int,
-    v_to: int,
+    v_from: int | None = None,
+    v_to: int | None = None,
+    ts_from: float | None = None,
+    ts_to: float | None = None,
 ) -> DataFrame:
     """Row-level changes between two committed versions — Delta's
     CHANGE DATA FEED surface, recovered from the COW/DV manifests
@@ -1579,9 +1581,31 @@ def snapshot_changes(
     versions is handled by aligning the ``v_from`` side onto the
     ``v_to`` schema (added columns read NULL in the preimage, parquet
     missing-column semantics).
+
+    Bounds: pass versions (``v_from``/``v_to``) or timestamps
+    (``ts_from``/``ts_to`` — Delta's ``table_changes(..., timestamp)``
+    form, resolved through the same clock as history/clone/restore),
+    one style per endpoint.
     """
     root = path.rstrip("/")
     vs = snapshot_versions(path)
+    if ts_from is not None:
+        if v_from is not None:
+            raise ValueError(
+                "snapshot_changes: pass v_from OR ts_from, not both"
+            )
+        v_from = version_at_timestamp(path, ts_from)
+    if ts_to is not None:
+        if v_to is not None:
+            raise ValueError(
+                "snapshot_changes: pass v_to OR ts_to, not both"
+            )
+        v_to = version_at_timestamp(path, ts_to)
+    if v_from is None or v_to is None:
+        raise ValueError(
+            "snapshot_changes: both endpoints are required "
+            "(version or timestamp each)"
+        )
     for v in (v_from, v_to):
         if v not in vs:
             raise ValueError(
@@ -2434,6 +2458,47 @@ def compact(
         "files_rewritten": len(rewrite),
         "files_untouched": len(carried),
         "files_added": len(new_files),
+    }
+
+
+def table_detail(path: str) -> dict:
+    """Delta's ``DESCRIBE DETAIL``: one dict of current-version table
+    facts from the manifest + file stats — O(files) driver work, no
+    data read. ``size_bytes`` is the live data files' on-disk total
+    (symlinked clone files stat through to the source bytes, matching
+    what a scan would read); ``num_dv_rows`` is the outstanding
+    merge-on-read debt :func:`maintenance_report` thresholds on.
+    """
+    v = current_version(path)
+    if v is None:
+        raise ValueError(f"table_detail: {path} is not a snapshot table")
+    man = _read_manifest(path, v)
+    entries = _manifest_files(path, man)
+    root = path.rstrip("/")
+    size = 0
+    for e in entries:
+        try:
+            size += os.path.getsize(os.path.join(root, e["file"]))
+        except OSError:
+            pass  # vacuumed-under clone link: fsck's job, not detail's
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    return {
+        "format": "parquet+manifest",
+        "location": root,
+        "version": v,
+        "num_files": len(entries),
+        "size_bytes": size,
+        "num_rows": sum(int(e.get("rows") or 0) for e in entries),
+        "num_dv_rows": sum(int(e.get("dv_rows") or 0) for e in entries),
+        "columns": [f.name for f in schema.fields],
+        "stats_columns": list(man.get("columns", [])),
+        "constraints": dict(man.get("constraints", {})),
+        "generated_columns": dict(man.get("generated", {})),
+        "column_mapping": dict(man.get("colmap", {})),
+        "cloned_from": man.get("cloned_from"),
+        "created_at": os.path.getmtime(_manifest_path(path, 0))
+        if os.path.exists(_manifest_path(path, 0)) else None,
+        "last_modified": os.path.getmtime(_manifest_path(path, v)),
     }
 
 

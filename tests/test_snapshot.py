@@ -1953,3 +1953,33 @@ def test_snapshot_overwrite_computes_generated_columns(spark, tmp_path):
     )
     got = {(r["k"], r["twice"]) for r in sn.snapshot_read(spark, path).collect()}
     assert got == {(i, i * 2) for i in range(10, 14)}
+
+
+def test_table_detail_and_cdf_timestamps(spark, tmp_path):
+    """DESCRIBE DETAIL facts track the manifest; CDF accepts timestamp
+    bounds through the shared version_at_timestamp clock."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark,
+        spark.range(20).select(F.col("id").alias("k"), (F.col("id") % 4).alias("v")),
+        path, stats_cols=["k"], constraints={"v_ok": "v >= 0"},
+    )
+    t_v0 = os.path.getmtime(sn._manifest_path(path, 0)) + 0.001
+    sn.delete_where(spark, path, "k >= 15", mode="mor")
+    det = sn.table_detail(path)
+    assert det["version"] == 1 and det["num_rows"] == 20
+    assert det["num_dv_rows"] == 5 and det["size_bytes"] > 0
+    assert det["constraints"] == {"v_ok": "v >= 0"}
+    assert set(det["columns"]) == {"k", "v"}
+    # CDF by timestamps == CDF by versions
+    by_v = sn.snapshot_changes(spark, path, ["k"], 0, 1).collect()
+    by_t = sn.snapshot_changes(
+        spark, path, ["k"], ts_from=t_v0,
+        ts_to=os.path.getmtime(sn._manifest_path(path, 1)) + 0.001,
+    ).collect()
+    assert sorted(map(tuple, by_v)) == sorted(map(tuple, by_t))
+    assert len(by_v) == 5  # five deletes
+    with pytest.raises(ValueError, match="not both"):
+        sn.snapshot_changes(spark, path, ["k"], 0, 1, ts_from=t_v0)
+    with pytest.raises(ValueError, match="required"):
+        sn.snapshot_changes(spark, path, ["k"], v_from=0)
