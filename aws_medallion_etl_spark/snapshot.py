@@ -824,12 +824,20 @@ def multi_table_txn(*paths: str):
     overtaken = []
     for p, v in txn["claimed"]:
         slots, _g = _list_slots(p)
-        if slots and slots[-1] > v:
+        if v not in slots:
+            # a long pause past the staleness window let vacuum
+            # reclaim the presumed-dead manifest — committing now
+            # would link a marker to a version that no longer exists
+            overtaken.append((p, v, "reclaimed"))
+        elif slots[-1] > v:
             overtaken.append((p, v, slots[-1]))
     if overtaken:
         _abort()
         detail = "; ".join(
-            f"{p}: claimed v{v} but v{top} exists" for p, v, top in overtaken
+            f"{p}: claimed v{v} but "
+            + ("its manifest was reclaimed (presumed crashed)"
+               if top == "reclaimed" else f"v{top} exists")
+            for p, v, top in overtaken
         )
         raise RuntimeError(
             "multi_table_txn: commit fence failed — a concurrent writer "

@@ -1983,3 +1983,30 @@ def test_table_detail_and_cdf_timestamps(spark, tmp_path):
         sn.snapshot_changes(spark, path, ["k"], 0, 1, ts_from=t_v0)
     with pytest.raises(ValueError, match="required"):
         sn.snapshot_changes(spark, path, ["k"], v_from=0)
+
+
+def test_txn_commit_fence_detects_reclaimed_manifest(spark, tmp_path):
+    """A coordinator paused past the staleness window whose gated
+    manifest vacuum reclaimed must FAIL at the fence, not link a
+    marker to a version that no longer exists."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 1)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    with pytest.raises(RuntimeError, match="reclaimed"):
+        with sn.multi_table_txn(path) as txn_id:
+            sn.merge_into(
+                spark, path, spark.createDataFrame([(2, 2)], ["k", "v"]),
+                on=["k"], when_matched=None,
+            )
+            # simulate: pause outlasted the stale window, vacuum swept
+            hb = sn._txn_heartbeat_path(sn._norm_table_path(path), txn_id)
+            old = time.time() - sn.STALE_HEARTBEAT_SECONDS - 60
+            os.utime(hb, (old, old))
+            mp = sn._manifest_path(path, 1)
+            os.utime(mp, (old, old))
+            sn.vacuum(path, keep_versions=1, retention_seconds=0)
+            assert not os.path.exists(mp)
+    assert sn.snapshot_versions(path) == [0]
+    assert sn.snapshot_read(spark, path).count() == 1
