@@ -205,6 +205,12 @@ STALE_TXN_SECONDS = 3600.0
 TXN_HEARTBEAT_SECONDS = 15.0
 STALE_HEARTBEAT_SECONDS = 120.0
 
+# deletion-vector interval runs are split at this many positions per
+# row: the read side expands each run with sequence() into ONE array,
+# and an uncapped whole-file range delete would materialize the whole
+# file's position list in a single task (round-11 review)
+_DV_RUN_CAP = 65_536
+
 
 def _txn_heartbeat_path(anchor: str, txn_id: str) -> str:
     return os.path.join(_snap_dir(anchor), _TXNS_DIR, f"{txn_id}.alive")
@@ -275,6 +281,7 @@ def _next_version(path: str, base_v: int | None = None) -> int:
     nxt = (slots[-1] + 1) if slots else 0
     if base_v is None:
         return nxt
+    presumed_dead: list[tuple[int, dict]] = []
     for v in slots:
         if v <= base_v:
             continue
@@ -298,12 +305,23 @@ def _next_version(path: str, base_v: int | None = None) -> int:
                 f"— {path} already committed in this transaction"
             )
         if _txn_is_stale(gate, _manifest_path(path, v)):
+            # PRESUMED dead, not proven: record the presumption so
+            # _commit can re-verify it at link time — the coordinator
+            # may revive during this writer's (possibly long) data
+            # write, commit, and be silently superseded otherwise
+            # (round-11 review: fence TOCTOU)
+            presumed_dead.append((v, gate))
             continue
         raise RuntimeError(
             f"snapshot commit conflict: version {v} of {path} is held "
             f"by in-flight multi-table transaction {gate['id']} — "
             "retry after it commits or aborts"
         )
+    reg = _SKIPPED_DEAD.get()
+    if reg is None:
+        reg = {}
+        _SKIPPED_DEAD.set(reg)
+    reg[_norm_table_path(path)] = presumed_dead
     return nxt
 
 
@@ -446,12 +464,19 @@ def _mint_dv(
     common delete-heavy shapes) collapse to a handful of rows, so
     sidecar bytes stay sublinear in deletes between compactions (the
     plain-parquet stand-in for Delta's roaring bitmaps; the last
-    read-path protocol gap from the round-10 verdict). Positions are
-    unique per file by construction — hits come from a live scan, so
-    they are disjoint from every already-dead position — which makes
-    the run math exact. :func:`_read_dv` re-expands runs map-side and
-    still reads LEGACY position-list sidecars (old manifests/time
-    travel) through the same superset schema.
+    read-path protocol gap from the round-10 verdict). New hits come
+    from a live scan so they are disjoint from every already-dead
+    position, but CARRIED positions can repeat across prior refs (a
+    file whose positions were coalesced into a newer sidecar still
+    appears in an OLDER sidecar another file references), so the
+    staged union is deduplicated before encoding — duplicates would
+    both split runs and inflate ``dv_rows``. Runs are capped at
+    ``_DV_RUN_CAP`` positions per row so :func:`_read_dv`'s
+    ``sequence()`` expansion materializes bounded arrays (a
+    whole-file range delete on a huge file must not become one
+    multi-hundred-MB array in a single task). :func:`_read_dv` still
+    reads LEGACY position-list sidecars (old manifests/time travel)
+    through the same superset schema.
 
     Returns ``(dv_rel, totals, new_counts)``: the manifest-relative
     sidecar path, per-file TOTAL dead rows (the touched entries' new
@@ -506,7 +531,11 @@ def _mint_dv(
         staged = staged.unionAll(carried)
     # run-encode: consecutive positions share (row_index - rank), the
     # classic gaps-and-islands key; one shuffle keyed on file, sized
-    # by this commit's dead rows (not the table)
+    # by this commit's dead rows (not the table). dropDuplicates
+    # first: carried positions may repeat across overlapping prior
+    # refs, and duplicates would corrupt the rank arithmetic AND the
+    # dv_rows totals.
+    staged = staged.dropDuplicates(["file", "row_index"])
     w = Window.partitionBy("file").orderBy("row_index")
     runs = (
         staged.withColumn("__rk", F.col("row_index") - F.row_number().over(w))
@@ -516,6 +545,27 @@ def _mint_dv(
             F.count(F.lit(1)).alias("run_len"),
         )
         .select("file", "run_start", "run_len")
+    )
+    # cap run length so the read side's sequence() expansion stays a
+    # bounded array per row (512 KB of longs at the cap, not one
+    # file-sized array for a whole-file range delete)
+    runs = runs.select(
+        "file",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("run_len") - 1) / _DV_RUN_CAP).cast("long"),
+            )
+        ).alias("__chunk"),
+        "run_start", "run_len",
+    ).select(
+        "file",
+        (F.col("run_start") + F.col("__chunk") * _DV_RUN_CAP)
+        .alias("run_start"),
+        F.least(
+            F.lit(_DV_RUN_CAP),
+            F.col("run_len") - F.col("__chunk") * _DV_RUN_CAP,
+        ).cast("long").alias("run_len"),
     )
     runs.write.mode("error").parquet(dv_dir)
     shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -631,6 +681,43 @@ _ACTIVE_TXN: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
     "snapshot_active_txn", default=None
 )
 
+# per-thread registry of PRESUMED-dead gated slots each _next_version
+# skipped, keyed by normalized table path; consumed by _commit so the
+# presumption is re-verified at link time (and folded into an open
+# transaction's fence). A presumption that turned out wrong — the
+# "dead" coordinator committed or its heartbeat came back — raises a
+# commit conflict instead of silently superseding the revived write.
+_SKIPPED_DEAD: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
+    "snapshot_skipped_dead", default=None
+)
+
+
+def _revalidate_presumed_dead(path: str, skipped: list) -> None:
+    """Re-check every staleness presumption this writer relied on,
+    immediately before making its own commit durable. The residual
+    window shrinks from the writer's whole data-write duration to the
+    microseconds between this check and the link — the honest
+    epsilon of lock-free marker files (documented, like Delta's
+    equivalent on eventually-consistent stores)."""
+    for v, gate in skipped:
+        mp = _manifest_path(path, v)
+        if not os.path.exists(mp):
+            continue                      # reclaimed: permanently dead
+        if _txn_is_aborted(gate):
+            continue                      # proven dead
+        if _txn_is_committed(gate):
+            raise RuntimeError(
+                f"snapshot commit conflict: version {v} of {path} was "
+                "presumed crashed but its transaction COMMITTED during "
+                "this write — the base read is stale; re-read and re-run"
+            )
+        if not _txn_is_stale(gate, mp):
+            raise RuntimeError(
+                f"snapshot commit conflict: version {v} of {path} was "
+                "presumed crashed but its coordinator's heartbeat "
+                "resumed — retry after it commits or aborts"
+            )
+
 
 def _commit(path: str, version: int, manifest: dict) -> None:
     """Publish a manifest atomically and exclusively.
@@ -671,6 +758,18 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         # no manifest — vacuumed later
         with open(_gate_sidecar_path(path, version, txn["id"]), "w"):
             pass
+    # re-verify every staleness presumption made when this version's
+    # slot was chosen — a "dead" coordinator that revived and
+    # committed during our data write must surface as a conflict HERE,
+    # not be silently superseded (round-11 fence-TOCTOU review)
+    reg = _SKIPPED_DEAD.get()
+    skipped = (reg or {}).pop(norm, [])
+    if skipped:
+        _revalidate_presumed_dead(path, skipped)
+        if txn is not None and norm in txn["paths"]:
+            # the txn's marker links much later — the fence re-checks
+            # these presumptions again at that point
+            txn.setdefault("skipped_dead", []).append((norm, skipped))
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -820,49 +919,70 @@ def multi_table_txn(*paths: str):
     # the marker now would make this transaction "succeed" while its
     # write is already superseded by a version that never saw it — a
     # silent lost update on BOTH sides. Verify every claimed slot is
-    # still its table's highest claimed slot; otherwise fail loudly.
-    overtaken = []
-    for p, v in txn["claimed"]:
-        slots, _g = _list_slots(p)
-        if v not in slots:
-            # a long pause past the staleness window let vacuum
-            # reclaim the presumed-dead manifest — committing now
-            # would link a marker to a version that no longer exists
-            overtaken.append((p, v, "reclaimed"))
-        elif slots[-1] > v:
-            overtaken.append((p, v, slots[-1]))
-    if overtaken:
-        _abort()
-        detail = "; ".join(
-            f"{p}: claimed v{v} but "
-            + ("its manifest was reclaimed (presumed crashed)"
-               if top == "reclaimed" else f"v{top} exists")
-            for p, v, top in overtaken
-        )
-        raise RuntimeError(
-            "multi_table_txn: commit fence failed — a concurrent writer "
-            "presumed this transaction dead and committed past its "
-            f"claimed slot ({detail}); the transaction is aborted and "
-            "none of its writes are visible — re-read and re-run"
-        )
-    marker = _txn_marker_path(anchor, txn["id"])
-    tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        fh.write(json.dumps({
-            "tables": sorted(txn["paths"]),
-            "versions": txn["claimed"],
-        }))
+    # still its table's highest LIVE claimed slot (an ABORTED gated
+    # slot above ours is permanently invisible — not an overtake; a
+    # PENDING one belongs to a transaction that presumed US dead, and
+    # its own fence/revalidation will abort it once our marker is
+    # visible), and re-verify every staleness presumption our own
+    # claims relied on. Everything from here to the link runs under an
+    # abort-on-failure guard: ANY exception (fence I/O, ENOSPC on the
+    # marker temp file, the link itself) must tear the heartbeat down,
+    # or the dead transaction's fresh-looking gates would block every
+    # writer on its tables indefinitely (round-11 review).
     try:
-        os.link(tmp, marker)  # THE atomic multi-table commit point
-    except OSError:
-        # a failed link must ABORT, not just raise: leaving the
-        # heartbeat running would keep the dead transaction's gated
-        # slots blocking every writer forever (fresh beat + pending
-        # gate reads as alive)
+        overtaken = []
+        for p, v in txn["claimed"]:
+            slots, gated = _list_slots(p)
+            if v not in slots:
+                # a long pause past the staleness window let vacuum
+                # reclaim the presumed-dead manifest — committing now
+                # would link a marker to a version that no longer exists
+                overtaken.append((p, v, "reclaimed"))
+                continue
+            for higher in slots:
+                if higher <= v:
+                    continue
+                if higher in gated:
+                    g = _read_manifest(p, higher).get("txn_gate")
+                    if g is not None and _txn_is_aborted(g):
+                        continue          # dead slot: not an overtake
+                    if g is not None and not _txn_is_committed(g):
+                        continue          # pending: their fence loses
+                overtaken.append((p, v, higher))
+                break
+        if overtaken:
+            detail = "; ".join(
+                f"{p}: claimed v{v} but "
+                + ("its manifest was reclaimed (presumed crashed)"
+                   if top == "reclaimed" else f"v{top} exists")
+                for p, v, top in overtaken
+            )
+            raise RuntimeError(
+                "multi_table_txn: commit fence failed — a concurrent "
+                "writer presumed this transaction dead and committed "
+                f"past its claimed slot ({detail}); the transaction is "
+                "aborted and none of its writes are visible — re-read "
+                "and re-run"
+            )
+        # presumptions our own claims made (skipping slots of OTHER
+        # transactions presumed crashed) get one final re-check at the
+        # atomicity point
+        for p, skipped in txn.get("skipped_dead", []):
+            _revalidate_presumed_dead(p, skipped)
+        marker = _txn_marker_path(anchor, txn["id"])
+        tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({
+                "tables": sorted(txn["paths"]),
+                "versions": txn["claimed"],
+            }))
+        try:
+            os.link(tmp, marker)  # THE atomic multi-table commit point
+        finally:
+            os.unlink(tmp)
+    except BaseException:
         _abort()
         raise
-    finally:
-        os.unlink(tmp)
     _drop_heartbeat()
     # finalize: sidecars are now redundant (marker proves the commit);
     # removing them restores the zero-overhead listing fast path
@@ -1304,6 +1424,15 @@ def snapshot_overwrite(
         )
     base_v = vs[-1]
     man = _read_manifest(path, base_v)
+    if txn is not None:
+        # the idempotent-writer contract merge_into honors (Delta's
+        # txnAppId/txnVersion): a REPLAYED overwrite (restarted
+        # foreachBatch full-refresh sink) must no-op — re-committing
+        # would clobber whatever landed on the table after the
+        # original overwrite with stale extract data
+        seen = man.get("txn", {}).get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= int(seen):
+            return base_v
     if replace_schema:
         constraints: dict = {}
         generated: dict = {}

@@ -2010,3 +2010,90 @@ def test_txn_commit_fence_detects_reclaimed_manifest(spark, tmp_path):
             assert not os.path.exists(mp)
     assert sn.snapshot_versions(path) == [0]
     assert sn.snapshot_read(spark, path).count() == 1
+
+
+def test_writer_revalidates_presumed_dead_txn_at_commit(spark, tmp_path):
+    """Round-11 fence-TOCTOU fix: a writer that skipped a stale gated
+    slot re-verifies the presumption at link time — a coordinator that
+    revived (or committed) during the writer's data write surfaces as
+    a conflict, never a silent supersede."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 1)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    with sn.multi_table_txn(path) as txn_id:
+        sn.merge_into(
+            spark, path, spark.createDataFrame([(2, 2)], ["k", "v"]),
+            on=["k"], when_matched=None,
+        )
+        hb = sn._txn_heartbeat_path(sn._norm_table_path(path), txn_id)
+        old = time.time() - sn.STALE_HEARTBEAT_SECONDS - 60
+        os.utime(hb, (old, old))
+        tok = sn._ACTIVE_TXN.set(None)
+        try:
+            # writer plans against the stale presumption...
+            new_v = sn._next_version(path, 0)
+            assert new_v == 2
+            # ...but the coordinator revives before the writer links
+            os.utime(hb)
+            man = sn._read_manifest(path, 0)
+            with pytest.raises(RuntimeError, match="heartbeat resumed"):
+                sn._commit(path, new_v, dict(man, version=new_v))
+        finally:
+            sn._ACTIVE_TXN.reset(tok)
+    # the transaction committed intact; nothing superseded it
+    assert {r["k"] for r in sn.snapshot_read(spark, path).collect()} == {1, 2}
+    # second shape: the presumed-dead txn COMMITTED mid-write
+    with sn.multi_table_txn(path) as txn_id2:
+        sn.merge_into(
+            spark, path, spark.createDataFrame([(3, 3)], ["k", "v"]),
+            on=["k"], when_matched=None,
+        )
+        hb2 = sn._txn_heartbeat_path(sn._norm_table_path(path), txn_id2)
+        os.utime(hb2, (old, old))
+        tok = sn._ACTIVE_TXN.set(None)
+        try:
+            new_v = sn._next_version(path, 1)   # skips stale slot 2
+            os.utime(hb2)                       # revive so the fence passes
+        finally:
+            sn._ACTIVE_TXN.reset(tok)
+    # txn committed; the writer's deferred link must now conflict
+    man = sn._read_manifest(path, 1)
+    with pytest.raises(RuntimeError, match="COMMITTED during this write"):
+        sn._commit(path, new_v, dict(man, version=new_v))
+    assert {r["k"] for r in sn.snapshot_read(spark, path).collect()} == {1, 2, 3}
+
+
+def test_txn_fence_ignores_aborted_higher_slot(spark, tmp_path):
+    """A dead (aborted) gated slot above a healthy transaction's claim
+    is not an overtake — the healthy transaction commits."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.createDataFrame([(1, 1)], ["k", "v"]),
+        path, stats_cols=["k"],
+    )
+    with sn.multi_table_txn(path) as t1:
+        sn.merge_into(
+            spark, path, spark.createDataFrame([(2, 2)], ["k", "v"]),
+            on=["k"], when_matched=None,
+        )
+        hb1 = sn._txn_heartbeat_path(sn._norm_table_path(path), t1)
+        old = time.time() - sn.STALE_HEARTBEAT_SECONDS - 60
+        os.utime(hb1, (old, old))       # T1 looks dead
+        tok = sn._ACTIVE_TXN.set(None)
+        try:
+            with pytest.raises(RuntimeError, match="boom"):
+                with sn.multi_table_txn(path):
+                    sn.merge_into(
+                        spark, path,
+                        spark.createDataFrame([(9, 9)], ["k", "v"]),
+                        on=["k"], when_matched=None,
+                    )                    # T2 claims v2 past "dead" T1
+                    raise RuntimeError("boom")  # T2 aborts
+        finally:
+            sn._ACTIVE_TXN.reset(tok)
+        os.utime(hb1)                    # T1 was merely slow
+    # T1's fence must NOT abort on T2's dead v2 slot
+    assert sn.snapshot_versions(path) == [0, 1]
+    assert {r["k"] for r in sn.snapshot_read(spark, path).collect()} == {1, 2}

@@ -125,28 +125,40 @@ def measure(spark, sf_dir: str, with_simhash: bool) -> dict:
     # at every tier. If even the low-df bucket exceeds the forced
     # budget the guard refuses by contract — recorded as such.
     # the density probe runs (and records last_admission) at plan-BUILD
-    # time — no action needed to learn the prediction
-    fuzzy.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
-    )
-    predicted = (fuzzy.last_admission or {}).get("predicted_pairs", 0)
-    budget = min(fuzzy.DEFAULT_CANDIDATE_BUDGET, max(1, predicted // 4))
+    # time — no action needed to learn the prediction. The probe itself
+    # can REFUSE (screen mode raises when even low-df mass exceeds the
+    # budget) — that refusal must be recorded, not crash the audit.
+    predicted = None
     try:
-        scr = fuzzy.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.8,
-            max_shingle_df=None, candidate_budget=budget,
+        fuzzy.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
         )
-        r, ne, na = _pair_recall(scr, exact_jac)
-        out["dedup_jaccard_density_guard"] = {
-            "pair_recall": r, "n_exact_pairs": ne, "n_approx_pairs": na,
-            "budget": budget, "predicted_pairs": predicted,
-            "auto_cap": (fuzzy.last_admission or {}).get("auto_cap"),
-        }
+        predicted = (fuzzy.last_admission or {}).get("predicted_pairs", 0)
     except RuntimeError as e:
         out["dedup_jaccard_density_guard"] = {
-            "budget": budget, "predicted_pairs": predicted,
+            "budget": fuzzy.DEFAULT_CANDIDATE_BUDGET,
             "refused": str(e)[:160],
         }
+    budget = min(
+        fuzzy.DEFAULT_CANDIDATE_BUDGET, max(1, (predicted or 0) // 4)
+    )
+    if predicted is not None:
+        try:
+            scr = fuzzy.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.8,
+                max_shingle_df=None, candidate_budget=budget,
+            )
+            r, ne, na = _pair_recall(scr, exact_jac)
+            out["dedup_jaccard_density_guard"] = {
+                "pair_recall": r, "n_exact_pairs": ne, "n_approx_pairs": na,
+                "budget": budget, "predicted_pairs": predicted,
+                "auto_cap": (fuzzy.last_admission or {}).get("auto_cap"),
+            }
+        except RuntimeError as e:
+            out["dedup_jaccard_density_guard"] = {
+                "budget": budget, "predicted_pairs": predicted,
+                "refused": str(e)[:160],
+            }
     exact_jac.unpersist()
 
     exact_cos = similarity.cosine_near_dup_pairs(
