@@ -2097,3 +2097,38 @@ def test_txn_fence_ignores_aborted_higher_slot(spark, tmp_path):
     # T1's fence must NOT abort on T2's dead v2 slot
     assert sn.snapshot_versions(path) == [0, 1]
     assert {r["k"] for r in sn.snapshot_read(spark, path).collect()} == {1, 2}
+
+
+def test_snapshot_overwrite_txn_replay_noops(spark, tmp_path):
+    """A replayed overwrite (same txnAppId/txnVersion) must no-op —
+    re-committing would clobber writes that landed after the
+    original with stale extract data."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark, spark.range(5).select(F.col("id").alias("k")), path,
+        stats_cols=["k"],
+    )
+    v = sn.snapshot_overwrite(
+        spark, spark.range(10, 13).select(F.col("id").alias("k")),
+        path, txn=("loader", 7),
+    )
+    assert v == 1
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(99,)], ["k"]),
+        on=["k"], when_matched=None,
+    )
+    # the replay: same app, same (or older) version -> no-op
+    got = sn.snapshot_overwrite(
+        spark, spark.range(10, 13).select(F.col("id").alias("k")),
+        path, txn=("loader", 7),
+    )
+    assert got == 2 and sn.current_version(path) == 2
+    assert {r["k"] for r in sn.snapshot_read(spark, path).collect()} \
+        == {10, 11, 12, 99}
+    # a NEWER extract version still lands
+    v = sn.snapshot_overwrite(
+        spark, spark.range(20, 22).select(F.col("id").alias("k")),
+        path, txn=("loader", 8),
+    )
+    assert v == 3
+    assert sn.snapshot_read(spark, path).count() == 2
