@@ -2132,3 +2132,31 @@ def test_snapshot_overwrite_txn_replay_noops(spark, tmp_path):
     )
     assert v == 3
     assert sn.snapshot_read(spark, path).count() == 2
+
+
+def test_dv_run_cap_bounds_whole_file_delete(spark, tmp_path):
+    """A whole-file MOR range delete encodes as ceil(rows/64k) capped
+    runs — the read side expands bounded arrays, never one file-sized
+    array in a single task."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    n = 200_000
+    sn.snapshot_create(
+        spark, spark.range(n).select(F.col("id").alias("k")).coalesce(1),
+        path, stats_cols=["k"],
+    )
+    rep = sn.delete_where(spark, path, "k >= 0", mode="mor")
+    assert rep["deleted_rows"] == n
+    v = sn.current_version(path)
+    refs = sorted({
+        r for e in sn._manifest_files(path, sn._read_manifest(path, v))
+        for r in e.get("dv") or []
+    })
+    rows = sum(
+        pq.read_table(os.path.join(path, r)).num_rows for r in refs
+    )
+    assert rows == -(-n // sn._DV_RUN_CAP)  # ceil(n / cap) capped runs
+    t = pq.read_table(os.path.join(path, refs[0]))
+    assert max(t.column("run_len").to_pylist()) <= sn._DV_RUN_CAP
+    assert sn.snapshot_read(spark, path).count() == 0
