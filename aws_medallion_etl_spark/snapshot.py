@@ -531,11 +531,15 @@ def _mint_dv(
         staged = staged.unionAll(carried)
     # run-encode: consecutive positions share (row_index - rank), the
     # classic gaps-and-islands key; one shuffle keyed on file, sized
-    # by this commit's dead rows (not the table). dropDuplicates
-    # first: carried positions may repeat across overlapping prior
-    # refs, and duplicates would corrupt the rank arithmetic AND the
-    # dv_rows totals.
-    staged = staged.dropDuplicates(["file", "row_index"])
+    # by this commit's dead rows (not the table). Carried positions
+    # may repeat ONLY when more than one prior sidecar was read (a
+    # file coalesced into a newer sidecar can still appear in an older
+    # one another file references) — duplicates would corrupt the rank
+    # arithmetic AND the dv_rows totals, so dedup exactly then; the
+    # common single-ref path skips the extra shuffle. New hits are
+    # minted from a live scan (disjoint from dead, unique per row).
+    if prior_rows and len(prior_refs) > 1:
+        staged = staged.dropDuplicates(["file", "row_index"])
     w = Window.partitionBy("file").orderBy("row_index")
     runs = (
         staged.withColumn("__rk", F.col("row_index") - F.row_number().over(w))

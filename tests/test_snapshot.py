@@ -2160,3 +2160,35 @@ def test_dv_run_cap_bounds_whole_file_delete(spark, tmp_path):
     t = pq.read_table(os.path.join(path, refs[0]))
     assert max(t.column("run_len").to_pylist()) <= sn._DV_RUN_CAP
     assert sn.snapshot_read(spark, path).count() == 0
+
+
+def test_dv_carry_no_double_count_across_overlapping_refs(spark, tmp_path):
+    """Reviewer scenario: file X's positions live in sidecar A (v1,
+    shared with Y) AND sidecar B (v2 coalesce); a v3 delete touching
+    X and Y reads refs {A, B} and must not double-count X's carried
+    positions in runs or dv_rows."""
+    path = str(tmp_path / "t")
+    sn.snapshot_create(
+        spark,
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("half")
+        ).repartitionByRange(2, "k"),   # two files by key range
+        path, stats_cols=["k"],
+    )
+    # v1: touch BOTH files -> one sidecar A holding X and Y positions
+    sn.delete_where(spark, path, "k % 10 = 0", mode="mor")
+    # v2: touch only X (low key range) -> sidecar B carries A's X rows
+    sn.delete_where(spark, path, "k = 1", mode="mor")
+    # v3: touch both again -> prior refs {A, B}, X duplicated across them
+    sn.delete_where(spark, path, "k % 10 = 3", mode="mor")
+    v = sn.current_version(path)
+    ents = sn._manifest_files(path, sn._read_manifest(path, v))
+    total_dead = sum(int(e.get("dv_rows") or 0) for e in ents)
+    assert total_dead == 10 + 1 + 10       # exact, not inflated
+    live = sn.snapshot_read(spark, path)
+    assert live.count() == 100 - 21
+    got = {r["k"] for r in live.collect()}
+    assert got == {k for k in range(100) if k % 10 not in (0, 3) and k != 1}
+    # history live_rows stays consistent (no negative/inflated debt)
+    byv = {h["version"]: h["live_rows"] for h in sn.snapshot_history(path)}
+    assert byv[v] == 79
