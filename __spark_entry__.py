@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # registered after the r10 tranche — no driver verdict yet
         "s37_convert_in_place", "corpus_trim_dup_spans",
+        # registered in round 11 — no driver verdict yet
+        "corpus_dsir_select",
         # the 50 queries whose latest green is round 7
         "a10_rollup_status_year", "a11_pivot_status_by_year",
         "a12_percentiles", "a7_exact_dedup", "a9_share_of_total",

@@ -1109,3 +1109,182 @@ def trim_dup_spans(
             .cast("long").alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+def dsir_log_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    seed: str = "dsir",
+    smoothing: float = 1.0,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights: how much more likely a
+    raw document is under a hashed-n-gram bag model of the TARGET
+    distribution than under the same model of the RAW distribution
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling").
+
+    Both corpora featurize through :func:`text.hashed_features`
+    (lowercased unigrams + word bigrams, md5-bucketed — the portable
+    fastText hashing trick this repo already uses for classifier
+    inference, so any engine reproduces bucket ids bit-for-bit). Each
+    side fits an add-``smoothing`` multinomial over the ``n_buckets``
+    hash buckets; a raw document's log-weight is its bag-of-features
+    log-likelihood ratio::
+
+        log w(x) = sum_over_feature_occurrences  ln p_target[h(g)]
+                                               - ln p_raw[h(g)]
+
+    Plan shape, designed for a 100 TB raw corpus against a small
+    curated target (the DSIR regime — target is Wikipedia-sized):
+
+    * one explode + ``groupBy(id, bucket)`` with map-side combine over
+      the raw corpus (the only large shuffle, keyed and combinable);
+    * bucket totals for both sides are ``n_buckets``-row aggregates;
+      the per-bucket log-ratio table is built by joining them on a
+      ``spark.range(n_buckets)`` skeleton with the 1-row totals
+      cross-joined in-plan (no driver collect) and is broadcast into
+      the per-document sum — the big side shuffles ONCE;
+    * no windows, no Python UDFs; ``ln`` stays in codegen.
+
+    Returns ``(id, n_features BIGINT, log_importance DOUBLE)`` for
+    every raw document (docs with no features score 0.0).
+    ``log_importance`` is rounded to ``ndigits`` — the repo's
+    cross-engine float discipline (sum order differs between engines;
+    4-digit rounding is the same contract the LM-logprob family
+    ships).
+    """
+    from aws_medallion_etl_spark.operators import text as _text
+
+    spark = raw.sparkSession
+    fr = _text.hashed_features(raw, id_col, text_col, n_buckets, seed)
+    ft = _text.hashed_features(target, id_col, text_col, n_buckets, seed)
+    # per-(doc, bucket) occurrence counts: shrinks the broadcast-join
+    # input from occurrences to distinct buckets per doc, and the
+    # groupBy gets map-side combine.
+    fd = fr.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("__c"))
+    ct = ft.groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
+    cr = fd.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
+    nt = ft.agg(F.count(F.lit(1)).alias("__nt"))
+    nr = fd.agg(F.sum("__c").alias("__nr"))
+    s = float(smoothing)
+    b = float(n_buckets) * s
+    lr = (
+        spark.range(n_buckets).select(F.col("id").alias("bucket"))
+        .join(ct, "bucket", "left")
+        .join(cr, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("__ct", F.lit(0)) + F.lit(s))
+                    / (F.col("__nt") + F.lit(b))
+                )
+                - F.log(
+                    (F.coalesce("__cr", F.lit(0)) + F.lit(s))
+                    / (F.col("__nr") + F.lit(b))
+                )
+            ).alias("__lr"),
+        )
+    )
+    perdoc = (
+        fd.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_features"),
+            F.round(F.sum(F.col("__c") * F.col("__lr")), ndigits).alias(
+                "log_importance"
+            ),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(perdoc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_features", F.lit(0)).cast("long").alias(
+                "n_features"
+            ),
+            F.coalesce("log_importance", F.lit(0.0)).alias(
+                "log_importance"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_buckets: int = 4096,
+    seed: str = "dsir",
+    smoothing: float = 1.0,
+    temperature: float = 1.0,
+    mode: str = "gumbel",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Select ``k`` raw documents by DSIR importance resampling.
+
+    ``mode="gumbel"`` (default, the paper's sampler): sampling without
+    replacement proportional to ``exp(log_importance / temperature)``
+    via the Gumbel-top-k trick — rank by ``log w / T + g`` where ``g``
+    is Gumbel(0, 1) noise. The noise is DETERMINISTIC: ``u`` is drawn
+    from ``md5(id || ':seed:g')`` (first 8 hex digits as a uniform in
+    (0, 1), the same portable construction as the hash-split family),
+    then ``g = -ln(-ln(u))``. Reproducible across runs, engines, and
+    partitionings — the property a 1000-executor resample must have,
+    and what makes the selection oracle-checkable.
+
+    ``mode="topk"``: the paper's deterministic heuristic baseline —
+    take the ``k`` highest-weight documents outright.
+
+    Both modes rank by ``round(sample_key, ndigits)`` with ``id`` as
+    tiebreak and cut with ``orderBy().limit(k)`` — Spark's TakeOrdered
+    (per-partition partial top-k, driver merges k rows), never a
+    global sort. Returns ``(id, n_features, log_importance,
+    sample_key)`` for the selected documents.
+    """
+    w = dsir_log_importance(
+        raw, target, id_col, text_col, n_buckets, seed, smoothing, ndigits
+    )
+    if mode == "gumbel":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f":{seed}:g"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+        key = (
+            F.col("log_importance") / F.lit(float(temperature))
+            - F.log(-F.log(u))
+        )
+    elif mode == "topk":
+        key = F.col("log_importance")
+    else:
+        raise ValueError(
+            f"dsir_select: mode must be 'gumbel' or 'topk', got {mode!r}"
+        )
+    keyed = w.select(
+        "*", F.round(key, ndigits).alias("sample_key")
+    )
+    return keyed.orderBy(
+        F.desc("sample_key"), F.col(id_col)
+    ).limit(int(k))

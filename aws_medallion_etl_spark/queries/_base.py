@@ -39,6 +39,22 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _hex8_bigint_sql(col: str) -> str:
+    """Driver-portable BIGINT from 8 hex digits in column ``col``:
+    per-digit ``strpos * 16^k`` rebuild instead of ``CAST('0x'||h AS
+    BIGINT)``, which diverged on the driver's DuckDB before
+    (``dq_dataset_fingerprint`` is the worked example, verify
+    SKILL.md:144). Shared by every oracle that mirrors a Spark
+    ``conv(substring(md5(..), 1, 8), 16, 10)`` hash.
+    """
+    terms = " +\n               ".join(
+        f"CAST(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return "(" + terms + ")"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _events(spark, sf_dir)

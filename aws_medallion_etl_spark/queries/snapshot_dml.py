@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from aws_medallion_etl_spark.queries._base import (
     F,
+    _hex8_bigint_sql,
     _scratch,
     _t,
     query,
@@ -609,21 +610,6 @@ def s31_generated_columns(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Linear quality-classifier inference (text.quality_classifier_scores)
 # ---------------------------------------------------------------------------
-
-def _hex8_bigint_sql(col: str) -> str:
-    """Driver-portable BIGINT from 8 hex digits in column ``col``:
-    per-digit ``strpos * 16^k`` rebuild instead of ``CAST('0x'||h AS
-    BIGINT)``, which diverged on the driver's DuckDB before
-    (``dq_dataset_fingerprint`` is the worked example, verify
-    SKILL.md:144).
-    """
-    terms = " +\n               ".join(
-        f"CAST(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1 "
-        f"AS BIGINT) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    return "(" + terms + ")"
-
 
 _T_QCLF_SQL = rf"""
     WITH toks AS (
@@ -1290,4 +1276,67 @@ def s39_insert_overwrite(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").cast("long").alias("sum_keys"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row tracking (snapshot.snapshot_read(row_ids=True))
+# ---------------------------------------------------------------------------
+
+_S40_ROW_TRACKING_SQL = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders
+    ), live AS (
+        SELECT * FROM base WHERE o_orderkey % 9 <> 4
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(rid) AS BIGINT) AS sum_rid,
+           CAST(min(rid) AS BIGINT) AS min_rid,
+           CAST(max(rid) AS BIGINT) AS max_rid
+    FROM live
+    GROUP BY o_orderstatus
+"""
+
+
+@query("s40_row_tracking", _S40_ROW_TRACKING_SQL)
+def s40_row_tracking(spark, sf_dir):
+    """Delta row tracking (``snapshot_create(row_tracking=True)`` +
+    ``snapshot_read(row_ids=True)``): every row carries a durable
+    ``_row_id`` stable across a MOR delete, an OPTIMIZE rewrite, and
+    a copy-on-write UPDATE. The table is created from ``orders``
+    sorted into ONE file, so ids are exactly ``row_number() - 1`` in
+    ``o_orderkey`` order — the oracle recomputes that assignment,
+    deletes the same keys, and must land on identical per-status id
+    sums: any renumbering through the three maintenance operations
+    (the invariant Delta materializes base ids + passenger columns
+    for) shifts ``sum_rid``. The UPDATE is the sharp half: its rows
+    are REWRITTEN, and only id preservation keeps their rids.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s40rt", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    snap.snapshot_create(
+        spark,
+        orders.repartition(1).sortWithinPartitions("o_orderkey"),
+        path, stats_cols=["o_orderkey"], row_tracking=True,
+    )
+    snap.delete_where(spark, path, "o_orderkey % 9 = 4", mode="mor")
+    snap.compact(spark, path, small_file_rows=10**9)   # force DV purge
+    snap.update_where(
+        spark, path, "o_orderkey % 9 = 5",
+        {"o_totalprice": "o_totalprice + 10"}, mode="cow",
+    )
+    final = snap.snapshot_read(spark, path, row_ids=True)
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("sum_rid"),
+        F.min("_row_id").cast("long").alias("min_rid"),
+        F.max("_row_id").cast("long").alias("max_rid"),
     )

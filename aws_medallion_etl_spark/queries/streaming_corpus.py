@@ -1974,3 +1974,115 @@ def corpus_trim_dup_spans(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return corpus_ops.trim_dup_spans(docs, "doc_id", "text", width=10)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (corpus.dsir_select)
+# ---------------------------------------------------------------------------
+
+from aws_medallion_etl_spark.queries._base import _hex8_bigint_sql as _hex8
+
+
+def _dsir_sql() -> str:
+    bucket_r = _hex8("h") + " % 4096"
+    gum = _hex8("gh")
+    return rf"""
+    WITH raws AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ), tgt AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), tr AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS t
+        FROM raws
+    ), tt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS t
+        FROM tgt
+    ), fr AS (
+        SELECT doc_id,
+               unnest(list_concat(t,
+                   [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS f
+        FROM tr
+    ), ftg AS (
+        SELECT doc_id,
+               unnest(list_concat(t,
+                   [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS f
+        FROM tt
+    ), br AS (
+        SELECT doc_id, {bucket_r} AS bucket
+        FROM (SELECT doc_id, substr(md5(f || ':dsir'), 1, 8) AS h FROM fr)
+    ), bt AS (
+        SELECT {bucket_r} AS bucket
+        FROM (SELECT substr(md5(f || ':dsir'), 1, 8) AS h FROM ftg)
+    ), fd AS (
+        SELECT doc_id, bucket, count(*) AS c FROM br GROUP BY 1, 2
+    ), ct AS (
+        SELECT bucket, count(*) AS ct FROM bt GROUP BY 1
+    ), cr AS (
+        SELECT bucket, sum(c) AS cr FROM fd GROUP BY 1
+    ), nt AS (
+        SELECT count(*) AS nt FROM bt
+    ), nr AS (
+        SELECT coalesce(sum(c), 0) AS nr FROM fd
+    ), lr AS (
+        SELECT s.bucket,
+               ln((coalesce(ct.ct, 0) + 1.0) / (nt.nt + 4096.0))
+             - ln((coalesce(cr.cr, 0) + 1.0) / (nr.nr + 4096.0)) AS lr
+        FROM range(4096) s(bucket)
+        LEFT JOIN ct USING (bucket)
+        LEFT JOIN cr USING (bucket), nt, nr
+    ), w AS (
+        SELECT fd.doc_id, CAST(sum(fd.c) AS BIGINT) AS n_features,
+               round(sum(fd.c * lr.lr), 4) AS log_importance
+        FROM fd JOIN lr USING (bucket) GROUP BY 1
+    ), full_w AS (
+        SELECT r.doc_id,
+               CAST(coalesce(w.n_features, 0) AS BIGINT) AS n_features,
+               coalesce(w.log_importance, 0.0) AS log_importance
+        FROM raws r LEFT JOIN w USING (doc_id)
+    ), keyed AS (
+        SELECT doc_id, n_features, log_importance,
+               round(log_importance
+                     - ln(-ln(({gum} + 0.5) / 4294967296.0)), 4)
+                   AS sample_key
+        FROM (SELECT *,
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':dsir:g'), 1, 8)
+                         AS gh
+              FROM full_w)
+    )
+    SELECT doc_id, n_features, log_importance, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 120
+"""
+
+
+@query("corpus_dsir_select", _dsir_sql())
+def corpus_dsir_select(spark, sf_dir):
+    """DSIR — data selection via importance resampling (Xie et al.
+    2023, ``corpus.dsir_select``): fit add-1 multinomials over
+    md5-hashed unigram+bigram buckets for a small curated TARGET
+    (here the ``doc_id % 7 == 0`` slice stands in for the trusted
+    corpus) and the RAW pool (the rest), weight each raw document by
+    its bag log-likelihood ratio, and Gumbel-top-k resample 120 docs
+    proportional to ``exp(log w)`` with deterministic md5-derived
+    noise — reproducible across engines, runs, and partitionings.
+
+    Plan: raw corpus explodes + groupBy(id, bucket) ONCE (map-side
+    combine); the 4096-row log-ratio table broadcasts into the
+    per-doc sum; selection is TakeOrdered, never a global sort. The
+    paper's regime at 100 TB: the target model is KBs, the raw pool
+    streams through one keyed shuffle.
+    """
+    from aws_medallion_etl_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.where(F.col("doc_id") % 7 != 0)
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    return corpus_ops.dsir_select(
+        raw, target, "doc_id", "text", k=120,
+        n_buckets=4096, seed="dsir", mode="gumbel",
+    )

@@ -659,3 +659,62 @@ def test_trim_dup_spans_removes_all_but_first_occurrence(spark):
         .collect()
     }
     assert got == {1: 0, 2: 0}
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs sharing the target's vocabulary must out-weigh docs from a
+    disjoint vocabulary, and weights are reproducible bag LLRs (a doc
+    with no features scores exactly 0.0)."""
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quick brown fox and the lazy dog again"),
+            (2, "zzz qqq vvv kkk mmm nnn ppp rrr"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: r
+        for r in corpus.dsir_log_importance(raw, target, "doc_id", "text").collect()
+    }
+    assert set(w) == {1, 2, 3}
+    assert w[1]["log_importance"] > w[2]["log_importance"]
+    assert w[3]["n_features"] == 0 and w[3]["log_importance"] == 0.0
+    # per-occurrence features: unigrams + bigrams of an n-token doc
+    assert w[1]["n_features"] == 8 + 7
+
+
+def test_dsir_select_topk_and_gumbel_deterministic(spark):
+    """topk mode returns the k highest-weight docs; gumbel mode is a
+    deterministic resample (same result on re-run) that still ranks
+    target-like docs above disjoint-vocabulary ones in aggregate."""
+    target = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(10)]
+    rows += [(100 + i, "foo bar baz qux quux corge grault") for i in range(10)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    top = corpus.dsir_select(
+        raw, target, "doc_id", "text", k=10, mode="topk"
+    ).collect()
+    assert sorted(r["doc_id"] for r in top) == list(range(10))
+    g1 = corpus.dsir_select(
+        raw, target, "doc_id", "text", k=10, mode="gumbel"
+    ).collect()
+    g2 = corpus.dsir_select(
+        raw, target, "doc_id", "text", k=10, mode="gumbel"
+    ).collect()
+    assert [r["doc_id"] for r in g1] == [r["doc_id"] for r in g2]
+    # resampling is noisy but weight-dominated here: the on-target
+    # docs carry a large LLR margin, so most selections come from them
+    n_target_like = sum(1 for r in g1 if r["doc_id"] < 100)
+    assert n_target_like >= 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.dsir_select(raw, target, "doc_id", "text", k=3, mode="nope")
