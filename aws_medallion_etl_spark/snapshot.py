@@ -95,7 +95,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from aws_medallion_etl_spark import io as eio
 
@@ -351,6 +351,9 @@ def _write_files_checkpoint(
         "rows": [e.get("rows") for e in entries],
         "dv": [list(e.get("dv") or []) for e in entries],
         "dv_rows": [int(e.get("dv_rows") or 0) for e in entries],
+        # row-tracking base ids (None when the feature is off — the
+        # column serializes as all-null and restores as absent)
+        "base_row_id": [e.get("base_row_id") for e in entries],
     }
     for c in stats_cols:
         sts = [e.get("stats", {}).get(c) or {} for e in entries]
@@ -393,6 +396,9 @@ def _manifest_files(path: str, man: dict) -> list[dict]:
         if dv:
             e["dv"] = list(dv)
             e["dv_rows"] = int(d.get("dv_rows", [0])[i] or 0)
+        brid = d.get("base_row_id", [None])[i] if "base_row_id" in d else None
+        if brid is not None:
+            e["base_row_id"] = int(brid)
         entries.append(e)
     return entries
 
@@ -602,14 +608,22 @@ def _physical_schema(schema: StructType, colmap: dict | None) -> StructType:
     ])
 
 
-def _to_physical(df: DataFrame, schema: StructType, colmap: dict | None):
+def _to_physical(
+    df: DataFrame,
+    schema: StructType,
+    colmap: dict | None,
+    extra: tuple[str, ...] = (),
+):
     """Rename a LOGICAL-named frame to physical column names for a
-    data-file write (no-op without a colmap)."""
+    data-file write (no-op without a colmap). ``extra`` names
+    passenger columns (already physically named — the row-tracking
+    materialized-id column) that must survive the projection."""
     if not colmap:
         return df
-    return df.select(*[
-        F.col(f.name).alias(_phys(colmap, f.name)) for f in schema.fields
-    ])
+    return df.select(
+        *[F.col(f.name).alias(_phys(colmap, f.name)) for f in schema.fields],
+        *[F.col(c) for c in extra],
+    )
 
 
 def _scan_live(
@@ -619,8 +633,18 @@ def _scan_live(
     entries: list[dict],
     with_pos: bool = False,
     colmap: dict | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Live rows of ``entries`` — deletion vectors applied.
+
+    ``row_ids=True`` (row tracking) appends a ``_row_id`` column:
+    ``coalesce(materialized id, base_row_id + row ordinal)``. The
+    materialized column (:data:`_RID_PHYS`) exists only in files a
+    rewrite path wrote — files lacking it read as NULL under the
+    pinned schema (parquet missing-column semantics) and fall back to
+    the entry's ``base_row_id`` plus ``_metadata.row_index``. The
+    base-id side is a manifest-sized (file → base) frame broadcast
+    into the scan, the same shape as the DV anti-join.
 
     ``with_pos=True`` keeps ``__file`` (manifest-relative path, rebuilt
     from ``_metadata.file_path`` after the table's ``/data/`` segment —
@@ -643,13 +667,38 @@ def _scan_live(
     """
     files = [os.path.join(root, e["file"]) for e in entries]
     if not files:
-        return spark.createDataFrame([], schema)
+        out_schema = schema
+        if row_ids:
+            out_schema = StructType(
+                list(schema.fields)
+                + [StructField(_RID_COL, LongType(), True)]
+            )
+        return spark.createDataFrame([], out_schema)
     phys = _physical_schema(schema, colmap)
+    if row_ids:
+        clash = {_RID_COL, _RID_PHYS} & set(schema.fieldNames())
+        if clash:
+            raise ValueError(
+                f"row_ids=True: table columns {sorted(clash)} collide with "
+                "the row-tracking column names"
+            )
+        missing_base = [
+            e["file"] for e in entries if e.get("base_row_id") is None
+        ]
+        if missing_base:
+            raise ValueError(
+                "row_ids=True: manifest entries lack base_row_id (version "
+                "predates enable_row_tracking?) — first: "
+                f"{missing_base[0]}"
+            )
+        phys = StructType(
+            list(phys.fields) + [StructField(_RID_PHYS, LongType(), True)]
+        )
     to_logical = [
         F.col(_phys(colmap, f.name)).alias(f.name) for f in schema.fields
     ]
     refs = sorted({r for e in entries for r in e.get("dv") or []})
-    if not refs and not with_pos:
+    if not refs and not with_pos and not row_ids:
         df = spark.read.schema(phys).parquet(*files)
         return df.select(*to_logical) if colmap else df
     # manifest-relative path rebuilt from the URI by splitting on the
@@ -667,6 +716,7 @@ def _scan_live(
     )
     df = spark.read.schema(phys).parquet(*files).select(
         *to_logical,
+        *([F.col(_RID_PHYS)] if row_ids else []),
         F.substring_index(decoded, root_sep, -1).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
     )
@@ -677,6 +727,19 @@ def _scan_live(
             (F.col("__file") == F.col("__dvf"))
             & (F.col("__pos") == F.col("__dvp")),
             "left_anti",
+        )
+    if row_ids:
+        bmap = spark.createDataFrame(
+            [(e["file"], int(e["base_row_id"])) for e in entries],
+            "__bf string, __base long",
+        )
+        df = (
+            df.join(F.broadcast(bmap), F.col("__file") == F.col("__bf"))
+            .withColumn(
+                _RID_COL,
+                F.coalesce(F.col(_RID_PHYS), F.col("__base") + F.col("__pos")),
+            )
+            .drop(_RID_PHYS, "__bf", "__base")
         )
     return df if with_pos else df.drop("__file", "__pos")
 
@@ -1004,9 +1067,13 @@ def _write_commit_files(
     stats_cols: list[str],
     schema: StructType | None = None,
     colmap: dict | None = None,
+    rid_passenger: bool = False,
 ) -> list[dict]:
     """Write ``df`` as the data files of commit ``version`` and return
     manifest entries (paths relative to the table root).
+    ``rid_passenger=True`` keeps the row-tracking materialized-id
+    column (:data:`_RID_PHYS`, already physically named) through the
+    physical projection — rewrite paths use it to preserve row ids.
 
     ``df`` carries LOGICAL column names; with a column mapping it is
     renamed to the physical names before the write (every data file on
@@ -1022,7 +1089,10 @@ def _write_commit_files(
     )
     commit_dir = os.path.join(root, commit_rel)
     if colmap and schema is not None:
-        df = _to_physical(df, schema, colmap)
+        df = _to_physical(
+            df, schema, colmap,
+            extra=(_RID_PHYS,) if rid_passenger else (),
+        )
     df.write.mode("error").parquet(commit_dir)
     entries = eio.collect_file_stats(commit_dir, stats_cols)
     for e in entries:
@@ -1039,6 +1109,82 @@ def _files_fields(
         return {"files": files}
     ref = _write_files_checkpoint(path, version, files, stats_cols)
     return {"files_ref": ref, "n_files": len(files)}
+
+
+# physical parquet column rewrite paths use to materialize PRESERVED
+# row ids (Delta row tracking's materialized-row-id column). Data files
+# written by plain appends never carry it — their ids derive from the
+# entry's base_row_id + the parquet row ordinal, which is stable
+# because files are immutable. Normal reads pin the table's physical
+# schema, so the passenger column is invisible unless row_ids=True.
+_RID_PHYS = "_snapshot_row_id"
+# the logical column row_ids=True reads expose
+_RID_COL = "_row_id"
+
+
+def _rt_fields(
+    man: dict | None,
+    entries: list[dict] | None = None,
+    enable: bool = False,
+) -> dict:
+    """Row-tracking manifest fragment (Delta row tracking: every row
+    has a durable id that survives OPTIMIZE and copy-on-write).
+
+    When the base manifest has ``row_tracking`` (or ``enable=True`` at
+    create), every entry in ``entries`` that lacks a ``base_row_id``
+    is allocated a fresh contiguous id range ``[hwm, hwm + rows)`` from
+    the table's high-water mark — carried entries keep their existing
+    allocation, so the rule is one line: assign to whatever is new.
+    A file's budget covers ALL its physical rows; rewritten files
+    whose preserved rows carry materialized ids simply never use the
+    fresh range for those rows (the same over-allocation Delta's
+    ``baseRowId`` makes — ids are unique, not dense).
+
+    Returns the fields every commit must carry (``row_tracking``,
+    ``row_id_hwm``) or ``{}`` when the feature is off — default-path
+    manifests are byte-identical to pre-feature ones.
+    """
+    if not (enable or (man or {}).get("row_tracking")):
+        return {}
+    hwm = int((man or {}).get("row_id_hwm", 0))
+    for e in entries or []:
+        if e.get("base_row_id") is None:
+            e["base_row_id"] = hwm
+            hwm += int(e.get("rows") or 0)
+    return {"row_tracking": True, "row_id_hwm": hwm}
+
+
+def enable_row_tracking(path: str) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES (delta.enableRowTracking =
+    true)``: a metadata-only commit that allocates ``base_row_id``
+    ranges to every current file and starts the id high-water mark.
+    Existing versions stay readable but cannot serve ``row_ids=True``
+    (their manifests predate the feature) — Delta's backfill has the
+    same shape. No-op (no new version) if already enabled."""
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"enable_row_tracking: {path} is not a snapshot table")
+    base_v = vs[-1]
+    man = _read_manifest(path, base_v)
+    if man.get("row_tracking"):
+        return base_v
+    entries = [dict(e) for e in _manifest_files(path, man)]
+    new_v = _next_version(path, base_v)
+    stats_cols = man.get("columns", [])
+    rt = _rt_fields({"row_tracking": True, "row_id_hwm": 0}, entries)
+    _commit(path, new_v, {
+        "version": new_v,
+        "schema": man["schema"],
+        "columns": stats_cols,
+        **_txn_fields(man, None),
+        **_constraint_fields(man),
+        **_generated_fields(man),
+        **_colmap_fields(man),
+        **rt,
+        **_op_fields("ENABLE ROW TRACKING", {"files": len(entries)}),
+        **_files_fields(path, new_v, entries, stats_cols),
+    })
+    return new_v
 
 
 def last_txn_version(path: str, app_id: str) -> int | None:
@@ -1208,6 +1354,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         **_constraint_fields(man),
         **_generated_fields(None, gen),
         **_colmap_fields(man, cmap),
+        **_rt_fields(man, entries),
         **_op_fields("RENAME COLUMN", {"from": old, "to": new}),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
@@ -1268,6 +1415,7 @@ def drop_column(path: str, col: str) -> int:
         **_constraint_fields(man),
         **_generated_fields(None, gen),
         **_colmap_fields(None, cmap, dropped),
+        **_rt_fields(man, entries),
         **_op_fields("DROP COLUMN", {"column": col}),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
@@ -1352,8 +1500,13 @@ def snapshot_create(
     txn: tuple[str, int] | None = None,
     constraints: dict[str, str] | None = None,
     generated: dict[str, str] | None = None,
+    row_tracking: bool = False,
 ) -> int:
     """Create version 0 of a snapshot table from ``df``.
+
+    ``row_tracking=True`` enables Delta-style row tracking from birth:
+    every row gets a durable id (``snapshot_read(row_ids=True)``)
+    stable across OPTIMIZE, MOR deletes, and copy-on-write rewrites.
 
     ``stats_cols`` are the columns whose per-file min/max ride the
     manifest — put the MERGE/SCD key columns here; they are what
@@ -1375,6 +1528,7 @@ def snapshot_create(
     if constraints:
         _validate_constraints(df, constraints, "snapshot_create data")
     files = _write_commit_files(df, path, 0, stats_cols)
+    rt = _rt_fields(None, files, enable=row_tracking)
     _commit(path, 0, {
         "version": 0,
         "schema": df.schema.json(),
@@ -1382,6 +1536,7 @@ def snapshot_create(
         **_txn_fields(None, txn),
         **_constraint_fields(None, constraints),
         **_generated_fields(None, generated),
+        **rt,
         **_op_fields(
             "CREATE", {"rows_written": sum(int(e["rows"]) for e in files)}
         ),
@@ -1477,6 +1632,10 @@ def snapshot_overwrite(
         schema=None if replace_schema else schema,
         colmap=colmap or None,
     )
+    # overwrite re-mints every row id (Delta's INSERT OVERWRITE does
+    # too — no old row survives, so there is nothing to preserve); the
+    # hwm stays monotone so ids never collide across the rewrite
+    rt = _rt_fields(man, files)
     _commit(path, new_v, {
         "version": new_v,
         "schema": (df.schema if replace_schema else schema).json(),
@@ -1485,6 +1644,7 @@ def snapshot_overwrite(
         **_constraint_fields(None, constraints),
         **_generated_fields(None, generated),
         **_colmap_fields(None, colmap, dropped),
+        **rt,
         **_op_fields("OVERWRITE", {
             "rows_written": sum(int(e["rows"]) for e in files),
             "replace_schema": bool(replace_schema),
@@ -1529,6 +1689,7 @@ def add_constraint(
         **_constraint_fields(None, cons),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **_rt_fields(man, entries),
         **_op_fields("ADD CONSTRAINT", {"name": name}),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
@@ -1558,6 +1719,7 @@ def drop_constraint(path: str, name: str) -> int:
         **_constraint_fields(None, cons),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **_rt_fields(man, entries),
         **_op_fields("DROP CONSTRAINT", {"name": name}),
         **_files_fields(path, new_v, entries, man.get("columns", [])),
     })
@@ -1626,8 +1788,17 @@ def snapshot_read(
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
     timestamp: float | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Read a pinned manifest version (default: latest) — time travel.
+
+    ``row_ids=True`` (Delta row tracking) appends a ``_row_id``
+    column: a durable per-row id assigned at write, stable across
+    OPTIMIZE, MOR deletes, and copy-on-write rewrites — the join key
+    for incremental downstream maintenance that survives table
+    maintenance. Requires the table (and the pinned version) to carry
+    the feature (``snapshot_create(row_tracking=True)`` or
+    :func:`enable_row_tracking`).
 
     ``timestamp`` (unix seconds, exclusive with ``version``) is
     Delta's ``TIMESTAMP AS OF``: the read pins the latest version
@@ -1682,8 +1853,14 @@ def snapshot_read(
                 for c, (lo, hi) in prune.items()
             )
         ]
+    if row_ids and not man.get("row_tracking"):
+        raise ValueError(
+            f"snapshot_read: version {v} of {path} does not carry row "
+            "tracking — create with row_tracking=True or run "
+            "enable_row_tracking first"
+        )
     df = _scan_live(spark, path.rstrip("/"), schema, entries,
-                    colmap=man.get("colmap"))
+                    colmap=man.get("colmap"), row_ids=row_ids)
     if prune:
         for c, (lo, hi) in prune.items():
             if lo is not None:
@@ -2106,11 +2283,24 @@ def merge_into(
     # would pointlessly rewrite touched files, so it takes the same
     # append path: all old files carry by reference.
     append_only = when_matched is None or not touched
+    # row tracking: non-append merges must PRESERVE surviving/updated
+    # rows' ids through the rewrite (materialized passenger column);
+    # pure appends need nothing — fresh files derive ids from their
+    # base_row_id allocation
+    rt_pass = bool(man.get("row_tracking")) and not append_only
     tgt = _scan_live(
         spark, root, schema, touched, with_pos=mor and not append_only,
-        colmap=cmap,
+        colmap=cmap, row_ids=rt_pass,
     )
     tgt_keys = tgt.select(*on).distinct()
+    # updated rows inherit the matched target row's id; multiple
+    # matched target rows collapse to one source row under this
+    # MERGE's update semantics, so the surviving id is min() — any
+    # deterministic pick keeps ids unique because the others die
+    rid_map = (
+        tgt.groupBy(*on).agg(F.min(_RID_COL).alias(_RID_COL))
+        if rt_pass else None
+    )
     # deferred single-branch constraint validation: only the concrete
     # written subset (matched source rows for update-only, unmatched
     # for insert-only) — unmatched rows of an update-only merge are
@@ -2149,23 +2339,37 @@ def merge_into(
             carried.append(e)
         parts = []
         if when_matched == "update":
-            parts.append(src.join(tgt_keys, on, "semi"))
+            parts.append(
+                src.join(rid_map, on) if rt_pass
+                else src.join(tgt_keys, on, "semi")
+            )
     else:
         kept = tgt.join(src.select(*on), on, "left_anti")
         parts = [kept]
         if when_matched == "update":
-            parts.append(src.join(tgt_keys, on, "semi"))
+            parts.append(
+                src.join(rid_map, on) if rt_pass
+                else src.join(tgt_keys, on, "semi")
+            )
         # when_matched == "delete": matched target rows simply dropped
     if when_not_matched == "insert":
-        parts.append(src.join(tgt_keys, on, "left_anti"))
+        ins = src.join(tgt_keys, on, "left_anti")
+        if rt_pass:
+            # fresh rows take the base_row_id + ordinal fallback
+            ins = ins.withColumn(_RID_COL, F.lit(None).cast("long"))
+        parts.append(ins)
 
     new_files: list[dict] = []
     if parts:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if rt_pass:
+            out = out.withColumnRenamed(_RID_COL, _RID_PHYS)
         new_files = _write_commit_files(out, path, new_v, stats_cols,
-                                        schema, cmap or None)
+                                        schema, cmap or None,
+                                        rid_passenger=rt_pass)
+    rt_f = _rt_fields(man, carried + new_files)
     _commit(path, new_v, {
         "version": new_v,
         "schema": schema.json() if evolved else man["schema"],
@@ -2174,6 +2378,7 @@ def merge_into(
         **_constraint_fields(man),
         **_generated_fields(man),
         **_colmap_fields(man, cmap),
+        **rt_f,
         **_op_fields("MERGE", {
             "files_added": len(new_files),
             "files_dv": len(dv_counts),
@@ -2267,8 +2472,9 @@ def delete_where(
         # manifest ever references it under cow) for vacuum.
         touched = [e for e in entries if e["file"] in counts]
         carried = [e for e in entries if e["file"] not in counts]
+        rt_pass = bool(man.get("row_tracking"))
         surv = _scan_live(spark, root, schema, touched, with_pos=True,
-                          colmap=man.get("colmap"))
+                          colmap=man.get("colmap"), row_ids=rt_pass)
         dvh = _read_dv(spark, root, [dv_rel])
         surv = surv.join(
             dvh,
@@ -2276,10 +2482,16 @@ def delete_where(
             & (F.col("__pos") == F.col("__dvp")),
             "left_anti",
         ).drop("__file", "__pos")
+        if rt_pass:
+            # survivors keep their ids through the rewrite (row
+            # tracking: DELETE must not renumber unrelated rows)
+            surv = surv.withColumnRenamed(_RID_COL, _RID_PHYS)
         new_files = _write_commit_files(surv, path, new_v, stats_cols,
-                                         schema, man.get("colmap"))
+                                         schema, man.get("colmap"),
+                                         rid_passenger=rt_pass)
         new_entries = carried + new_files
         report = {"files_rewritten": len(touched), "files_with_dv": 0}
+    rt_f = _rt_fields(man, new_entries)
     _commit(path, new_v, {
         "version": new_v,
         "schema": man["schema"],
@@ -2288,6 +2500,7 @@ def delete_where(
         **_constraint_fields(man),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **rt_f,
         **_op_fields("DELETE", {"deleted_rows": deleted, "mode": mode}),
         **_files_fields(path, new_v, new_entries, stats_cols),
     })
@@ -2343,8 +2556,9 @@ def update_where(
     new_v = _next_version(path, base_v)
     stats_cols = man.get("columns", [])
 
+    rt_pass = bool(man.get("row_tracking"))
     live = _scan_live(spark, root, schema, entries, with_pos=True,
-                      colmap=man.get("colmap"))
+                      colmap=man.get("colmap"), row_ids=rt_pass)
     matched = live.where(pred)
     hits = matched.select(
         F.col("__file").alias("file"), F.col("__pos").alias("row_index")
@@ -2368,7 +2582,13 @@ def update_where(
     # may just have changed — Delta recomputes on update too)
     for c, expr in gen.items():
         upd = upd.withColumn(c, F.expr(expr).cast(schema[c].dataType))
-    upd = upd.select(*[f.name for f in schema.fields])
+    # row tracking: an UPDATE preserves the row's id (the row keeps
+    # its identity; only its values change) — the id rides as a
+    # passenger through the SET projection
+    upd = upd.select(
+        *[f.name for f in schema.fields],
+        *([F.col(_RID_COL)] if rt_pass else []),
+    )
     # the rewritten rows are the only NEW data — CHECK them post-SET
     _validate_constraints(
         upd, man.get("constraints", {}), "updated rows"
@@ -2382,14 +2602,18 @@ def update_where(
                 e["dv"] = [dv_rel]          # coalesced: one ref per file
                 e["dv_rows"] = totals[e["file"]]
             carried.append(e)
-        new_files = _write_commit_files(upd, path, new_v, stats_cols,
-                                         schema, man.get("colmap"))
+        wupd = (
+            upd.withColumnRenamed(_RID_COL, _RID_PHYS) if rt_pass else upd
+        )
+        new_files = _write_commit_files(wupd, path, new_v, stats_cols,
+                                         schema, man.get("colmap"),
+                                         rid_passenger=rt_pass)
         report = {"files_rewritten": 0, "files_with_dv": len(counts)}
     else:
         touched = [e for e in entries if e["file"] in counts]
         carried = [e for e in entries if e["file"] not in counts]
         surv = _scan_live(spark, root, schema, touched, with_pos=True,
-                          colmap=man.get("colmap"))
+                          colmap=man.get("colmap"), row_ids=rt_pass)
         dvh = _read_dv(spark, root, [dv_rel])
         surv = surv.join(
             dvh,
@@ -2397,11 +2621,15 @@ def update_where(
             & (F.col("__pos") == F.col("__dvp")),
             "left_anti",
         ).drop("__file", "__pos")
+        out = surv.unionByName(upd)
+        if rt_pass:
+            out = out.withColumnRenamed(_RID_COL, _RID_PHYS)
         new_files = _write_commit_files(
-            surv.unionByName(upd), path, new_v, stats_cols,
-            schema, man.get("colmap")
+            out, path, new_v, stats_cols,
+            schema, man.get("colmap"), rid_passenger=rt_pass
         )
         report = {"files_rewritten": len(touched), "files_with_dv": 0}
+    rt_f = _rt_fields(man, carried + new_files)
     _commit(path, new_v, {
         "version": new_v,
         "schema": man["schema"],
@@ -2410,6 +2638,7 @@ def update_where(
         **_constraint_fields(man),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **rt_f,
         **_op_fields("UPDATE", {"updated_rows": n_updated, "mode": mode}),
         **_files_fields(path, new_v, carried + new_files, stats_cols),
     })
@@ -2503,6 +2732,10 @@ def restore(
         **_generated_fields(cur),
         # colmap belongs to the restored SCHEMA — travel with it
         **_colmap_fields(tgt, dropped=dropped),
+        # row-tracking hwm is monotone like txn marks: carry from the
+        # CURRENT version so ids minted after the restored version are
+        # never re-issued; the restored entries keep their own bases
+        **_rt_fields(cur, entries),
         **_op_fields("RESTORE", {"restored_version": int(version)}),
         **_files_fields(path, new_v, entries, tgt.get("columns", [])),
     })
@@ -2562,8 +2795,13 @@ def compact(
         int(e.get("rows") or 0) - int(e.get("dv_rows") or 0) for e in rewrite
     )
     n_out = max(1, math.ceil(live_rows / max(1, target_file_rows)))
+    rt_pass = bool(man.get("row_tracking"))
     df = _scan_live(spark, root, schema, rewrite,
-                    colmap=man.get("colmap"))
+                    colmap=man.get("colmap"), row_ids=rt_pass)
+    if rt_pass:
+        # OPTIMIZE must never renumber a row — materialize the ids
+        # into the compacted files (Delta's row-tracking invariant)
+        df = df.withColumnRenamed(_RID_COL, _RID_PHYS)
     new_v = _next_version(path, base_v)
     stats_cols = man.get("columns", [])
     # re-cluster so the compacted files keep tight min/max bounds — a
@@ -2578,7 +2816,9 @@ def compact(
             if stats_cols else df.repartition(n_out)
         )
     new_files = _write_commit_files(df, path, new_v, stats_cols,
-                                    schema, man.get("colmap"))
+                                    schema, man.get("colmap"),
+                                    rid_passenger=rt_pass)
+    rt_f = _rt_fields(man, carried + new_files)
     _commit(path, new_v, {
         "version": new_v,
         "schema": man["schema"],
@@ -2587,6 +2827,7 @@ def compact(
         **_constraint_fields(man),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **rt_f,
         **_op_fields("OPTIMIZE", {
             "files_rewritten": len(rewrite),
             "files_added": len(new_files),
@@ -3233,6 +3474,7 @@ def shallow_clone(
         **_constraint_fields(man),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **_rt_fields(man, entries),
         **_op_fields("CLONE", {"source": src_root, "source_version": v}),
         "cloned_from": {"path": src_root, "version": v},
         **_files_fields(dst_root, 0, entries, man.get("columns", [])),
@@ -3320,6 +3562,7 @@ def deep_clone(
         **_constraint_fields(man),
         **_generated_fields(man),
         **_colmap_fields(man),
+        **_rt_fields(man, entries),
         **_op_fields("CLONE", {
             "source": src_root, "source_version": v,
             "deep": True, "files_copied": copied,

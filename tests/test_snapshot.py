@@ -2192,3 +2192,126 @@ def test_dv_carry_no_double_count_across_overlapping_refs(spark, tmp_path):
     # history live_rows stays consistent (no negative/inflated debt)
     byv = {h["version"]: h["live_rows"] for h in sn.snapshot_history(path)}
     assert byv[v] == 79
+
+
+# ---------------------------------------------------------------------------
+# Row tracking (Delta row ids: durable across OPTIMIZE / DV / COW)
+# ---------------------------------------------------------------------------
+
+def _rt_ids(spark, path, version=None):
+    return {
+        r["k"]: r["_row_id"]
+        for r in sn.snapshot_read(
+            spark, path, version=version, row_ids=True
+        ).collect()
+    }
+
+
+def test_row_tracking_survives_every_write_path(spark, tmp_path):
+    """The Delta row-tracking invariant: a row's id never changes
+    across MOR delete, OPTIMIZE, COW update/delete, and MERGE; inserts
+    mint fresh ids above the high-water mark; ids stay unique."""
+    path = str(tmp_path / "rt")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    sn.snapshot_create(spark, df.repartition(2), path, ["k"],
+                       row_tracking=True)
+    ids0 = _rt_ids(spark, path)
+    assert sorted(ids0.values()) == list(range(60))    # dense at birth
+    sn.delete_where(spark, path, "k % 10 = 0", mode="mor")
+    sn.compact(spark, path, small_file_rows=10**6)     # purges the DV
+    sn.update_where(spark, path, "k % 7 = 1", {"v": "v + 100"}, mode="cow")
+    sn.delete_where(spark, path, "k = 55", mode="cow")
+    src = spark.range(50, 70).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    sn.merge_into(spark, path, src, on=["k"])
+    got = _rt_ids(spark, path)
+    survivors = {k for k in ids0 if k % 10 != 0 and k != 55}
+    assert all(got[k] == ids0[k] for k in survivors)
+    fresh = {k: rid for k, rid in got.items() if k not in ids0}
+    assert set(fresh) == set(range(60, 70))
+    assert all(rid >= 60 for rid in fresh.values())    # above the hwm
+    assert len(set(got.values())) == len(got)          # globally unique
+    # updated rows kept their id but changed value
+    upd = {
+        r["k"]: r["v"] for r in
+        sn.snapshot_read(spark, path).where("k % 7 = 1").collect()
+    }
+    assert all(v == -1 or v >= 100 for v in upd.values())
+
+
+def test_row_tracking_hidden_from_plain_reads_and_time_travel(
+    spark, tmp_path
+):
+    """The materialized passenger column never leaks into a normal
+    read; row ids time-travel with the pinned version; reading an
+    untracked table with row_ids=True refuses."""
+    path = str(tmp_path / "rt_hidden")
+    df = spark.range(20).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    sn.snapshot_create(spark, df, path, ["k"], row_tracking=True)
+    ids0 = _rt_ids(spark, path)
+    sn.delete_where(spark, path, "k < 5", mode="cow")   # rewrites w/ passenger
+    plain = sn.snapshot_read(spark, path)
+    assert "_row_id" not in plain.columns
+    assert "_snapshot_row_id" not in plain.columns
+    assert plain.count() == 15
+    assert _rt_ids(spark, path, version=0) == ids0      # time travel
+    # CDF-style change scan still works (no schema disturbance)
+    hist = sn.snapshot_history(path)
+    assert len(hist) == 2
+    # untracked table refuses row-id reads until enabled
+    p2 = str(tmp_path / "rt_off")
+    sn.snapshot_create(spark, df, p2, ["k"])
+    with pytest.raises(ValueError, match="row tracking"):
+        sn.snapshot_read(spark, p2, row_ids=True)
+    v = sn.enable_row_tracking(p2)
+    assert v == 1 and sn.enable_row_tracking(p2) == 1   # idempotent no-op
+    assert len(set(_rt_ids(spark, p2).values())) == 20
+
+
+def test_row_tracking_rides_checkpoint_clone_restore(spark, tmp_path):
+    """base_row_id survives the sidecar files-checkpoint round-trip
+    (many-file manifests), travels with shallow clones, and restore
+    keeps the restored rows' original ids while the hwm stays
+    monotone (no id reuse after a rollback)."""
+    path = str(tmp_path / "rt_ckpt")
+    df = spark.range(40).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    sn.snapshot_create(spark, df.repartition(4), path, ["k"],
+                       row_tracking=True)
+    ids0 = _rt_ids(spark, path)
+    # force the checkpoint encoding regardless of threshold
+    man = sn._read_manifest(path, 0)
+    ents = sn._manifest_files(path, man)
+    ref = sn._write_files_checkpoint(path, 0, ents, man.get("columns", []))
+    back = sn._manifest_files(path, {**man, "files_ref": ref})
+    assert [e.get("base_row_id") for e in back] == [
+        e.get("base_row_id") for e in ents
+    ]
+    clone = str(tmp_path / "rt_clone")
+    sn.shallow_clone(path, clone)
+    assert _rt_ids(spark, clone) == ids0
+    # evolve, restore, check hwm monotone: post-restore inserts must
+    # not collide with ids minted before the rollback
+    sn.delete_where(spark, path, "k >= 30", mode="cow")
+    sn.merge_into(
+        spark, path,
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), F.lit(9).alias("v")
+        ),
+        on=["k"],
+    )
+    pre_restore = _rt_ids(spark, path)
+    sn.restore(spark, path, version=0)
+    assert _rt_ids(spark, path) == ids0
+    sn.merge_into(
+        spark, path,
+        spark.range(200, 203).select(
+            F.col("id").alias("k"), F.lit(7).alias("v")
+        ),
+        on=["k"],
+    )
+    after = _rt_ids(spark, path)
+    minted = {rid for k, rid in after.items() if k >= 200}
+    assert minted.isdisjoint(set(pre_restore.values()))
