@@ -1168,11 +1168,26 @@ def dsir_log_importance(
     ft = _text.hashed_features(target, id_col, text_col, n_buckets, seed)
     # per-(doc, bucket) occurrence counts: shrinks the broadcast-join
     # input from occurrences to distinct buckets per doc, and the
-    # groupBy gets map-side combine.
-    fd = fr.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("__c"))
-    ct = ft.groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
+    # groupBy gets map-side combine. Both aggregates feed THREE
+    # consumers each (bucket totals, grand totals, the per-doc sum) —
+    # Spark emits no ReusedExchange across aggregate branches, so an
+    # un-checkpointed plan re-explodes each corpus once per consumer.
+    # The lazy localCheckpoint materializes each aggregate ONCE (fd is
+    # bounded by docs x min(doc buckets, n_buckets); ct by n_buckets)
+    # and every consumer reads the materialization — the same fix
+    # text.bigram_logprob_scores ships.
+    fd = (
+        fr.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    ct = (
+        ft.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .localCheckpoint(eager=False)
+    )
     cr = fd.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
-    nt = ft.agg(F.count(F.lit(1)).alias("__nt"))
+    nt = ct.agg(F.sum("__ct").alias("__nt"))
     nr = fd.agg(F.sum("__c").alias("__nr"))
     s = float(smoothing)
     b = float(n_buckets) * s

@@ -81,7 +81,13 @@ physical parquet names are immutable), CHECK constraints
 (:func:`add_constraint` — validated on existing data, enforced on
 every write path, carried through every commit), GENERATED ALWAYS AS
 columns (computed when absent, verified when provided, recomputed on
-UPDATE), and per-app txn marks for exactly-once streaming upserts.
+UPDATE), per-app txn marks for exactly-once streaming upserts, and
+ROW TRACKING (``snapshot_create(row_tracking=True)`` /
+:func:`enable_row_tracking`): durable per-row ids —
+``coalesce(materialized passenger column, per-file base_row_id +
+parquet row ordinal)`` — stable across OPTIMIZE, MOR deletes, and
+every copy-on-write rewrite, exposed via ``snapshot_read(
+row_ids=True)`` exactly like Delta's ``_metadata.row_id``.
 """
 
 from __future__ import annotations

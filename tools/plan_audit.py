@@ -68,6 +68,8 @@ SANCTIONED_NESTED_LOOP = {
     "sketch_rolling_distinct",  # bounded day-dimension grid
     "graph_pagerank_hubs",      # 1-row dangling-mass constant per round
     "dq_date_gaps",             # 1-row date-span bounds -> calendar Range
+    "corpus_dsir_select",       # two 1-row feature-total constants cross
+                                # the 4096-row bucket skeleton (DSIR LLR)
 }
 
 
