@@ -68,9 +68,15 @@ vectors are position LISTS not bitmaps (one coalesced sidecar ref per
 touched file — read fan-in never grows with commit count; position
 ROW volume is deletes-since-last-compact, same debt Delta's OPTIMIZE
 pays down, purged by ``compact`` and bounded between runs by
-:func:`auto_optimize`'s manifest-tracked trigger), and the
-optimistic-concurrency loser must
-re-run rather than auto-rebase. Beyond Delta: MULTI-table atomic
+:func:`auto_optimize`'s manifest-tracked trigger), and rebase's
+concurrent-append check proves disjointness from manifest stats only
+(Delta can also data-skip on the full predicate). Data writes
+otherwise REBASE like Delta's (:func:`_rebase_commit`): a losing
+MERGE/DELETE/UPDATE/OPTIMIZE re-applies its file-set transformation
+onto the winner's manifest after WriteSerializable conflict checks
+(MetadataChanged / ConcurrentDeleteRead / ConcurrentAppend — a
+merge's appends are admitted when stats prove them key-disjoint),
+reusing the already-written data files. Beyond Delta: MULTI-table atomic
 commits exist here (:func:`multi_table_txn` — gated versions flipped
 visible by one marker link) where Delta is single-table only.
 Implemented parity beyond MERGE: time travel, RESTORE, VACUUM with
@@ -1117,6 +1123,174 @@ def _files_fields(
     return {"files_ref": ref, "n_files": len(files)}
 
 
+_META_KEYS = (
+    "schema", "colmap", "dropped_phys", "constraints", "generated",
+    "row_tracking",
+)
+
+
+def _compose_entries(
+    cur_entries: list[dict],
+    removed: set[str],
+    updated: dict[str, dict],
+    added: list[dict],
+) -> list[dict]:
+    """Apply this commit's file-set transformation to ANY base entry
+    list: drop ``removed``, swap in ``updated`` (same file, new DV
+    state), append ``added``. Rebase re-applies the same
+    transformation onto a newer manifest's entries."""
+    out = []
+    for e in cur_entries:
+        f = e["file"]
+        if f in removed:
+            continue
+        out.append(updated.get(f, e))
+    return out + added
+
+
+def _check_rebase_safe(
+    path: str,
+    base_man: dict,
+    latest_man: dict,
+    removed: set[str],
+    updated: dict[str, dict],
+    appends_ok: bool,
+    key_bounds: dict[str, tuple] | None,
+) -> None:
+    """Delta's logical conflict detection (WriteSerializable), ported:
+    a losing writer may rebase onto the winner's manifest ONLY if
+
+    * no table metadata changed underneath it (schema, column mapping,
+      constraints, generated columns, row tracking — Delta's
+      MetadataChangedException);
+    * every file this commit read-and-modified (COW rewrite victims,
+      MOR DV targets) is still present in the latest manifest in
+      EXACTLY the state it was read (same rows / DV refs / base row
+      id) — Delta's ConcurrentDeleteReadException /
+      ConcurrentDeleteDeleteException;
+    * files the winner ADDED cannot contain rows this commit's
+      decisions depended on: allowed outright for ``appends_ok``
+      operations (OPTIMIZE — rewrites only its victim set), proven
+      disjoint via manifest stats against ``key_bounds`` (a MERGE
+      source's per-key min/max) when given, and refused otherwise —
+      Delta's ConcurrentAppendException.
+
+    Raises with the Delta exception name in the message; callers give
+    up and surface it after ``max_retries``.
+    """
+    for k in _META_KEYS:
+        if base_man.get(k) != latest_man.get(k):
+            raise RuntimeError(
+                f"snapshot commit conflict (MetadataChanged): table "
+                f"{k!r} of {path} changed concurrently — re-read and "
+                "re-run"
+            )
+    base_files = {e["file"]: e for e in _manifest_files(path, base_man)}
+    latest_files = {e["file"]: e for e in _manifest_files(path, latest_man)}
+    for f in sorted(removed | set(updated)):
+        if latest_files.get(f) != base_files.get(f):
+            raise RuntimeError(
+                "snapshot commit conflict (ConcurrentDeleteRead): file "
+                f"{f} of {path} was rewritten, DV-modified, or removed "
+                "concurrently — re-read and re-run"
+            )
+    their_added = [
+        e for f, e in latest_files.items() if f not in base_files
+    ]
+    if their_added and not appends_ok:
+        cmap = latest_man.get("colmap") or {}
+        stats_cols = latest_man.get("columns", [])
+        for e in their_added:
+            disjoint = key_bounds is not None and any(
+                c in stats_cols
+                and not _entry_in_range(e, _phys(cmap, c), lo, hi)
+                for c, (lo, hi) in key_bounds.items()
+            )
+            if not disjoint:
+                raise RuntimeError(
+                    "snapshot commit conflict (ConcurrentAppend): file "
+                    f"{e['file']} was added to {path} concurrently and "
+                    "its stats cannot prove it disjoint from this "
+                    "write's keys — re-read and re-run"
+                )
+
+
+def _rebase_commit(
+    path: str,
+    first_version: int,
+    base_v: int,
+    base_man: dict,
+    fields_fn,
+    op_fields: dict,
+    stats_cols: list[str],
+    txn: tuple[str, int] | None,
+    removed: set[str],
+    updated: dict[str, dict],
+    added: list[dict],
+    appends_ok: bool = False,
+    key_bounds_fn=None,
+    max_retries: int = 3,
+) -> int:
+    """Commit a data change with automatic conflict-checked REBASE —
+    the optimistic-concurrency retry Delta performs inside every
+    write (previously this module's documented gap: the losing writer
+    had to re-run).
+
+    The commit is expressed as a file-set transformation
+    (``removed`` / ``updated`` / ``added``) plus version-independent
+    manifest fields (``fields_fn()`` — schema/colmap/etc., constant
+    under rebase because metadata drift is a conflict). On a lost
+    race the transformation re-applies onto the WINNER's entry list
+    after :func:`_check_rebase_safe` proves the winner's commits
+    could not have invalidated this write's reads; data files and DV
+    sidecars written for the first attempt are reused verbatim (their
+    uuid dir names carry no version semantics). ``key_bounds_fn`` is
+    evaluated lazily on the first conflict (one tiny aggregate — the
+    happy path pays nothing). Row-tracking base ids assigned on a
+    failed attempt are re-minted from the winner's high-water mark so
+    ids stay unique under concurrency. Txn high-water marks merge
+    from the winner's map, not the stale base's.
+    """
+    cur_v, cur_man, new_v = base_v, base_man, first_version
+    key_bounds = None
+    for attempt in range(max_retries + 1):
+        entries = _compose_entries(
+            _manifest_files(path, cur_man), removed, updated, added
+        )
+        rt_f = _rt_fields(cur_man, entries)
+        try:
+            if attempt:
+                new_v = _next_version(path, cur_v)
+            _commit(path, new_v, {
+                "version": new_v,
+                "columns": stats_cols,
+                **fields_fn(),
+                **_txn_fields(cur_man, txn),
+                **rt_f,
+                **op_fields,
+                **_files_fields(path, new_v, entries, stats_cols),
+            })
+            return new_v
+        except RuntimeError as e:
+            if "commit conflict" not in str(e) or attempt >= max_retries:
+                raise
+            if key_bounds is None and key_bounds_fn is not None:
+                key_bounds = key_bounds_fn()
+            latest_v = current_version(path)
+            latest_man = _read_manifest(path, latest_v)
+            _check_rebase_safe(
+                path, base_man, latest_man, removed, updated,
+                appends_ok, key_bounds,
+            )
+            # the failed attempt may have minted row-tracking base ids
+            # against the stale hwm — strip so they re-mint above the
+            # winner's
+            for a in added:
+                a.pop("base_row_id", None)
+            cur_v, cur_man = latest_v, latest_man
+    raise AssertionError("unreachable")
+
+
 # physical parquet column rewrite paths use to materialize PRESERVED
 # row ids (Delta row tracking's materialized-row-id column). Data files
 # written by plain appends never carry it — their ids derive from the
@@ -1879,11 +2053,12 @@ def snapshot_read(
 def snapshot_changes(
     spark: SparkSession,
     path: str,
-    key_cols: list[str],
+    key_cols: list[str] | None = None,
     v_from: int | None = None,
     v_to: int | None = None,
     ts_from: float | None = None,
     ts_to: float | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Row-level changes between two committed versions — Delta's
     CHANGE DATA FEED surface, recovered from the COW/DV manifests
@@ -1910,6 +2085,14 @@ def snapshot_changes(
     (``ts_from``/``ts_to`` — Delta's ``table_changes(..., timestamp)``
     form, resolved through the same clock as history/clone/restore),
     one style per endpoint.
+
+    ``row_ids=True`` (row tracking required on both endpoint
+    versions) diffs on the durable ``_row_id`` instead of user key
+    columns — CDF for KEYLESS tables, and the exact feed an
+    incremental materialized view keyed on row identity consumes.
+    Because ids survive OPTIMIZE and every rewrite, a compaction
+    between the endpoints nets to zero changes, same as the keyed
+    feed. The output schema gains the ``_row_id`` column.
     """
     root = path.rstrip("/")
     vs = snapshot_versions(path)
@@ -1938,6 +2121,28 @@ def snapshot_changes(
     man_from = _read_manifest(path, v_from)
     man_to = _read_manifest(path, v_to)
     schema_to = StructType.fromJson(json.loads(man_to["schema"]))
+    if row_ids:
+        if key_cols:
+            raise ValueError(
+                "snapshot_changes: pass key_cols OR row_ids=True, not both"
+            )
+        for v, m in ((v_from, man_from), (v_to, man_to)):
+            if not m.get("row_tracking"):
+                raise ValueError(
+                    f"snapshot_changes: version {v} of {path} does not "
+                    "carry row tracking — row_ids=True needs it on both "
+                    "endpoints"
+                )
+        key_cols = [_RID_COL]
+        schema_to = StructType(
+            list(schema_to.fields)
+            + [StructField(_RID_COL, LongType(), True)]
+        )
+    elif not key_cols:
+        raise ValueError(
+            "snapshot_changes: key_cols is required (or pass row_ids=True "
+            "on a row-tracking table)"
+        )
     for c in key_cols:
         if c not in schema_to.fieldNames():
             raise ValueError(f"snapshot_changes: key column {c} not in schema")
@@ -1961,10 +2166,14 @@ def snapshot_changes(
     # which owns a fresh physical name — reads NULL in the preimage
     # (parquet missing-column semantics), and a column dropped between
     # them leaves the feed, exactly the end-schema contract.
-    old = _scan_live(spark, root, schema_to, from_churn,
-                     colmap=man_to.get("colmap"))
-    new = _scan_live(spark, root, schema_to, to_churn,
-                     colmap=man_to.get("colmap"))
+    scan_schema = (
+        StructType([f for f in schema_to.fields if f.name != _RID_COL])
+        if row_ids else schema_to
+    )
+    old = _scan_live(spark, root, scan_schema, from_churn,
+                     colmap=man_to.get("colmap"), row_ids=row_ids)
+    new = _scan_live(spark, root, scan_schema, to_churn,
+                     colmap=man_to.get("colmap"), row_ids=row_ids)
 
     o = old.select(
         *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
@@ -2327,6 +2536,7 @@ def merge_into(
     stats_cols = man.get("columns", on)
     dv_counts: dict[str, int] = {}
     carried = list(untouched)
+    updated_entries: dict[str, dict] = {}
     if append_only:
         carried += list(touched)
         parts = []
@@ -2342,6 +2552,7 @@ def merge_into(
                 e = dict(e)
                 e["dv"] = [dv_rel]          # coalesced: one ref per file
                 e["dv_rows"] = dv_totals[e["file"]]
+                updated_entries[e["file"]] = e
             carried.append(e)
         parts = []
         if when_matched == "update":
@@ -2375,23 +2586,40 @@ def merge_into(
         new_files = _write_commit_files(out, path, new_v, stats_cols,
                                         schema, cmap or None,
                                         rid_passenger=rt_pass)
-    rt_f = _rt_fields(man, carried + new_files)
-    _commit(path, new_v, {
-        "version": new_v,
-        "schema": schema.json() if evolved else man["schema"],
-        "columns": stats_cols,
-        **_txn_fields(man, txn),
-        **_constraint_fields(man),
-        **_generated_fields(man),
-        **_colmap_fields(man, cmap),
-        **rt_f,
-        **_op_fields("MERGE", {
+    def _src_key_bounds():
+        row = src.agg(
+            *[f for c in on for f in (
+                F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
+            )]
+        ).first()
+        return {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in on}
+
+    new_v = _rebase_commit(
+        path, new_v, base_v, man,
+        fields_fn=lambda: {
+            "schema": schema.json() if evolved else man["schema"],
+            **_constraint_fields(man),
+            **_generated_fields(man),
+            **_colmap_fields(man, cmap),
+        },
+        op_fields=_op_fields("MERGE", {
             "files_added": len(new_files),
             "files_dv": len(dv_counts),
             "dv_rows_added": sum(dv_counts.values()),
         }),
-        **_files_fields(path, new_v, carried + new_files, stats_cols),
-    })
+        stats_cols=stats_cols,
+        txn=txn,
+        removed=(
+            set() if (append_only or mor)
+            else {e["file"] for e in touched}
+        ),
+        updated=updated_entries,
+        added=new_files,
+        # a merge's decisions (update vs insert) depend on which keys
+        # exist — a concurrent append is safe only if its stats prove
+        # it disjoint from the source's key range
+        key_bounds_fn=_src_key_bounds,
+    )
     return {
         "version": new_v,
         "files_rewritten": 0 if (append_only or mor) else len(touched),
@@ -2461,6 +2689,9 @@ def delete_where(
         shutil.rmtree(dv_dir, ignore_errors=True)
         return {"deleted_rows": 0, "version": base_v, "mode": mode}
 
+    updated_entries: dict[str, dict] = {}
+    removed_files: set[str] = set()
+    new_files: list[dict] = []
     if mode == "mor":
         new_entries = []
         for e in entries:
@@ -2468,6 +2699,7 @@ def delete_where(
                 e = dict(e)
                 e["dv"] = [dv_rel]          # coalesced: one ref per file
                 e["dv_rows"] = totals[e["file"]]
+                updated_entries[e["file"]] = e
             new_entries.append(e)
         report = {"files_rewritten": 0, "files_with_dv": len(counts)}
     else:
@@ -2495,21 +2727,27 @@ def delete_where(
         new_files = _write_commit_files(surv, path, new_v, stats_cols,
                                          schema, man.get("colmap"),
                                          rid_passenger=rt_pass)
-        new_entries = carried + new_files
+        removed_files = {e["file"] for e in touched}
         report = {"files_rewritten": len(touched), "files_with_dv": 0}
-    rt_f = _rt_fields(man, new_entries)
-    _commit(path, new_v, {
-        "version": new_v,
-        "schema": man["schema"],
-        "columns": stats_cols,
-        **_txn_fields(man, None),
-        **_constraint_fields(man),
-        **_generated_fields(man),
-        **_colmap_fields(man),
-        **rt_f,
-        **_op_fields("DELETE", {"deleted_rows": deleted, "mode": mode}),
-        **_files_fields(path, new_v, new_entries, stats_cols),
-    })
+    new_v = _rebase_commit(
+        path, new_v, base_v, man,
+        fields_fn=lambda: {
+            "schema": man["schema"],
+            **_constraint_fields(man),
+            **_generated_fields(man),
+            **_colmap_fields(man),
+        },
+        op_fields=_op_fields("DELETE", {"deleted_rows": deleted,
+                                        "mode": mode}),
+        stats_cols=stats_cols,
+        txn=None,
+        removed=removed_files,
+        updated=updated_entries,
+        added=new_files,
+        # an arbitrary predicate can't be bounded by key stats — any
+        # concurrently-appended file might contain matching rows, so
+        # appends conflict (Delta's ConcurrentAppend for DELETE)
+    )
     return {"version": new_v, "deleted_rows": deleted, "mode": mode, **report}
 
 
@@ -2600,6 +2838,8 @@ def update_where(
         upd, man.get("constraints", {}), "updated rows"
     )
 
+    updated_entries: dict[str, dict] = {}
+    removed_files: set[str] = set()
     if mode == "mor":
         carried = []
         for e in entries:
@@ -2607,6 +2847,7 @@ def update_where(
                 e = dict(e)
                 e["dv"] = [dv_rel]          # coalesced: one ref per file
                 e["dv_rows"] = totals[e["file"]]
+                updated_entries[e["file"]] = e
             carried.append(e)
         wupd = (
             upd.withColumnRenamed(_RID_COL, _RID_PHYS) if rt_pass else upd
@@ -2634,20 +2875,25 @@ def update_where(
             out, path, new_v, stats_cols,
             schema, man.get("colmap"), rid_passenger=rt_pass
         )
+        removed_files = {e["file"] for e in touched}
         report = {"files_rewritten": len(touched), "files_with_dv": 0}
-    rt_f = _rt_fields(man, carried + new_files)
-    _commit(path, new_v, {
-        "version": new_v,
-        "schema": man["schema"],
-        "columns": stats_cols,
-        **_txn_fields(man, None),
-        **_constraint_fields(man),
-        **_generated_fields(man),
-        **_colmap_fields(man),
-        **rt_f,
-        **_op_fields("UPDATE", {"updated_rows": n_updated, "mode": mode}),
-        **_files_fields(path, new_v, carried + new_files, stats_cols),
-    })
+    new_v = _rebase_commit(
+        path, new_v, base_v, man,
+        fields_fn=lambda: {
+            "schema": man["schema"],
+            **_constraint_fields(man),
+            **_generated_fields(man),
+            **_colmap_fields(man),
+        },
+        op_fields=_op_fields("UPDATE", {"updated_rows": n_updated,
+                                        "mode": mode}),
+        stats_cols=stats_cols,
+        txn=None,
+        removed=removed_files,
+        updated=updated_entries,
+        added=new_files,
+        # predicate-based like DELETE: concurrent appends conflict
+    )
     return {"version": new_v, "updated_rows": n_updated, "mode": mode,
             "files_added": len(new_files), **report}
 
@@ -2824,23 +3070,28 @@ def compact(
     new_files = _write_commit_files(df, path, new_v, stats_cols,
                                     schema, man.get("colmap"),
                                     rid_passenger=rt_pass)
-    rt_f = _rt_fields(man, carried + new_files)
-    _commit(path, new_v, {
-        "version": new_v,
-        "schema": man["schema"],
-        "columns": stats_cols,
-        **_txn_fields(man, None),
-        **_constraint_fields(man),
-        **_generated_fields(man),
-        **_colmap_fields(man),
-        **rt_f,
-        **_op_fields("OPTIMIZE", {
+    new_v = _rebase_commit(
+        path, new_v, base_v, man,
+        fields_fn=lambda: {
+            "schema": man["schema"],
+            **_constraint_fields(man),
+            **_generated_fields(man),
+            **_colmap_fields(man),
+        },
+        op_fields=_op_fields("OPTIMIZE", {
             "files_rewritten": len(rewrite),
             "files_added": len(new_files),
             "zorder": list(zorder_cols or []),
         }),
-        **_files_fields(path, new_v, carried + new_files, stats_cols),
-    })
+        stats_cols=stats_cols,
+        txn=None,
+        removed={e["file"] for e in rewrite},
+        updated={},
+        added=new_files,
+        # OPTIMIZE reads only its victim files: concurrent appends
+        # compose (Delta: OPTIMIZE never conflicts with appends)
+        appends_ok=True,
+    )
     return {
         "version": new_v,
         "files_rewritten": len(rewrite),

@@ -2315,3 +2315,231 @@ def test_row_tracking_rides_checkpoint_clone_restore(spark, tmp_path):
     after = _rt_ids(spark, path)
     minted = {rid for k, rid in after.items() if k >= 200}
     assert minted.isdisjoint(set(pre_restore.values()))
+
+
+# ---------------------------------------------------------------------------
+# Commit rebase (optimistic-concurrency retry, Delta WriteSerializable)
+# ---------------------------------------------------------------------------
+
+def _race(monkeypatch, fire):
+    """Deterministic lost race: the interleaved writer commits while
+    the outer operation is mid-data-write (after its version slot was
+    chosen, before its manifest links) — the exact window a real race
+    occupies."""
+    orig = sn._write_commit_files
+    state = {"fired": False}
+
+    def hooked(*a, **k):
+        entries = orig(*a, **k)
+        if not state["fired"]:
+            state["fired"] = True
+            fire()
+        return entries
+
+    monkeypatch.setattr(sn, "_write_commit_files", hooked)
+
+
+def test_merge_rebases_over_disjoint_concurrent_merge(
+    spark, tmp_path, monkeypatch
+):
+    """Two merges on key-disjoint file sets: the loser REBASES onto
+    the winner's manifest (stats prove the winner's added files
+    disjoint from the loser's source keys) and both land."""
+    path = str(tmp_path / "rb1")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    sn.snapshot_create(
+        spark, base.repartitionByRange(4, "k"), path, ["k"]
+    )
+    winner_src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    loser_src = spark.range(950, 1000).select(
+        F.col("id").alias("k"), F.lit(2).alias("v")
+    )
+    _race(monkeypatch, lambda: sn.merge_into(
+        spark, path, winner_src, on=["k"]
+    ))
+    res = sn.merge_into(spark, path, loser_src, on=["k"])
+    assert res["version"] == 2            # rebased onto the winner's v1
+    final = {r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()}
+    assert len(final) == 1000
+    assert all(final[k] == 1 for k in range(0, 50))
+    assert all(final[k] == 2 for k in range(950, 1000))
+    ops = [h["operation"] for h in sn.snapshot_history(path)]
+    assert ops.count("MERGE") == 2
+
+
+def test_merge_conflicts_when_same_file_rewritten(
+    spark, tmp_path, monkeypatch
+):
+    """Overlapping key ranges: the winner rewrote the very file the
+    loser read — ConcurrentDeleteRead, no silent lost update."""
+    path = str(tmp_path / "rb2")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    sn.snapshot_create(spark, base.coalesce(1), path, ["k"])
+    winner_src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    loser_src = spark.range(20, 30).select(
+        F.col("id").alias("k"), F.lit(2).alias("v")
+    )
+    _race(monkeypatch, lambda: sn.merge_into(
+        spark, path, winner_src, on=["k"]
+    ))
+    with pytest.raises(RuntimeError, match="Concurrent"):
+        sn.merge_into(spark, path, loser_src, on=["k"])
+    # the winner's update is intact, the loser wrote nothing
+    final = {r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()}
+    assert all(final[k] == 1 for k in range(0, 10))
+    assert all(final[k] == 0 for k in range(20, 30))
+
+
+def test_delete_refuses_concurrent_append_update_refuses_too(
+    spark, tmp_path, monkeypatch
+):
+    """DELETE/UPDATE predicates can't be bounded by key stats, so a
+    concurrently-appended file is a ConcurrentAppend conflict — the
+    appended rows might match the predicate the loser already
+    evaluated (Delta raises identically)."""
+    path = str(tmp_path / "rb3")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    sn.snapshot_create(spark, base.repartitionByRange(2, "k"), path, ["k"])
+    appender = spark.range(1000, 1010).select(
+        F.col("id").alias("k"), F.lit(9).alias("v")
+    )
+    _race(monkeypatch, lambda: sn.merge_into(
+        spark, path, appender, on=["k"], when_matched=None
+    ))
+    with pytest.raises(RuntimeError, match="ConcurrentAppend"):
+        sn.update_where(spark, path, "k >= 0", {"v": "v + 1"}, mode="mor")
+
+
+def test_compact_rebases_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMIZE reads only its victim files, so a concurrent append
+    composes: the rebased compaction keeps the appended file and the
+    compacted set (Delta: OPTIMIZE never conflicts with appends)."""
+    path = str(tmp_path / "rb4")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    sn.snapshot_create(spark, base.repartition(3), path, ["k"])
+    appender = spark.range(100, 150).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    _race(monkeypatch, lambda: sn.merge_into(
+        spark, path, appender, on=["k"], when_matched=None
+    ))
+    res = sn.compact(spark, path, small_file_rows=10**6)
+    assert res["version"] == 2
+    final = sn.snapshot_read(spark, path)
+    assert final.count() == 150           # appended rows survived
+    assert {r["k"] for r in final.collect()} == set(range(150))
+
+
+def test_rebase_reminted_row_ids_stay_unique(spark, tmp_path, monkeypatch):
+    """Under row tracking, a rebased insert re-mints its base ids from
+    the WINNER's high-water mark — ids stay globally unique even
+    though both writers allocated from the same stale hwm."""
+    path = str(tmp_path / "rb5")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    sn.snapshot_create(
+        spark, base.repartitionByRange(2, "k"), path, ["k"],
+        row_tracking=True,
+    )
+    winner_src = spark.range(200, 220).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    loser_src = spark.range(500, 520).select(
+        F.col("id").alias("k"), F.lit(2).alias("v")
+    )
+    _race(monkeypatch, lambda: sn.merge_into(
+        spark, path, winner_src, on=["k"]
+    ))
+    sn.merge_into(spark, path, loser_src, on=["k"])
+    ids = [
+        r["_row_id"]
+        for r in sn.snapshot_read(spark, path, row_ids=True).collect()
+    ]
+    assert len(ids) == 140
+    assert len(set(ids)) == 140           # no collision across writers
+
+
+def test_rebase_refuses_concurrent_metadata_change(
+    spark, tmp_path, monkeypatch
+):
+    """A constraint added underneath an in-flight merge is a
+    MetadataChanged conflict — the merge validated against the OLD
+    contract set and must not commit past the new one."""
+    path = str(tmp_path / "rb6")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    sn.snapshot_create(spark, base, path, ["k"])
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    _race(monkeypatch, lambda: sn.add_constraint(
+        spark, path, "v_nonneg", "v >= 0"
+    ))
+    with pytest.raises(RuntimeError, match="MetadataChanged"):
+        sn.merge_into(spark, path, src, on=["k"])
+
+
+def test_cdf_on_row_ids_keyless_and_compaction_invariant(
+    spark, tmp_path
+):
+    """snapshot_changes(row_ids=True): the change feed for KEYLESS
+    tables, diffed on durable row ids. An OPTIMIZE between the
+    endpoints nets to zero changes (ids survive the rewrite); a
+    delete + update surface exactly; untracked tables refuse."""
+    path = str(tmp_path / "cdf_rid")
+    base = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    sn.snapshot_create(spark, base.repartition(2), path, ["k"],
+                       row_tracking=True)
+    # v1: MOR delete 5 rows; v2: OPTIMIZE; v3: COW update 3 rows
+    sn.delete_where(spark, path, "k < 5", mode="mor")
+    sn.compact(spark, path, small_file_rows=10**6)
+    sn.update_where(spark, path, "k IN (10, 11, 12)", {"v": "v + 7"},
+                    mode="cow")
+    # compaction-only window: zero changes
+    assert sn.snapshot_changes(
+        spark, path, v_from=1, v_to=2, row_ids=True
+    ).count() == 0
+    # full window: 5 deletes + 3 update pre/post pairs
+    chg = sn.snapshot_changes(
+        spark, path, v_from=0, v_to=3, row_ids=True
+    ).collect()
+    by_type = {}
+    for r in chg:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert len(by_type["delete"]) == 5
+    assert len(by_type["update_preimage"]) == 3
+    assert len(by_type["update_postimage"]) == 3
+    assert "insert" not in by_type
+    # pre/post pair on the SAME row id
+    pre_ids = {r["_row_id"] for r in by_type["update_preimage"]}
+    post_ids = {r["_row_id"] for r in by_type["update_postimage"]}
+    assert pre_ids == post_ids
+    # guards
+    with pytest.raises(ValueError, match="not both"):
+        sn.snapshot_changes(spark, path, ["k"], v_from=0, v_to=1,
+                            row_ids=True)
+    with pytest.raises(ValueError, match="key_cols is required"):
+        sn.snapshot_changes(spark, path, v_from=0, v_to=1)
+    p2 = str(tmp_path / "untracked")
+    sn.snapshot_create(spark, base, p2, ["k"])
+    sn.delete_where(spark, p2, "k = 1", mode="mor")
+    with pytest.raises(ValueError, match="row tracking"):
+        sn.snapshot_changes(spark, p2, v_from=0, v_to=1, row_ids=True)
