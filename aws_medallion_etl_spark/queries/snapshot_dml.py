@@ -1340,3 +1340,65 @@ def s40_row_tracking(spark, sf_dir):
         F.min("_row_id").cast("long").alias("min_rid"),
         F.max("_row_id").cast("long").alias("max_rid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# replaceWhere (snapshot.replace_where)
+# ---------------------------------------------------------------------------
+
+_S41_REPLACE_WHERE_SQL = """
+    WITH kept AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus <> 'F'
+    ), repl AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 10 AS o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 3 <> 0
+    ), final AS (
+        SELECT * FROM kept UNION ALL SELECT * FROM repl
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final
+    GROUP BY o_orderstatus
+"""
+
+
+@query("s41_replace_where", _S41_REPLACE_WHERE_SQL)
+def s41_replace_where(spark, sf_dir):
+    """Delta's ``replaceWhere`` (``snapshot.replace_where``): the
+    whole ``o_orderstatus = 'F'`` range is atomically swapped for a
+    re-landed extract (repriced, a third of the rows dropped) in
+    ONE commit — the partition-refresh pattern. The oracle recomputes
+    kept + replacement from the base table: a row leaking out of the
+    cleared range, a survivor lost from an untouched file, or a
+    non-atomic delete+insert seam all shift the per-status counts and
+    sums. MOR mode: the cleared rows cost a DV sidecar, not a
+    rewrite.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    path = _scratch("s41rw", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    snap.snapshot_create(
+        spark, orders.repartitionByRange(4, "o_orderkey"), path,
+        stats_cols=["o_orderkey"],
+    )
+    repl = orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 != 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 10)
+    snap.replace_where(spark, path, "o_orderstatus = 'F'", repl, mode="mor")
+    final = snap.snapshot_read(spark, path)
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_custkey").cast("long").alias("sum_cust"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -2898,6 +2898,141 @@ def update_where(
             "files_added": len(new_files), **report}
 
 
+def replace_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    df: DataFrame,
+    mode: str = "mor",
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Delta's ``replaceWhere`` overwrite: atomically replace exactly
+    the rows matching ``predicate`` with ``df`` — the partition/range
+    refresh pattern (re-land one day of a date-partitioned table
+    without touching the rest), in ONE commit (a reader sees the old
+    range or the new one, never neither or both).
+
+    ``df`` must match the table schema, satisfy CHECK constraints and
+    generated columns, and — Delta's validation — every row of ``df``
+    must itself satisfy ``predicate`` (otherwise the "replace" would
+    smuggle rows into ranges it did not clear; raises like Delta).
+    ``mode="mor"`` marks the matched rows dead in a DV sidecar and
+    appends ``df``; ``mode="cow"`` rewrites the files containing
+    matches without them. Zero matches still lands ``df`` (refreshing
+    an empty range is an insert). Under row tracking, surviving rows
+    keep their ids; the replacement rows mint fresh ones.
+    ``txn=(app_id, version)`` is the idempotent-writer mark — a
+    replayed foreachBatch range-refresh no-ops. Commits through
+    :func:`_rebase_commit` (predicate-based: concurrent appends
+    conflict, like DELETE).
+    """
+    if mode not in {"mor", "cow"}:
+        raise ValueError(f"replace_where: unknown mode={mode!r}")
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"replace_where: {path} is not a snapshot table")
+    base_v = vs[-1]
+    man = _read_manifest(path, base_v)
+    if txn is not None:
+        seen = man.get("txn", {}).get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= int(seen):
+            return {"version": base_v, "skipped": True,
+                    "txn_high_water": int(seen)}
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = _apply_generated(df, man.get("generated", {}), "replace_where data")
+    want = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    if sorted(want) != sorted(got):
+        raise ValueError(
+            "replace_where: data does not match the table schema "
+            f"(table {sorted(want)}, data {sorted(got)})"
+        )
+    if df.where(~F.coalesce(pred, F.lit(False))).limit(1).count():
+        raise ValueError(
+            "replace_where: replacement rows must satisfy the predicate "
+            "— a row outside it would land in a range this commit did "
+            "not clear (Delta validates identically)"
+        )
+    _validate_constraints(df, man.get("constraints", {}),
+                          "replace_where data")
+    df = df.select(*[f.name for f in schema.fields])
+
+    entries = _manifest_files(path, man)
+    root = path.rstrip("/")
+    new_v = _next_version(path, base_v)
+    stats_cols = man.get("columns", [])
+    rt_pass = bool(man.get("row_tracking"))
+    cmap = man.get("colmap")
+
+    live = _scan_live(spark, root, schema, entries, with_pos=True,
+                      colmap=cmap)
+    hits = live.where(pred).select(
+        F.col("__file").alias("file"), F.col("__pos").alias("row_index")
+    )
+    dv_rel, totals, counts = _mint_dv(
+        spark, root, entries, hits, new_v, carry=(mode == "mor")
+    )
+    replaced = sum(counts.values())
+    updated_entries: dict[str, dict] = {}
+    removed_files: set[str] = set()
+    if not replaced:
+        import shutil
+
+        shutil.rmtree(os.path.join(root, dv_rel), ignore_errors=True)
+    elif mode == "mor":
+        for e in entries:
+            if e["file"] in totals:
+                ne = dict(e)
+                ne["dv"] = [dv_rel]
+                ne["dv_rows"] = totals[e["file"]]
+                updated_entries[e["file"]] = ne
+    else:
+        touched = [e for e in entries if e["file"] in counts]
+        removed_files = {e["file"] for e in touched}
+        surv = _scan_live(spark, root, schema, touched, with_pos=True,
+                          colmap=cmap, row_ids=rt_pass)
+        dvh = _read_dv(spark, root, [dv_rel])
+        surv = surv.join(
+            dvh,
+            (F.col("__file") == F.col("__dvf"))
+            & (F.col("__pos") == F.col("__dvp")),
+            "left_anti",
+        ).drop("__file", "__pos")
+        if rt_pass:
+            df = df.withColumn(_RID_COL, F.lit(None).cast("long"))
+            df = surv.unionByName(df).withColumnRenamed(_RID_COL, _RID_PHYS)
+        else:
+            df = surv.unionByName(df)
+    wdf = df
+    new_files = _write_commit_files(
+        wdf, path, new_v, stats_cols, schema, cmap,
+        rid_passenger=rt_pass and mode == "cow" and bool(replaced),
+    )
+    new_v = _rebase_commit(
+        path, new_v, base_v, man,
+        fields_fn=lambda: {
+            "schema": man["schema"],
+            **_constraint_fields(man),
+            **_generated_fields(man),
+            **_colmap_fields(man),
+        },
+        op_fields=_op_fields("REPLACE WHERE", {
+            "replaced_rows": replaced, "mode": mode,
+            "rows_written": sum(int(e["rows"]) for e in new_files),
+        }),
+        stats_cols=stats_cols,
+        txn=txn,
+        removed=removed_files,
+        updated=updated_entries,
+        added=new_files,
+    )
+    return {"version": new_v, "replaced_rows": replaced, "mode": mode,
+            "files_added": len(new_files),
+            "files_rewritten": len(removed_files),
+            "files_with_dv": len(updated_entries)}
+
+
 def restore(
     spark: SparkSession,
     path: str,

@@ -2543,3 +2543,67 @@ def test_cdf_on_row_ids_keyless_and_compaction_invariant(
     sn.delete_where(spark, p2, "k = 1", mode="mor")
     with pytest.raises(ValueError, match="row tracking"):
         sn.snapshot_changes(spark, p2, v_from=0, v_to=1, row_ids=True)
+
+
+def test_replace_where_modes_and_guards(spark, tmp_path):
+    """replaceWhere: matched range swapped for the new rows in ONE
+    commit (mor and cow agree); replacement rows outside the predicate
+    refuse; zero-match still inserts; txn mark makes replays no-op;
+    under row tracking survivors keep ids and replacements mint."""
+    for mode in ("mor", "cow"):
+        path = str(tmp_path / f"rw_{mode}")
+        base = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("part"),
+            F.lit(0).alias("v"),
+        )
+        sn.snapshot_create(
+            spark, base.repartitionByRange(4, "k"), path, ["k"],
+            row_tracking=True,
+        )
+        ids0 = {
+            r["k"]: r["_row_id"]
+            for r in sn.snapshot_read(spark, path, row_ids=True).collect()
+        }
+        repl = spark.range(200, 210).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("part"),
+            F.lit(9).alias("v"),
+        )
+        res = sn.replace_where(
+            spark, path, "part = 1", repl, mode=mode, txn=("rw", 1)
+        )
+        assert res["replaced_rows"] == 25
+        final = sn.snapshot_read(spark, path)
+        assert final.count() == 75 + 10
+        got = {r["k"]: (r["part"], r["v"]) for r in final.collect()}
+        assert all(got[k] == (1, 9) for k in range(200, 210))
+        assert all(k % 4 != 1 for k in got if k < 100)
+        # survivors keep ids; replacements are fresh and unique
+        rid = {
+            r["k"]: r["_row_id"]
+            for r in sn.snapshot_read(spark, path, row_ids=True).collect()
+        }
+        assert all(rid[k] == ids0[k] for k in rid if k < 100)
+        assert len(set(rid.values())) == len(rid)
+        # replayed txn no-ops
+        v = sn.current_version(path)
+        again = sn.replace_where(
+            spark, path, "part = 1", repl, mode=mode, txn=("rw", 1)
+        )
+        assert again.get("skipped") and sn.current_version(path) == v
+        # predicate violation refuses
+        bad = spark.range(300, 303).select(
+            F.col("id").alias("k"), F.lit(2).cast("long").alias("part"),
+            F.lit(9).alias("v"),
+        )
+        with pytest.raises(ValueError, match="satisfy the predicate"):
+            sn.replace_where(spark, path, "part = 1", bad, mode=mode)
+        # zero-match range refresh is an insert
+        ins = spark.range(400, 405).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("part"),
+            F.lit(5).alias("v"),
+        )
+        r2 = sn.replace_where(spark, path, "part = 7", ins, mode=mode)
+        assert r2["replaced_rows"] == 0
+        assert sn.snapshot_read(spark, path).count() == 90
+        # time travel: the pre-replace version still reads old rows
+        assert sn.snapshot_read(spark, path, version=0).count() == 100
