@@ -1402,3 +1402,79 @@ def s41_replace_where(spark, sf_dir):
         F.sum("o_custkey").cast("long").alias("sum_cust"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MV refresh (mv.refresh_rollup)
+# ---------------------------------------------------------------------------
+
+_S42_MV_SQL = """
+    WITH maxk AS (
+        SELECT max(o_orderkey) AS m FROM orders
+    ), mutated AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 3 THEN o_custkey + 1
+                    ELSE o_custkey END AS c
+        FROM orders WHERE o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT o_orderkey + (SELECT m FROM maxk) + 10, 'X', o_custkey
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS sum_cust
+    FROM mutated
+    GROUP BY o_orderstatus
+"""
+
+
+@query("s42_incremental_mv", _S42_MV_SQL)
+def s42_incremental_mv(spark, sf_dir):
+    """Incremental materialized-view maintenance (``mv.refresh_rollup``)
+    — the loop row tracking + CDF exist for: a per-status rollup MV is
+    created once, the base table then takes a MOR update, a MOR
+    delete, and an append-merge, and the second refresh applies ONLY
+    the row-id-keyed CDF delta (commit churn, not table size). The
+    oracle recomputes the final rollup from scratch, so a drifted
+    delta (a double-counted post-image, a missed group move, a
+    surviving emptied group) shifts the per-status counts and sums.
+    Cursor = the base version stamped as the MV's txn mark, so the
+    refresh is exactly-once.
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import mv as mvmod
+    from aws_medallion_etl_spark import snapshot as snap
+
+    base = _scratch("s42base", sf_dir)
+    mv = _scratch("s42mv", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    snap.snapshot_create(
+        spark, orders.repartitionByRange(4, "o_orderkey"), base,
+        stats_cols=["o_orderkey"], row_tracking=True,
+    )
+    mvmod.refresh_rollup(
+        spark, base, mv, ["o_orderstatus"], {"sum_cust": "o_custkey"}
+    )
+    snap.update_where(
+        spark, base, "o_orderkey % 7 = 3",
+        {"o_custkey": "o_custkey + 1"}, mode="mor",
+    )
+    snap.delete_where(spark, base, "o_orderkey % 5 = 0", mode="mor")
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    ins = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + F.lit(maxk + 10)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+    )
+    snap.merge_into(spark, base, ins, on=["o_orderkey"])
+    mvmod.refresh_rollup(
+        spark, base, mv, ["o_orderstatus"], {"sum_cust": "o_custkey"}
+    )
+    return snap.snapshot_read(spark, mv).select(
+        "o_orderstatus", "n_rows", "sum_cust"
+    )

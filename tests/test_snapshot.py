@@ -2607,3 +2607,72 @@ def test_replace_where_modes_and_guards(spark, tmp_path):
         assert sn.snapshot_read(spark, path).count() == 90
         # time travel: the pre-replace version still reads old rows
         assert sn.snapshot_read(spark, path, version=0).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# Incremental MV refresh (mv.refresh_rollup: row-id CDF -> rollup delta)
+# ---------------------------------------------------------------------------
+
+def test_refresh_rollup_matches_full_recompute(spark, tmp_path):
+    """The MV maintained from CDF deltas equals a from-scratch GROUP BY
+    after inserts, group-moving updates, and deletes; emptied groups
+    leave the MV; replayed refreshes no-op (txn cursor)."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base = str(tmp_path / "fact")
+    mv = str(tmp_path / "mv")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+        (F.col("id") * 10).alias("cents"),
+    )
+    sn.snapshot_create(spark, df.repartition(2), base, ["k"],
+                       row_tracking=True)
+    r0 = mvmod.refresh_rollup(
+        spark, base, mv, ["g"], {"sum_cents": "cents"}
+    )
+    assert r0["created"]
+
+    def check():
+        got = {
+            r["g"]: (r["n_rows"], r["sum_cents"])
+            for r in sn.snapshot_read(spark, mv).collect()
+        }
+        want = {
+            r["g"]: (r["n"], r["s"])
+            for r in sn.snapshot_read(spark, base)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("s"))
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    check()
+    # mutate the base: value update, GROUP-MOVING update, delete a
+    # whole group, insert new rows in a new group
+    sn.update_where(spark, base, "k % 10 = 3", {"cents": "cents + 7"},
+                    mode="mor")
+    sn.update_where(spark, base, "k % 10 = 4", {"g": "g + 100"},
+                    mode="cow")
+    sn.delete_where(spark, base, "g = 2", mode="mor")
+    sn.merge_into(
+        spark, base,
+        spark.range(1000, 1010).select(
+            F.col("id").alias("k"), F.lit(999).cast("long").alias("g"),
+            (F.col("id")).alias("cents"),
+        ),
+        on=["k"],
+    )
+    r1 = mvmod.refresh_rollup(
+        spark, base, mv, ["g"], {"sum_cents": "cents"}
+    )
+    assert not r1["created"] and r1["groups_changed"] > 0
+    check()
+    # group 2 was emptied -> gone from the MV
+    assert sn.snapshot_read(spark, mv).where("g = 2").count() == 0
+    # replay no-ops
+    v = sn.current_version(mv)
+    r2 = mvmod.refresh_rollup(
+        spark, base, mv, ["g"], {"sum_cents": "cents"}
+    )
+    assert r2["groups_changed"] == 0 and sn.current_version(mv) == v
