@@ -71,6 +71,11 @@ def refresh_rollup(
 
     Returns ``{"mv_version", "base_version", "groups_changed",
     "created"}``.
+
+    Contract: ``group_cols`` must be NON-NULL in the base (MERGE join
+    keys — a NULL group key never matches its own MV row and would
+    duplicate instead of update, Delta MERGE's NULL semantics too).
+    Coalesce nullable grouping columns to a sentinel first.
     """
     base_v = snap.current_version(base_path)
     if base_v is None:

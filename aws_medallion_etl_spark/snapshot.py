@@ -1185,10 +1185,26 @@ def _check_rebase_safe(
                 f"{k!r} of {path} changed concurrently — re-read and "
                 "re-run"
             )
+    def _esig(e: dict | None):
+        # semantic identity of a file entry: the fields a concurrent
+        # commit can change. Stats are EXCLUDED deliberately — they
+        # derive from the immutable file bytes, but their dict
+        # representation differs between inline-JSON and checkpoint-
+        # parquet manifests (numeric type coercion), and a spurious
+        # != there would fail rebases on large tables for no reason.
+        if e is None:
+            return None
+        return (
+            e.get("rows"),
+            tuple(sorted(e.get("dv") or [])),
+            int(e.get("dv_rows") or 0),
+            e.get("base_row_id"),
+        )
+
     base_files = {e["file"]: e for e in _manifest_files(path, base_man)}
     latest_files = {e["file"]: e for e in _manifest_files(path, latest_man)}
     for f in sorted(removed | set(updated)):
-        if latest_files.get(f) != base_files.get(f):
+        if _esig(latest_files.get(f)) != _esig(base_files.get(f)):
             raise RuntimeError(
                 "snapshot commit conflict (ConcurrentDeleteRead): file "
                 f"{f} of {path} was rewritten, DV-modified, or removed "
