@@ -3152,9 +3152,12 @@ def compact(
     small_file_rows: int = 500_000,
     target_file_rows: int = 1_000_000,
     zorder_cols: list[str] | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> dict:
     """OPTIMIZE: rewrite every file carrying a deletion vector and
     bin-pack undersized files, as one new answer-invariant version.
+    ``where={col: (lo, hi)}`` is Delta's ``OPTIMIZE ... WHERE``: only
+    files whose stats intersect the ranges are candidates.
 
     Files with ``rows >= small_file_rows`` and no DV carry by
     reference untouched. The rewrite reads the victims once (DVs
@@ -3183,8 +3186,24 @@ def compact(
     man = _read_manifest(path, base_v)
     schema = StructType.fromJson(json.loads(man["schema"]))
     entries = _manifest_files(path, man)
+    # OPTIMIZE ... WHERE (Delta's partition-scoped OPTIMIZE): restrict
+    # the victim set to files whose stats INTERSECT the given ranges —
+    # at 100 TB you optimize the day you just churned, not the table.
+    # Same {col: (lo, hi)} contract and physical-name translation as
+    # snapshot_read's prune; files without usable stats stay eligible
+    # (conservative: scoping must never hide DV debt forever).
+    in_scope = entries
+    if where:
+        cmap_w = man.get("colmap") or {}
+        in_scope = [
+            e for e in entries
+            if all(
+                _entry_in_range(e, _phys(cmap_w, c), lo, hi)
+                for c, (lo, hi) in where.items()
+            )
+        ]
     rewrite = [
-        e for e in entries
+        e for e in in_scope
         if e.get("dv") or int(e.get("rows") or 0) < small_file_rows
     ]
     carried = [e for e in entries if e not in rewrite]
@@ -3233,6 +3252,7 @@ def compact(
             "files_rewritten": len(rewrite),
             "files_added": len(new_files),
             "zorder": list(zorder_cols or []),
+            "scoped": bool(where),
         }),
         stats_cols=stats_cols,
         txn=None,

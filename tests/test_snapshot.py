@@ -2220,7 +2220,9 @@ def test_row_tracking_survives_every_write_path(spark, tmp_path):
     ids0 = _rt_ids(spark, path)
     assert sorted(ids0.values()) == list(range(60))    # dense at birth
     sn.delete_where(spark, path, "k % 10 = 0", mode="mor")
-    sn.compact(spark, path, small_file_rows=10**6)     # purges the DV
+    # zorder path: the Morton-key projection must pass the id
+    # passenger through the re-cluster untouched
+    sn.compact(spark, path, small_file_rows=10**6, zorder_cols=["k"])
     sn.update_where(spark, path, "k % 7 = 1", {"v": "v + 100"}, mode="cow")
     sn.delete_where(spark, path, "k = 55", mode="cow")
     src = spark.range(50, 70).select(
@@ -2676,3 +2678,29 @@ def test_refresh_rollup_matches_full_recompute(spark, tmp_path):
         spark, base, mv, ["g"], {"sum_cents": "cents"}
     )
     assert r2["groups_changed"] == 0 and sn.current_version(mv) == v
+
+
+def test_compact_where_scopes_the_victim_set(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only files whose stats intersect the range
+    rewrite; out-of-scope small files carry untouched; answers are
+    invariant either way."""
+    path = str(tmp_path / "optw")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    sn.snapshot_create(
+        spark, df.repartitionByRange(8, "k"), path, ["k"]
+    )
+    before = {e["file"] for e in sn._manifest_files(
+        path, sn._read_manifest(path, 0)
+    )}
+    res = sn.compact(spark, path, small_file_rows=10**6,
+                     where={"k": (0, 99)})
+    assert res["files_rewritten"] > 0
+    after = sn._manifest_files(path, sn._read_manifest(path, res["version"]))
+    # out-of-scope files carried by reference (same entry objects)
+    carried = {e["file"] for e in after} & before
+    assert len(carried) >= 4                  # the k>=100 range stayed
+    assert sn.snapshot_read(spark, path).count() == 400
+    got = {r["k"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == set(range(400))
