@@ -1177,6 +1177,14 @@ def _check_rebase_safe(
 
     Raises with the Delta exception name in the message; callers give
     up and surface it after ``max_retries``.
+
+    Comparison is ENDPOINT-folded (base manifest vs latest manifest),
+    not per-interleaved-commit like Delta's action log walk: a
+    metadata change applied and reverted between the endpoints — or a
+    file added then removed — nets out and passes. Manifests carry
+    state, not actions, so the fold is the natural granularity; the
+    exotic add-then-revert interleavings it admits leave the table in
+    a state indistinguishable from "never happened".
     """
     for k in _META_KEYS:
         if base_man.get(k) != latest_man.get(k):
