@@ -86,7 +86,11 @@ def refresh_rollup(
     ]
     if snap.current_version(mv_path) is None:
         full = (
-            snap.snapshot_read(spark, base_path)
+            # pinned at the CAPTURED version: a commit landing between
+            # current_version() and this read would otherwise be baked
+            # into the initial aggregate AND replayed by the first
+            # incremental refresh (double count)
+            snap.snapshot_read(spark, base_path, version=base_v)
             .groupBy(*group_cols)
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"), *sum_exprs)
         )
@@ -103,6 +107,11 @@ def refresh_rollup(
             f"refresh_rollup: {mv_path} exists but carries no "
             f"{app_id!r} cursor — it was not created by this refresher"
         )
+    # self-heal BEFORE the cursor check: a crash between the cursor-
+    # stamping merge and the zero-group delete would otherwise leave
+    # n_rows=0 phantoms forever (the replay early-returns). Zero
+    # matches cost one MV-sized scan and commit nothing.
+    snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
     if cursor >= base_v:
         return {"mv_version": snap.current_version(mv_path),
                 "base_version": base_v, "groups_changed": 0,
@@ -129,7 +138,11 @@ def refresh_rollup(
             (F.coalesce("n_rows", F.lit(0)) + F.col("__d_rows"))
             .cast("long").alias("n_rows"),
             *[
-                (F.coalesce(out, F.lit(0)) + F.col(f"__d_{out}"))
+                # both sides coalesced: a change batch whose rows all
+                # carry NULL in a measure sums to a NULL delta, which
+                # must not wipe the group's accumulated value
+                (F.coalesce(out, F.lit(0))
+                 + F.coalesce(F.col(f"__d_{out}"), F.lit(0)))
                 .cast("long").alias(out)
                 for out in sums
             ],

@@ -677,6 +677,13 @@ def _scan_live(
     rewritten files live under a NEW commit dir, so their relative
     paths differ from every old sidecar entry.
     """
+    if row_ids:
+        clash = {_RID_COL, _RID_PHYS} & set(schema.fieldNames())
+        if clash:
+            raise ValueError(
+                f"row_ids=True: table columns {sorted(clash)} collide with "
+                "the row-tracking column names"
+            )
     files = [os.path.join(root, e["file"]) for e in entries]
     if not files:
         out_schema = schema
@@ -688,12 +695,6 @@ def _scan_live(
         return spark.createDataFrame([], out_schema)
     phys = _physical_schema(schema, colmap)
     if row_ids:
-        clash = {_RID_COL, _RID_PHYS} & set(schema.fieldNames())
-        if clash:
-            raise ValueError(
-                f"row_ids=True: table columns {sorted(clash)} collide with "
-                "the row-tracking column names"
-            )
         missing_base = [
             e["file"] for e in entries if e.get("base_row_id") is None
         ]
@@ -1224,9 +1225,16 @@ def _check_rebase_safe(
     if their_added and not appends_ok:
         cmap = latest_man.get("colmap") or {}
         stats_cols = latest_man.get("columns", [])
+        if key_bounds is not None and not key_bounds:
+            # empty read set (e.g. a replayed empty merge source whose
+            # only effect is its txn mark): nothing it decided on can
+            # overlap anything — appends compose
+            return
         for e in their_added:
+            # manifest stats are keyed by PHYSICAL names; the bounds
+            # carry logical key names — translate before membership
             disjoint = key_bounds is not None and any(
-                c in stats_cols
+                _phys(cmap, c) in stats_cols
                 and not _entry_in_range(e, _phys(cmap, c), lo, hi)
                 for c, (lo, hi) in key_bounds.items()
             )
@@ -1274,6 +1282,14 @@ def _rebase_commit(
     failed attempt are re-minted from the winner's high-water mark so
     ids stay unique under concurrency. Txn high-water marks merge
     from the winner's map, not the stale base's.
+
+    Scope: rebase covers races detected AT COMMIT — after the data
+    write, the expensive window. A conflict surfacing in
+    ``_next_version`` BEFORE any data is written (the op's planning
+    probes) still raises to the caller: at that point the op's
+    pruning decisions were computed from a stale manifest and nothing
+    has been paid yet, so the sound and cheap answer is to re-run the
+    operation (Delta re-reads the snapshot and re-plans identically).
     """
     cur_v, cur_man, new_v = base_v, base_man, first_version
     key_bounds = None
@@ -2616,7 +2632,13 @@ def merge_into(
                 F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
             )]
         ).first()
-        return {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in on}
+        bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in on}
+        if all(lo is None and hi is None for lo, hi in bounds.values()):
+            # EMPTY source (a replayed no-op micro-batch): unbounded
+            # (None, None) ranges would make every concurrent append
+            # look overlapping — return the empty read set instead
+            return {}
+        return bounds
 
     new_v = _rebase_commit(
         path, new_v, base_v, man,
@@ -3241,9 +3263,18 @@ def compact(
     if zorder_cols:
         df = eio.zorder_clustered(df, zorder_cols, n_out)
     else:
+        # manifest stats columns are PHYSICAL names; the scan frame is
+        # logical — translate back or a renamed stats key crashes the
+        # repartition (and OPTIMIZE with it) forever after the rename
+        cmap_c = man.get("colmap") or {}
+        inv = {v: k for k, v in cmap_c.items()}
+        cluster_cols = [
+            inv.get(c, c) for c in stats_cols
+            if inv.get(c, c) in df.columns
+        ]
         df = (
-            df.repartitionByRange(n_out, *stats_cols)
-            if stats_cols else df.repartition(n_out)
+            df.repartitionByRange(n_out, *cluster_cols)
+            if cluster_cols else df.repartition(n_out)
         )
     new_files = _write_commit_files(df, path, new_v, stats_cols,
                                     schema, man.get("colmap"),

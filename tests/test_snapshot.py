@@ -2704,3 +2704,104 @@ def test_compact_where_scopes_the_victim_set(spark, tmp_path):
     assert sn.snapshot_read(spark, path).count() == 400
     got = {r["k"] for r in sn.snapshot_read(spark, path).collect()}
     assert got == set(range(400))
+
+
+def test_refresh_rollup_null_measures_and_crash_heal(
+    spark, tmp_path, monkeypatch
+):
+    """Review pins: (1) a change batch whose rows carry NULL in a
+    measure must not wipe the group's accumulated sum; (2) a crash
+    between the cursor-stamping merge and the zero-group delete heals
+    on the next refresh instead of leaving n_rows=0 phantoms."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base = str(tmp_path / "fact2")
+    mv = str(tmp_path / "mv2")
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 20, 50)],
+        "k long, g long, cents long",
+    )
+    sn.snapshot_create(spark, df, base, ["k"], row_tracking=True)
+    mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
+    # (1) insert a NULL-measure row into group 10
+    sn.merge_into(
+        spark, base,
+        spark.createDataFrame([(9, 10, None)], "k long, g long, cents long"),
+        on=["k"],
+    )
+    mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
+    got = {r["g"]: (r["n_rows"], r["sum_cents"])
+           for r in sn.snapshot_read(spark, mv).collect()}
+    assert got[10] == (3, 300)            # NULL added as 0, sum intact
+    # (2) empty group 20, crash the zero-group delete
+    sn.delete_where(spark, base, "g = 20", mode="mor")
+    orig = mvmod.snap.delete_where
+    calls = {"n": 0}
+
+    def crashing(spark_, path_, pred_, mode="mor"):
+        if path_ == mv:
+            calls["n"] += 1
+            if calls["n"] == 2:           # the post-merge cleanup call
+                raise RuntimeError("simulated crash")
+        return orig(spark_, path_, pred_, mode=mode)
+
+    monkeypatch.setattr(mvmod.snap, "delete_where", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
+    # phantom exists now (cursor already stamped)...
+    assert sn.snapshot_read(spark, mv).where("n_rows = 0").count() == 1
+    monkeypatch.setattr(mvmod.snap, "delete_where", orig)
+    # ...and the replayed refresh self-heals despite the current cursor
+    r = mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
+    assert r["groups_changed"] == 0
+    assert sn.snapshot_read(spark, mv).where("n_rows = 0").count() == 0
+    assert sn.snapshot_read(spark, mv).where("g = 20").count() == 0
+
+
+def test_compact_survives_renamed_stats_column(spark, tmp_path):
+    """Review pin: OPTIMIZE after a stats-key RENAME — the manifest's
+    physical stats names must translate back to logical before the
+    range repartition, or compaction crashes forever post-rename."""
+    path = str(tmp_path / "opt_renamed")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    sn.snapshot_create(spark, df.repartition(3), path, ["k"])
+    sn.rename_column(path, "k", "key")
+    res = sn.compact(spark, path, small_file_rows=10**6)
+    assert res["files_rewritten"] == 3
+    out = sn.snapshot_read(spark, path)
+    assert out.columns == ["key", "v"] and out.count() == 100
+
+
+def test_empty_merge_source_rebases_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Review pin: a replayed EMPTY micro-batch merge (only effect:
+    its txn mark) racing a concurrent append must rebase — unbounded
+    (None, None) key bounds used to make every append look
+    overlapping."""
+    path = str(tmp_path / "empty_src")
+    base = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    sn.snapshot_create(spark, base, path, ["k"])
+    empty = spark.createDataFrame([], "k long, v int")
+    appender = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    fired = {"done": False}
+    orig_commit = sn._commit
+
+    def racing_commit(p_, v_, m_):
+        if not fired["done"]:
+            fired["done"] = True
+            sn.merge_into(spark, path, appender, on=["k"],
+                          when_matched=None)
+        return orig_commit(p_, v_, m_)
+
+    monkeypatch.setattr(sn, "_commit", racing_commit)
+    res = sn.merge_into(spark, path, empty, on=["k"], txn=("es", 5))
+    assert res["version"] == 2            # rebased past the appender
+    assert sn.last_txn_version(path, "es") == 5
+    assert sn.snapshot_read(spark, path).count() == 60
