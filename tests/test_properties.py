@@ -660,3 +660,88 @@ def test_dv_run_encode_expand_roundtrip(spark, tmp_path_factory, positions, posi
         )
 
     assert n_runs == runs(positions) + runs(positions2)
+
+
+# ---------------------------------------------------------------------------
+# Row tracking: id stability under random op sequences
+# ---------------------------------------------------------------------------
+
+_RT_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), st.integers(2, 5), st.integers(-9, 9)),
+        st.tuples(st.just("update"), st.integers(2, 4), st.integers(1, 9)),
+        st.tuples(st.just("delete"), st.integers(2, 6), st.integers(0, 1)),
+        st.tuples(st.just("compact"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=_RT_OPS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_row_tracking_id_invariants_under_op_sequences(
+    spark, tmp_path_factory, ops
+):
+    """Random interleavings of MERGE / UPDATE (cow+mor) / DELETE
+    (cow+mor) / OPTIMIZE against a dict model tracking each logical
+    row's id: (a) a key that survives an op keeps the id it had; (b)
+    ids are unique at every step; (c) a re-inserted key gets a FRESH
+    id, never a recycled one (the durability contract downstream
+    incremental consumers rely on)."""
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path_factory.mktemp("rtprop") / "tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    keys = list(range(10))
+    df = spark.createDataFrame([(k, k * 10) for k in keys], ["k", "v"])
+    sn.snapshot_create(
+        spark, df.repartition(2), path, stats_cols=["k"],
+        row_tracking=True,
+    )
+
+    def ids_now():
+        return {
+            r["k"]: r["_row_id"]
+            for r in sn.snapshot_read(spark, path, row_ids=True).collect()
+        }
+
+    model = ids_now()                       # key -> id
+    ever_issued = set(model.values())
+    next_key = 100
+    for op, m, d in ops:
+        if op == "merge":                   # upsert + one fresh insert
+            src = [(k, d) for k in list(model) if k % m == 0]
+            src.append((next_key, d))
+            sn.merge_into(
+                spark, path, spark.createDataFrame(src, ["k", "v"]),
+                on=["k"],
+            )
+            inserted = [k for k, _ in src if k not in model]
+            got = ids_now()
+            for k in inserted:
+                # fresh id, never recycled from a dead row
+                assert got[k] not in ever_issued
+                model[k] = got[k]
+                ever_issued.add(got[k])
+            next_key += 1
+        elif op == "update":
+            sn.update_where(
+                spark, path, f"k % {m} = 1", {"v": f"v + {d}"},
+                mode="cow" if d % 2 else "mor",
+            )
+        elif op == "delete":
+            doomed = [k for k in model if k % m == 2]
+            sn.delete_where(
+                spark, path, f"k % {m} = 2", mode="mor" if d else "cow",
+            )
+            for k in doomed:
+                del model[k]
+        else:
+            sn.compact(spark, path, small_file_rows=10**6)
+        got = ids_now()
+        assert got == model, (op, m, d)     # survivors keep their ids
+        assert len(set(got.values())) == len(got)
