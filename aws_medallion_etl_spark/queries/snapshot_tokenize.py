@@ -1639,3 +1639,49 @@ def t_bpe_pair_counts(spark, sf_dir):
         .limit(20)
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Real raster decode (multimodal.decode_image_features)
+# ---------------------------------------------------------------------------
+
+_MM_THUMB_IDX = [
+    (y * 4 + x) * 3 + c for y in (0, 2) for x in (0, 2) for c in (0, 1, 2)
+]
+
+_MM_DECODE_SQL = f"""
+    SELECT doc_id,
+           TRUE AS decoded,
+           CAST(4 AS INTEGER) AS height,
+           CAST(4 AS INTEGER) AS width,
+           CAST(3 AS INTEGER) AS channels,
+           round(list_avg([CAST((doc_id * 3 + i) % 251 AS DOUBLE)
+                           FOR i IN range(0, 48)]), 4) AS mean_px,
+           round(list_avg([CAST((doc_id * 3 + i) % 251 AS DOUBLE)
+                           FOR i IN {_MM_THUMB_IDX}]), 4) AS thumb_mean_px
+    FROM documents WHERE doc_id % 9 = 1
+"""
+
+
+@query("mm_decode_pixels", _MM_DECODE_SQL)
+def mm_decode_pixels(spark, sf_dir):
+    """REAL raster decode end-to-end (``multimodal.decode_image``):
+    each selected doc synthesizes a binary 4x4 P6 netpbm payload in
+    pure codegen (header + 48 pixel bytes ``(doc_id*3 + i) % 251``
+    via hex/unhex), the Arrow-batched chain decodes the ACTUAL pixels
+    with the lib-free numpy decoder, nearest-neighbor-resizes to 2x2,
+    and emits pixel statistics. The oracle recomputes both means
+    arithmetically from the generator formula — a one-byte header
+    slip, a stride/order bug, or a wrong resize index shifts them.
+    (Denominators 48 and 12 make the rounded means exact in binary
+    for divisible sums and non-terminating otherwise — never on a
+    round-half boundary, so the hash compare is safe.)
+    """
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 1)
+    px = F.concat(*[
+        F.lpad(F.hex((F.col("doc_id") * 3 + F.lit(i)) % 251), 2, "0")
+        for i in range(48)
+    ])
+    payload = F.unhex(F.concat(F.lit("50360A3420340A3235350A"), px))
+    packaged = docs.select("doc_id", payload.alias("payload"))
+    return multimodal.decode_image_features(packaged, thumb=2)

@@ -140,3 +140,86 @@ def test_image_metadata_from_real_headers(spark):
     big = spark.createDataFrame([(9, png(70000, 3))], "id long, payload binary")
     r = big.select(multimodal.image_metadata("payload").alias("m")).first()
     assert (r["m"]["width"], r["m"]["height"]) == (70000, 3)
+
+
+# ---------------------------------------------------------------------------
+# Real lib-free decode (round 11): netpbm + uncompressed BMP
+# ---------------------------------------------------------------------------
+
+def _ppm(w, h, fn):
+    body = bytes(fn(x, y, c) for y in range(h) for x in range(w)
+                 for c in range(3))
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + body
+
+
+def _bmp24(w, h, fn, top_down=False):
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = fn(x, y, 0), fn(x, y, 1), fn(x, y, 2)
+            row += bytes((b, g, r))                   # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixel = b"".join(rows)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(pixel), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, (-h if top_down else h),
+                      1, 24, 0, len(pixel), 2835, 2835, 0, 0)
+    return header + dib + pixel
+
+
+def test_decode_image_real_formats():
+    """Pixel-exact decode of P6/P5 and 24-bit BMP (padding, bottom-up
+    AND top-down), identical values across container formats; codec
+    magics defer to the stub."""
+    import numpy as np
+    import pytest as _pytest
+
+    fn = lambda x, y, c: (7 * x + 13 * y + 29 * c) % 256
+    w, h = 5, 3                                       # stride padding hits
+    ppm = multimodal.decode_image(_ppm(w, h, fn))
+    bmp = multimodal.decode_image(_bmp24(w, h, fn))
+    bmp_td = multimodal.decode_image(_bmp24(w, h, fn, top_down=True))
+    assert ppm.shape == (h, w, 3)
+    assert ppm[2, 4, 1] == fn(4, 2, 1)
+    assert np.array_equal(ppm, bmp)
+    assert np.array_equal(bmp, bmp_td)
+    pgm = multimodal.decode_image(b"P5\n2 2\n255\n\x00\x40\x80\xff")
+    assert pgm.shape == (2, 2, 1) and pgm[1, 1, 0] == 255
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\nrest")
+    # resize: nearest-neighbor picks exact source pixels
+    t = multimodal.resize_nearest(ppm, 2, 2)
+    assert t.shape == (2, 2, 3)
+    assert t[0, 0, 0] == fn(0, 0, 0)
+
+
+def test_decode_image_features_mixed_corpus(spark):
+    """The Arrow-batched decode->resize->featurize chain: real stats
+    for decodable rows, decoded=false (not a batch failure) for codec
+    rows mixed into the same frame."""
+    import numpy as np
+
+    fn = lambda x, y, c: (x + y + c) % 256
+    rows = [
+        (1, _ppm(4, 4, fn)),
+        (2, _bmp24(4, 4, fn)),
+        (3, b"\x89PNG\r\n\x1a\n not really"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.decode_image_features(df, thumb=2).collect()
+    }
+    assert got[1]["decoded"] and got[2]["decoded"] and not got[3]["decoded"]
+    assert (got[1]["height"], got[1]["width"], got[1]["channels"]) == (4, 4, 3)
+    expect = round(float(np.mean(
+        [fn(x, y, c) for y in range(4) for x in range(4) for c in range(3)]
+    )), 4)
+    assert got[1]["mean_px"] == expect == got[2]["mean_px"]
+    assert got[3]["mean_px"] is None
