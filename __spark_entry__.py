@@ -63,10 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
     first verdict. Round 11 head (exactly 50 uniques, sized to the
-    ~50-verdict rotation budget): the nine queries with NO driver
-    verdict yet (registered after the round-10 tranche ran), then 41
+    ~50-verdict rotation budget): the ten queries with NO driver
+    verdict yet (registered after the round-10 tranche ran), then 40
     of the 50 queries whose latest driver green is round 7 — the
-    freshness ladder (VERDICT r10 "Next round" #1). The nine r7
+    freshness ladder (VERDICT r10 "Next round" #1). The ten r7
     stragglers displaced by the new queries lead the r12 ladder.
     Everything behind the head has a verdict from r8-r10.
     """
@@ -75,8 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s37_convert_in_place", "corpus_trim_dup_spans",
         "s38_deep_clone", "s39_insert_overwrite",
         "corpus_dsir_select", "s40_row_tracking", "s41_replace_where",
-        "s42_incremental_mv", "mm_decode_pixels",
-        # 41 of the 50 queries whose latest green is round 7
+        "s42_incremental_mv", "mm_decode_pixels", "mm_decode_audio",
+        # 40 of the 50 queries whose latest green is round 7
         "a10_rollup_status_year", "a11_pivot_status_by_year",
         "a12_percentiles", "a7_exact_dedup", "a9_share_of_total",
         "c1_circuit_breaker_stats", "corpus_bm25",
@@ -94,9 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_validation_split_rejects", "p_projection_family",
         "s11_jdbc_publish_roundtrip", "s12_sql_endpoint",
         "s14_bucketed_join", "s16_file_skipping_scan", "s17_zorder_scan",
-        "s8_provenance_by_file",
         # r7 stragglers displaced into the r12 ladder:
-        # sim_topk_bruteforce, sim_topk_ivf_appended, sketch_heavy_hitters,
+        # s8_provenance_by_file, sim_topk_bruteforce, sim_topk_ivf_appended, sketch_heavy_hitters,
         # str10_stream_pack, str4_stream_dedup, str5_stream_static_join,
         # str6_stream_stream_join, str7_stream_jsonl_ingest,
         # t_unigram_logprob

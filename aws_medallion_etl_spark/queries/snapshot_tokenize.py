@@ -1685,3 +1685,55 @@ def mm_decode_pixels(spark, sf_dir):
     payload = F.unhex(F.concat(F.lit("50360A3420340A3235350A"), px))
     packaged = docs.select("doc_id", payload.alias("payload"))
     return multimodal.decode_image_features(packaged, thumb=2)
+
+
+_MM_AUDIO_SQL = """
+    SELECT doc_id,
+           TRUE AS decoded,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(24 AS BIGINT) AS n_frames,
+           CAST(3 AS BIGINT) AS duration_ms,
+           round(sqrt(list_avg([
+               (CAST((doc_id*7 + i*31) % 201 - 100 AS DOUBLE) / 32768.0)
+               * (CAST((doc_id*7 + i*31) % 201 - 100 AS DOUBLE) / 32768.0)
+               FOR i IN range(0, 24)])), 4) AS rms,
+           round(list_sum([
+               CASE WHEN (((doc_id*7 + i*31) % 201 - 100) < 0)
+                         <> (((doc_id*7 + (i+1)*31) % 201 - 100) < 0)
+                    THEN 1 ELSE 0 END
+               FOR i IN range(0, 23)]) / 23.0, 4) AS zero_cross
+    FROM documents WHERE doc_id % 11 = 2
+"""
+
+
+@query("mm_decode_audio", _MM_AUDIO_SQL)
+def mm_decode_audio(spark, sf_dir):
+    """REAL PCM audio decode end-to-end (``multimodal.decode_audio``):
+    each selected doc synthesizes a canonical 16-bit mono WAV in pure
+    codegen (RIFF/fmt/data chunks + 24 little-endian two's-complement
+    samples ``(doc_id*7 + i*31) % 201 - 100``), the Arrow-batched
+    chain walks the chunks, scales to [-1, 1], and emits RMS and
+    zero-crossing rate from the ACTUAL samples. The oracle recomputes
+    both from the generator formula — a byte-order slip, a chunk-walk
+    bug, or a scaling error shifts them. Sample values are exact
+    dyadic doubles (k / 2^15), so both engines' sums are bit-identical
+    regardless of order and only IEEE sqrt separates them (correctly
+    rounded in both).
+    """
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 2)
+    hdr = (
+        "52494646" "54000000" "57415645"            # RIFF size=84 WAVE
+        "666D7420" "10000000" "0100" "0100"          # fmt 16 pcm mono
+        "401F0000" "803E0000" "0200" "1000"          # 8000Hz 16kBps 16bit
+        "64617461" "30000000"                        # data size=48
+    )
+    parts = []
+    for i in range(24):
+        v = (F.col("doc_id") * 7 + F.lit(i * 31)) % 201 - 100
+        u = F.when(v >= 0, v).otherwise(v + 65536)
+        parts.append(F.lpad(F.hex(u % 256), 2, "0"))
+        parts.append(F.lpad(F.hex((u / 256).cast("long")), 2, "0"))
+    payload = F.unhex(F.concat(F.lit(hdr), *parts))
+    packaged = docs.select("doc_id", payload.alias("payload"))
+    return multimodal.decode_audio_features(packaged)

@@ -223,3 +223,67 @@ def test_decode_image_features_mixed_corpus(spark):
     )), 4)
     assert got[1]["mean_px"] == expect == got[2]["mean_px"]
     assert got[3]["mean_px"] is None
+
+
+def _wav16(samples, rate=8000, channels=1):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    # an extra odd-sized chunk BEFORE data exercises chunk walking +
+    # even-padding
+    junk = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt + junk
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_audio_real_pcm():
+    """Sample-exact PCM WAV decode: chunk walking with odd padding,
+    16-bit scaling, 8-bit unsigned offset, stereo shape; float WAV and
+    non-RIFF defer to the stub."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    s = [0, 16384, -16384, -32768, 32767, 1]
+    x, rate = multimodal.decode_audio(_wav16(s))
+    assert rate == 8000 and x.shape == (6, 1)
+    assert x[1, 0] == 0.5 and x[2, 0] == -0.5 and x[3, 0] == -1.0
+    st, _ = multimodal.decode_audio(_wav16([1, 2, 3, 4], channels=2))
+    assert st.shape == (2, 2) and st[1, 1] == 4 / 32768
+    # 8-bit unsigned: 128 is silence
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    w8 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + 3) + b"WAVE"
+          + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+          + b"data" + struct.pack("<I", 3) + bytes([128, 255, 0]))
+    x8, _ = multimodal.decode_audio(w8)
+    assert x8[0, 0] == 0.0 and x8[1, 0] > 0.99 and x8[2, 0] == -1.0
+    fmt_f = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    wf = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_f) + 8) + b"WAVE"
+          + b"fmt " + struct.pack("<I", len(fmt_f)) + fmt_f
+          + b"data" + struct.pack("<I", 0))
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(wf)
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3\x03mp3 junk")
+
+
+def test_decode_audio_features_mixed(spark):
+    """RMS / zero-crossing / duration computed from REAL decoded
+    samples; codec rows yield decoded=false."""
+    import numpy as np
+
+    s = [100, -100] * 8                       # alternating: max crossings
+    rows = [(1, _wav16(s)), (2, b"ID3 not audio")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r
+           for r in multimodal.decode_audio_features(df).collect()}
+    r1 = got[1]
+    assert r1["decoded"] and r1["sample_rate"] == 8000
+    assert r1["n_frames"] == 16 and r1["duration_ms"] == 2
+    assert r1["zero_cross"] == 1.0            # every adjacent pair flips
+    assert r1["rms"] == round(100 / 32768, 4)
+    assert not got[2]["decoded"] and got[2]["rms"] is None
