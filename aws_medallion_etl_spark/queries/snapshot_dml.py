@@ -1,9 +1,11 @@
 """Snapshot-table DML family (Delta parity): MERGE, schema evolution,
 deletion vectors, OPTIMIZE, UPDATE/RESTORE, data skipping, CDF,
 constraints, generated columns, auto-OPTIMIZE, rename-continuity,
-multi-table transactions, SHALLOW CLONE, DESCRIBE HISTORY, and
-CONVERT-in-place — plus quality-classifier inference (registered here
-by original file order).
+multi-table transactions, SHALLOW CLONE, DESCRIBE HISTORY,
+CONVERT-in-place, ROW TRACKING (s40), replaceWhere (s41), and
+incremental MV refresh over the row-id CDF (s42) — plus
+quality-classifier inference (registered here by original file
+order).
 
 Split from queries/snapshot_tokenize.py in round 10 when that module
 crossed the reviewability bound the round-10 registry split set
