@@ -2682,8 +2682,15 @@ def delete_where(
     path: str,
     predicate,
     mode: str = "mor",
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """SQL ``DELETE FROM table WHERE predicate`` as a new version.
+
+    ``txn=(app_id, version)`` is the idempotent-writer mark (Delta's
+    txnAppId/txnVersion, same contract as merge/overwrite): a replayed
+    delete at or below the table's high-water mark for that app skips
+    outright — a restarted foreachBatch retention job must not walk
+    the table again.
 
     ``predicate`` is a SQL string or a Column. ``mode="mor"``
     (merge-on-read, the default and the Delta-DV shape): the matching
@@ -2709,6 +2716,11 @@ def delete_where(
         raise ValueError(f"delete_where: {path} is not a snapshot table")
     base_v = vs[-1]
     man = _read_manifest(path, base_v)
+    if txn is not None:
+        seen = man.get("txn", {}).get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= int(seen):
+            return {"deleted_rows": 0, "version": base_v,
+                    "mode": mode, "skipped": True}
     schema = StructType.fromJson(json.loads(man["schema"]))
     entries = _manifest_files(path, man)
     root = path.rstrip("/")
@@ -2729,11 +2741,34 @@ def delete_where(
     )
     dv_dir = os.path.join(root, dv_rel)
     deleted = sum(counts.values())
-    if not deleted:
+    if not deleted and txn is None:
         import shutil
 
         shutil.rmtree(dv_dir, ignore_errors=True)
         return {"deleted_rows": 0, "version": base_v, "mode": mode}
+    if not deleted:
+        # txn-marked zero-match delete: commit a data-less version so
+        # the app's high-water mark advances (the replay contract);
+        # entries carry unchanged
+        import shutil
+
+        shutil.rmtree(dv_dir, ignore_errors=True)
+        new_v = _rebase_commit(
+            path, new_v, base_v, man,
+            fields_fn=lambda: {
+                "schema": man["schema"],
+                **_constraint_fields(man),
+                **_generated_fields(man),
+                **_colmap_fields(man),
+            },
+            op_fields=_op_fields("DELETE", {"deleted_rows": 0,
+                                            "mode": mode}),
+            stats_cols=stats_cols,
+            txn=txn,
+            removed=set(), updated={}, added=[],
+            appends_ok=True,
+        )
+        return {"deleted_rows": 0, "version": new_v, "mode": mode}
 
     updated_entries: dict[str, dict] = {}
     removed_files: set[str] = set()
@@ -2786,7 +2821,7 @@ def delete_where(
         op_fields=_op_fields("DELETE", {"deleted_rows": deleted,
                                         "mode": mode}),
         stats_cols=stats_cols,
-        txn=None,
+        txn=txn,
         removed=removed_files,
         updated=updated_entries,
         added=new_files,
@@ -2803,9 +2838,16 @@ def update_where(
     predicate,
     assignments: dict[str, object],
     mode: str = "mor",
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """SQL ``UPDATE table SET col = expr, ... WHERE predicate`` as a
     new version.
+
+    ``txn=(app_id, version)`` is the idempotent-writer mark: a
+    replayed update at or below the app's high-water mark SKIPS —
+    essential because relative assignments (``v = v + 1``) are not
+    content-idempotent, so a restarted foreachBatch job would
+    double-apply without it.
 
     ``assignments`` maps column names to SQL strings or Columns,
     evaluated against the matching row (so ``{"v": "v + 1"}`` is the
@@ -2828,6 +2870,11 @@ def update_where(
         raise ValueError(f"update_where: {path} is not a snapshot table")
     base_v = vs[-1]
     man = _read_manifest(path, base_v)
+    if txn is not None:
+        seen = man.get("txn", {}).get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= int(seen):
+            return {"updated_rows": 0, "version": base_v,
+                    "mode": mode, "skipped": True}
     schema = StructType.fromJson(json.loads(man["schema"]))
     tcols = {f.name for f in schema.fields}
     bad = [c for c in assignments if c not in tcols]
@@ -2858,11 +2905,31 @@ def update_where(
     )
     dv_dir = os.path.join(root, dv_rel)
     n_updated = sum(counts.values())
-    if not n_updated:
+    if not n_updated and txn is None:
         import shutil
 
         shutil.rmtree(dv_dir, ignore_errors=True)
         return {"updated_rows": 0, "version": base_v, "mode": mode}
+    if not n_updated:
+        import shutil
+
+        shutil.rmtree(dv_dir, ignore_errors=True)
+        new_v = _rebase_commit(
+            path, new_v, base_v, man,
+            fields_fn=lambda: {
+                "schema": man["schema"],
+                **_constraint_fields(man),
+                **_generated_fields(man),
+                **_colmap_fields(man),
+            },
+            op_fields=_op_fields("UPDATE", {"updated_rows": 0,
+                                            "mode": mode}),
+            stats_cols=stats_cols,
+            txn=txn,
+            removed=set(), updated={}, added=[],
+            appends_ok=True,
+        )
+        return {"updated_rows": 0, "version": new_v, "mode": mode}
 
     upd = matched.drop("__file", "__pos")
     for c, expr in assignments.items():
@@ -2934,7 +3001,7 @@ def update_where(
         op_fields=_op_fields("UPDATE", {"updated_rows": n_updated,
                                         "mode": mode}),
         stats_cols=stats_cols,
-        txn=None,
+        txn=txn,
         removed=removed_files,
         updated=updated_entries,
         added=new_files,

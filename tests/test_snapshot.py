@@ -2805,3 +2805,35 @@ def test_empty_merge_source_rebases_over_concurrent_append(
     assert res["version"] == 2            # rebased past the appender
     assert sn.last_txn_version(path, "es") == 5
     assert sn.snapshot_read(spark, path).count() == 60
+
+
+def test_delete_update_txn_marks_make_replays_noop(spark, tmp_path):
+    """Idempotent-writer marks on DELETE/UPDATE (Delta txnAppId/
+    txnVersion): a replayed relative update must not double-apply; a
+    zero-match txn delete still advances the app's high-water mark so
+    the replay contract holds."""
+    path = str(tmp_path / "txn_du")
+    df = spark.range(20).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    sn.snapshot_create(spark, df, path, ["k"])
+    r1 = sn.update_where(spark, path, "k < 5", {"v": "v + 1"},
+                         mode="mor", txn=("job", 1))
+    assert r1["updated_rows"] == 5
+    # replay: must skip, not re-increment
+    r2 = sn.update_where(spark, path, "k < 5", {"v": "v + 1"},
+                         mode="mor", txn=("job", 1))
+    assert r2.get("skipped")
+    vals = {r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()}
+    assert all(vals[k] == 1 for k in range(5))
+    # zero-match delete WITH txn advances the mark (commits a version)
+    r3 = sn.delete_where(spark, path, "k > 1000", mode="mor",
+                         txn=("job", 2))
+    assert r3["deleted_rows"] == 0 and not r3.get("skipped")
+    assert sn.last_txn_version(path, "job") == 2
+    # and its replay skips without a new version
+    v = sn.current_version(path)
+    r4 = sn.delete_where(spark, path, "k > 1000", mode="mor",
+                         txn=("job", 2))
+    assert r4.get("skipped") and sn.current_version(path) == v
+    # untxn'd zero-match still commits nothing (old contract intact)
+    r5 = sn.delete_where(spark, path, "k > 1000", mode="mor")
+    assert sn.current_version(path) == v and r5["deleted_rows"] == 0
