@@ -504,24 +504,10 @@ def _mint_dv(
     zero path. Both counts come from the WRITTEN sidecar, so the
     manifest can never disagree with the bytes on disk.
     """
-    import shutil
     from pyspark.sql import Window
 
     dv_rel = os.path.join(_DELETES_DIR, f"d{new_v:05d}-{uuid.uuid4().hex[:8]}")
     dv_dir = os.path.join(root, dv_rel)
-    # stage the raw hit positions first (hits may be expensive to
-    # recompute — same discipline as before), then run-encode into the
-    # final sidecar and drop the staging dir
-    # no leading dot: Spark reads dot-dirs passed directly but logs a
-    # scary "All paths were ignored" WARN; a crash-leftover stage dir
-    # is unreferenced by every manifest, so vacuum's normal DV sweep
-    # reclaims it by age like any dead sidecar
-    tmp_rel = os.path.join(_DELETES_DIR, f"stage-{uuid.uuid4().hex[:8]}")
-    tmp_dir = os.path.join(root, tmp_rel)
-    hits.write.mode("error").parquet(tmp_dir)
-    staged = spark.read.schema(
-        "file string, row_index long"
-    ).parquet(tmp_dir)
     prior_rows = (
         {
             e["file"]: int(e.get("dv_rows") or 0)
@@ -533,7 +519,27 @@ def _mint_dv(
         # into it would be pure wasted IO
         if carry else {}
     )
+    # round-12 perf fix: the old path ALWAYS staged raw hits to a
+    # scratch parquet dir and read them back before run-encoding —
+    # ~0.5 s of fixed write+readback cost on EVERY DML commit (the r11
+    # bench regression on s25/s26/s37/str13). Hits are consumed ONCE
+    # when no entry carries a prior DV (the common fresh-table /
+    # post-OPTIMIZE case): encode straight into the final sidecar, no
+    # staging. Only when prior refs exist — hits feed BOTH the
+    # touched-file probe and the position union, and recomputing a
+    # MERGE's join twice would cost more than the staging round trip
+    # (persist() was measured slower: the broadcast probe job
+    # re-evaluates the join before the cache lands) — do the positions
+    # stage through disk. A crash-leftover stage dir is unreferenced
+    # by every manifest; vacuum's DV sweep reclaims it by age.
+    staged, tmp_dir = hits, None
     if prior_rows:
+        tmp_rel = os.path.join(_DELETES_DIR, f"stage-{uuid.uuid4().hex[:8]}")
+        tmp_dir = os.path.join(root, tmp_rel)
+        hits.write.mode("error").parquet(tmp_dir)
+        staged = spark.read.schema(
+            "file string, row_index long"
+        ).parquet(tmp_dir)
         # union the touched files' existing dead positions (touched
         # set read back from disk — no hits recompute)
         touched = staged.select("file").distinct()
@@ -590,7 +596,10 @@ def _mint_dv(
         ).cast("long").alias("run_len"),
     )
     runs.write.mode("error").parquet(dv_dir)
-    shutil.rmtree(tmp_dir, ignore_errors=True)
+    if tmp_dir is not None:
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     totals = {
         r["file"]: int(r["cnt"])
         for r in spark.read.schema(_dv_schema()).parquet(dv_dir)
@@ -1157,6 +1166,7 @@ def _check_rebase_safe(
     updated: dict[str, dict],
     appends_ok: bool,
     key_bounds: dict[str, tuple] | None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Delta's logical conflict detection (WriteSerializable), ported:
     a losing writer may rebase onto the winner's manifest ONLY if
@@ -1193,6 +1203,24 @@ def _check_rebase_safe(
                 f"snapshot commit conflict (MetadataChanged): table "
                 f"{k!r} of {path} changed concurrently — re-read and "
                 "re-run"
+            )
+    if txn is not None:
+        # an idempotent writer (app_id, ver) racing ITSELF: if the
+        # winner moved this app's high-water mark, the loser is a
+        # zombie retry of some batch — rebasing would either regress
+        # the mark (ver < winner's: a later replay of the newer batch
+        # re-applies it, breaking exactly-once) or double-apply a
+        # batch the winner may already carry. Delta raises
+        # ConcurrentTransactionException here; so do we (round-11
+        # advice).
+        app = str(txn[0])
+        if (base_man.get("txn", {}).get(app)
+                != latest_man.get("txn", {}).get(app)):
+            raise RuntimeError(
+                "snapshot commit conflict (ConcurrentTransaction): "
+                f"app {app!r} committed to {path} concurrently — the "
+                "idempotent-writer high-water mark moved; re-read the "
+                "table and re-check last_txn_version before retrying"
             )
     def _esig(e: dict | None):
         # semantic identity of a file entry: the fields a concurrent
@@ -1320,7 +1348,7 @@ def _rebase_commit(
             latest_man = _read_manifest(path, latest_v)
             _check_rebase_safe(
                 path, base_man, latest_man, removed, updated,
-                appends_ok, key_bounds,
+                appends_ok, key_bounds, txn,
             )
             # the failed attempt may have minted row-tracking base ids
             # against the stale hwm — strip so they re-mint above the
@@ -1428,7 +1456,14 @@ def _txn_fields(man: dict | None, txn: tuple[str, int] | None) -> dict:
     cur = dict((man or {}).get("txn", {}))
     if txn is not None:
         app, ver = txn
-        cur[str(app)] = int(ver)
+        # never regress: a rebase onto a manifest whose mark for this
+        # app is already HIGHER (a concurrent same-app commit that
+        # _check_rebase_safe should have caught — belt and braces)
+        # keeps the winner's mark, so a later replay of the newer
+        # batch still skips (round-11 advice: exactly-once contract)
+        prev = cur.get(str(app))
+        cur[str(app)] = max(int(ver), int(prev)) if prev is not None \
+            else int(ver)
     return {"txn": cur} if cur else {}
 
 

@@ -2497,6 +2497,49 @@ def test_rebase_refuses_concurrent_metadata_change(
         sn.merge_into(spark, path, src, on=["k"])
 
 
+def test_rebase_refuses_concurrent_same_app_txn(
+    spark, tmp_path, monkeypatch
+):
+    """A zombie retry of an OLD batch (txn ver 5) racing the live
+    job's NEWER batch (ver 7) on key-disjoint files: the rebase would
+    succeed on file conflicts alone, but merging its txn mark would
+    regress the app's high-water mark and a later replay of batch 7
+    would double-apply. Delta raises ConcurrentTransactionException;
+    so must we (round-11 advice)."""
+    path = str(tmp_path / "rb7")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    sn.snapshot_create(
+        spark, base.repartitionByRange(4, "k"), path, ["k"]
+    )
+    winner_src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(7).alias("v")
+    )
+    zombie_src = spark.range(950, 1000).select(
+        F.col("id").alias("k"), F.lit(5).alias("v")
+    )
+    _race(monkeypatch, lambda: sn.merge_into(
+        spark, path, winner_src, on=["k"], txn=("app", 7)
+    ))
+    with pytest.raises(RuntimeError, match="ConcurrentTransaction"):
+        sn.merge_into(spark, path, zombie_src, on=["k"], txn=("app", 5))
+    # the mark never regressed: batch 7 still skips on replay
+    assert sn.last_txn_version(path, "app") == 7
+
+
+def test_txn_mark_never_regresses():
+    """_txn_fields belt-and-braces: a manifest already carrying a
+    HIGHER mark for the app keeps it (max), so even a path that
+    misses the ConcurrentTransaction check cannot break exactly-once."""
+    man = {"txn": {"app": 7, "other": 3}}
+    out = sn._txn_fields(man, ("app", 5))
+    assert out["txn"]["app"] == 7
+    assert out["txn"]["other"] == 3
+    out = sn._txn_fields(man, ("app", 9))
+    assert out["txn"]["app"] == 9
+
+
 def test_cdf_on_row_ids_keyless_and_compaction_invariant(
     spark, tmp_path
 ):
