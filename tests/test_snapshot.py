@@ -2723,6 +2723,103 @@ def test_refresh_rollup_matches_full_recompute(spark, tmp_path):
     assert r2["groups_changed"] == 0 and sn.current_version(mv) == v
 
 
+def test_refresh_rollup_minmax_avg_matches_full_recompute(
+    spark, tmp_path
+):
+    """Non-subtractable aggregates (round 12): min/max maintained via
+    insert-folding + at-risk-group recompute, avg via exact integer
+    companions — the MV equals a from-scratch GROUP BY after
+    extreme-removing deletes, spectator deletes, and a group that both
+    appears and shrinks inside one refresh window."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base = str(tmp_path / "fact3")
+    mv = str(tmp_path / "mv3")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"),
+        (F.col("id") * 10).alias("cents"),
+    )
+    sn.snapshot_create(spark, df.repartition(2), base, ["k"],
+                       row_tracking=True)
+    kw = dict(
+        sums={"sum_cents": "cents"},
+        mins={"min_cents": "cents"}, maxs={"max_cents": "cents"},
+        avgs={"avg_cents": "cents"},
+    )
+    r0 = mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
+    assert r0["created"]
+
+    def check():
+        got = {
+            r["g"]: (r["n_rows"], r["sum_cents"], r["min_cents"],
+                     r["max_cents"], r["avg_cents"])
+            for r in mvmod.read_rollup(spark, mv).collect()
+        }
+        want = {
+            r["g"]: (r["n"], r["s"], r["lo"], r["hi"], r["a"])
+            for r in sn.snapshot_read(spark, base)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("s"),
+                 F.min("cents").cast("long").alias("lo"),
+                 F.max("cents").cast("long").alias("hi"),
+                 (F.sum("cents").cast("double")
+                  / F.count("cents")).alias("a"))
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    check()
+    # delete the MAX of group 0 (k=96: cents 960 is g0's max) -> at
+    # risk, must recompute; delete a SPECTATOR of group 1 (k=49,
+    # cents 490 is strictly inside g1's envelope) -> no recompute
+    # needed for correctness; delete the MIN of group 2 (k=2)
+    sn.delete_where(spark, base, "k in (96, 49, 2)", mode="mor")
+    # a brand-new group that appears AND shrinks inside the window:
+    # insert three rows in g=77, then delete the smallest
+    sn.merge_into(
+        spark, base,
+        spark.createDataFrame(
+            [(901, 77, 5), (902, 77, 50), (903, 77, 500)],
+            "k long, g long, cents long",
+        ),
+        on=["k"],
+    )
+    sn.delete_where(spark, base, "k = 901", mode="mor")
+    r1 = mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
+    assert not r1["created"] and r1["groups_changed"] > 0
+    # g0 (max removed) and g2 (min removed) recompute; g1's spectator
+    # delete must NOT have forced one. g77 (new+shrunk) recomputes
+    # ONLY if the CDF reports its mid-window delete — snapshot_changes
+    # is endpoint-folded, so the dead insert usually nets out and the
+    # insert-fold is already exact (3 would mean an unfolded CDF,
+    # equally correct).
+    assert r1["groups_recomputed"] in (2, 3)
+    check()
+    # pure inserts fold in WITHOUT recompute (least/greatest path)
+    sn.merge_into(
+        spark, base,
+        spark.createDataFrame(
+            [(910, 1, -100), (911, 1, 99999)], "k long, g long, cents long"
+        ),
+        on=["k"],
+    )
+    r2 = mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
+    assert r2["groups_recomputed"] == 0
+    check()
+    # NULL-valued delete is never at risk (min/max skip NULLs)
+    sn.merge_into(
+        spark, base,
+        spark.createDataFrame([(912, 1, None)], "k long, g long, cents long"),
+        on=["k"],
+    )
+    mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
+    sn.delete_where(spark, base, "k = 912", mode="mor")
+    r3 = mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
+    assert r3["groups_recomputed"] == 0
+    check()
+
+
 def test_compact_where_scopes_the_victim_set(spark, tmp_path):
     """OPTIMIZE ... WHERE: only files whose stats intersect the range
     rewrite; out-of-scope small files carry untouched; answers are
