@@ -2820,6 +2820,70 @@ def test_refresh_rollup_minmax_avg_matches_full_recompute(
     check()
 
 
+def test_refresh_rollup_base_commit_lands_mid_refresh(
+    spark, tmp_path, monkeypatch
+):
+    """A base commit landing BETWEEN the refresh's current_version()
+    capture and its CDF read must not be half-applied or lost: the
+    refresh is pinned at the captured version (the late commit is
+    invisible to this refresh's delta AND excluded from its cursor),
+    and the NEXT refresh picks it up from the cursor. Verdict r11 ask
+    #5's pinned race."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base = str(tmp_path / "fact4")
+    mv = str(tmp_path / "mv4")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+        (F.col("id") * 10).alias("cents"),
+    )
+    sn.snapshot_create(spark, df.repartition(2), base, ["k"],
+                       row_tracking=True)
+    mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
+    # queue a visible change for the next refresh...
+    sn.delete_where(spark, base, "k < 10", mode="mor")
+    # ...and fire ANOTHER base commit exactly between current_version()
+    # and the CDF read of that refresh
+    orig_changes = mvmod.snap.snapshot_changes
+    fired = {"done": False}
+
+    def racing_changes(*a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            sn.merge_into(
+                spark, base,
+                spark.createDataFrame(
+                    [(900, 7, 7000)], "k long, g long, cents long"
+                ),
+                on=["k"],
+            )
+        return orig_changes(*a, **k)
+
+    monkeypatch.setattr(mvmod.snap, "snapshot_changes", racing_changes)
+    r1 = mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
+    monkeypatch.setattr(mvmod.snap, "snapshot_changes", orig_changes)
+    # the pinned refresh applied only the pre-race delete; the racing
+    # insert (g=7) is not yet visible...
+    assert sn.snapshot_read(spark, mv).where("g = 7").count() == 0
+    # ...and its version is ABOVE the stamped cursor, so the next
+    # refresh catches it exactly once
+    assert sn.last_txn_version(mv, "mv.rollup") == r1["base_version"]
+    r2 = mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
+    assert r2["groups_changed"] >= 1
+    got = {
+        r["g"]: (r["n_rows"], r["sum_cents"])
+        for r in mvmod.read_rollup(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in sn.snapshot_read(spark, base).groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("cents").cast("long").alias("s")).collect()
+    }
+    assert got == want, (got, want)
+    assert got[7] == (1, 7000)
+
+
 def test_compact_where_scopes_the_victim_set(spark, tmp_path):
     """OPTIMIZE ... WHERE: only files whose stats intersect the range
     rewrite; out-of-scope small files carry untouched; answers are

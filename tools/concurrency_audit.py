@@ -57,6 +57,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     path = os.path.join(tempfile.gettempdir(), "mdl_conc_audit")
     shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_mv", ignore_errors=True)
 
     n0 = writers * slice_keys
     base = spark.range(n0).select(
@@ -122,18 +123,50 @@ def main() -> int:
                     return
             time.sleep(2.0)
 
+    # MV refresh loop racing the storm (round-12 ask #5): group on v —
+    # every landed merge MOVES rows between groups, so each refresh's
+    # CDF window carries group churn, and min_k exercises the at-risk
+    # recompute path while base commits land mid-refresh
+    from aws_medallion_etl_spark import mv as mvmod
+
+    mv_path = path + "_mv"
+    mv_stats = {"refreshes": 0, "conflicts": 0}
+    stop_mv = threading.Event()
+    mv_kw = dict(group_cols=["v"], sums={"sum_k": "k"},
+                 mins={"min_k": "k"})
+
+    def mv_refresher() -> None:
+        while not stop_mv.is_set():
+            try:
+                mvmod.refresh_rollup(spark, path, mv_path, **mv_kw)
+                with lock:
+                    mv_stats["refreshes"] += 1
+            except RuntimeError as e:
+                if "commit conflict" in str(e):
+                    with lock:
+                        mv_stats["conflicts"] += 1
+                else:
+                    with lock:
+                        errors.append(f"mv: {e}")
+                    return
+            time.sleep(0.5)
+
     t0 = time.time()
     threads = [
         threading.Thread(target=writer, args=(w,)) for w in range(writers)
     ]
     opt = threading.Thread(target=optimizer)
+    mvt = threading.Thread(target=mv_refresher)
     opt.start()
+    mvt.start()
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     stop_optimize.set()
+    stop_mv.set()
     opt.join()
+    mvt.join()
     wall = round(time.time() - t0, 2)
 
     # ---- SAFETY verification against the serial model -------------------
@@ -167,6 +200,27 @@ def main() -> int:
         safety_errors.append("duplicate row ids")
     if any(final[k][1] != birth_ids[k] for k in birth_ids):
         safety_errors.append("a surviving row id changed")
+    # MV: one settle refresh after the storm, then the rollup must
+    # equal a from-scratch GROUP BY of the final base — a lost group,
+    # a double-applied window, or a stale min under mid-refresh base
+    # commits all diverge here
+    mvmod.refresh_rollup(spark, path, mv_path, **mv_kw)
+    got_mv = {
+        r["v"]: (r["n_rows"], r["sum_k"], r["min_k"])
+        for r in mvmod.read_rollup(spark, mv_path).collect()
+    }
+    want_mv = {
+        r["v"]: (r["n"], r["s"], r["lo"])
+        for r in sn.snapshot_read(spark, path).groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("k").cast("long").alias("s"),
+             F.min("k").cast("long").alias("lo")).collect()
+    }
+    mv_lost = sorted(
+        set(want_mv) ^ set(got_mv)
+    ) + [g for g in set(want_mv) & set(got_mv) if got_mv[g] != want_mv[g]]
+    if mv_lost:
+        safety_errors.append(f"mv groups diverged: {mv_lost[:5]}")
     liveness_ok = len(landed) == writers * merges_each and not errors
     ok = not safety_errors
 
@@ -180,6 +234,9 @@ def main() -> int:
         "optimize_commits": ops.count("OPTIMIZE"),
         "merges_landed": len(landed),
         "op_level_retries": dict(retries),
+        "mv_refreshes": mv_stats["refreshes"],
+        "mv_refresh_conflicts": mv_stats["conflicts"],
+        "mv_verified_zero_lost_groups": not mv_lost,
         "wall_s": wall,
         "verified_no_lost_updates": ok,
         "verified_liveness_all_landed": liveness_ok,
