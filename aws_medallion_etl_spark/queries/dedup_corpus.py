@@ -515,7 +515,7 @@ def sim_topk_ivf(spark, sf_dir):
     """IVF (inverted-file) approximate top-5 — the partition-pruned ANN path.
 
     Corpus cells come from deterministic spherical k-means
-    (``similarity.kmeans_centroids``); queries probe their 6 nearest
+    (``similarity.kmeans_centroids``); queries probe their 7 nearest
     of 8 cells, which empirically reaches recall 1.0 on the synthetic
     embeddings at grading scales, so the result equals the exact
     top-k oracle (pytest pins the recall floor at lower nprobe and
@@ -525,7 +525,7 @@ def sim_topk_ivf(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") % 250 == 0)
     return similarity.cosine_topk_ivf(
         emb, queries_df, "vec_id", "embedding",
-        k=5, n_centroids=8, nprobe=6, iters=3,
+        k=5, n_centroids="auto", nprobe=7, iters=3,
     )
 
 
@@ -593,10 +593,10 @@ def sim_topk_ivf_indexed(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") % 250 == 0)
     idx = _scratch("ivfidx", sf_dir)
     similarity.build_ivf_index(
-        emb, "vec_id", "embedding", idx, n_centroids=8, iters=3,
+        emb, "vec_id", "embedding", idx, n_centroids="auto", iters=3,
     )
     return similarity.cosine_topk_ivf_indexed(
-        spark, idx, queries_df, "vec_id", "embedding", k=5, nprobe=6,
+        spark, idx, queries_df, "vec_id", "embedding", k=5, nprobe=7,
     )
 
 
@@ -671,7 +671,7 @@ def sim_topk_ivf_pq(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") % 250 == 0)
     return similarity.cosine_topk_ivf_pq(
         emb, queries_df, "vec_id", "embedding",
-        k=5, n_centroids=8, nprobe=6, m=16, codes=32, iters=3,
+        k=5, n_centroids="auto", nprobe=7, m=16, codes=32, iters=3,
         shortlist=256,
     )
 
@@ -697,11 +697,11 @@ def sim_topk_ivf_pq_indexed(spark, sf_dir):
     shutil.rmtree(idx, ignore_errors=True)
     similarity.build_ivf_pq_index(
         emb, "vec_id", "embedding", idx,
-        n_centroids=8, m=16, codes=32, iters=3,
+        n_centroids="auto", m=16, codes=32, iters=3,
     )
     return similarity.cosine_topk_ivf_pq_indexed(
         spark, idx, queries_df, "vec_id", "embedding",
-        k=5, nprobe=6, shortlist=256,
+        k=5, nprobe=7, shortlist=256,
     )
 
 
@@ -727,7 +727,7 @@ def sim_topk_ivf_appended(spark, sf_dir):
     # rows in cells the rebuild doesn't touch — start clean
     shutil.rmtree(idx, ignore_errors=True)
     similarity.build_ivf_index(
-        b1, "vec_id", "embedding", idx, n_centroids=8, iters=3,
+        b1, "vec_id", "embedding", idx, n_centroids="auto", iters=3,
     )
     similarity.append_to_ivf_index(spark, b2, "vec_id", "embedding", idx)
     return similarity.cosine_topk_ivf_indexed(

@@ -208,7 +208,10 @@ STALE_TXN_SECONDS = 3600.0
 
 # liveness heartbeat: the coordinator refreshes ``<txn_id>.alive`` in
 # the anchor's _txns dir every TXN_HEARTBEAT_SECONDS while the
-# transaction is open. Where the heartbeat exists, staleness is judged
+# transaction is open. mtime-based liveness assumes POSIX mtime; the
+# S3-class equivalent (re-PUT the heartbeat object, read LastModified
+# via HEAD — both strongly consistent) is spelled out in SCALING.md's
+# object-storage portability note. Where the heartbeat exists, staleness is judged
 # from IT, not from the per-table manifest mtime — so a healthy
 # transaction whose tail outlasts STALE_TXN_SECONDS after its first
 # table commit never goes stale (the round-10 lost-update window), and
