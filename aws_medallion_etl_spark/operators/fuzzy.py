@@ -63,10 +63,32 @@ def shingles(
 DEFAULT_CANDIDATE_BUDGET = 50_000_000
 
 # observability: the last admission decision made by a pairwise-shingle
-# operator in this process — {"op", "predicted_pairs", "budget",
-# "auto_cap", "screened_pairs"} (auto_cap None = ran exact). Driver-side
-# bookkeeping only; tests and benches read it.
-last_admission: dict | None = None
+# operator — {"op", "predicted_pairs", "budget", "auto_cap",
+# "screened_pairs"} (auto_cap None = ran exact). Driver-side
+# bookkeeping only; tests and benches read it. Round 12: stored in a
+# ContextVar so two guarded jobs sharing one driver (separate threads
+# / asyncio tasks) each see THEIR OWN decision — the module attribute
+# ``fuzzy.last_admission`` still reads it (PEP 562 __getattr__ below),
+# and :func:`last_admission_decision` is the explicit accessor.
+import contextvars as _contextvars
+
+_LAST_ADMISSION: "_contextvars.ContextVar[dict | None]" = \
+    _contextvars.ContextVar("last_admission", default=None)
+
+
+def last_admission_decision() -> dict | None:
+    """The most recent admission decision made by a guarded pairwise
+    operator in THIS thread/context (None = no guarded op ran, or the
+    last one ran unguarded). Re-entrant: concurrent jobs in one driver
+    do not clobber each other's view."""
+    return _LAST_ADMISSION.get()
+
+
+def __getattr__(name: str):
+    # backward-compatible module attribute for existing readers
+    if name == "last_admission":
+        return _LAST_ADMISSION.get()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def _df_histogram(df_counts: DataFrame, pairs_col) -> list:
@@ -118,8 +140,7 @@ def _density_guard(
     clusters) — that needs MinHash-LSH banding, not exact pairing.
     """
     if candidate_budget is None:
-        global last_admission
-        last_admission = None
+        _LAST_ADMISSION.set(None)
         return sh
     if on_over_budget not in ("screen", "error"):
         raise ValueError(
@@ -144,15 +165,15 @@ def _admission_decision(
     """The driver-side decision shared by the self-join and cross-join
     guards: given the log2 df histogram, return None (under budget —
     run exact), a df cap (auto-screen), or raise. Records the decision
-    in :data:`last_admission`."""
-    global last_admission
+    in the per-context admission var (read it via
+    :func:`last_admission_decision` or ``fuzzy.last_admission``)."""
     predicted = int(sum(r["__pairs"] for r in hist))
     if predicted <= candidate_budget:
-        last_admission = {
+        _LAST_ADMISSION.set({
             "op": op, "predicted_pairs": predicted,
             "budget": candidate_budget, "auto_cap": None,
             "screened_pairs": predicted,
-        }
+        })
         return None
     lines = "; ".join(
         f"df [{2 ** int(r['__b'])},{2 ** (int(r['__b']) + 1) - 1}]: "
@@ -182,11 +203,11 @@ def _admission_decision(
             "stop-shingle screen cannot help; use minhash_lsh_pairs "
             "(banded candidates) or raise the budget."
         )
-    last_admission = {
+    _LAST_ADMISSION.set({
         "op": op, "predicted_pairs": predicted,
         "budget": candidate_budget, "auto_cap": cap,
         "screened_pairs": int(cum),
-    }
+    })
     return cap
 
 

@@ -1417,6 +1417,56 @@ def test_density_guard_under_budget_is_exact(spark):
     assert sorted(map(tuple, guarded)) == sorted(map(tuple, exact))
 
 
+def test_admission_decision_is_per_context(spark):
+    """Round-12 re-entrancy pin: two guarded jobs sharing one driver
+    (separate threads) each see THEIR OWN admission decision — the
+    second job's decision must not clobber the first thread's view
+    (the old module global was racy exactly here)."""
+    import threading
+
+    boiler = "all rights reserved by the example corporation"
+    heavy_rows = [
+        (i, f"{boiler} doc number {i} unique tail {i}") for i in range(40)
+    ] + [(100, "zebra quokka lemur wombat octopus narwhal pangolin"),
+         (101, "zebra quokka lemur wombat octopus narwhal axolotl")]
+    heavy = spark.createDataFrame(heavy_rows, ["doc_id", "text"])
+    light = spark.createDataFrame(
+        [(1, "the cat sat on the mat today"),
+         (2, "the cat sat on the mat today friends")],
+        ["doc_id", "text"],
+    )
+    ran = threading.Event()
+    seen_in_thread: dict = {}
+
+    def screened_job():
+        fuzzy.ngram_jaccard_pairs(
+            heavy, "doc_id", "text", n=3, threshold=0.5,
+            max_shingle_df=None, candidate_budget=300,
+        ).collect()
+        seen_in_thread["mid"] = dict(fuzzy.last_admission_decision())
+        ran.set()
+        # wait for the MAIN thread to run its own guarded job, then
+        # re-read: this thread's decision must be untouched
+        assert done.wait(60)
+        seen_in_thread["after"] = dict(fuzzy.last_admission_decision())
+
+    done = threading.Event()
+    t = threading.Thread(target=screened_job)
+    t.start()
+    assert ran.wait(60)
+    fuzzy.ngram_jaccard_pairs(
+        light, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=None
+    ).collect()
+    main_adm = fuzzy.last_admission_decision()
+    done.set()
+    t.join(60)
+    assert main_adm["auto_cap"] is None          # light corpus: exact
+    assert seen_in_thread["mid"]["auto_cap"] is not None   # screened
+    assert seen_in_thread["after"] == seen_in_thread["mid"]
+    # module attribute stays readable (PEP 562 back-compat)
+    assert fuzzy.last_admission == main_adm
+
+
 def test_density_guard_over_budget_auto_screens(spark):
     """Over budget, the guard auto-applies the smallest sufficient
     stop-shingle screen: ubiquitous boilerplate shingles are dropped,
