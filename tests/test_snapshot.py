@@ -2945,7 +2945,10 @@ def test_refresh_rollup_null_measures_and_crash_heal(
     def crashing(spark_, path_, pred_, mode="mor"):
         if path_ == mv:
             calls["n"] += 1
-            if calls["n"] == 2:           # the post-merge cleanup call
+            # the post-merge cleanup is the FIRST mv delete call now:
+            # both delete sites sit behind a phantom-probe guard
+            # (round 12), so the no-phantom self-heal never calls in
+            if calls["n"] == 1:
                 raise RuntimeError("simulated crash")
         return orig(spark_, path_, pred_, mode=mode)
 
