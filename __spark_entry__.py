@@ -62,43 +62,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history run FIRST — the harness records ~50 verdicts per round, so
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
-    first verdict. Round 11 head (exactly 50 uniques, sized to the
-    ~50-verdict rotation budget): the ten queries with NO driver
-    verdict yet (registered after the round-10 tranche ran), then 40
-    of the 50 queries whose latest driver green is round 7 — the
-    freshness ladder (VERDICT r10 "Next round" #1). The ten r7
-    stragglers displaced by the new queries lead the r12 ladder.
-    Everything behind the head has a verdict from r8-r10.
+    first verdict. Round 12 head (exactly 50 uniques, sized to the
+    ~50-verdict rotation budget): the two queries registered this
+    round (s43, str14) and the five IVF queries whose RESULTS changed
+    this round (n_centroids="auto" + hash-spread k-means init +
+    nprobe 7 — all re-contracted against the exact oracle locally),
+    then the ten r7 stragglers displaced by the r11 tranche, then 34
+    of the 49 queries whose latest driver green is round 8. The 15
+    r8-verdict queries left over lead the r13 ladder. Everything
+    behind the head has a verdict from r9-r11.
     """
     first = [
-        # no driver verdict yet (registered after the r10 tranche)
-        "s37_convert_in_place", "corpus_trim_dup_spans",
-        "s38_deep_clone", "s39_insert_overwrite",
-        "corpus_dsir_select", "s40_row_tracking", "s41_replace_where",
-        "s42_incremental_mv", "mm_decode_pixels", "mm_decode_audio",
-        # 40 of the 50 queries whose latest green is round 7
-        "a10_rollup_status_year", "a11_pivot_status_by_year",
-        "a12_percentiles", "a7_exact_dedup", "a9_share_of_total",
-        "c1_circuit_breaker_stats", "corpus_bm25",
-        "corpus_contamination_report", "corpus_decontaminate",
-        "corpus_mix_sources_tokens", "corpus_pack_greedy",
-        "corpus_split_leakage_safe", "dedup_incremental_lsh_appended",
-        "dedup_simhash_rotations", "dim_date_calendar",
-        "dq_dataset_fingerprint", "dq_mad_outliers", "f_array_funcs",
-        "f_boolean_parse", "f_date_funcs", "f_math_funcs",
-        "f_string_funcs", "f_url_funcs", "j1_enrich_left_defaults",
-        "j2_referential_semi", "j3_orphans_anti", "j4_fk_resolve_fallback",
-        "j5_scd2_apply_changes", "j6_joinback_aggregate",
-        "j7_scalar_stats_zscore", "o2_rank_multikey",
-        "o3_diagnostics_sample", "p5_validation_reject_reasons",
-        "p6_validation_split_rejects", "p_projection_family",
-        "s11_jdbc_publish_roundtrip", "s12_sql_endpoint",
-        "s14_bucketed_join", "s16_file_skipping_scan", "s17_zorder_scan",
-        # r7 stragglers displaced into the r12 ladder:
-        # s8_provenance_by_file, sim_topk_bruteforce, sim_topk_ivf_appended, sketch_heavy_hitters,
-        # str10_stream_pack, str4_stream_dedup, str5_stream_static_join,
-        # str6_stream_stream_join, str7_stream_jsonl_ingest,
-        # t_unigram_logprob
+        # registered this round — no driver verdict yet
+        "s43_mv_minmax_avg", "str14_stream_mv_refresh",
+        # results changed this round (auto centroids / init / nprobe)
+        "sim_topk_ivf", "sim_topk_ivf_pq", "sim_topk_ivf_indexed",
+        "sim_topk_ivf_pq_indexed", "sim_topk_ivf_appended",
+        # the ten r7 stragglers (sim_topk_ivf_appended above is one)
+        "s8_provenance_by_file", "sim_topk_bruteforce",
+        "sketch_heavy_hitters", "str10_stream_pack",
+        "str4_stream_dedup", "str5_stream_static_join",
+        "str6_stream_stream_join", "str7_stream_jsonl_ingest",
+        "t_unigram_logprob",
+        # 34 of the 49 queries whose latest green is round 8
+        "a13_grouping_sets", "a8_dq_null_stats",
+        "corpus_cluster_representatives", "corpus_hash_split",
+        "corpus_mix_sources", "corpus_pack_greedy_subword",
+        "corpus_pack_sequences", "corpus_prepare_shards",
+        "corpus_redact_pii", "corpus_source_cap",
+        "corpus_stratified_sample", "corpus_tfidf_top_terms",
+        "corpus_vocab_topk", "dedup_clusters",
+        "dedup_embedding_cosine", "dedup_exact_docs",
+        "dedup_incremental", "dedup_incremental_lsh",
+        "dedup_levenshtein_names", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "dq_profile_orders",
+        "e2e_medallion_gold", "emb_quantize_int8", "f_json_extract",
+        "fact_tag_usage_daily", "j10_upsert_snapshot",
+        "j11_salted_skew_join", "j12_snapshot_diff",
+        "j8_asof_prior_event", "j9_range_join_price_bands",
+        "mm_binary_features", "mm_frame_sampling",
+        # r8 queries deferred to the r13 ladder: s13_sql_subqueries,
+        # s23_merge_snapshot, t_document_filter, t_fingerprint,
+        # t_lang_id, t_quality_score, t_subword_tokens,
+        # tags_explode_normalize, u2_unknown_row, u3_union_all_report,
+        # w1_dedup_keep_newest, w1b_dedup_max_by, w4_hash_sk_distinct,
+        # w5_yoy_growth
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"

@@ -938,6 +938,104 @@ def str11_stream_merge_snapshot(spark, sf_dir):
     )
 
 
+_STR14_MV_SQL = """
+    WITH feed AS (
+        SELECT event_id, user_id, event_type FROM events
+        WHERE user_id % 2 = 0
+    ),
+    latest AS (
+        SELECT user_id, max(event_id) AS event_id
+        FROM feed GROUP BY user_id
+    ),
+    state AS (
+        SELECT e.event_type, e.user_id, e.event_id
+        FROM feed e
+        JOIN latest l
+          ON e.user_id = l.user_id AND e.event_id = l.event_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(min(event_id) AS BIGINT) AS min_event,
+           CAST(max(event_id) AS BIGINT) AS max_event
+    FROM state GROUP BY event_type
+"""
+
+
+@query("str14_stream_mv_refresh", _STR14_MV_SQL)
+def str14_stream_mv_refresh(spark, sf_dir):
+    """Streaming CDC upsert + per-micro-batch INCREMENTAL MV refresh
+    (round 12: ``stream_merge_snapshot(post_batch=...)`` composing
+    with ``mv.refresh_rollup``) — the full Delta pattern: a
+    foreachBatch MERGE lands each batch in a row-tracked snapshot
+    table, and the maintenance callback refreshes a per-event-type
+    rollup FROM THE ROW-ID CDF of the commits since its cursor — on a
+    realistic maintenance CADENCE (every second batch; the final
+    batch refreshes, so the settled MV is complete), not per-commit. Every
+    upsert that changes a user's latest event_type MOVES a row between
+    MV groups (decrement old / increment new), and the min/max columns
+    ride the at-risk recompute path when a group's stored extreme is
+    superseded. Both halves are exactly-once (batch id as the base's
+    txn mark; base version as the MV's cursor). The oracle recomputes
+    the rollup from scratch over the latest-event-per-user state, so
+    a double-applied batch, a missed group move, or a stale extreme
+    shifts the per-type columns.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from aws_medallion_etl_spark import mv as mvmod
+    from aws_medallion_etl_spark import streaming as stx
+
+    feed = _t(spark, sf_dir, "events").where(
+        F.col("user_id") % 2 == 0
+    ).select("event_id", "user_id", "event_type")
+    src_dir = _scratch("str14src", sf_dir)
+    tbl = _scratch("str14tbl", sf_dir)
+    mv_p = _scratch("str14mv", sf_dir)
+    for d in (src_dir, tbl, mv_p):
+        if _os.path.exists(d):
+            _shutil.rmtree(d)
+    _os.makedirs(src_dir, exist_ok=True)
+    hi = feed.agg(F.max("event_id")).collect()[0][0] + 1  # 1-row scalar
+    step = (hi + 3) // 4
+    for i in range(4):
+        tmp = f"{src_dir}/_tmp{i}"
+        (feed.where(
+            (F.col("event_id") >= i * step)
+            & (F.col("event_id") < (i + 1) * step))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{i}.parquet"
+        _shutil.copyfile(part, dst)
+        _os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        _shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def refresh(sp, batch_id):
+        if batch_id % 2 == 0:             # maintenance cadence
+            return
+        mvmod.refresh_rollup(
+            sp, tbl, mv_p, ["event_type"], {"sum_user": "user_id"},
+            mins={"min_event": "event_id"},
+            maxs={"max_event": "event_id"},
+        )
+
+    q = stx.stream_merge_snapshot(
+        stream, tbl, on=["user_id"], order_col="event_id",
+        row_tracking=True, post_batch=refresh,
+    )
+    q.awaitTermination()
+    return mvmod.read_rollup(spark, mv_p).select(
+        "event_type", "n_rows", "sum_user", "min_event", "max_event"
+    )
+
+
 _J15_LINKAGE_SQL = """
     WITH a AS (
         SELECT c_custkey AS id, c_custkey // 4 AS blk,

@@ -336,6 +336,8 @@ def stream_merge_snapshot(
     stats_cols: list[str] | None = None,
     write_mode: str = "mor",
     app_id: str | None = None,
+    row_tracking: bool = False,
+    post_batch=None,
 ) -> object:
     """Exactly-once streaming UPSERT into a snapshot table — the
     Delta ``foreachBatch`` + MERGE CDC sink (STR11) on plain parquet.
@@ -362,6 +364,15 @@ def stream_merge_snapshot(
     Returns the started streaming query (caller awaits termination).
     The first batch creates the table. ``app_id`` defaults to the
     table path; set it when two independent streams feed one table.
+
+    ``row_tracking=True`` creates the table with durable row ids —
+    required when a downstream incremental consumer (the row-id CDF,
+    :func:`mv.refresh_rollup`) follows the table. ``post_batch(spark,
+    batch_id)`` (round 12) runs AFTER each batch's commit (including
+    a replay-skipped one): the per-micro-batch maintenance slot —
+    e.g. an incremental MV refresh, whose own txn cursor keeps it
+    exactly-once, so a crash between the merge and the callback heals
+    on the replayed batch.
     """
     from pyspark.sql import Window
 
@@ -380,13 +391,15 @@ def stream_merge_snapshot(
         if not snap.snapshot_versions(path):
             snap.snapshot_create(
                 spark, newest, path, stats_cols=stats_cols or list(on),
-                txn=(app, batch_id),
+                txn=(app, batch_id), row_tracking=row_tracking,
             )
         else:
             snap.merge_into(
                 spark, path, newest, on=list(on), write_mode=write_mode,
                 txn=(app, batch_id),
             )
+        if post_batch is not None:
+            post_batch(spark, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_apply)

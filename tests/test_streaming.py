@@ -393,6 +393,81 @@ def test_stream_merge_snapshot_upserts_exactly_once(spark, tmp_path):
     assert got2[1] == "a3"
 
 
+def test_stream_merge_post_batch_mv_crash_heals(spark, tmp_path):
+    """Round-12 composition: stream_merge_snapshot(post_batch=MV
+    refresh) — a crash AFTER a batch's merge but INSIDE the callback
+    heals on restart: the replayed batch skips the merge (txn mark)
+    but the callback runs again and the MV cursor catches up. Final
+    rollup equals a from-scratch GROUP BY."""
+    from aws_medallion_etl_spark import mv as mvmod
+    from aws_medallion_etl_spark import snapshot as sn
+
+    path = str(tmp_path / "pb_in")
+    tbl = str(tmp_path / "pb_tbl")
+    mv_p = str(tmp_path / "pb_mv")
+    schema = "seq long, k long, g long, cents long"
+    spark.createDataFrame(
+        [(1, 1, 10, 100), (2, 2, 10, 200), (3, 3, 20, 50)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        # k=1 moves group 10 -> 20 (MV group move); k=4 new group 30
+        [(4, 1, 20, 100), (5, 4, 30, 900)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    calls = {"n": 0}
+
+    def refresh(sp, _bid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated post_batch crash")
+        mvmod.refresh_rollup(
+            sp, tbl, mv_p, ["g"], {"sum_cents": "cents"},
+            mins={"min_cents": "cents"},
+        )
+
+    stream = streaming.stream_from_directory(
+        spark, path, spark.read.parquet(path).schema,
+        max_files_per_trigger=1,
+    )
+    q = streaming.stream_merge_snapshot(
+        stream, tbl, ["k"], "seq", row_tracking=True, post_batch=refresh,
+    )
+    with pytest.raises(Exception, match="simulated post_batch crash"):
+        q.awaitTermination()
+    # batch 1 merged but its refresh crashed: MV is stale at batch 0
+    assert sn.snapshot_read(spark, mv_p).where("g = 30").count() == 0
+
+    def refresh_ok(sp, _bid):
+        mvmod.refresh_rollup(
+            sp, tbl, mv_p, ["g"], {"sum_cents": "cents"},
+            mins={"min_cents": "cents"},
+        )
+
+    stream2 = streaming.stream_from_directory(
+        spark, path, spark.read.parquet(path).schema,
+        max_files_per_trigger=1,
+    )
+    q2 = streaming.stream_merge_snapshot(
+        stream2, tbl, ["k"], "seq", row_tracking=True,
+        post_batch=refresh_ok,
+    )
+    q2.awaitTermination()
+    got = {
+        r["g"]: (r["n_rows"], r["sum_cents"], r["min_cents"])
+        for r in mvmod.read_rollup(spark, mv_p).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"], r["lo"])
+        for r in sn.snapshot_read(spark, tbl).groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("cents").cast("long").alias("s"),
+             F.min("cents").cast("long").alias("lo")).collect()
+    }
+    assert got == want, (got, want)
+    assert got[20] == (2, 150, 50)       # the group move landed once
+    assert 10 not in got or got[10][0] > 0
+
+
 def test_txn_high_water_survives_compact_and_delete(spark, tmp_path):
     """A compaction or DELETE between stream batches must carry the
     txn map forward — dropping it would make the next replayed batch
