@@ -2820,6 +2820,86 @@ def test_refresh_rollup_minmax_avg_matches_full_recompute(
     check()
 
 
+def test_refresh_rollup_minmax_random_dml_sequences(spark, tmp_path):
+    """Property test (seeded, like the row-tracking one): under three
+    random 6-op DML sequences — inserts, value updates, group-moving
+    updates, deletes, OPTIMIZE — with a refresh after every op, the
+    min/max/avg rollup always equals a from-scratch GROUP BY. The
+    refresh runs every SECOND op plus a settle pass, so CDF windows
+    span multiple commits. Covers interleavings the hand-written
+    scenarios can't enumerate (e.g. a group emptied then re-created
+    across two refresh windows, an OPTIMIZE inside a window netting
+    to zero in the CDF)."""
+    import random
+
+    from aws_medallion_etl_spark import mv as mvmod
+
+    for seed in (7, 19, 42):
+        rng = random.Random(seed)
+        base = str(tmp_path / f"rfact{seed}")
+        mv = str(tmp_path / f"rmv{seed}")
+        df = spark.range(80).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+            ((F.col("id") * 13) % 997).alias("cents"),
+        )
+        sn.snapshot_create(spark, df.repartition(2), base, ["k"],
+                           row_tracking=True)
+        kw = dict(sums={"s": "cents"}, mins={"lo": "cents"},
+                  maxs={"hi": "cents"}, avgs={"a": "cents"})
+        mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
+        next_k = 1000
+        for step in range(6):
+            op = rng.choice(["ins", "upd", "move", "del", "opt"])
+            if op == "ins":
+                rows = [(next_k + i, rng.randrange(8),
+                         rng.randrange(-500, 1500)) for i in range(5)]
+                next_k += 5
+                sn.merge_into(
+                    spark, base,
+                    spark.createDataFrame(rows, "k long, g long, cents long"),
+                    on=["k"],
+                )
+            elif op == "upd":
+                m = rng.randrange(2, 7)
+                sn.update_where(
+                    spark, base, f"k % {m} = 1",
+                    {"cents": f"cents + {rng.randrange(-300, 300)}"},
+                    mode=rng.choice(["mor", "cow"]),
+                )
+            elif op == "move":
+                m = rng.randrange(3, 8)
+                sn.update_where(
+                    spark, base, f"k % {m} = 0",
+                    {"g": f"(g + {rng.randrange(1, 4)}) % 8"},
+                    mode="mor",
+                )
+            elif op == "del":
+                m = rng.randrange(2, 9)
+                sn.delete_where(spark, base, f"k % {m} = {m - 1}",
+                                mode=rng.choice(["mor", "cow"]))
+            else:
+                sn.compact(spark, base, small_file_rows=10**6)
+            if step % 2 == 1:
+                mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
+        mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)   # settle
+        got = {
+            r["g"]: (r["n_rows"], r["s"], r["lo"], r["hi"], r["a"])
+            for r in mvmod.read_rollup(spark, mv).collect()
+        }
+        want = {
+            r["g"]: (r["n"], r["s"], r["lo"], r["hi"], r["a"])
+            for r in sn.snapshot_read(spark, base).groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("s"),
+                 F.min("cents").cast("long").alias("lo"),
+                 F.max("cents").cast("long").alias("hi"),
+                 (F.sum("cents").cast("double") / F.count("cents"))
+                 .alias("a"))
+            .collect()
+        }
+        assert got == want, (seed, got, want)
+
+
 def test_refresh_rollup_base_commit_lands_mid_refresh(
     spark, tmp_path, monkeypatch
 ):
