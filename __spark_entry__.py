@@ -68,8 +68,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round (n_centroids="auto" + hash-spread k-means init +
     nprobe 7 — all re-contracted against the exact oracle locally),
     then the ten r7 stragglers displaced by the r11 tranche, then 34
-    of the 49 queries whose latest driver green is round 8. The 15
-    r8-verdict queries left over lead the r13 ladder. Everything
+    of the 49 queries whose latest driver green is round 8
+    (sim_topk_ivf, also r8, rides the changed-results group — 35 of
+    the 49 total). The 14 r8-verdict queries left over lead the r13
+    ladder. Everything
     behind the head has a verdict from r9-r11.
     """
     first = [

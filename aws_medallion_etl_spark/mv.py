@@ -47,7 +47,9 @@ gold rollups carry ``avg_*`` columns, ``Meta_Guideline.md:2947-2954``):
 Read contract: a refresh lands as a merge commit plus a separate
 zero-group MOR delete, so a reader between the two — or after a crash
 before the delete, until the next refresh's self-heal — can observe
-phantom groups with ``n_rows = 0`` (and NULL extremes). Consumers
+phantom groups with ``n_rows = 0`` (their other columns hold STALE
+last-known values — sums/extremes as of the emptying delta, not
+NULL). Consumers
 must filter ``n_rows > 0``; :func:`read_rollup` does exactly that.
 """
 

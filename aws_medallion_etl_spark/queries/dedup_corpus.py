@@ -515,11 +515,17 @@ def sim_topk_ivf(spark, sf_dir):
     """IVF (inverted-file) approximate top-5 — the partition-pruned ANN path.
 
     Corpus cells come from deterministic spherical k-means
-    (``similarity.kmeans_centroids``); queries probe their 7 nearest
-    of 8 cells, which empirically reaches recall 1.0 on the synthetic
-    embeddings at grading scales, so the result equals the exact
-    top-k oracle (pytest pins the recall floor at lower nprobe and
-    exact equality at nprobe = n_centroids).
+    (``similarity.kmeans_centroids``, ``n_centroids="auto"`` — at
+    grading scales (corpus <= 8 x cell_size) auto resolves to the
+    floor of 8 cells); probing 7 of those 8 empirically reaches
+    recall 1.0 on the synthetic embeddings at sf0.001/sf0.01, so the
+    result equals the exact top-k oracle THERE. Past the floor the
+    query is honestly approximate at fixed nprobe (RECALL_AUDIT
+    measures 0.93/0.72 organic/replicated at the 10x tier; the
+    pool-matched nprobe=15 row shows the knob) — the oracle contract
+    is scoped to grading scales, like every ANN family here (pytest
+    pins the recall floor at lower nprobe and exact equality at
+    nprobe = n_centroids).
     """
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 250 == 0)

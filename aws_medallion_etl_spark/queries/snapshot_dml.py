@@ -1559,9 +1559,12 @@ def s43_mv_minmax_avg(spark, sf_dir):
         F.lit("X").alias("o_orderstatus"),
     )
     snap.merge_into(spark, base, ins, on=["o_orderkey"])
-    rep = mvmod.refresh_rollup(spark, base, mv, ["o_orderstatus"], **kw)
-    # the scattered delete removes at least one group's stored extreme
-    assert rep["groups_recomputed"] > 0, "at-risk path must exercise"
+    mvmod.refresh_rollup(spark, base, mv, ["o_orderstatus"], **kw)
+    # the scattered delete removes stored extremes at every shipped
+    # tier (at-risk recompute fires); the path itself is pinned
+    # DETERMINISTICALLY by test_refresh_rollup_minmax_avg_matches_
+    # full_recompute — no data-dependent assert here, a regenerated
+    # dataset where no extreme happens to die must stay green
     return mvmod.read_rollup(spark, mv).select(
         "o_orderstatus", "n_rows", "sum_cents", "min_cents",
         "max_cents", "avg_cents",

@@ -799,6 +799,32 @@ def str9_stream_incremental_clusters(spark, sf_dir):
     ).select("doc_id", "cluster_id", "is_canonical")
 
 
+
+def _stage_ordered_batches(df, id_col: str, src_dir: str, n: int = 4):
+    """Stage ``df`` as ``n`` id-range parquet files with ascending
+    mtimes so a file-source stream delivers them oldest-first = id
+    order (bounded test-fixture staging shared by str10/str11/str14;
+    a production feed is already ordered by arrival). The caller has
+    already created an EMPTY ``src_dir``."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    hi = df.agg(F.max(id_col)).collect()[0][0] + 1  # 1-row scalar
+    step = (hi + n - 1) // n
+    for i in range(n):
+        tmp = f"{src_dir}/_tmp{i}"
+        (df.where(
+            (F.col(id_col) >= i * step)
+            & (F.col(id_col) < (i + 1) * step))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{i}.parquet"
+        _shutil.copyfile(part, dst)
+        _os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        _shutil.rmtree(tmp)
+
+
 @query("str10_stream_pack", _PACK_GREEDY_SQL)
 def str10_stream_pack(spark, sf_dir):
     """Streaming hard-cap greedy packing proven by oracle (STR10):
@@ -811,7 +837,6 @@ def str10_stream_pack(spark, sf_dir):
     recursive-CTE oracle as ``corpus_pack_greedy``. Any state leak
     (bin reset or double-count at a batch boundary) shifts every
     later bin id and breaks the hash."""
-    import glob as _glob
     import os as _os
     import shutil as _shutil
 
@@ -833,19 +858,7 @@ def str10_stream_pack(spark, sf_dir):
     # test-fixture staging; a production feed is already ordered
     # by arrival)
     _os.makedirs(src_dir, exist_ok=True)
-    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1  # 1-row scalar
-    step = (hi + 3) // 4
-    for i in range(4):
-        tmp = f"{src_dir}/_tmp{i}"
-        (docs.where(
-            (F.col("doc_id") >= i * step)
-            & (F.col("doc_id") < (i + 1) * step))
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
-        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{src_dir}/batch{i}.parquet"
-        _shutil.copyfile(part, dst)
-        _os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-        _shutil.rmtree(tmp)
+    _stage_ordered_batches(docs, "doc_id", src_dir)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -892,7 +905,6 @@ def str11_stream_merge_snapshot(spark, sf_dir):
     update, resurrected row, or keep-OLDEST slip shifts the
     per-type counts and BIGINT sums.
     """
-    import glob as _glob
     import os as _os
     import shutil as _shutil
 
@@ -908,19 +920,7 @@ def str11_stream_merge_snapshot(spark, sf_dir):
         if _os.path.exists(d):
             _shutil.rmtree(d)
     _os.makedirs(src_dir, exist_ok=True)
-    hi = feed.agg(F.max("event_id")).collect()[0][0] + 1  # 1-row scalar
-    step = (hi + 3) // 4
-    for i in range(4):
-        tmp = f"{src_dir}/_tmp{i}"
-        (feed.where(
-            (F.col("event_id") >= i * step)
-            & (F.col("event_id") < (i + 1) * step))
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
-        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{src_dir}/batch{i}.parquet"
-        _shutil.copyfile(part, dst)
-        _os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-        _shutil.rmtree(tmp)
+    _stage_ordered_batches(feed, "event_id", src_dir)
     stream = (
         spark.readStream.schema(feed.schema)
         .option("maxFilesPerTrigger", 1)
@@ -981,7 +981,6 @@ def str14_stream_mv_refresh(spark, sf_dir):
     a double-applied batch, a missed group move, or a stale extreme
     shifts the per-type columns.
     """
-    import glob as _glob
     import os as _os
     import shutil as _shutil
 
@@ -998,19 +997,7 @@ def str14_stream_mv_refresh(spark, sf_dir):
         if _os.path.exists(d):
             _shutil.rmtree(d)
     _os.makedirs(src_dir, exist_ok=True)
-    hi = feed.agg(F.max("event_id")).collect()[0][0] + 1  # 1-row scalar
-    step = (hi + 3) // 4
-    for i in range(4):
-        tmp = f"{src_dir}/_tmp{i}"
-        (feed.where(
-            (F.col("event_id") >= i * step)
-            & (F.col("event_id") < (i + 1) * step))
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
-        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{src_dir}/batch{i}.parquet"
-        _shutil.copyfile(part, dst)
-        _os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-        _shutil.rmtree(tmp)
+    _stage_ordered_batches(feed, "event_id", src_dir)
     stream = (
         spark.readStream.schema(feed.schema)
         .option("maxFilesPerTrigger", 1)

@@ -7,7 +7,7 @@ Each approximate family in the inventory claims a recall story
 machine-checkable record at sf0.1 AND the 10x stress tier:
 
 * ``sim_topk_lsh``   (4 planes x 24 tables)      vs brute-force top-5
-* ``sim_topk_ivf``   (auto cells, nprobe 6)      vs brute-force top-5
+* ``sim_topk_ivf``   (auto cells, nprobe 7)      vs brute-force top-5
 * ``sim_topk_ivf_pq``(auto cells, m=16, refine)   vs brute-force top-5
 * ``dedup_minhash_lsh`` (64 hashes, 16 bands)    vs exact n-gram Jaccard
 * ``dedup_simhash_rotations`` (sf0.1 only — the exact reference is the
