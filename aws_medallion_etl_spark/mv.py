@@ -136,6 +136,23 @@ def refresh_rollup(
     mins = dict(mins or {})
     maxs = dict(maxs or {})
     avgs = dict(avgs or {})
+    # output-name hygiene: every alias lands in ONE flat MV schema, and
+    # avgs additionally mint __sum_/__cnt_ companions — a duplicate or
+    # reserved alias would create an ambiguous/duplicated column at
+    # create time and silently corrupt merges after
+    out_names = (
+        [*sums] + [*mins] + [*maxs] + [*avgs]
+        + [f"__sum_{o}" for o in avgs] + [f"__cnt_{o}" for o in avgs]
+    )
+    dupes = {o for o in out_names if out_names.count(o) > 1}
+    reserved = ({"n_rows"} | set(group_cols)) & set(out_names)
+    if dupes or reserved:
+        raise ValueError(
+            "refresh_rollup: output aliases must be disjoint across "
+            f"sums/mins/maxs/avgs (+ avg companions) and must not shadow "
+            f"n_rows or a group column; duplicates={sorted(dupes)} "
+            f"reserved={sorted(reserved)}"
+        )
     base_v = snap.current_version(base_path)
     if base_v is None:
         raise ValueError(f"refresh_rollup: {base_path} is not a snapshot table")
@@ -356,3 +373,331 @@ def refresh_rollup(
     return {"mv_version": snap.current_version(mv_path),
             "base_version": base_v, "groups_changed": n_changed,
             "groups_recomputed": n_recompute, "created": False}
+
+
+# ---------------------------------------------------------------------------
+# Join-aggregate MVs: rollups over fact JOIN dim (round 13)
+# ---------------------------------------------------------------------------
+
+# one txn mark must carry TWO cursors (fact version, dim version)
+# atomically — they are packed lexicographically. Capacity: 1M dim
+# versions per table; both components only grow, so the packed mark is
+# monotone and _txn_fields' never-regress max() stays correct.
+_DIM_PACK = 1_000_000
+
+
+def _pack_cursor(fact_v: int, dim_v: int) -> int:
+    if dim_v >= _DIM_PACK:
+        raise ValueError(
+            f"refresh_join_rollup: dim version {dim_v} exceeds the "
+            f"packed-cursor capacity ({_DIM_PACK}) — rebuild the MV "
+            "with a fresh dim table"
+        )
+    return int(fact_v) * _DIM_PACK + int(dim_v)
+
+
+def _unpack_cursor(mark: int) -> tuple[int, int]:
+    return int(mark) // _DIM_PACK, int(mark) % _DIM_PACK
+
+
+def refresh_join_rollup(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    mv_path: str,
+    on: list[str],
+    group_cols: list[str],
+    sums: dict[str, str],
+    avgs: dict[str, str] | None = None,
+    app_id: str = "mv.join_rollup",
+    dim_churn_threshold: float = 0.2,
+    on_dim_churn: str = "recompute",
+) -> dict:
+    """Create or incrementally refresh a rollup MV over ``fact INNER
+    JOIN dim`` — the reference's gold shape, where facts aggregate
+    AFTER a dimension join (silver datasets joined to users before the
+    rollup, ``Meta_Guideline.md:2933-2954``; FK resolution precedes the
+    aggregate, ``:3110-3121``).
+
+    Semantics: ``SELECT group_cols, count(*) AS n_rows, <sums>, <avgs>
+    FROM fact JOIN dim USING (on) GROUP BY group_cols`` at the
+    (fact, dim) version pair captured at refresh start. ``group_cols``
+    may come from either side (typically dim attributes); measure
+    expressions are evaluated over the joined row. INNER join only —
+    the reference's own pattern guarantees a match via the SK=0 /
+    Unknown dim row, which makes inner and left coincide; give your
+    dim an Unknown row rather than asking for left-join maintenance.
+    Column names must be disjoint across fact and dim apart from
+    ``on`` (checked), and only subtractable aggregates are supported
+    (sums / counts / avgs-as-exact-companions — min/max over a join
+    would need the single-table at-risk machinery per dim churn too;
+    use :func:`refresh_rollup` on a denormalized base for that).
+
+    Incremental algebra (the classic joint view-maintenance
+    decomposition): with fact delta ``dF`` over the window and signed
+    dim delta ``dD`` (post/insert = +1, pre/delete = -1),
+
+        dV  =  dF |><| D_new   +   F_old |><| dD
+
+    * term 1 prices FACT churn: the CDF manifest diff excludes
+      untouched fact files, the (small) current dim broadcasts onto
+      the delta — cost tracks fact commit churn, never fact size;
+    * term 2 prices DIM churn: the OLD fact (version-pinned read,
+      stats-pruned to the churned keys' envelope) joins the signed
+      dim delta — an attribute update moves every joining fact row
+      from its old group (-) to its new group (+) in one pass; a dim
+      insert/delete adds/removes its fact rows from the aggregate
+      (inner-join semantics). Using F_old keeps the two terms
+      disjoint: window fact changes are term 1's alone.
+
+    Both terms union row-wise and aggregate in ONE keyed shuffle; the
+    merge tail (group-cardinality frame, zero-group MOR delete, n_rows
+    > 0 read contract) matches :func:`refresh_rollup`.
+
+    Dim-churn guard: when the window's churned dim keys exceed
+    ``dim_churn_threshold`` of the dim, term 2 approaches a full fact
+    scan — ``on_dim_churn="recompute"`` (default) switches to a full
+    recompute of the MV at the captured version pair (same commits,
+    same read contract; returns ``full_recompute=True``),
+    ``"error"`` refuses with the measured churn so a deployment can
+    schedule the rebuild instead.
+
+    Exactly-once: the (fact, dim) version pair rides the merge commit
+    as ONE packed txn mark; a replay sees both cursors current and
+    no-ops. Requires row tracking on the fact (row-id CDF) and a
+    unique ``on`` key in the dim (SCD1 lookup — enforced by the keyed
+    dim CDF).
+
+    Returns ``{"mv_version", "fact_version", "dim_version",
+    "groups_changed", "created", "full_recompute",
+    "dim_keys_churned"}``.
+    """
+    avgs = dict(avgs or {})
+    if on_dim_churn not in ("recompute", "error"):
+        raise ValueError(
+            "refresh_join_rollup: on_dim_churn must be 'recompute' or "
+            f"'error', got {on_dim_churn!r}"
+        )
+    out_names = [*sums] + [*avgs] + [f"__sum_{o}" for o in avgs] \
+        + [f"__cnt_{o}" for o in avgs]
+    dupes = {o for o in out_names if out_names.count(o) > 1}
+    reserved = ({"n_rows"} | set(group_cols)) & set(out_names)
+    if dupes or reserved:
+        raise ValueError(
+            "refresh_join_rollup: output aliases must be disjoint and "
+            f"must not shadow n_rows or a group column; "
+            f"duplicates={sorted(dupes)} reserved={sorted(reserved)}"
+        )
+    fact_v = snap.current_version(fact_path)
+    dim_v = snap.current_version(dim_path)
+    if fact_v is None or dim_v is None:
+        raise ValueError(
+            "refresh_join_rollup: fact and dim must be snapshot tables"
+        )
+
+    sub_cols = list(sums.items()) + [
+        (f"__sum_{out}", src) for out, src in avgs.items()
+    ]
+
+    def _joined(fv: int, dv: int) -> DataFrame:
+        f = snap.snapshot_read(spark, fact_path, version=fv)
+        d = snap.snapshot_read(spark, dim_path, version=dv)
+        overlap = (set(f.columns) & set(d.columns)) - set(on)
+        if overlap:
+            raise ValueError(
+                "refresh_join_rollup: fact and dim column names must "
+                f"be disjoint apart from the join key; both carry "
+                f"{sorted(overlap)}"
+            )
+        return f.join(F.broadcast(d), list(on))
+
+    def _full_agg(fv: int, dv: int) -> DataFrame:
+        full = _joined(fv, dv).groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            *[F.sum(F.expr(src)).cast("long").alias(o)
+              for o, src in sub_cols],
+            *[F.count(F.expr(src)).cast("long").alias(f"__cnt_{o}")
+              for o, src in avgs.items()],
+        )
+        return _with_avgs_join(full, avgs)
+
+    if snap.current_version(mv_path) is None:
+        v = snap.snapshot_create(
+            spark, _full_agg(fact_v, dim_v), mv_path,
+            stats_cols=list(group_cols),
+            txn=(app_id, _pack_cursor(fact_v, dim_v)),
+        )
+        return {"mv_version": v, "fact_version": fact_v,
+                "dim_version": dim_v, "groups_changed": -1,
+                "created": True, "full_recompute": False,
+                "dim_keys_churned": 0}
+
+    mark = snap.last_txn_version(mv_path, app_id)
+    if mark is None:
+        raise ValueError(
+            f"refresh_join_rollup: {mv_path} exists but carries no "
+            f"{app_id!r} cursor — it was not created by this refresher"
+        )
+    f0, d0 = _unpack_cursor(mark)
+    # self-heal phantom zero-groups before the cursor check (same
+    # crash-window contract as refresh_rollup)
+    if snap.snapshot_read(spark, mv_path).where("n_rows = 0") \
+            .limit(1).count():
+        snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
+    if f0 >= fact_v and d0 >= dim_v:
+        return {"mv_version": snap.current_version(mv_path),
+                "fact_version": fact_v, "dim_version": dim_v,
+                "groups_changed": 0, "created": False,
+                "full_recompute": False, "dim_keys_churned": 0}
+
+    dim_now = snap.snapshot_read(spark, dim_path, version=dim_v)
+
+    n_dim_churn = 0
+    dim_delta = None
+    if dim_v > d0:
+        dim_delta = snap.snapshot_changes(
+            spark, dim_path, key_cols=list(on), v_from=d0, v_to=dim_v
+        ).localCheckpoint(eager=False)  # consumed by count + join + bounds
+        n_dim_churn = dim_delta.select(*on).distinct().count()
+        dim_total = max(1, dim_now.count())
+        if n_dim_churn / dim_total > dim_churn_threshold:
+            if on_dim_churn == "error":
+                raise RuntimeError(
+                    f"refresh_join_rollup: {n_dim_churn} of {dim_total} "
+                    f"dim keys churned in the window (> threshold "
+                    f"{dim_churn_threshold}) — term-2 maintenance would "
+                    "approach a full fact scan; rebuild the MV or pass "
+                    "on_dim_churn='recompute'"
+                )
+            # full recompute at the captured pair: new aggregate merged
+            # over the MV; groups that vanished entirely surface as
+            # n_rows=0 rows so the standard zero-group delete (and the
+            # read contract) cleans them
+            full = _full_agg(fact_v, dim_v).localCheckpoint(eager=False)
+            gone = (
+                snap.snapshot_read(spark, mv_path)
+                .select(*group_cols)
+                .join(full.select(*group_cols), list(group_cols),
+                      "left_anti")
+                .select(
+                    *group_cols,
+                    F.lit(0).cast("long").alias("n_rows"),
+                    *[F.lit(0).cast("long").alias(o) for o, _ in sub_cols],
+                    *[F.lit(0).cast("long").alias(f"__cnt_{o}")
+                      for o in avgs],
+                )
+            )
+            merged = full.unionByName(
+                _with_avgs_join(gone, avgs)
+            ).localCheckpoint(eager=False)
+            n_changed = merged.count()
+            res = snap.merge_into(
+                spark, mv_path, merged, on=list(group_cols),
+                txn=(app_id, _pack_cursor(fact_v, dim_v)),
+            )
+            if not res.get("skipped") and merged.where(
+                    F.col("n_rows") == 0).limit(1).count():
+                snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
+            return {"mv_version": snap.current_version(mv_path),
+                    "fact_version": fact_v, "dim_version": dim_v,
+                    "groups_changed": n_changed, "created": False,
+                    "full_recompute": True,
+                    "dim_keys_churned": n_dim_churn}
+
+    sign_cols = [F.col(c) for c in group_cols]
+    parts = []
+    if fact_v > f0:
+        chg = snap.snapshot_changes(
+            spark, fact_path, v_from=f0, v_to=fact_v, row_ids=True
+        )
+        is_add = F.col("_change_type").isin("insert", "update_postimage")
+        parts.append(
+            chg.join(F.broadcast(dim_now), list(on)).select(
+                *sign_cols,
+                F.when(is_add, F.lit(1)).otherwise(F.lit(-1)).alias("__sign"),
+                *[F.expr(src).alias(f"__m_{o}") for o, src in sub_cols],
+                *[F.expr(src).isNotNull().cast("long").alias(f"__p_{o}")
+                  for o, src in avgs.items()],
+            )
+        )
+    if dim_delta is not None:
+        # stats-prune the old-fact read to the churned keys' envelope
+        # (file-granular; exact semantics restored by the join itself)
+        bounds_row = dim_delta.agg(
+            *[f for c in on for f in (
+                F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
+            )]
+        ).first()
+        prune = {c: (bounds_row[f"__lo_{c}"], bounds_row[f"__hi_{c}"])
+                 for c in on}
+        fact_old = snap.snapshot_read(
+            spark, fact_path, version=f0, prune=prune
+        )
+        d_add = F.col("_change_type").isin("insert", "update_postimage")
+        signed_dim = dim_delta.select(
+            *on,
+            *[c for c in dim_now.columns if c not in on],
+            F.when(d_add, F.lit(1)).otherwise(F.lit(-1)).alias("__sign"),
+        )
+        parts.append(
+            fact_old.join(F.broadcast(signed_dim), list(on)).select(
+                *sign_cols,
+                F.col("__sign"),
+                *[F.expr(src).alias(f"__m_{o}") for o, src in sub_cols],
+                *[F.expr(src).isNotNull().cast("long").alias(f"__p_{o}")
+                  for o, src in avgs.items()],
+            )
+        )
+
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    delta = u.groupBy(*group_cols).agg(
+        F.sum("__sign").cast("long").alias("__d_rows"),
+        *[F.sum(F.col("__sign") * F.col(f"__m_{o}")).cast("long")
+          .alias(f"__d_{o}") for o, _ in sub_cols],
+        *[F.sum(F.col("__sign") * F.col(f"__p_{o}")).cast("long")
+          .alias(f"__d_cnt_{o}") for o in avgs],
+    )
+    mv = snap.snapshot_read(spark, mv_path)
+    merged = delta.join(mv, list(group_cols), "left").select(
+        *group_cols,
+        (F.coalesce("n_rows", F.lit(0)) + F.col("__d_rows"))
+        .cast("long").alias("n_rows"),
+        *[
+            (F.coalesce(o, F.lit(0))
+             + F.coalesce(F.col(f"__d_{o}"), F.lit(0)))
+            .cast("long").alias(o)
+            for o, _ in sub_cols
+        ],
+        *[
+            (F.coalesce(f"__cnt_{o}", F.lit(0))
+             + F.coalesce(F.col(f"__d_cnt_{o}"), F.lit(0)))
+            .cast("long").alias(f"__cnt_{o}")
+            for o in avgs
+        ],
+    )
+    merged = _with_avgs_join(merged, avgs)
+    merged = merged.localCheckpoint(eager=False)
+    n_changed = merged.count()
+    res = snap.merge_into(
+        spark, mv_path, merged, on=list(group_cols),
+        txn=(app_id, _pack_cursor(fact_v, dim_v)),
+    )
+    if res.get("skipped"):
+        return {"mv_version": res["version"], "fact_version": fact_v,
+                "dim_version": dim_v, "groups_changed": 0,
+                "created": False, "full_recompute": False,
+                "dim_keys_churned": n_dim_churn}
+    if merged.where(F.col("n_rows") == 0).limit(1).count():
+        snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
+    return {"mv_version": snap.current_version(mv_path),
+            "fact_version": fact_v, "dim_version": dim_v,
+            "groups_changed": n_changed, "created": False,
+            "full_recompute": False, "dim_keys_churned": n_dim_churn}
+
+
+def _with_avgs_join(df: DataFrame, avgs: dict[str, str]) -> DataFrame:
+    """Materialized avg columns for the join-rollup paths (same exact
+    one-division contract as :func:`_avg_cols`)."""
+    return df.select("*", *_avg_cols(avgs)) if avgs else df

@@ -80,7 +80,16 @@ def last_admission_decision() -> dict | None:
     """The most recent admission decision made by a guarded pairwise
     operator in THIS thread/context (None = no guarded op ran, or the
     last one ran unguarded). Re-entrant: concurrent jobs in one driver
-    do not clobber each other's view."""
+    do not clobber each other's view.
+
+    Visibility caveat (the flip side of re-entrancy): ``ContextVar``
+    values set inside a ``threading.Thread`` / executor worker are NOT
+    visible from the parent context — a caller that runs a guarded op
+    in a thread pool must read the decision FROM that worker (asyncio
+    tasks, by contrast, inherit and surface normally). Before round 12
+    this was a module global, which was cross-thread-visible but raced;
+    callers that relied on parent-side reads after threaded runs should
+    capture the decision in the worker instead."""
     return _LAST_ADMISSION.get()
 
 
@@ -173,6 +182,15 @@ def _admission_decision(
             "op": op, "predicted_pairs": predicted,
             "budget": candidate_budget, "auto_cap": None,
             "screened_pairs": predicted,
+            # share of the candidate-pair mass the run keeps (1.0 =
+            # exact). THE quality disclosure of the guard: a production
+            # user sees the trade it made without re-deriving the
+            # histogram. This is retained CANDIDATE-EVIDENCE share, not
+            # true-duplicate recall — measured recall at the same caps
+            # ranges 0.55-0.80 (RECALL_AUDIT.json) because true pairs
+            # concentrate in rare shingles, so their survival rate is
+            # normally ABOVE the raw mass share.
+            "est_pair_share": 1.0,
         })
         return None
     lines = "; ".join(
@@ -207,6 +225,7 @@ def _admission_decision(
         "op": op, "predicted_pairs": predicted,
         "budget": candidate_budget, "auto_cap": cap,
         "screened_pairs": int(cum),
+        "est_pair_share": round(int(cum) / predicted, 6),
     })
     return cap
 

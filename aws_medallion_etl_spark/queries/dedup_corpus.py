@@ -517,21 +517,19 @@ def sim_topk_ivf(spark, sf_dir):
     Corpus cells come from deterministic spherical k-means
     (``similarity.kmeans_centroids``, ``n_centroids="auto"`` — at
     grading scales (corpus <= 8 x cell_size) auto resolves to the
-    floor of 8 cells); probing 7 of those 8 empirically reaches
-    recall 1.0 on the synthetic embeddings at sf0.001/sf0.01, so the
-    result equals the exact top-k oracle THERE. Past the floor the
-    query is honestly approximate at fixed nprobe (RECALL_AUDIT
-    measures 0.93/0.72 organic/replicated at the 10x tier; the
-    pool-matched nprobe=15 row shows the knob) — the oracle contract
-    is scoped to grading scales, like every ANN family here (pytest
-    pins the recall floor at lower nprobe and exact equality at
-    nprobe = n_centroids).
+    floor of 8 cells); ``nprobe="auto"`` (round 13) co-scales the
+    probe count with the centroid count (``similarity.auto_nprobe``),
+    so at the floor it probes ALL 8 cells — exact search, equal to the
+    exact top-k oracle by construction — and past the floor it holds
+    the probed fraction at 0.75 up to the documented pool cap
+    (RECALL_AUDIT: 10x-tier recall@5 recovered 0.72 -> >=0.9 at the
+    held fraction; organic tier >=0.93).
     """
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 250 == 0)
     return similarity.cosine_topk_ivf(
         emb, queries_df, "vec_id", "embedding",
-        k=5, n_centroids="auto", nprobe=7, iters=3,
+        k=5, n_centroids="auto", iters=3,
     )
 
 
@@ -602,7 +600,7 @@ def sim_topk_ivf_indexed(spark, sf_dir):
         emb, "vec_id", "embedding", idx, n_centroids="auto", iters=3,
     )
     return similarity.cosine_topk_ivf_indexed(
-        spark, idx, queries_df, "vec_id", "embedding", k=5, nprobe=7,
+        spark, idx, queries_df, "vec_id", "embedding", k=5,
     )
 
 
@@ -677,7 +675,7 @@ def sim_topk_ivf_pq(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") % 250 == 0)
     return similarity.cosine_topk_ivf_pq(
         emb, queries_df, "vec_id", "embedding",
-        k=5, n_centroids="auto", nprobe=7, m=16, codes=32, iters=3,
+        k=5, n_centroids="auto", m=16, codes=32, iters=3,
         shortlist=256,
     )
 
@@ -707,7 +705,7 @@ def sim_topk_ivf_pq_indexed(spark, sf_dir):
     )
     return similarity.cosine_topk_ivf_pq_indexed(
         spark, idx, queries_df, "vec_id", "embedding",
-        k=5, nprobe=7, shortlist=256,
+        k=5, shortlist=256,
     )
 
 
@@ -716,9 +714,10 @@ def sim_topk_ivf_appended(spark, sf_dir):
     """IVF index GROWTH under the exact oracle: build on half the
     corpus (centroids train on that half only), ``append_to_ivf_index``
     the other half into its stored-centroid cells (FAISS ``add()``
-    semantics, no re-training), probe exhaustively (nprobe = all
-    cells, where IVF is provably exact through the same partitioned
-    plumbing). Matching the exact top-k oracle over the FULL corpus
+    semantics, no re-training), probe with ``nprobe="auto"`` — at the
+    grading-scale centroid floor that is ALL cells, where IVF is
+    provably exact through the same partitioned plumbing. Matching
+    the exact top-k oracle over the FULL corpus
     proves every appended vector landed in a scannable cell with
     correct scores — an appended row lost by the layout or assigned
     junk would break the hash."""
@@ -737,7 +736,7 @@ def sim_topk_ivf_appended(spark, sf_dir):
     )
     similarity.append_to_ivf_index(spark, b2, "vec_id", "embedding", idx)
     return similarity.cosine_topk_ivf_indexed(
-        spark, idx, queries_df, "vec_id", "embedding", k=5, nprobe=8,
+        spark, idx, queries_df, "vec_id", "embedding", k=5,
     )
 
 

@@ -810,7 +810,13 @@ def _stage_ordered_batches(df, id_col: str, src_dir: str, n: int = 4):
     import os as _os
     import shutil as _shutil
 
-    hi = df.agg(F.max(id_col)).collect()[0][0] + 1  # 1-row scalar
+    hi = df.agg(F.max(id_col)).collect()[0][0]  # 1-row scalar
+    if hi is None:
+        raise ValueError(
+            "_stage_ordered_batches: the staged DataFrame is empty — "
+            "the batch source must carry at least one row"
+        )
+    hi += 1
     step = (hi + n - 1) // n
     for i in range(n):
         tmp = f"{src_dir}/_tmp{i}"
@@ -1018,6 +1024,12 @@ def str14_stream_mv_refresh(spark, sf_dir):
         row_tracking=True, post_batch=refresh,
     )
     q.awaitTermination()
+    # Settle refresh: the in-stream cadence (odd batch_ids) covers the
+    # final micro-batch only while the file source delivers exactly one
+    # file per trigger; if batches ever coalesce the MV would silently
+    # lag by one window. One unconditional refresh after termination is
+    # exactly-once anyway (cursor no-ops when already current).
+    refresh(spark, 1)
     return mvmod.read_rollup(spark, mv_p).select(
         "event_type", "n_rows", "sum_user", "min_event", "max_event"
     )

@@ -900,6 +900,39 @@ def test_auto_centroid_count_contract(spark):
         sorted(map(tuple, fixed), key=lambda t: (t[0], t[3]))
 
 
+def test_auto_nprobe_contract(spark):
+    """nprobe="auto" (round 13): probed fraction held at 0.75 with
+    floor 8 (= exact search at the grading-scale centroid floor) and a
+    32k-row pool cap; never above n_centroids."""
+    # at the centroid floor: all 8 cells -> exact search
+    assert similarity.auto_nprobe(8) == 8
+    # fraction regime: ceil(0.75 * C)
+    assert similarity.auto_nprobe(16) == 12
+    assert similarity.auto_nprobe(20) == 15     # the audited 10x tier
+    assert similarity.auto_nprobe(32) == 24
+    # pool cap: 32k rows / 1024-row cells = 32 probes max
+    assert similarity.auto_nprobe(196) == 32    # the 100x stress tier
+    assert similarity.auto_nprobe(65_536) == 32
+    # a raised cap buys probes back
+    assert similarity.auto_nprobe(196, pool_cap_rows=131_072) == 128
+    # tiny explicit centroid counts: never above C
+    assert similarity.auto_nprobe(4) == 4
+
+    # the auto-default path over the grading corpus equals explicit
+    # exhaustive probing (C=8, nprobe=8): exact search, same rows
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    auto = similarity.cosine_topk_ivf(
+        emb, qs, "vec_id", "embedding", k=3, n_centroids="auto"
+    ).collect()
+    exact = similarity.cosine_topk_ivf(
+        emb, qs, "vec_id", "embedding", k=3, n_centroids=8, nprobe=8
+    ).collect()
+    key = lambda t: (t[0], t[3])
+    assert sorted(map(tuple, auto), key=key) == \
+        sorted(map(tuple, exact), key=key)
+
+
 def test_semantic_dedup_large_seed_set_matches_codegen_path(spark):
     """>32 seeds flips assignment to the Arrow BLAS argmax — it must
     agree with the unrolled codegen form on every vector, and the
@@ -1488,6 +1521,44 @@ def test_density_guard_over_budget_auto_screens(spark):
     assert adm["screened_pairs"] <= 300
     # the rare-evidence pair survives the screen
     assert any(r["id_a"] == 100 and r["id_b"] == 101 for r in pairs)
+
+
+def test_admission_decision_est_pair_share_pinned():
+    """``est_pair_share`` is pinned on a hand-built histogram: budget
+    150 over buckets (40, 60, 900) admits the first two, so the
+    retained candidate-mass share is exactly 100/1000."""
+    hist = [
+        {"__b": 1, "__types": 20, "__pairs": 40.0},
+        {"__b": 2, "__types": 10, "__pairs": 60.0},
+        {"__b": 5, "__types": 2, "__pairs": 900.0},
+    ]
+    cap = fuzzy._admission_decision(hist, 150, "screen", "unit")
+    adm = fuzzy.last_admission_decision()
+    assert cap == 7                       # df cap = top of bucket b=2
+    assert adm["screened_pairs"] == 100
+    assert adm["est_pair_share"] == 0.1
+    # under budget: share is exactly 1.0 (exact run)
+    assert fuzzy._admission_decision(hist, 10_000, "screen", "unit") is None
+    assert fuzzy.last_admission_decision()["est_pair_share"] == 1.0
+
+
+def test_density_guard_reports_est_pair_share(spark):
+    """The guarded operator path surfaces the share a production user
+    sees: over budget it is screened/predicted < 1."""
+    boiler = "all rights reserved by the example corporation"
+    rows = [(i, f"{boiler} doc number {i} unique tail {i}") for i in range(40)]
+    rows += [(100, "zebra quokka lemur wombat octopus narwhal pangolin"),
+             (101, "zebra quokka lemur wombat octopus narwhal axolotl")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fuzzy.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=None, candidate_budget=300,
+    ).collect()
+    adm = fuzzy.last_admission
+    assert adm["auto_cap"] is not None
+    expected = adm["screened_pairs"] / adm["predicted_pairs"]
+    assert adm["est_pair_share"] == pytest.approx(expected, abs=1e-6)
+    assert 0 < adm["est_pair_share"] < 1
 
 
 def test_density_guard_error_mode_refuses_with_histogram(spark):

@@ -3124,3 +3124,214 @@ def test_delete_update_txn_marks_make_replays_noop(spark, tmp_path):
     # untxn'd zero-match still commits nothing (old contract intact)
     r5 = sn.delete_where(spark, path, "k > 1000", mode="mor")
     assert sn.current_version(path) == v and r5["deleted_rows"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Join-aggregate MV refresh (mv.refresh_join_rollup: dF |><| D' + F_old |><| dD)
+# ---------------------------------------------------------------------------
+
+def _join_mv_fixture(spark, tmp_path):
+    from aws_medallion_etl_spark import mv as mvmod
+
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    mv_p = str(tmp_path / "jmv")
+    fact = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("d"),
+        (F.col("id") * 10).alias("cents"),
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("d"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"),
+    )
+    sn.snapshot_create(spark, fact.repartitionByRange(4, "k"), fact_p,
+                       stats_cols=["k", "d"], row_tracking=True)
+    sn.snapshot_create(spark, dim, dim_p, stats_cols=["d"])
+    kw = dict(on=["d"], group_cols=["g"],
+              sums={"sum_cents": "cents"}, avgs={"avg_cents": "cents"})
+    return mvmod, fact_p, dim_p, mv_p, kw
+
+
+def _join_mv_expect(spark, fact_p, dim_p):
+    return {
+        r["g"]: (r["n"], r["s"], r["a"])
+        for r in sn.snapshot_read(spark, fact_p)
+        .join(sn.snapshot_read(spark, dim_p), "d")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("cents").cast("long").alias("s"),
+             (F.sum("cents").cast("long").cast("double")
+              / F.count("cents")).alias("a"))
+        .collect()
+    }
+
+
+def _join_mv_got(spark, mvmod, mv_p):
+    return {
+        r["g"]: (r["n_rows"], r["sum_cents"], r["avg_cents"])
+        for r in mvmod.read_rollup(spark, mv_p).collect()
+    }
+
+
+def test_refresh_join_rollup_matches_full_recompute(spark, tmp_path):
+    """Fact churn (dF term), dim churn (F_old |><| dD term), and a
+    mixed window all equal a from-scratch join+aggregate; replays
+    no-op on the packed (fact, dim) cursor."""
+    mvmod, fact_p, dim_p, mv_p, kw = _join_mv_fixture(spark, tmp_path)
+    r0 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r0["created"]
+    assert _join_mv_got(spark, mvmod, mv_p) == \
+        _join_mv_expect(spark, fact_p, dim_p)
+
+    # window 1: fact-only churn — value update, delete, new-key insert
+    sn.update_where(spark, fact_p, "k % 7 = 3", {"cents": "cents + 5"},
+                    mode="mor")
+    sn.delete_where(spark, fact_p, "k % 5 = 0", mode="mor")
+    sn.merge_into(
+        spark, fact_p,
+        spark.range(1000, 1010).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("d"),
+            F.lit(7).cast("long").alias("cents")),
+        on=["k"],
+    )
+    r1 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert not r1["created"] and r1["dim_keys_churned"] == 0
+    assert not r1["full_recompute"]
+    assert _join_mv_got(spark, mvmod, mv_p) == \
+        _join_mv_expect(spark, fact_p, dim_p)
+
+    # window 2: dim-only churn — one key changes group (moves ~10 fact
+    # rows between groups with zero fact commits)
+    sn.update_where(spark, dim_p, "d = 4", {"g": "'moved'"}, mode="mor")
+    r2 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r2["dim_keys_churned"] == 1 and not r2["full_recompute"]
+    assert _join_mv_got(spark, mvmod, mv_p) == \
+        _join_mv_expect(spark, fact_p, dim_p)
+
+    # window 3: mixed — dim delete (its fact rows leave the aggregate,
+    # inner-join semantics) + fact insert on a churned AND an
+    # unchurned key in the same window
+    sn.delete_where(spark, dim_p, "d = 9", mode="mor")
+    sn.update_where(spark, dim_p, "d = 1", {"g": "'moved'"}, mode="mor")
+    sn.merge_into(
+        spark, fact_p,
+        spark.createDataFrame(
+            [(2000, 1, 11), (2001, 2, 13)], "k long, d long, cents long"),
+        on=["k"],
+    )
+    # 2 of the 9 surviving dim keys churned (0.22) — raise the
+    # threshold so this window pins the CORRECTION path, not the
+    # full-recompute fallback
+    r3 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p,
+                                   dim_churn_threshold=0.5, **kw)
+    assert r3["dim_keys_churned"] == 2 and not r3["full_recompute"]
+    assert _join_mv_got(spark, mvmod, mv_p) == \
+        _join_mv_expect(spark, fact_p, dim_p)
+
+    # replay: both cursors current -> no-op, no new version
+    v = sn.current_version(mv_p)
+    r4 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r4["groups_changed"] == 0 and sn.current_version(mv_p) == v
+
+
+def test_refresh_join_rollup_dim_churn_threshold(spark, tmp_path):
+    """Past the churn threshold the refresh recomputes fully (still
+    exact, vanished groups cleaned); on_dim_churn='error' refuses."""
+    mvmod, fact_p, dim_p, mv_p, kw = _join_mv_fixture(spark, tmp_path)
+    mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    # churn 5 of 10 dim keys (> 0.2): every g0/g1/g2 group loses rows;
+    # collapse ALL of g2's keys so a whole group vanishes
+    sn.update_where(spark, dim_p, "d % 2 = 0", {"g": "'bulk'"}, mode="mor")
+    with pytest.raises(RuntimeError, match="dim keys churned"):
+        mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p,
+                                  on_dim_churn="error", **kw)
+    r = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r["full_recompute"] and r["dim_keys_churned"] == 5
+    assert _join_mv_got(spark, mvmod, mv_p) == \
+        _join_mv_expect(spark, fact_p, dim_p)
+    # g2 held keys {2, 5, 8}; moving 2 and 8 leaves it alive — now move
+    # 5 too in a fresh over-threshold window... instead collapse all
+    # remaining odd keys: groups g0/g1/g2 may empty entirely
+    sn.update_where(spark, dim_p, "d % 2 = 1", {"g": "'bulk'"}, mode="mor")
+    r2 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r2["full_recompute"]
+    got = _join_mv_got(spark, mvmod, mv_p)
+    assert got == _join_mv_expect(spark, fact_p, dim_p)
+    assert set(got) == {"bulk"}          # every original group vanished
+
+
+def test_refresh_join_rollup_validation(spark, tmp_path):
+    """Alias hygiene, overlap check, bad on_dim_churn, foreign MV, and
+    packed-cursor capacity all fail loudly."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    mvmod2, fact_p, dim_p, mv_p, kw = _join_mv_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="disjoint"):
+        mvmod.refresh_join_rollup(
+            spark, fact_p, dim_p, mv_p, on=["d"], group_cols=["g"],
+            sums={"x": "cents"}, avgs={"x": "cents"})
+    with pytest.raises(ValueError, match="n_rows"):
+        mvmod.refresh_join_rollup(
+            spark, fact_p, dim_p, mv_p, on=["d"], group_cols=["g"],
+            sums={"n_rows": "cents"})
+    with pytest.raises(ValueError, match="on_dim_churn"):
+        mvmod.refresh_join_rollup(
+            spark, fact_p, dim_p, mv_p, on_dim_churn="panic", **kw)
+    # overlapping non-key columns between fact and dim
+    dim2_p = str(tmp_path / "dim2")
+    sn.snapshot_create(
+        spark,
+        spark.range(10).select(F.col("id").alias("d"),
+                               F.col("id").alias("cents"),
+                               F.lit("x").alias("g")),
+        dim2_p, stats_cols=["d"])
+    with pytest.raises(ValueError, match="disjoint apart from"):
+        mvmod.refresh_join_rollup(spark, fact_p, dim2_p,
+                                  str(tmp_path / "mv2"), **kw)
+    # an MV not created by this refresher
+    foreign = str(tmp_path / "foreign")
+    sn.snapshot_create(
+        spark, spark.range(3).select(F.lit("a").alias("g"),
+                                     F.lit(1).cast("long").alias("n_rows")),
+        foreign, stats_cols=["g"])
+    with pytest.raises(ValueError, match="cursor"):
+        mvmod.refresh_join_rollup(spark, fact_p, dim_p, foreign, **kw)
+    assert mvmod._pack_cursor(3, 7) == 3_000_007
+    assert mvmod._unpack_cursor(3_000_007) == (3, 7)
+    with pytest.raises(ValueError, match="capacity"):
+        mvmod._pack_cursor(1, 1_000_000)
+
+
+def test_refresh_join_rollup_dim_update_races_refresh(spark, tmp_path):
+    """Dim updates landing CONCURRENTLY with a refresh loop never
+    corrupt the MV: each refresh pins its (fact, dim) version pair, a
+    racing commit simply falls into the next window, and the settle
+    refresh converges to the from-scratch join+aggregate."""
+    import threading
+
+    mvmod, fact_p, dim_p, mv_p, kw = _join_mv_fixture(spark, tmp_path)
+    mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+
+    errs = []
+
+    def churn():
+        try:
+            for i in range(6):
+                sn.update_where(
+                    spark, dim_p, f"d = {i}",
+                    {"g": f"'m{i}'"}, mode="mor")
+        except Exception as e:          # surface, don't swallow
+            errs.append(e)
+
+    t = threading.Thread(target=churn)
+    t.start()
+    for j in range(4):
+        # fact churn interleaved with the racing dim writer
+        sn.update_where(spark, fact_p, f"k % 9 = {j}",
+                        {"cents": "cents + 1"}, mode="mor")
+        mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    t.join()
+    assert not errs, errs
+    mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)  # settle
+    assert _join_mv_got(spark, mvmod, mv_p) == \
+        _join_mv_expect(spark, fact_p, dim_p)
