@@ -62,53 +62,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history run FIRST — the harness records ~50 verdicts per round, so
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
-    first verdict. Round 12 head (exactly 50 uniques, sized to the
-    ~50-verdict rotation budget): the two queries registered this
-    round (s43, str14) and the five IVF queries whose RESULTS changed
-    this round (n_centroids="auto" + hash-spread k-means init +
-    nprobe 7 — all re-contracted against the exact oracle locally),
-    then the ten r7 stragglers displaced by the r11 tranche, then 34
-    of the 49 queries whose latest driver green is round 8
-    (sim_topk_ivf, also r8, rides the changed-results group — 35 of
-    the 49 total). The 14 r8-verdict queries left over lead the r13
-    ladder. Everything
-    behind the head has a verdict from r9-r11.
+    first verdict. Round 13 head (exactly 50 uniques, sized to the
+    ~50-verdict rotation budget): the query registered this round
+    (s44_join_mv), then all 14 queries whose latest driver green is
+    round 8 (the r12 verdict's explicit ladder), then 35 of the 45
+    r9-verdict queries. The five IVF queries moved to nprobe="auto"
+    this round, but at grading scale auto resolves to exhaustive
+    probing and their results still hash-match the exact oracle
+    (re-contracted locally), and all five carry fresh r12 verdicts —
+    so they do not re-enter the head. The 10 r9 queries left over
+    (small stable aggregates/windows: a1/a2/a14/a15/a16, s1_csv,
+    u4, w9/w10/w11) lead the r14 ladder. Everything behind the head
+    has a verdict from r10-r12.
     """
     first = [
         # registered this round — no driver verdict yet
-        "s43_mv_minmax_avg", "str14_stream_mv_refresh",
-        # results changed this round (auto centroids / init / nprobe)
-        "sim_topk_ivf", "sim_topk_ivf_pq", "sim_topk_ivf_indexed",
-        "sim_topk_ivf_pq_indexed", "sim_topk_ivf_appended",
-        # the ten r7 stragglers (sim_topk_ivf_appended above is one)
-        "s8_provenance_by_file", "sim_topk_bruteforce",
-        "sketch_heavy_hitters", "str10_stream_pack",
-        "str4_stream_dedup", "str5_stream_static_join",
-        "str6_stream_stream_join", "str7_stream_jsonl_ingest",
-        "t_unigram_logprob",
-        # 34 of the 49 queries whose latest green is round 8
-        "a13_grouping_sets", "a8_dq_null_stats",
-        "corpus_cluster_representatives", "corpus_hash_split",
-        "corpus_mix_sources", "corpus_pack_greedy_subword",
-        "corpus_pack_sequences", "corpus_prepare_shards",
-        "corpus_redact_pii", "corpus_source_cap",
-        "corpus_stratified_sample", "corpus_tfidf_top_terms",
-        "corpus_vocab_topk", "dedup_clusters",
-        "dedup_embedding_cosine", "dedup_exact_docs",
-        "dedup_incremental", "dedup_incremental_lsh",
-        "dedup_levenshtein_names", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "dedup_simhash", "dq_profile_orders",
-        "e2e_medallion_gold", "emb_quantize_int8", "f_json_extract",
-        "fact_tag_usage_daily", "j10_upsert_snapshot",
-        "j11_salted_skew_join", "j12_snapshot_diff",
-        "j8_asof_prior_event", "j9_range_join_price_bands",
-        "mm_binary_features", "mm_frame_sampling",
-        # r8 queries deferred to the r13 ladder: s13_sql_subqueries,
-        # s23_merge_snapshot, t_document_filter, t_fingerprint,
-        # t_lang_id, t_quality_score, t_subword_tokens,
-        # tags_explode_normalize, u2_unknown_row, u3_union_all_report,
-        # w1_dedup_keep_newest, w1b_dedup_max_by, w4_hash_sk_distinct,
-        # w5_yoy_growth
+        "s44_join_mv",
+        # the 14 r8-verdict queries (oldest outstanding greens)
+        "s13_sql_subqueries", "s23_merge_snapshot",
+        "t_document_filter", "t_fingerprint", "t_lang_id",
+        "t_quality_score", "t_subword_tokens",
+        "tags_explode_normalize", "u2_unknown_row",
+        "u3_union_all_report", "w1_dedup_keep_newest",
+        "w1b_dedup_max_by", "w4_hash_sk_distinct", "w5_yoy_growth",
+        # 35 of the 45 r9-verdict queries
+        "corpus_bloom_decontaminate", "corpus_strip_boilerplate",
+        "dq_k_anonymity", "dq_l_diversity", "j15_record_linkage",
+        "s15_sorted_compact_roundtrip", "s24_merge_schema_evolution",
+        "s25_delete_vectors", "s26_compact_optimize",
+        "s27_update_restore", "s28_snapshot_skipping",
+        "s29_change_data_feed", "s30_check_constraints",
+        "s31_generated_columns", "s45_sink_roundtrip",
+        "s6_reject_quarantine_roundtrip", "sim_hard_negatives",
+        "sim_topk_lsh", "sketch_distinct_bounds",
+        "sketch_quantile_bounds", "str11_stream_merge_snapshot",
+        "str1_stream_windowed_counts", "str2_stream_sessionize",
+        "str3_stream_running_totals", "t_bpe_pair_counts",
+        "t_corpus_diversity", "t_quality_classifier",
+        "t_repetition_ngrams", "t_token_count", "t_top_dup_ngrams",
+        "ts_ohlc_bars", "w12_funnel_conversion",
+        "w2w3_scd2_from_history", "w6_trailing_average",
+        "w8_sessionize",
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"

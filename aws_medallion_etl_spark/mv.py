@@ -73,6 +73,25 @@ def read_rollup(
     )
 
 
+def _zero_groups_possible(mv_path: str) -> bool:
+    """Can the MV hold a phantom ``n_rows = 0`` row? Answered from the
+    manifest's per-file ``n_rows`` [min, max] stats — pure driver-side
+    bookkeeping, NO Spark job (round 13: the per-refresh self-heal
+    probe was one full scheduler round-trip even when provably
+    unnecessary, ~0.3 s each at the local floor). Conservative by
+    construction: missing stats, a legacy MV created before ``n_rows``
+    joined the stats columns, or a min of 0 left behind by a MOR
+    delete (DVs never narrow file stats) all answer True and fall
+    back to the exact probe."""
+    try:
+        sts = snap.manifest_column_stats(mv_path, "n_rows")
+    except Exception:
+        return True
+    return any(
+        not st or st.get("min") is None or st["min"] <= 0 for st in sts
+    )
+
+
 def _avg_cols(avgs: dict[str, str]) -> list:
     """The materialized avg columns: one exact division of the two
     integer companions (NULL when no non-null values — SQL AVG)."""
@@ -189,7 +208,9 @@ def refresh_rollup(
         )
         full = _with_avgs(full)
         v = snap.snapshot_create(
-            spark, full, mv_path, stats_cols=list(group_cols),
+            # n_rows rides the stats columns so the phantom-group
+            # probe can be answered from the manifest alone
+            spark, full, mv_path, stats_cols=[*group_cols, "n_rows"],
             txn=(app_id, base_v),
         )
         return {"mv_version": v, "base_version": base_v,
@@ -204,11 +225,12 @@ def refresh_rollup(
         )
     # self-heal BEFORE the cursor check: a crash between the cursor-
     # stamping merge and the zero-group delete would otherwise leave
-    # n_rows=0 phantoms forever (the replay early-returns). The
-    # limit(1) probe keeps the common no-phantom case at ONE small
-    # scan instead of delete_where's scan+sidecar+readback jobs.
-    if snap.snapshot_read(spark, mv_path).where("n_rows = 0") \
-            .limit(1).count():
+    # n_rows=0 phantoms forever (the replay early-returns). Two-tier
+    # probe: the manifest's n_rows stats prove the common no-phantom
+    # case with ZERO Spark jobs; only a possible phantom pays the
+    # limit(1) scan, and only a real one pays delete_where.
+    if _zero_groups_possible(mv_path) and snap.snapshot_read(
+            spark, mv_path).where("n_rows = 0").limit(1).count():
         snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
     if cursor >= base_v:
         return {"mv_version": snap.current_version(mv_path),
@@ -284,18 +306,23 @@ def refresh_rollup(
         )
         risk_keys = joined.where(risk).select(*group_cols) \
             .localCheckpoint(eager=False)
-        n_recompute = risk_keys.count()
+        # ONE action answers both "any at-risk groups?" and the prune
+        # envelope (round 13: the count and the bounds were separate
+        # scheduler round-trips; the agg lands the checkpoint, so the
+        # semi-join below reuses it for free)
+        probe_row = risk_keys.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[f for c in group_cols for f in (
+                F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
+            )]
+        ).first()
+        n_recompute = probe_row["__n"]
         if n_recompute:
             # stats-pruned base scan: bound each group column by the
-            # at-risk key envelope (one tiny aggregate), drop every
-            # file the manifest proves disjoint, THEN semi-join exact
-            bounds_row = risk_keys.agg(
-                *[f for c in group_cols for f in (
-                    F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
-                )]
-            ).first()
+            # at-risk key envelope, drop every file the manifest
+            # proves disjoint, THEN semi-join exact
             prune = {
-                c: (bounds_row[f"__lo_{c}"], bounds_row[f"__hi_{c}"])
+                c: (probe_row[f"__lo_{c}"], probe_row[f"__hi_{c}"])
                 for c in group_cols
             }
             recomputed = (
@@ -354,9 +381,15 @@ def refresh_rollup(
     merged = joined.select(*out_cols)
     merged = _with_avgs(merged)
     # the merge's probe/validate/write branches each consume this
-    # frame — materialize the (group-cardinality-sized) delta once
+    # frame — materialize the (group-cardinality-sized) delta once.
+    # ONE agg answers both "how many groups changed" and "any group
+    # emptied" (round 13: the zero-group probe was a separate action).
     merged = merged.localCheckpoint(eager=False)
-    n_changed = merged.count()
+    stats_row = merged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.col("n_rows") == 0).cast("long")).alias("__z"),
+    ).first()
+    n_changed, n_zero = stats_row["__n"], stats_row["__z"] or 0
     res = snap.merge_into(
         spark, mv_path, merged, on=list(group_cols),
         txn=(app_id, base_v),
@@ -367,8 +400,7 @@ def refresh_rollup(
                 "created": False}
     # groups emptied by the delta: MOR delete (sidecar, no rewrite) —
     # skipped outright when the merged frame carried no zero group
-    # (the common case; one cheap checkpoint re-read decides)
-    if merged.where(F.col("n_rows") == 0).limit(1).count():
+    if n_zero:
         snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
     return {"mv_version": snap.current_version(mv_path),
             "base_version": base_v, "groups_changed": n_changed,
@@ -524,7 +556,7 @@ def refresh_join_rollup(
     if snap.current_version(mv_path) is None:
         v = snap.snapshot_create(
             spark, _full_agg(fact_v, dim_v), mv_path,
-            stats_cols=list(group_cols),
+            stats_cols=[*group_cols, "n_rows"],
             txn=(app_id, _pack_cursor(fact_v, dim_v)),
         )
         return {"mv_version": v, "fact_version": fact_v,
@@ -540,9 +572,10 @@ def refresh_join_rollup(
         )
     f0, d0 = _unpack_cursor(mark)
     # self-heal phantom zero-groups before the cursor check (same
-    # crash-window contract as refresh_rollup)
-    if snap.snapshot_read(spark, mv_path).where("n_rows = 0") \
-            .limit(1).count():
+    # two-tier crash-window probe as refresh_rollup: manifest stats
+    # first, Spark scan only when a phantom is possible)
+    if _zero_groups_possible(mv_path) and snap.snapshot_read(
+            spark, mv_path).where("n_rows = 0").limit(1).count():
         snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
     if f0 >= fact_v and d0 >= dim_v:
         return {"mv_version": snap.current_version(mv_path),
@@ -590,13 +623,16 @@ def refresh_join_rollup(
             merged = full.unionByName(
                 _with_avgs_join(gone, avgs)
             ).localCheckpoint(eager=False)
-            n_changed = merged.count()
+            stats_row = merged.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum((F.col("n_rows") == 0).cast("long")).alias("__z"),
+            ).first()
+            n_changed, n_zero = stats_row["__n"], stats_row["__z"] or 0
             res = snap.merge_into(
                 spark, mv_path, merged, on=list(group_cols),
                 txn=(app_id, _pack_cursor(fact_v, dim_v)),
             )
-            if not res.get("skipped") and merged.where(
-                    F.col("n_rows") == 0).limit(1).count():
+            if not res.get("skipped") and n_zero:
                 snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
             return {"mv_version": snap.current_version(mv_path),
                     "fact_version": fact_v, "dim_version": dim_v,
@@ -679,7 +715,11 @@ def refresh_join_rollup(
     )
     merged = _with_avgs_join(merged, avgs)
     merged = merged.localCheckpoint(eager=False)
-    n_changed = merged.count()
+    stats_row = merged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.col("n_rows") == 0).cast("long")).alias("__z"),
+    ).first()
+    n_changed, n_zero = stats_row["__n"], stats_row["__z"] or 0
     res = snap.merge_into(
         spark, mv_path, merged, on=list(group_cols),
         txn=(app_id, _pack_cursor(fact_v, dim_v)),
@@ -689,7 +729,7 @@ def refresh_join_rollup(
                 "dim_version": dim_v, "groups_changed": 0,
                 "created": False, "full_recompute": False,
                 "dim_keys_churned": n_dim_churn}
-    if merged.where(F.col("n_rows") == 0).limit(1).count():
+    if n_zero:
         snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
     return {"mv_version": snap.current_version(mv_path),
             "fact_version": fact_v, "dim_version": dim_v,

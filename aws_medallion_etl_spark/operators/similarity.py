@@ -421,8 +421,8 @@ def auto_nprobe(
       neighbors in the nearest cells (the regime IVF exists for —
       FAISS's own nprobe guidance is a small fixed count for exactly
       this reason). Raise ``pool_cap_rows`` (or pass an explicit
-      ``nprobe``) to buy recall with scan; every query logs the
-      resolved value via the returned plan, never silently.
+      ``nprobe``) to buy recall with scan — the trade lives at this
+      documented knob, not in a silent default.
     """
     import math
 

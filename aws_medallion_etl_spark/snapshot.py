@@ -3948,6 +3948,31 @@ def snapshot_convert(
     return 0
 
 
+def manifest_column_stats(
+    path: str, col: str, version: int | None = None
+) -> list[dict | None]:
+    """Per-live-file [min, max] manifest stats for ``col`` at a
+    version (default latest) — one dict (``{"kind", "min", "max"}``)
+    or None per file, DRIVER-SIDE (manifest read only, no Spark job).
+
+    The cheap half of stats-based file skipping, exposed for callers
+    that can answer a question from bounds alone — e.g. "can any row
+    have n_rows = 0?" is provably NO when every file's min exceeds 0
+    (mv's phantom-group probe). Callers must treat a None (no stats
+    for that column/file) as unknown, and remember MOR: deletion
+    vectors do not narrow a file's stats, so bounds may describe
+    deleted rows — answers derived from them are conservative, never
+    wrong in the "proves absent" direction.
+    """
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise ValueError(f"manifest_column_stats: {path} is not a snapshot table")
+    man = _read_manifest(path, v)
+    return [
+        (e.get("stats") or {}).get(col) for e in _manifest_files(path, man)
+    ]
+
+
 def snapshot_history(path: str) -> list[dict]:
     """Delta's ``DESCRIBE HISTORY``: one record per committed version,
     NEWEST first — version, commit timestamp (manifest mtime, the same

@@ -59,38 +59,31 @@ def main() -> int:
     timings: dict[str, float] = {}
     medians: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
-    for name, fn in entrymod.queries().items():
-        if only and name not in only:
-            continue
 
-        def _run_once() -> float:
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            return round(time.time() - t0, 3)
-
-        try:
-            t = _run_once()
-        except Exception as e:  # noqa: BLE001 — a failed query must not kill the bench
-            failures[name] = f"{type(e).__name__}: {e}"
-            continue
-        if t >= 3.0:
-            # heavy tail: one shot in a shared JVM is noisy enough
-            # to read as a round-over-round regression — record the
-            # median of three (queries re-stage their own scratch
-            # inputs, so re-runs are self-contained). A rerun failure
-            # must not void the already-successful first timing.
-            runs = [t]
+    # Two timing phases (round 13 — bench variance hygiene): the
+    # snapshot-DML / streaming-harness queries commit dozens of table
+    # versions each, leaving JVM heap churn, shuffle files, and page-
+    # cache pressure that measurably inflated UNCHANGED light queries
+    # co-resident in the same batch (~1.2x drift across ~20 queries in
+    # r12). Light queries run first in inventory order; the DML-heavy
+    # modules run as their own trailing batch behind a cache clear.
+    items = [(n, f) for n, f in entrymod.queries().items()
+             if not only or n in only]
+    _DML_MODULES = ("queries.snapshot_dml", "queries.snapshot_tokenize",
+                    "queries.streaming_corpus")
+    light = [(n, f) for n, f in items
+             if not getattr(f, "__module__", "").endswith(_DML_MODULES)]
+    heavy = [(n, f) for n, f in items
+             if getattr(f, "__module__", "").endswith(_DML_MODULES)]
+    phases = [light, heavy]
+    for phase_i, phase in enumerate(phases):
+        if phase_i and phase:
             try:
-                runs.append(_run_once())
-                runs.append(_run_once())
-            except Exception:  # noqa: BLE001 — keep the good samples
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
                 pass
-            runs.sort()
-            medians[name] = runs
-            timings[name] = runs[len(runs) // 2]
-        else:
-            timings[name] = t
+        _bench_phase(phase, spark, sf_dir, timings, medians, failures)
 
     pipeline_sec = None
     if not only:
@@ -173,6 +166,18 @@ def main() -> int:
     if failures:
         compact["n_failures"] = len(failures)
         compact["failures"] = dict(list(failures.items())[:5])
+    # rep spreads for the heaviest multi-rep queries ride the driver
+    # line (round 13 — the r12 verdict had to dig spreads out of
+    # BENCH_local to explain a 2.1x s43 wobble): [lo, hi] per query,
+    # capped so the line stays inside the harness capture window
+    if medians:
+        compact["spreads"] = {
+            n: [runs[0], runs[-1]]
+            for n, runs in sorted(
+                medians.items(),
+                key=lambda kv: -(kv[1][-1] - kv[1][0]),
+            )[:6]
+        }
     compact["queries"] = {}
     budget = 1800 - len(json.dumps(compact))
     for n, t in sorted(timings.items(), key=lambda kv: -kv[1]):
@@ -200,6 +205,40 @@ def main() -> int:
         print(f"bench: {len(failures)} queries failed (see JSON 'failures')",
               file=sys.stderr)
     return 0
+
+
+def _bench_phase(phase, spark, sf_dir, timings, medians, failures) -> None:
+    """Time one batch of (name, fn) queries in order."""
+    for name, fn in phase:
+
+        def _run_once() -> float:
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            return round(time.time() - t0, 3)
+
+        try:
+            t = _run_once()
+        except Exception as e:  # noqa: BLE001 — a failed query must not kill the bench
+            failures[name] = f"{type(e).__name__}: {e}"
+            continue
+        if t >= 3.0:
+            # heavy tail: one shot in a shared JVM is noisy enough
+            # to read as a round-over-round regression — record the
+            # median of three (queries re-stage their own scratch
+            # inputs, so re-runs are self-contained). A rerun failure
+            # must not void the already-successful first timing.
+            runs = [t]
+            try:
+                runs.append(_run_once())
+                runs.append(_run_once())
+            except Exception:  # noqa: BLE001 — keep the good samples
+                pass
+            runs.sort()
+            medians[name] = runs
+            timings[name] = runs[len(runs) // 2]
+        else:
+            timings[name] = t
 
 
 def _bench_pipeline(spark, sf_dir: str) -> float:

@@ -3335,3 +3335,108 @@ def test_refresh_join_rollup_dim_update_races_refresh(spark, tmp_path):
     mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)  # settle
     assert _join_mv_got(spark, mvmod, mv_p) == \
         _join_mv_expect(spark, fact_p, dim_p)
+
+
+def test_refresh_rollup_compact_lands_during_recompute(
+    spark, tmp_path, monkeypatch
+):
+    """An OPTIMIZE rewriting the base's files BETWEEN the refresh's
+    CDF read and its at-risk recompute read must not corrupt the
+    recomputed extreme: the recompute is version-pinned (the compact's
+    rewrite lands as a LATER version whose files this refresh never
+    plans), and the next refresh sees the compact as a zero-change
+    CDF window (row tracking). Round-13 pin for the writer-storm
+    audit's min/max loop."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base = str(tmp_path / "fact5")
+    mv = str(tmp_path / "mv5")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+        (F.col("id") * 10).alias("cents"),
+    )
+    sn.snapshot_create(spark, df.repartitionByRange(3, "k"), base, ["k"],
+                       row_tracking=True)
+    kw = dict(sums={"sum_cents": "cents"},
+              mins={"min_cents": "cents"}, maxs={"max_cents": "cents"})
+    mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
+    # delete each group's stored MIN (k in 0..2 hold cents 0/10/20) —
+    # the at-risk recompute must fire for all three groups
+    sn.delete_where(spark, base, "k < 3", mode="mor")
+
+    orig_read = mvmod.snap.snapshot_read
+    fired = {"done": False}
+
+    def racing_read(*a, **k):
+        # the recompute's stats-pruned base read is the only caller
+        # passing prune= inside a refresh — fire one whole-table
+        # OPTIMIZE right before it plans
+        if k.get("prune") is not None and not fired["done"]:
+            fired["done"] = True
+            sn.compact(spark, base, small_file_rows=10**9)
+        return orig_read(*a, **k)
+
+    monkeypatch.setattr(mvmod.snap, "snapshot_read", racing_read)
+    r1 = mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
+    monkeypatch.setattr(mvmod.snap, "snapshot_read", orig_read)
+    assert fired["done"] and r1["groups_recomputed"] == 3
+
+    def check():
+        got = {
+            r["g"]: (r["n_rows"], r["sum_cents"], r["min_cents"],
+                     r["max_cents"])
+            for r in mvmod.read_rollup(spark, mv).collect()
+        }
+        want = {
+            r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in sn.snapshot_read(spark, base).groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("s"),
+                 F.min("cents").cast("long").alias("lo"),
+                 F.max("cents").cast("long").alias("hi")).collect()
+        }
+        assert got == want, (got, want)
+
+    check()
+    # the compact's own version is a zero-change CDF window: the next
+    # refresh folds it without touching any group
+    r2 = mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
+    assert r2["groups_changed"] == 0 and r2["groups_recomputed"] == 0
+    check()
+
+
+def test_mv_zero_group_probe_is_manifest_only(spark, tmp_path):
+    """The phantom-group self-heal probe answers the common no-phantom
+    case from manifest stats alone (no Spark job): False on a fresh MV
+    whose files all prove min(n_rows) > 0, True (conservative) for a
+    legacy MV created without n_rows in its stats columns, and True
+    after a MOR delete leaves a zero in some file's stats."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base = str(tmp_path / "fact6")
+    mv = str(tmp_path / "mv6")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"),
+        (F.col("id") * 10).alias("cents"),
+    )
+    sn.snapshot_create(spark, df.repartition(2), base, ["k"],
+                       row_tracking=True)
+    mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
+    assert mvmod._zero_groups_possible(mv) is False
+    # stats rows carry real bounds
+    sts = sn.manifest_column_stats(mv, "n_rows")
+    assert sts and all(st and st["min"] >= 1 for st in sts)
+    # a legacy MV without n_rows stats answers True (conservative)
+    legacy = str(tmp_path / "legacy_mv")
+    sn.snapshot_create(
+        spark,
+        spark.range(3).select(F.col("id").alias("g"),
+                              F.lit(2).cast("long").alias("n_rows")),
+        legacy, stats_cols=["g"])
+    assert mvmod._zero_groups_possible(legacy) is True
+    # empty a group: the refresh's zero-group MOR delete leaves the
+    # file's min(n_rows)=0 stat behind (DVs never narrow stats) —
+    # the probe stays conservative, the read contract stays clean
+    sn.delete_where(spark, base, "g = 1", mode="mor")
+    mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
+    assert mvmod.read_rollup(spark, mv).where("g = 1").count() == 0

@@ -123,17 +123,19 @@ def main() -> int:
                     return
             time.sleep(2.0)
 
-    # MV refresh loop racing the storm (round-12 ask #5): group on v —
-    # every landed merge MOVES rows between groups, so each refresh's
-    # CDF window carries group churn, and min_k exercises the at-risk
-    # recompute path while base commits land mid-refresh
+    # MV refresh loop racing the storm (round-12 ask #5; round 13 adds
+    # max): group on v — every landed merge MOVES rows between groups,
+    # so each refresh's CDF window carries group churn, and min_k/max_k
+    # exercise the at-risk recompute path (stats-pruned base reads
+    # racing the OPTIMIZE loop that rewrites those same files) while
+    # base commits land mid-refresh
     from aws_medallion_etl_spark import mv as mvmod
 
     mv_path = path + "_mv"
     mv_stats = {"refreshes": 0, "conflicts": 0}
     stop_mv = threading.Event()
     mv_kw = dict(group_cols=["v"], sums={"sum_k": "k"},
-                 mins={"min_k": "k"})
+                 mins={"min_k": "k"}, maxs={"max_k": "k"})
 
     def mv_refresher() -> None:
         while not stop_mv.is_set():
@@ -206,15 +208,16 @@ def main() -> int:
     # commits all diverge here
     mvmod.refresh_rollup(spark, path, mv_path, **mv_kw)
     got_mv = {
-        r["v"]: (r["n_rows"], r["sum_k"], r["min_k"])
+        r["v"]: (r["n_rows"], r["sum_k"], r["min_k"], r["max_k"])
         for r in mvmod.read_rollup(spark, mv_path).collect()
     }
     want_mv = {
-        r["v"]: (r["n"], r["s"], r["lo"])
+        r["v"]: (r["n"], r["s"], r["lo"], r["hi"])
         for r in sn.snapshot_read(spark, path).groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("n"),
              F.sum("k").cast("long").alias("s"),
-             F.min("k").cast("long").alias("lo")).collect()
+             F.min("k").cast("long").alias("lo"),
+             F.max("k").cast("long").alias("hi")).collect()
     }
     mv_lost = sorted(
         set(want_mv) ^ set(got_mv)
