@@ -976,8 +976,10 @@ def str14_stream_mv_refresh(spark, sf_dir):
     foreachBatch MERGE lands each batch in a row-tracked snapshot
     table, and the maintenance callback refreshes a per-event-type
     rollup FROM THE ROW-ID CDF of the commits since its cursor — on a
-    realistic maintenance CADENCE (every second batch; the final
-    batch refreshes, so the settled MV is complete), not per-commit. Every
+    realistic maintenance CADENCE (every second batch, plus one
+    unconditional settle refresh after termination — exactly-once, so
+    it no-ops when the cadence already covered the tail), not
+    per-commit. Every
     upsert that changes a user's latest event_type MOVES a row between
     MV groups (decrement old / increment new), and the min/max columns
     ride the at-risk recompute path when a group's stored extreme is
@@ -1003,7 +1005,12 @@ def str14_stream_mv_refresh(spark, sf_dir):
         if _os.path.exists(d):
             _shutil.rmtree(d)
     _os.makedirs(src_dir, exist_ok=True)
-    _stage_ordered_batches(feed, "event_id", src_dir)
+    # three id-range micro-batches: the final table state (and so the
+    # oracle-checked MV) is IDENTICAL for any batch count — what the
+    # count buys is refresh WINDOWS, and three already exercise both
+    # cadence shapes (one mid-stream incremental refresh over multiple
+    # commits, one settle) at ~3 s/batch less harness floor than four
+    _stage_ordered_batches(feed, "event_id", src_dir, n=3)
     stream = (
         spark.readStream.schema(feed.schema)
         .option("maxFilesPerTrigger", 1)
