@@ -44,13 +44,16 @@ gold rollups carry ``avg_*`` columns, ``Meta_Guideline.md:2947-2954``):
   (:func:`snapshot.snapshot_read` ``prune=``), so recompute cost
   tracks at-risk-group data, not base size.
 
-Read contract: a refresh lands as a merge commit plus a separate
-zero-group MOR delete, so a reader between the two — or after a crash
-before the delete, until the next refresh's self-heal — can observe
-phantom groups with ``n_rows = 0`` (their other columns hold STALE
-last-known values — sums/extremes as of the emptying delta, not
-NULL). Consumers
-must filter ``n_rows > 0``; :func:`read_rollup` does exactly that.
+Read contract: since round 13 a refresh is ONE atomic commit — the
+conditional MERGE clauses (``matched_delete_where="n_rows = 0"``,
+``insert_where="n_rows > 0"``) delete emptied groups and decline
+already-empty inserts inside the same version, so a current refresher
+can never expose a phantom ``n_rows = 0`` group. The ``n_rows > 0``
+filter in :func:`read_rollup` and the pre-refresh self-heal probe
+remain for MVs last written by a pre-round-13 refresher (whose
+merge+delete window could crash in between); the probe is
+manifest-stats-only and free when no phantom is possible. Keep
+reading MVs through :func:`read_rollup`.
 """
 
 from __future__ import annotations
@@ -65,9 +68,11 @@ def read_rollup(
     spark: SparkSession, mv_path: str, version: int | None = None
 ) -> DataFrame:
     """Read a rollup MV with the consumer contract applied: phantom
-    ``n_rows = 0`` groups (the window between a refresh's merge commit
-    and its zero-group delete, or a crash inside it) are filtered out.
-    Always read MVs through this, not a bare ``snapshot_read``."""
+    ``n_rows = 0`` groups are filtered out. Since round 13 a current
+    refresher can't produce one (the refresh commit is atomic); the
+    filter guards MVs last written by a pre-round-13 refresher, whose
+    merge+delete window could crash in between. Always read MVs
+    through this, not a bare ``snapshot_read``."""
     return snap.snapshot_read(spark, mv_path, version=version).where(
         F.col("n_rows") > 0
     )
@@ -137,8 +142,9 @@ def refresh_rollup(
       then exact semi-join) only when a deleted value ties its stored
       extreme or the group both appeared and shrank inside the window
       — deletes strictly inside the envelope can't move an extreme;
-    * groups whose ``n_rows`` reaches zero are deleted (MOR — a
-      kilobyte sidecar, not a rewrite);
+    * groups whose ``n_rows`` reaches zero are deleted INSIDE the same
+      merge commit (conditional MERGE clause — atomic, no phantom
+      window);
     * the new cursor (base version) rides the merge commit as the MV's
       ``(app_id, version)`` txn mark, so refresh is exactly-once:
       a replayed call sees the cursor and no-ops.
@@ -381,27 +387,26 @@ def refresh_rollup(
     merged = joined.select(*out_cols)
     merged = _with_avgs(merged)
     # the merge's probe/validate/write branches each consume this
-    # frame — materialize the (group-cardinality-sized) delta once.
-    # ONE agg answers both "how many groups changed" and "any group
-    # emptied" (round 13: the zero-group probe was a separate action).
+    # frame — materialize the (group-cardinality-sized) delta once
     merged = merged.localCheckpoint(eager=False)
-    stats_row = merged.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum((F.col("n_rows") == 0).cast("long")).alias("__z"),
-    ).first()
-    n_changed, n_zero = stats_row["__n"], stats_row["__z"] or 0
+    n_changed = merged.count()
+    # ONE atomic commit (round 13, conditional MERGE clauses): live
+    # groups upsert, groups the delta emptied DELETE in the same
+    # commit, and a group that both appeared and emptied inside the
+    # window never inserts — no reader-visible phantom window, no
+    # second commit. The n_rows>0 read contract and the self-heal
+    # probe remain only for MVs last written by a pre-round-13
+    # refresher.
     res = snap.merge_into(
         spark, mv_path, merged, on=list(group_cols),
         txn=(app_id, base_v),
+        matched_delete_where="n_rows = 0",
+        insert_where="n_rows > 0",
     )
     if res.get("skipped"):
         return {"mv_version": res["version"], "base_version": base_v,
                 "groups_changed": 0, "groups_recomputed": 0,
                 "created": False}
-    # groups emptied by the delta: MOR delete (sidecar, no rewrite) —
-    # skipped outright when the merged frame carried no zero group
-    if n_zero:
-        snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
     return {"mv_version": snap.current_version(mv_path),
             "base_version": base_v, "groups_changed": n_changed,
             "groups_recomputed": n_recompute, "created": False}
@@ -483,8 +488,9 @@ def refresh_join_rollup(
       disjoint: window fact changes are term 1's alone.
 
     Both terms union row-wise and aggregate in ONE keyed shuffle; the
-    merge tail (group-cardinality frame, zero-group MOR delete, n_rows
-    > 0 read contract) matches :func:`refresh_rollup`.
+    merge tail (group-cardinality frame, one atomic conditional-MERGE
+    commit, n_rows > 0 read contract for legacy tables) matches
+    :func:`refresh_rollup`.
 
     Dim-churn guard: when the window's churned dim keys exceed
     ``dim_churn_threshold`` of the dim, term 2 approaches a full fact
@@ -604,8 +610,8 @@ def refresh_join_rollup(
                 )
             # full recompute at the captured pair: new aggregate merged
             # over the MV; groups that vanished entirely surface as
-            # n_rows=0 rows so the standard zero-group delete (and the
-            # read contract) cleans them
+            # n_rows=0 rows so the conditional merge deletes them in
+            # the same commit
             full = _full_agg(fact_v, dim_v).localCheckpoint(eager=False)
             gone = (
                 snap.snapshot_read(spark, mv_path)
@@ -623,17 +629,13 @@ def refresh_join_rollup(
             merged = full.unionByName(
                 _with_avgs_join(gone, avgs)
             ).localCheckpoint(eager=False)
-            stats_row = merged.agg(
-                F.count(F.lit(1)).alias("__n"),
-                F.sum((F.col("n_rows") == 0).cast("long")).alias("__z"),
-            ).first()
-            n_changed, n_zero = stats_row["__n"], stats_row["__z"] or 0
+            n_changed = merged.count()
             res = snap.merge_into(
                 spark, mv_path, merged, on=list(group_cols),
                 txn=(app_id, _pack_cursor(fact_v, dim_v)),
+                matched_delete_where="n_rows = 0",
+                insert_where="n_rows > 0",
             )
-            if not res.get("skipped") and n_zero:
-                snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
             return {"mv_version": snap.current_version(mv_path),
                     "fact_version": fact_v, "dim_version": dim_v,
                     "groups_changed": n_changed, "created": False,
@@ -715,22 +717,19 @@ def refresh_join_rollup(
     )
     merged = _with_avgs_join(merged, avgs)
     merged = merged.localCheckpoint(eager=False)
-    stats_row = merged.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum((F.col("n_rows") == 0).cast("long")).alias("__z"),
-    ).first()
-    n_changed, n_zero = stats_row["__n"], stats_row["__z"] or 0
+    n_changed = merged.count()
+    # one atomic commit — see refresh_rollup's merge for the contract
     res = snap.merge_into(
         spark, mv_path, merged, on=list(group_cols),
         txn=(app_id, _pack_cursor(fact_v, dim_v)),
+        matched_delete_where="n_rows = 0",
+        insert_where="n_rows > 0",
     )
     if res.get("skipped"):
         return {"mv_version": res["version"], "fact_version": fact_v,
                 "dim_version": dim_v, "groups_changed": 0,
                 "created": False, "full_recompute": False,
                 "dim_keys_churned": n_dim_churn}
-    if n_zero:
-        snap.delete_where(spark, mv_path, "n_rows = 0", mode="mor")
     return {"mv_version": snap.current_version(mv_path),
             "fact_version": fact_v, "dim_version": dim_v,
             "groups_changed": n_changed, "created": False,

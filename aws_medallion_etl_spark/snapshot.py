@@ -2396,6 +2396,8 @@ def merge_into(
     schema_evolution: bool = False,
     write_mode: str = "cow",
     txn: tuple[str, int] | None = None,
+    matched_delete_where: str | None = None,
+    insert_where: str | None = None,
 ) -> dict:
     """SQL MERGE onto a snapshot table, atomically versioned.
 
@@ -2405,6 +2407,25 @@ def merge_into(
     unique on ``on`` (standard MERGE precondition — a duplicate makes
     the update nondeterministic); ``check_duplicate_keys=True`` spends
     one aggregate to enforce it.
+
+    Conditional clauses (round 13 — Delta's
+    ``whenMatchedDelete(condition)`` / ``whenNotMatchedInsert(
+    condition)``, the upsert-and-prune MERGE shape):
+
+    * ``matched_delete_where`` (requires ``when_matched="update"``): a
+      SQL predicate over the SOURCE row; a matched source row where it
+      is TRUE deletes its target row instead of updating it (NULL and
+      FALSE take the update clause — standard ``WHEN MATCHED AND cond
+      THEN DELETE`` semantics, delete clause first).
+    * ``insert_where`` (requires ``when_not_matched="insert"``): an
+      unmatched source row is inserted only where the predicate is
+      TRUE; others are dropped silently.
+
+    Together they make an aggregate-maintenance upsert ATOMIC: one
+    commit updates live groups, deletes emptied ones, and declines to
+    insert already-empty ones — no window where a reader can see the
+    intermediate state (the MV refreshers' whole crash-contract
+    before round 13).
 
     ``schema_evolution=True`` is Delta's ``mergeSchema`` for MERGE:
     source columns absent from the target are APPENDED (nullable) to
@@ -2451,6 +2472,24 @@ def merge_into(
         raise ValueError(
             f"merge_into: unknown when_not_matched={when_not_matched!r}"
         )
+    if matched_delete_where is not None and when_matched != "update":
+        raise ValueError(
+            "merge_into: matched_delete_where requires "
+            "when_matched='update' (the conditional delete rides the "
+            "upsert clause)"
+        )
+    if insert_where is not None and when_not_matched != "insert":
+        raise ValueError(
+            "merge_into: insert_where requires when_not_matched='insert'"
+        )
+    # WHEN MATCHED AND cond THEN DELETE: NULL/FALSE fall through to
+    # the update clause (standard MERGE clause-ordering semantics)
+    is_del = (
+        F.coalesce(F.expr(matched_delete_where).cast("boolean"),
+                   F.lit(False))
+        if matched_delete_where is not None else None
+    )
+    conditional = matched_delete_where is not None or insert_where is not None
     if write_mode not in {"cow", "mor"}:
         raise ValueError(f"merge_into: unknown write_mode={write_mode!r}")
     vs = snapshot_versions(path)
@@ -2543,8 +2582,11 @@ def merge_into(
     # written (validate the whole source — no join needed); with just
     # one branch, the written set is the semi/anti join against the
     # target keys, validated below once tgt_keys exists. A delete-only
-    # merge writes nothing and is exempt.
-    if when_matched == "update" and when_not_matched == "insert":
+    # merge writes nothing and is exempt. Conditional clauses shrink
+    # the written set, so they always take the deferred branch-wise
+    # validation (a to-be-deleted/skipped row must not block).
+    if (when_matched == "update" and when_not_matched == "insert"
+            and not conditional):
         _validate_constraints(
             src, man.get("constraints", {}), "merge source rows"
         )
@@ -2600,15 +2642,25 @@ def merge_into(
     # never written and must not block it (stricter-than-Delta bug,
     # round-10 advice)
     if man.get("constraints"):
-        if when_matched == "update" and when_not_matched != "insert":
+        upd_only = when_matched == "update" and (
+            when_not_matched != "insert" or conditional)
+        ins_only = when_not_matched == "insert" and (
+            when_matched != "update" or conditional)
+        if upd_only:
+            upd_rows = src.join(tgt_keys, on, "semi")
+            if is_del is not None:
+                upd_rows = upd_rows.where(~is_del)
             _validate_constraints(
-                src.join(tgt_keys, on, "semi"),
-                man["constraints"], "merge update rows",
+                upd_rows, man["constraints"], "merge update rows",
             )
-        elif when_not_matched == "insert" and when_matched != "update":
+        if ins_only:
+            ins_rows = src.join(tgt_keys, on, "left_anti")
+            if insert_where is not None:
+                ins_rows = ins_rows.where(
+                    F.coalesce(F.expr(insert_where).cast("boolean"),
+                               F.lit(False)))
             _validate_constraints(
-                src.join(tgt_keys, on, "left_anti"),
-                man["constraints"], "merge insert rows",
+                ins_rows, man["constraints"], "merge insert rows",
             )
 
     stats_cols = man.get("columns", on)
@@ -2634,21 +2686,31 @@ def merge_into(
             carried.append(e)
         parts = []
         if when_matched == "update":
-            parts.append(
-                src.join(rid_map, on) if rt_pass
-                else src.join(tgt_keys, on, "semi")
-            )
+            upd = (src.join(rid_map, on) if rt_pass
+                   else src.join(tgt_keys, on, "semi"))
+            if is_del is not None:
+                # conditional delete: the matched row's position is
+                # already DV'd; simply not rewriting it IS the delete
+                upd = upd.where(~is_del)
+            parts.append(upd)
     else:
         kept = tgt.join(src.select(*on), on, "left_anti")
         parts = [kept]
         if when_matched == "update":
-            parts.append(
-                src.join(rid_map, on) if rt_pass
-                else src.join(tgt_keys, on, "semi")
-            )
+            upd = (src.join(rid_map, on) if rt_pass
+                   else src.join(tgt_keys, on, "semi"))
+            if is_del is not None:
+                # conditional delete under cow: the touched file is
+                # rewritten without the matched row either way
+                upd = upd.where(~is_del)
+            parts.append(upd)
         # when_matched == "delete": matched target rows simply dropped
     if when_not_matched == "insert":
         ins = src.join(tgt_keys, on, "left_anti")
+        if insert_where is not None:
+            ins = ins.where(
+                F.coalesce(F.expr(insert_where).cast("boolean"),
+                           F.lit(False)))
         if rt_pass:
             # fresh rows take the base_row_id + ordinal fallback
             ins = ins.withColumn(_RID_COL, F.lit(None).cast("long"))

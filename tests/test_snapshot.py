@@ -2994,9 +2994,11 @@ def test_refresh_rollup_null_measures_and_crash_heal(
     spark, tmp_path, monkeypatch
 ):
     """Review pins: (1) a change batch whose rows carry NULL in a
-    measure must not wipe the group's accumulated sum; (2) a crash
-    between the cursor-stamping merge and the zero-group delete heals
-    on the next refresh instead of leaving n_rows=0 phantoms."""
+    measure must not wipe the group's accumulated sum; (2) the refresh
+    commit is ATOMIC since round 13 (conditional MERGE deletes emptied
+    groups in the same version — no phantom window), and a LEGACY
+    phantom (an n_rows=0 row left by a pre-round-13 crash) still heals
+    on the next refresh."""
     from aws_medallion_etl_spark import mv as mvmod
 
     base = str(tmp_path / "fact2")
@@ -3017,32 +3019,29 @@ def test_refresh_rollup_null_measures_and_crash_heal(
     got = {r["g"]: (r["n_rows"], r["sum_cents"])
            for r in sn.snapshot_read(spark, mv).collect()}
     assert got[10] == (3, 300)            # NULL added as 0, sum intact
-    # (2) empty group 20, crash the zero-group delete
+    # (2a) ATOMIC emptying: delete group 20's rows; ONE refresh commit
+    # both applies the delta and removes the emptied group — no
+    # version ever holds an n_rows=0 row
     sn.delete_where(spark, base, "g = 20", mode="mor")
-    orig = mvmod.snap.delete_where
-    calls = {"n": 0}
-
-    def crashing(spark_, path_, pred_, mode="mor"):
-        if path_ == mv:
-            calls["n"] += 1
-            # the post-merge cleanup is the FIRST mv delete call now:
-            # both delete sites sit behind a phantom-probe guard
-            # (round 12), so the no-phantom self-heal never calls in
-            if calls["n"] == 1:
-                raise RuntimeError("simulated crash")
-        return orig(spark_, path_, pred_, mode=mode)
-
-    monkeypatch.setattr(mvmod.snap, "delete_where", crashing)
-    with pytest.raises(RuntimeError, match="simulated crash"):
-        mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
-    # phantom exists now (cursor already stamped)...
-    assert sn.snapshot_read(spark, mv).where("n_rows = 0").count() == 1
-    monkeypatch.setattr(mvmod.snap, "delete_where", orig)
-    # ...and the replayed refresh self-heals despite the current cursor
+    v_before = sn.current_version(mv)
     r = mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
-    assert r["groups_changed"] == 0
-    assert sn.snapshot_read(spark, mv).where("n_rows = 0").count() == 0
+    assert sn.current_version(mv) == v_before + 1        # single commit
     assert sn.snapshot_read(spark, mv).where("g = 20").count() == 0
+    assert sn.snapshot_read(spark, mv).where("n_rows = 0").count() == 0
+    # (2b) a LEGACY phantom (pre-round-13 crash artifact, planted
+    # out-of-band) heals on the next refresh via the self-heal probe
+    sn.merge_into(
+        spark, mv,
+        spark.createDataFrame([(99, 0, 0)],
+                              "g long, n_rows long, sum_cents long"),
+        on=["g"],
+    )
+    assert sn.snapshot_read(spark, mv).where("n_rows = 0").count() == 1
+    sn.update_where(spark, base, "k = 1", {"cents": "cents + 1"},
+                    mode="mor")                       # give it a delta
+    mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
+    assert sn.snapshot_read(spark, mv).where("n_rows = 0").count() == 0
+    assert sn.snapshot_read(spark, mv).where("g = 99").count() == 0
 
 
 def test_compact_survives_renamed_stats_column(spark, tmp_path):
@@ -3440,3 +3439,48 @@ def test_mv_zero_group_probe_is_manifest_only(spark, tmp_path):
     sn.delete_where(spark, base, "g = 1", mode="mor")
     mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
     assert mvmod.read_rollup(spark, mv).where("g = 1").count() == 0
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_conditional_delete_and_insert_clauses(spark, tmp_path, mode):
+    """Delta's whenMatchedDelete(cond) / whenNotMatchedInsert(cond):
+    one commit updates matched rows, deletes matched rows where the
+    source predicate is TRUE (NULL/FALSE fall through to update),
+    and inserts only qualifying unmatched rows."""
+    path = str(tmp_path / f"mcond_{mode}")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, v long")
+    sn.snapshot_create(spark, df.repartition(2), path, ["k"],
+                       row_tracking=True)
+    src = spark.createDataFrame(
+        # (key, value, del_flag): k=1 update, k=2 delete, k=3 NULL
+        # flag -> update; k=9 insert (flag passes), k=8 skipped
+        [(1, 11, False), (2, 0, True), (3, 33, None),
+         (9, 99, False), (8, 88, True)],
+        "k long, v long, gone boolean",
+    )
+    v0 = sn.current_version(path)
+    sn.merge_into(
+        spark, path,
+        src.withColumn("keep", ~F.coalesce("gone", F.lit(False)))
+           .drop("gone"),
+        on=["k"], write_mode=mode,
+        matched_delete_where="keep = false",
+        insert_where="keep = true",
+        schema_evolution=True,
+    )
+    # ONE commit did all three clause actions
+    assert sn.current_version(path) == v0 + 1
+    got = {r["k"]: r["v"] for r in sn.snapshot_read(spark, path).collect()}
+    assert got == {1: 11, 3: 33, 4: 40, 9: 99}, got
+    # row ids: survivors keep theirs, no duplicates
+    ids = [r["_row_id"] for r in
+           sn.snapshot_read(spark, path, row_ids=True).collect()]
+    assert len(ids) == len(set(ids))
+    # validation: conditions demand their clause
+    with pytest.raises(ValueError, match="matched_delete_where"):
+        sn.merge_into(spark, path, src.drop("gone"), on=["k"],
+                      when_matched=None, matched_delete_where="v = 0")
+    with pytest.raises(ValueError, match="insert_where"):
+        sn.merge_into(spark, path, src.drop("gone"), on=["k"],
+                      when_not_matched=None, insert_where="v > 0")
