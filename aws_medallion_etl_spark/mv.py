@@ -109,6 +109,54 @@ def _avg_cols(avgs: dict[str, str]) -> list:
     ]
 
 
+def _with_avg_cols(df: DataFrame, avgs: dict[str, str]) -> DataFrame:
+    """Append the materialized avg projections (shared by both
+    refreshers — one definition so the avg contract can't diverge)."""
+    return df.select("*", *_avg_cols(avgs)) if avgs else df
+
+
+def _count_groups_checked(merged: DataFrame, group_cols, fn: str) -> int:
+    """Count the merged delta's groups AND enforce the NON-NULL
+    group-key contract in the same single action: a NULL group key
+    never matches its own MV row under MERGE's NULL semantics, so each
+    refresh would INSERT another partial NULL-group row — silent
+    accumulation. Refuse loudly before anything commits; coalesce
+    nullable grouping columns to a sentinel upstream."""
+    null_any = None
+    for c in group_cols:
+        pred = F.col(c).isNull()
+        null_any = pred if null_any is None else (null_any | pred)
+    row = merged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(null_any.cast("long")).alias("__nulls"),
+    ).first()
+    if row["__nulls"]:
+        raise ValueError(
+            f"{fn}: {row['__nulls']} delta row(s) carry NULL in a "
+            f"group column {list(group_cols)} — NULL group keys never "
+            "match their MV row under MERGE semantics and would "
+            "accumulate duplicates; coalesce them to a sentinel first"
+        )
+    return row["__n"]
+
+
+def _check_out_names(fn: str, out_names: list, group_cols) -> None:
+    """Alias hygiene shared by both refreshers: every output alias
+    lands in ONE flat MV schema (avgs additionally mint __sum_/__cnt_
+    companions) — duplicates or reserved names would create ambiguous
+    or silently duplicated columns at create time and corrupt merges
+    after."""
+    dupes = {o for o in out_names if out_names.count(o) > 1}
+    reserved = ({"n_rows"} | set(group_cols)) & set(out_names)
+    if dupes or reserved:
+        raise ValueError(
+            f"{fn}: output aliases must be disjoint across the "
+            f"aggregate maps (+ avg companions) and must not shadow "
+            f"n_rows or a group column; duplicates={sorted(dupes)} "
+            f"reserved={sorted(reserved)}"
+        )
+
+
 def refresh_rollup(
     spark: SparkSession,
     base_path: str,
@@ -161,23 +209,12 @@ def refresh_rollup(
     mins = dict(mins or {})
     maxs = dict(maxs or {})
     avgs = dict(avgs or {})
-    # output-name hygiene: every alias lands in ONE flat MV schema, and
-    # avgs additionally mint __sum_/__cnt_ companions — a duplicate or
-    # reserved alias would create an ambiguous/duplicated column at
-    # create time and silently corrupt merges after
-    out_names = (
+    _check_out_names(
+        "refresh_rollup",
         [*sums] + [*mins] + [*maxs] + [*avgs]
-        + [f"__sum_{o}" for o in avgs] + [f"__cnt_{o}" for o in avgs]
+        + [f"__sum_{o}" for o in avgs] + [f"__cnt_{o}" for o in avgs],
+        group_cols,
     )
-    dupes = {o for o in out_names if out_names.count(o) > 1}
-    reserved = ({"n_rows"} | set(group_cols)) & set(out_names)
-    if dupes or reserved:
-        raise ValueError(
-            "refresh_rollup: output aliases must be disjoint across "
-            f"sums/mins/maxs/avgs (+ avg companions) and must not shadow "
-            f"n_rows or a group column; duplicates={sorted(dupes)} "
-            f"reserved={sorted(reserved)}"
-        )
     base_v = snap.current_version(base_path)
     if base_v is None:
         raise ValueError(f"refresh_rollup: {base_path} is not a snapshot table")
@@ -199,9 +236,6 @@ def refresh_rollup(
         out += [F.max(F.expr(src)).cast("long").alias(o) for o, src in maxs.items()]
         return out
 
-    def _with_avgs(df: DataFrame) -> DataFrame:
-        return df.select("*", *_avg_cols(avgs)) if avgs else df
-
     if snap.current_version(mv_path) is None:
         full = (
             # pinned at the CAPTURED version: a commit landing between
@@ -212,7 +246,7 @@ def refresh_rollup(
             .groupBy(*group_cols)
             .agg(*_full_aggs())
         )
-        full = _with_avgs(full)
+        full = _with_avg_cols(full, avgs)
         v = snap.snapshot_create(
             # n_rows rides the stats columns so the phantom-group
             # probe can be answered from the manifest alone
@@ -385,11 +419,11 @@ def refresh_rollup(
             .cast("long").alias(out)
         )
     merged = joined.select(*out_cols)
-    merged = _with_avgs(merged)
+    merged = _with_avg_cols(merged, avgs)
     # the merge's probe/validate/write branches each consume this
     # frame — materialize the (group-cardinality-sized) delta once
     merged = merged.localCheckpoint(eager=False)
-    n_changed = merged.count()
+    n_changed = _count_groups_checked(merged, group_cols, "refresh_rollup")
     # ONE atomic commit (round 13, conditional MERGE clauses): live
     # groups upsert, groups the delta emptied DELETE in the same
     # commit, and a group that both appeared and emptied inside the
@@ -509,6 +543,13 @@ def refresh_join_rollup(
     Returns ``{"mv_version", "fact_version", "dim_version",
     "groups_changed", "created", "full_recompute",
     "dim_keys_churned"}``.
+
+    Contract: ``group_cols`` must be NON-NULL in the joined rows (dim
+    attributes are often nullable — coalesce to a sentinel in the dim
+    first). Same MERGE-key reasoning as :func:`refresh_rollup`; a
+    refresh whose delta carries a NULL group key refuses loudly
+    (checked inside the existing count action) instead of silently
+    accumulating duplicate NULL-group rows.
     """
     avgs = dict(avgs or {})
     if on_dim_churn not in ("recompute", "error"):
@@ -516,16 +557,12 @@ def refresh_join_rollup(
             "refresh_join_rollup: on_dim_churn must be 'recompute' or "
             f"'error', got {on_dim_churn!r}"
         )
-    out_names = [*sums] + [*avgs] + [f"__sum_{o}" for o in avgs] \
-        + [f"__cnt_{o}" for o in avgs]
-    dupes = {o for o in out_names if out_names.count(o) > 1}
-    reserved = ({"n_rows"} | set(group_cols)) & set(out_names)
-    if dupes or reserved:
-        raise ValueError(
-            "refresh_join_rollup: output aliases must be disjoint and "
-            f"must not shadow n_rows or a group column; "
-            f"duplicates={sorted(dupes)} reserved={sorted(reserved)}"
-        )
+    _check_out_names(
+        "refresh_join_rollup",
+        [*sums] + [*avgs] + [f"__sum_{o}" for o in avgs]
+        + [f"__cnt_{o}" for o in avgs],
+        group_cols,
+    )
     fact_v = snap.current_version(fact_path)
     dim_v = snap.current_version(dim_path)
     if fact_v is None or dim_v is None:
@@ -557,7 +594,7 @@ def refresh_join_rollup(
             *[F.count(F.expr(src)).cast("long").alias(f"__cnt_{o}")
               for o, src in avgs.items()],
         )
-        return _with_avgs_join(full, avgs)
+        return _with_avg_cols(full, avgs)
 
     if snap.current_version(mv_path) is None:
         v = snap.snapshot_create(
@@ -590,6 +627,18 @@ def refresh_join_rollup(
                 "full_recompute": False, "dim_keys_churned": 0}
 
     dim_now = snap.snapshot_read(spark, dim_path, version=dim_v)
+    # the creation-time disjointness can rot (schema evolution on
+    # either side) — re-check on every refresh; driver-side, no job
+    fact_cols = set(
+        snap.snapshot_read(spark, fact_path, version=fact_v).columns
+    )
+    overlap = (fact_cols & set(dim_now.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            "refresh_join_rollup: fact and dim column names must be "
+            f"disjoint apart from the join key; both carry "
+            f"{sorted(overlap)}"
+        )
 
     n_dim_churn = 0
     dim_delta = None
@@ -598,7 +647,9 @@ def refresh_join_rollup(
             spark, dim_path, key_cols=list(on), v_from=d0, v_to=dim_v
         ).localCheckpoint(eager=False)  # consumed by count + join + bounds
         n_dim_churn = dim_delta.select(*on).distinct().count()
-        dim_total = max(1, dim_now.count())
+        # live dim size from the manifest alone (rows - dv_rows) —
+        # the churn denominator must not cost a Spark count per window
+        dim_total = max(1, snap.live_rows(dim_path, version=dim_v))
         if n_dim_churn / dim_total > dim_churn_threshold:
             if on_dim_churn == "error":
                 raise RuntimeError(
@@ -627,15 +678,24 @@ def refresh_join_rollup(
                 )
             )
             merged = full.unionByName(
-                _with_avgs_join(gone, avgs)
+                _with_avg_cols(gone, avgs)
             ).localCheckpoint(eager=False)
-            n_changed = merged.count()
+            n_changed = _count_groups_checked(
+                merged, group_cols, "refresh_join_rollup")
             res = snap.merge_into(
                 spark, mv_path, merged, on=list(group_cols),
                 txn=(app_id, _pack_cursor(fact_v, dim_v)),
                 matched_delete_where="n_rows = 0",
                 insert_where="n_rows > 0",
             )
+            if res.get("skipped"):
+                # a racing refresher landed this (or a later) window
+                # first — report the no-op, not the loser's workload
+                return {"mv_version": res["version"],
+                        "fact_version": fact_v, "dim_version": dim_v,
+                        "groups_changed": 0, "created": False,
+                        "full_recompute": False,
+                        "dim_keys_churned": n_dim_churn}
             return {"mv_version": snap.current_version(mv_path),
                     "fact_version": fact_v, "dim_version": dim_v,
                     "groups_changed": n_changed, "created": False,
@@ -715,9 +775,10 @@ def refresh_join_rollup(
             for o in avgs
         ],
     )
-    merged = _with_avgs_join(merged, avgs)
+    merged = _with_avg_cols(merged, avgs)
     merged = merged.localCheckpoint(eager=False)
-    n_changed = merged.count()
+    n_changed = _count_groups_checked(
+        merged, group_cols, "refresh_join_rollup")
     # one atomic commit — see refresh_rollup's merge for the contract
     res = snap.merge_into(
         spark, mv_path, merged, on=list(group_cols),
@@ -735,8 +796,3 @@ def refresh_join_rollup(
             "groups_changed": n_changed, "created": False,
             "full_recompute": False, "dim_keys_churned": n_dim_churn}
 
-
-def _with_avgs_join(df: DataFrame, avgs: dict[str, str]) -> DataFrame:
-    """Materialized avg columns for the join-rollup paths (same exact
-    one-division contract as :func:`_avg_cols`)."""
-    return df.select("*", *_avg_cols(avgs)) if avgs else df

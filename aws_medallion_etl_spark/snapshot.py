@@ -4030,9 +4030,37 @@ def manifest_column_stats(
     if v is None:
         raise ValueError(f"manifest_column_stats: {path} is not a snapshot table")
     man = _read_manifest(path, v)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    if col not in schema.fieldNames():
+        # a stale logical name could otherwise alias another column's
+        # PHYSICAL key after a rename and return the wrong bounds
+        raise ValueError(
+            f"manifest_column_stats: {col!r} is not a column of "
+            f"{path} at v{v}"
+        )
+    # stats are keyed by PHYSICAL column name — translate like every
+    # other stats consumer (prune, compact, rebase), or a renamed
+    # column would read the wrong (or no) bounds
+    phys = _phys(dict(man.get("colmap") or {}), col)
     return [
-        (e.get("stats") or {}).get(col) for e in _manifest_files(path, man)
+        (e.get("stats") or {}).get(phys) for e in _manifest_files(path, man)
     ]
+
+
+def live_rows(path: str, version: int | None = None) -> int:
+    """Live row count at a version (default latest) from the manifest
+    alone — per-file ``rows`` minus outstanding deletion-vector rows.
+    Driver-side, no Spark job; exact (DV counts are exact), the cheap
+    substitute for ``snapshot_read(...).count()`` wherever only the
+    number is needed."""
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise ValueError(f"live_rows: {path} is not a snapshot table")
+    man = _read_manifest(path, v)
+    return sum(
+        int(e.get("rows") or 0) - int(e.get("dv_rows") or 0)
+        for e in _manifest_files(path, man)
+    )
 
 
 def snapshot_history(path: str) -> list[dict]:

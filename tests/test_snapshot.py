@@ -3484,3 +3484,98 @@ def test_merge_conditional_delete_and_insert_clauses(spark, tmp_path, mode):
     with pytest.raises(ValueError, match="insert_where"):
         sn.merge_into(spark, path, src.drop("gone"), on=["k"],
                       when_not_matched=None, insert_where="v > 0")
+
+
+def test_manifest_column_stats_translate_renames(spark, tmp_path):
+    """manifest_column_stats speaks LOGICAL names and translates to
+    the physical stats keys like every other stats consumer: a rename
+    keeps the bounds readable under the NEW name, a stale name
+    refuses instead of aliasing another column's data."""
+    path = str(tmp_path / "mcs")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    sn.snapshot_create(spark, df.repartitionByRange(4, "k"), path,
+                       stats_cols=["k"])
+    sts = sn.manifest_column_stats(path, "k")
+    assert len(sts) == 4 and all(st and st["min"] is not None for st in sts)
+    lo = min(st["min"] for st in sts)
+    hi = max(st["max"] for st in sts)
+    assert (lo, hi) == (0, 99)
+    sn.rename_column(path, "k", "key")
+    sts2 = sn.manifest_column_stats(path, "key")
+    assert [s and (s["min"], s["max"]) for s in sts2] == \
+        [s and (s["min"], s["max"]) for s in sts]
+    with pytest.raises(ValueError, match="not a column"):
+        sn.manifest_column_stats(path, "k")
+    # live_rows: manifest-only count matches the scan, pre and post DV
+    assert sn.live_rows(path) == 100
+    sn.delete_where(spark, path, "key < 10", mode="mor")
+    assert sn.live_rows(path) == 90
+    assert sn.snapshot_read(spark, path).count() == 90
+
+
+def test_refresh_join_rollup_refuses_rotted_overlap_and_null_groups(
+    spark, tmp_path
+):
+    """Round-13 review pins: (1) a fact column added AFTER MV creation
+    that collides with a dim attribute fails the refresh loudly (the
+    creation-time disjointness is re-checked every window); (2) a NULL
+    group key in the delta refuses before anything commits."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    mvm, fact_p, dim_p, mv_p, kw = _join_mv_fixture(spark, tmp_path)
+    mvm.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    # (1) evolve the fact with a column named like the dim attribute
+    sn.merge_into(
+        spark, fact_p,
+        spark.createDataFrame([(5000, 1, 7, "oops")],
+                              "k long, d long, cents long, g string"),
+        on=["k"], schema_evolution=True,
+    )
+    with pytest.raises(ValueError, match="disjoint apart from"):
+        mvm.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+
+    # (2) fresh fixture; a dim key's group goes NULL mid-window
+    mvm2, fact2, dim2, mvp2, kw2 = _join_mv_fixture(
+        spark, tmp_path / "b")
+    mvm2.refresh_join_rollup(spark, fact2, dim2, mvp2, **kw2)
+    sn.update_where(spark, dim2, "d = 3", {"g": "NULL"}, mode="mor")
+    with pytest.raises(ValueError, match="NULL in a group column"):
+        mvm2.refresh_join_rollup(spark, fact2, dim2, mvp2, **kw2)
+    # nothing committed: the MV still matches the PRE-window state
+    assert sn.last_txn_version(mvp2, "mv.join_rollup") == \
+        mvm2._pack_cursor(0, 0)
+
+
+def test_refresh_join_rollup_full_recompute_respects_skipped(
+    spark, tmp_path, monkeypatch
+):
+    """A racing refresher that stamps this (fact, dim) window AFTER
+    the loser's cursor check but BEFORE its merge makes the
+    full-recompute merge a txn no-op — the loser must report
+    groups_changed=0 / full_recompute=False, not its own workload."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    mvm, fact_p, dim_p, mv_p, kw = _join_mv_fixture(spark, tmp_path)
+    mvm.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    # over-threshold dim churn queues the full-recompute branch
+    sn.update_where(spark, dim_p, "d % 2 = 0", {"g": "'bulk'"}, mode="mor")
+    fv, dv = sn.current_version(fact_p), sn.current_version(dim_p)
+    orig_changes = mvm.snap.snapshot_changes
+    fired = {"done": False}
+
+    def racing_changes(*a, **k):
+        # the dim-delta read happens after the cursor check and before
+        # the merge — stamp the winner's mark exactly there
+        if not fired["done"]:
+            fired["done"] = True
+            sn.delete_where(spark, mv_p, "n_rows < 0", mode="mor",
+                            txn=("mv.join_rollup",
+                                 mvm._pack_cursor(fv, dv)))
+        return orig_changes(*a, **k)
+
+    monkeypatch.setattr(mvm.snap, "snapshot_changes", racing_changes)
+    r = mvm.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    monkeypatch.setattr(mvm.snap, "snapshot_changes", orig_changes)
+    assert fired["done"]
+    assert r["groups_changed"] == 0 and not r["full_recompute"]
