@@ -63,21 +63,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
     first verdict. Round 13 head (exactly 50 uniques, sized to the
-    ~50-verdict rotation budget): the query registered this round
-    (s44_join_mv), then all 14 queries whose latest driver green is
-    round 8 (the r12 verdict's explicit ladder), then 35 of the 45
-    r9-verdict queries. The five IVF queries moved to nprobe="auto"
-    this round, but at grading scale auto resolves to exhaustive
-    probing and their results still hash-match the exact oracle
-    (re-contracted locally), and all five carry fresh r12 verdicts —
-    so they do not re-enter the head. The 10 r9 queries left over
-    (small stable aggregates/windows: a1/a2/a14/a15/a16, s1_csv,
-    u4, w9/w10/w11) lead the r14 ladder. Everything behind the head
-    has a verdict from r10-r12.
+    ~50-verdict rotation budget): the two queries registered this
+    round (s44_join_mv, s46_merge_conditional), then all 14 queries
+    whose latest driver green is round 8 (the r12 verdict's explicit
+    ladder), then 34 of the 45 r9-verdict queries. The five IVF
+    queries moved to nprobe="auto" this round, but at grading scale
+    auto resolves to exhaustive probing and their results still
+    hash-match the exact oracle (re-contracted locally), and all five
+    carry fresh r12 verdicts — so they do not re-enter the head. The
+    11 r9 queries left over (small stable aggregates/windows:
+    a1/a2/a14/a15/a16, s1_csv, u4, w8/w9/w10/w11) lead the r14
+    ladder. Everything behind the head has a verdict from r10-r12.
     """
     first = [
         # registered this round — no driver verdict yet
-        "s44_join_mv",
+        "s44_join_mv", "s46_merge_conditional",
         # the 14 r8-verdict queries (oldest outstanding greens)
         "s13_sql_subqueries", "s23_merge_snapshot",
         "t_document_filter", "t_fingerprint", "t_lang_id",
@@ -102,7 +102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition_ngrams", "t_token_count", "t_top_dup_ngrams",
         "ts_ohlc_bars", "w12_funnel_conversion",
         "w2w3_scd2_from_history", "w6_trailing_average",
-        "w8_sessionize",
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"

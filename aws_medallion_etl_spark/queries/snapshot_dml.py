@@ -1668,3 +1668,86 @@ def s44_join_mv(spark, sf_dir):
     return mvmod.read_rollup(spark, mv_p).select(
         "c_mktsegment", "n_rows", "sum_cents", "avg_cents"
     )
+
+
+_S46_MERGE_COND_SQL = """
+    WITH maxk AS (
+        SELECT max(o_orderkey) AS m FROM orders
+    ), final AS (
+        SELECT o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 3 = 0 THEN 7 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 6 <> 0
+        UNION ALL
+        SELECT 'N', CAST(123 AS BIGINT)
+        FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 100 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY o_orderstatus
+"""
+
+
+@query("s46_merge_conditional", _S46_MERGE_COND_SQL)
+def s46_merge_conditional(spark, sf_dir):
+    """Conditional MERGE clauses proven by oracle (round 13 —
+    Delta's ``whenMatchedDelete(condition)`` /
+    ``whenNotMatchedInsert(condition)``): ONE ``merge_into`` commit
+    updates matched rows (keys %3, +7 cents), DELETES the matched
+    subset whose predicate is true (keys %6 — a strict subset, so the
+    clause ordering is exercised), and inserts only the qualifying
+    half of the unmatched rows (new 'N' keys from %50, the %100 half
+    declined). Both predicates are plain SQL over the source row —
+    no flag column, no schema change. The oracle rebuilds the final
+    state from scratch in SQL, so a delete that fell through to
+    update, an insert that ignored its predicate, or a clause applied
+    to the wrong subset shifts the per-status counts and sums. Runs
+    under MOR so the conditional delete exercises the deletion-vector
+    path; the single post-merge version is asserted (atomicity is the
+    point).
+    """
+    import shutil
+
+    from aws_medallion_etl_spark import snapshot as snap
+
+    base = _scratch("s46base", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap.snapshot_create(
+        spark,
+        orders.select(
+            "o_orderkey", "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ).repartitionByRange(4, "o_orderkey"),
+        base, stats_cols=["o_orderkey"], row_tracking=True,
+    )
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    matched_src = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 100).cast("long") + 7)
+        .alias("cents"),
+    )
+    insert_src = orders.where(F.col("o_orderkey") % 50 == 0).select(
+        (F.col("o_orderkey") + F.lit(maxk + 10)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(123).cast("long").alias("cents"),
+    )
+    v0 = snap.current_version(base)
+    # predicates are plain SQL over the SOURCE row — no flag column,
+    # no schema change; the insert predicate sees the SHIFTED key
+    snap.merge_into(
+        spark, base, matched_src.unionByName(insert_src),
+        on=["o_orderkey"], write_mode="mor",
+        matched_delete_where="o_orderkey % 6 = 0",
+        insert_where=f"(o_orderkey - {maxk + 10}) % 100 <> 0",
+    )
+    assert snap.current_version(base) == v0 + 1     # ONE atomic commit
+    return (
+        snap.snapshot_read(spark, base)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("cents").cast("long").alias("sum_cents"))
+    )
