@@ -2398,6 +2398,7 @@ def merge_into(
     txn: tuple[str, int] | None = None,
     matched_delete_where: str | None = None,
     insert_where: str | None = None,
+    matched_update_where: str | None = None,
 ) -> dict:
     """SQL MERGE onto a snapshot table, atomically versioned.
 
@@ -2417,6 +2418,12 @@ def merge_into(
       is TRUE deletes its target row instead of updating it (NULL and
       FALSE take the update clause — standard ``WHEN MATCHED AND cond
       THEN DELETE`` semantics, delete clause first).
+    * ``matched_update_where`` (requires ``when_matched="update"``;
+      Delta's ``whenMatchedUpdate(condition)``): a matched source row
+      updates its target only where the predicate is TRUE — other
+      matched target rows are left COMPLETELY untouched (not DV'd,
+      not rewritten; under cow they stay in the kept set). Evaluated
+      AFTER the delete clause, standard ordering.
     * ``insert_where`` (requires ``when_not_matched="insert"``): an
       unmatched source row is inserted only where the predicate is
       TRUE; others are dropped silently.
@@ -2482,14 +2489,29 @@ def merge_into(
         raise ValueError(
             "merge_into: insert_where requires when_not_matched='insert'"
         )
-    # WHEN MATCHED AND cond THEN DELETE: NULL/FALSE fall through to
-    # the update clause (standard MERGE clause-ordering semantics)
-    is_del = (
-        F.coalesce(F.expr(matched_delete_where).cast("boolean"),
-                   F.lit(False))
-        if matched_delete_where is not None else None
-    )
-    conditional = matched_delete_where is not None or insert_where is not None
+    if matched_update_where is not None and when_matched != "update":
+        raise ValueError(
+            "merge_into: matched_update_where requires "
+            "when_matched='update'"
+        )
+    # clause-ordering semantics over the SOURCE row, NULL == not taken:
+    #   WHEN MATCHED AND del_pred THEN DELETE
+    #   WHEN MATCHED AND upd_pred THEN UPDATE   (else: leave untouched)
+    # del_pred/upd_pred both TRUE -> delete wins (evaluated first);
+    # neither -> the matched target row is NOT an acting row at all.
+    def _pred(expr_str):
+        return F.coalesce(F.expr(expr_str).cast("boolean"), F.lit(False))
+
+    is_del = (_pred(matched_delete_where)
+              if matched_delete_where is not None else None)
+    upd_pred = F.lit(True) if is_del is None else ~is_del
+    if matched_update_where is not None:
+        upd_pred = upd_pred & _pred(matched_update_where)
+    # acting matched rows: the ones this merge touches at all
+    act_pred = upd_pred if is_del is None else (upd_pred | is_del)
+    conditional = (matched_delete_where is not None
+                   or insert_where is not None
+                   or matched_update_where is not None)
     if write_mode not in {"cow", "mor"}:
         raise ValueError(f"merge_into: unknown write_mode={write_mode!r}")
     vs = snapshot_versions(path)
@@ -2647,9 +2669,7 @@ def merge_into(
         ins_only = when_not_matched == "insert" and (
             when_matched != "update" or conditional)
         if upd_only:
-            upd_rows = src.join(tgt_keys, on, "semi")
-            if is_del is not None:
-                upd_rows = upd_rows.where(~is_del)
+            upd_rows = src.join(tgt_keys, on, "semi").where(upd_pred)
             _validate_constraints(
                 upd_rows, man["constraints"], "merge update rows",
             )
@@ -2671,7 +2691,10 @@ def merge_into(
         carried += list(touched)
         parts = []
     elif mor:
-        matched = tgt.join(src.select(*on), on, "semi").select(
+        acting_src = (
+            src.where(act_pred) if when_matched == "update" else src
+        )
+        matched = tgt.join(acting_src.select(*on), on, "semi").select(
             F.col("__file").alias("file"), F.col("__pos").alias("row_index")
         )
         dv_rel, dv_totals, dv_counts = _mint_dv(
@@ -2686,24 +2709,26 @@ def merge_into(
             carried.append(e)
         parts = []
         if when_matched == "update":
+            # conditional delete: the acting row's position is already
+            # DV'd; rewriting only the upd_pred rows makes non-updated
+            # acting rows deletes, and NON-acting matched rows were
+            # never DV'd at all (matched_update_where leaves them be)
             upd = (src.join(rid_map, on) if rt_pass
                    else src.join(tgt_keys, on, "semi"))
-            if is_del is not None:
-                # conditional delete: the matched row's position is
-                # already DV'd; simply not rewriting it IS the delete
-                upd = upd.where(~is_del)
-            parts.append(upd)
+            parts.append(upd.where(upd_pred))
     else:
-        kept = tgt.join(src.select(*on), on, "left_anti")
+        acting_src = (
+            src.where(act_pred) if when_matched == "update" else src
+        )
+        kept = tgt.join(acting_src.select(*on), on, "left_anti")
         parts = [kept]
         if when_matched == "update":
+            # conditional delete under cow: the touched file is
+            # rewritten without the acting row either way; non-acting
+            # matched rows ride the kept set untouched
             upd = (src.join(rid_map, on) if rt_pass
                    else src.join(tgt_keys, on, "semi"))
-            if is_del is not None:
-                # conditional delete under cow: the touched file is
-                # rewritten without the matched row either way
-                upd = upd.where(~is_del)
-            parts.append(upd)
+            parts.append(upd.where(upd_pred))
         # when_matched == "delete": matched target rows simply dropped
     if when_not_matched == "insert":
         ins = src.join(tgt_keys, on, "left_anti")

@@ -3579,3 +3579,40 @@ def test_refresh_join_rollup_full_recompute_respects_skipped(
     monkeypatch.setattr(mvm.snap, "snapshot_changes", orig_changes)
     assert fired["done"]
     assert r["groups_changed"] == 0 and not r["full_recompute"]
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_conditional_update_clause(spark, tmp_path, mode):
+    """whenMatchedUpdate(condition): matched rows failing the update
+    predicate are left COMPLETELY untouched — same value, same row id,
+    not DV'd — while qualifying rows update and the delete clause
+    still wins where both hold."""
+    path = str(tmp_path / f"mupd_{mode}")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, v long")
+    sn.snapshot_create(spark, df.repartition(2), path, ["k"],
+                       row_tracking=True)
+    before_ids = {r["k"]: r["_row_id"] for r in
+                  sn.snapshot_read(spark, path, row_ids=True).collect()}
+    # k=1: update fires (11 % 11 = 0); k=2: update predicate FALSE
+    # (21 % 11 = 10) -> untouched; k=3: delete (wins over a passing
+    # update predicate); k=9: insert
+    src = spark.createDataFrame(
+        [(1, 11), (2, 21), (3, 0), (9, 99)], "k long, v long")
+    sn.merge_into(
+        spark, path, src, on=["k"], write_mode=mode,
+        matched_update_where="v % 11 = 0",
+        matched_delete_where="v = 0",
+    )
+    rows = {r["k"]: (r["v"], r["_row_id"]) for r in
+            sn.snapshot_read(spark, path, row_ids=True).collect()}
+    assert {k: v for k, (v, _) in rows.items()} == \
+        {1: 11, 2: 20, 4: 40, 9: 99}
+    # untouched matched row keeps its id; updated row inherits its id
+    assert rows[2][1] == before_ids[2]
+    assert rows[1][1] == before_ids[1]
+    ids = [rid for _, rid in rows.values()]
+    assert len(ids) == len(set(ids))
+    with pytest.raises(ValueError, match="matched_update_where"):
+        sn.merge_into(spark, path, src, on=["k"], when_matched=None,
+                      matched_update_where="v > 0")
