@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_explode_normalize", "u2_unknown_row",
         "u3_union_all_report", "w1_dedup_keep_newest",
         "w1b_dedup_max_by", "w4_hash_sk_distinct", "w5_yoy_growth",
-        # 35 of the 45 r9-verdict queries
+        # 34 of the 45 r9-verdict queries
         "corpus_bloom_decontaminate", "corpus_strip_boilerplate",
         "dq_k_anonymity", "dq_l_diversity", "j15_record_linkage",
         "s15_sorted_compact_roundtrip", "s24_merge_schema_evolution",

@@ -87,7 +87,11 @@ def _zero_groups_possible(mv_path: str) -> bool:
     construction: missing stats, a legacy MV created before ``n_rows``
     joined the stats columns, or a min of 0 left behind by a MOR
     delete (DVs never narrow file stats) all answer True and fall
-    back to the exact probe."""
+    back to the exact probe. Because a heal's MOR delete leaves that
+    min-0 stat in place forever, a healed legacy MV keeps paying the
+    limit(1) probe each refresh until a ``snapshot.compact()`` (or
+    the one-shot :func:`upgrade_rollup`) rewrites the file and
+    restores the zero-job fast path."""
     try:
         sts = snap.manifest_column_stats(mv_path, "n_rows")
     except Exception:
@@ -95,6 +99,40 @@ def _zero_groups_possible(mv_path: str) -> bool:
     return any(
         not st or st.get("min") is None or st["min"] <= 0 for st in sts
     )
+
+
+# Broadcast guard (round 14): the join-MV used to force-broadcast the
+# entire current dim at every join site — correct while the dim honors
+# the docstring's "(small)" contract, an executor/driver OOM the day it
+# doesn't (at the 100 TB design point dim_user is not small). The hint
+# is now gated on a MANIFEST-ONLY in-memory estimate: live on-disk
+# bytes (DV-prorated) x a deserialization expansion factor, zero Spark
+# jobs. Above the threshold the provably-bounded side carries the hint
+# instead when ITS manifest bound fits (the CDF delta in term 1, the
+# signed dim delta in term 2), else no hint at all and AQE picks the
+# strategy from observed runtime sizes. Crossover documented in
+# SCALING.md ("join-MV broadcast guard").
+_BCAST_DEFAULT_BYTES = 64 << 20
+# deserialized row objects vs snappy parquet on disk — deliberately
+# conservative (typical measured expansion is 2-3x for mixed schemas)
+_PARQUET_EXPANSION = 4
+
+
+def _bcast_est_bytes(path: str, version: int) -> int:
+    """Estimated in-memory broadcast size of a table at a version —
+    manifest + file-stat driver work only, no Spark job."""
+    return snap.live_bytes(path, version=version) * _PARQUET_EXPANSION
+
+
+def _row_bytes_est(path: str, version: int) -> float:
+    """Estimated in-memory bytes per live row at a version."""
+    rows = snap.live_rows(path, version=version)
+    return _bcast_est_bytes(path, version) / max(1, rows)
+
+
+def _maybe_broadcast(df: DataFrame, est_bytes: float,
+                     threshold: int) -> DataFrame:
+    return F.broadcast(df) if est_bytes <= threshold else df
 
 
 def _avg_cols(avgs: dict[str, str]) -> list:
@@ -247,6 +285,15 @@ def refresh_rollup(
             .agg(*_full_aggs())
         )
         full = _with_avg_cols(full, avgs)
+        # enforce the NON-NULL group-key contract at CREATE time too
+        # (round 14): the create used to materialize NULL-group rows
+        # silently and every LATER refresh touching the group refused —
+        # an MV born unrefreshable, fixable only by rebuild. Fail here,
+        # while coalescing upstream and retrying is still cheap. The
+        # checkpoint keeps the check's action and the write from
+        # computing the full aggregate twice.
+        full = full.localCheckpoint(eager=False)
+        _count_groups_checked(full, group_cols, "refresh_rollup (create)")
         v = snap.snapshot_create(
             # n_rows rides the stats columns so the phantom-group
             # probe can be answered from the manifest alone
@@ -483,6 +530,7 @@ def refresh_join_rollup(
     app_id: str = "mv.join_rollup",
     dim_churn_threshold: float = 0.2,
     on_dim_churn: str = "recompute",
+    broadcast_threshold_bytes: int = _BCAST_DEFAULT_BYTES,
 ) -> dict:
     """Create or incrementally refresh a rollup MV over ``fact INNER
     JOIN dim`` — the reference's gold shape, where facts aggregate
@@ -511,8 +559,8 @@ def refresh_join_rollup(
         dV  =  dF |><| D_new   +   F_old |><| dD
 
     * term 1 prices FACT churn: the CDF manifest diff excludes
-      untouched fact files, the (small) current dim broadcasts onto
-      the delta — cost tracks fact commit churn, never fact size;
+      untouched fact files and the current dim joins onto the delta —
+      cost tracks fact commit churn, never fact size;
     * term 2 prices DIM churn: the OLD fact (version-pinned read,
       stats-pruned to the churned keys' envelope) joins the signed
       dim delta — an attribute update moves every joining fact row
@@ -534,6 +582,16 @@ def refresh_join_rollup(
     ``"error"`` refuses with the measured churn so a deployment can
     schedule the rebuild instead.
 
+    Broadcast guard: every dim-side join hint is gated on a
+    manifest-only in-memory size estimate (live bytes x expansion)
+    against ``broadcast_threshold_bytes`` — under it the dim
+    broadcasts (the reference's small-dim fast path), over it the
+    provably-bounded delta side carries the hint instead when its own
+    manifest bound fits (term 1: the fact CDF delta; term 2: the
+    signed dim delta), and when neither fits no hint is planted and
+    AQE picks from observed runtime sizes. Zero extra Spark jobs
+    either way; the returned ``dim_broadcast`` reports the decision.
+
     Exactly-once: the (fact, dim) version pair rides the merge commit
     as ONE packed txn mark; a replay sees both cursors current and
     no-ops. Requires row tracking on the fact (row-id CDF) and a
@@ -542,7 +600,7 @@ def refresh_join_rollup(
 
     Returns ``{"mv_version", "fact_version", "dim_version",
     "groups_changed", "created", "full_recompute",
-    "dim_keys_churned"}``.
+    "dim_keys_churned", "dim_broadcast"}``.
 
     Contract: ``group_cols`` must be NON-NULL in the joined rows (dim
     attributes are often nullable — coalesce to a sentinel in the dim
@@ -569,6 +627,11 @@ def refresh_join_rollup(
         raise ValueError(
             "refresh_join_rollup: fact and dim must be snapshot tables"
         )
+    # ONE manifest-only size estimate gates every dim broadcast this
+    # refresh plants (all sites join the dim at the same pinned dim_v)
+    dim_fits = (
+        _bcast_est_bytes(dim_path, dim_v) <= broadcast_threshold_bytes
+    )
 
     sub_cols = list(sums.items()) + [
         (f"__sum_{out}", src) for out, src in avgs.items()
@@ -584,7 +647,9 @@ def refresh_join_rollup(
                 f"be disjoint apart from the join key; both carry "
                 f"{sorted(overlap)}"
             )
-        return f.join(F.broadcast(d), list(on))
+        # full fact scan against the dim: hint only an under-threshold
+        # dim; over it there is no small side — leave AQE to choose
+        return f.join(F.broadcast(d) if dim_fits else d, list(on))
 
     def _full_agg(fv: int, dv: int) -> DataFrame:
         full = _joined(fv, dv).groupBy(*group_cols).agg(
@@ -597,15 +662,22 @@ def refresh_join_rollup(
         return _with_avg_cols(full, avgs)
 
     if snap.current_version(mv_path) is None:
+        # same create-time NON-NULL group-key enforcement as
+        # refresh_rollup (see its create path): fail while coalescing
+        # the (often nullable) dim attribute upstream is still cheap,
+        # instead of minting an MV no refresh will ever accept
+        full = _full_agg(fact_v, dim_v).localCheckpoint(eager=False)
+        _count_groups_checked(
+            full, group_cols, "refresh_join_rollup (create)")
         v = snap.snapshot_create(
-            spark, _full_agg(fact_v, dim_v), mv_path,
+            spark, full, mv_path,
             stats_cols=[*group_cols, "n_rows"],
             txn=(app_id, _pack_cursor(fact_v, dim_v)),
         )
         return {"mv_version": v, "fact_version": fact_v,
                 "dim_version": dim_v, "groups_changed": -1,
                 "created": True, "full_recompute": False,
-                "dim_keys_churned": 0}
+                "dim_keys_churned": 0, "dim_broadcast": dim_fits}
 
     mark = snap.last_txn_version(mv_path, app_id)
     if mark is None:
@@ -624,7 +696,8 @@ def refresh_join_rollup(
         return {"mv_version": snap.current_version(mv_path),
                 "fact_version": fact_v, "dim_version": dim_v,
                 "groups_changed": 0, "created": False,
-                "full_recompute": False, "dim_keys_churned": 0}
+                "full_recompute": False, "dim_keys_churned": 0,
+                "dim_broadcast": dim_fits}
 
     dim_now = snap.snapshot_read(spark, dim_path, version=dim_v)
     # the creation-time disjointness can rot (schema evolution on
@@ -695,12 +768,14 @@ def refresh_join_rollup(
                         "fact_version": fact_v, "dim_version": dim_v,
                         "groups_changed": 0, "created": False,
                         "full_recompute": False,
-                        "dim_keys_churned": n_dim_churn}
+                        "dim_keys_churned": n_dim_churn,
+                        "dim_broadcast": dim_fits}
             return {"mv_version": snap.current_version(mv_path),
                     "fact_version": fact_v, "dim_version": dim_v,
                     "groups_changed": n_changed, "created": False,
                     "full_recompute": True,
-                    "dim_keys_churned": n_dim_churn}
+                    "dim_keys_churned": n_dim_churn,
+                    "dim_broadcast": dim_fits}
 
     sign_cols = [F.col(c) for c in group_cols]
     parts = []
@@ -709,8 +784,22 @@ def refresh_join_rollup(
             spark, fact_path, v_from=f0, v_to=fact_v, row_ids=True
         )
         is_add = F.col("_change_type").isin("insert", "update_postimage")
+        if dim_fits:
+            pair = chg.join(F.broadcast(dim_now), list(on))
+        else:
+            # over-threshold dim: the fact CDF delta is the bounded
+            # side — hint IT when its manifest row bound (churned-file
+            # live rows, no Spark job) prices under the threshold,
+            # else plant nothing and AQE decides from runtime sizes
+            chg_est = (
+                snap.changes_row_bound(fact_path, f0, fact_v)
+                * _row_bytes_est(fact_path, fact_v)
+            )
+            pair = _maybe_broadcast(
+                chg, chg_est, broadcast_threshold_bytes
+            ).join(dim_now, list(on))
         parts.append(
-            chg.join(F.broadcast(dim_now), list(on)).select(
+            pair.select(
                 *sign_cols,
                 F.when(is_add, F.lit(1)).otherwise(F.lit(-1)).alias("__sign"),
                 *[F.expr(src).alias(f"__m_{o}") for o, src in sub_cols],
@@ -737,8 +826,18 @@ def refresh_join_rollup(
             *[c for c in dim_now.columns if c not in on],
             F.when(d_add, F.lit(1)).otherwise(F.lit(-1)).alias("__sign"),
         )
+        # the signed dim DELTA is churn-bounded (<= threshold fraction
+        # of the dim) but a fraction of a huge dim can still be huge —
+        # gate its hint on the same manifest bound as term 1's
+        sd_est = (
+            snap.changes_row_bound(dim_path, d0, dim_v)
+            * _row_bytes_est(dim_path, dim_v)
+        )
+        signed_dim = _maybe_broadcast(
+            signed_dim, sd_est, broadcast_threshold_bytes
+        )
         parts.append(
-            fact_old.join(F.broadcast(signed_dim), list(on)).select(
+            fact_old.join(signed_dim, list(on)).select(
                 *sign_cols,
                 F.col("__sign"),
                 *[F.expr(src).alias(f"__m_{o}") for o, src in sub_cols],
@@ -790,9 +889,11 @@ def refresh_join_rollup(
         return {"mv_version": res["version"], "fact_version": fact_v,
                 "dim_version": dim_v, "groups_changed": 0,
                 "created": False, "full_recompute": False,
-                "dim_keys_churned": n_dim_churn}
+                "dim_keys_churned": n_dim_churn,
+                "dim_broadcast": dim_fits}
     return {"mv_version": snap.current_version(mv_path),
             "fact_version": fact_v, "dim_version": dim_v,
             "groups_changed": n_changed, "created": False,
-            "full_recompute": False, "dim_keys_churned": n_dim_churn}
+            "full_recompute": False, "dim_keys_churned": n_dim_churn,
+            "dim_broadcast": dim_fits}
 

@@ -2428,6 +2428,15 @@ def merge_into(
       unmatched source row is inserted only where the predicate is
       TRUE; others are dropped silently.
 
+    DIVERGENCE from Delta, deliberate and load-bearing: all three are
+    SOURCE-ROW predicates. Delta's conditions can also reference
+    target columns (``t.x < s.x``); here the source is required to
+    carry every target column name anyway (full-row upsert contract),
+    so a predicate ported from Delta that MEANS target values binds to
+    the source's values silently rather than erroring. Porting a
+    target-referencing condition needs the target value joined into
+    the source first (one extra keyed join the caller controls).
+
     Together they make an aggregate-maintenance upsert ATOMIC: one
     commit updates live groups, deletes emptied ones, and declines to
     insert already-empty ones — no window where a reader can see the
@@ -4085,6 +4094,60 @@ def live_rows(path: str, version: int | None = None) -> int:
     return sum(
         int(e.get("rows") or 0) - int(e.get("dv_rows") or 0)
         for e in _manifest_files(path, man)
+    )
+
+
+def live_bytes(path: str, version: int | None = None) -> int:
+    """On-disk bytes a scan of the version (default latest) would
+    read, prorated per file by its live-row fraction (deletion vectors
+    leave the file bytes in place but shrink what materializes).
+    Driver-side, no Spark job — the manifest-only size input for
+    broadcast-vs-shuffle decisions (:mod:`mv`'s dim-side guard) and
+    maintenance thresholds. An unreadable file (vacuumed-under clone
+    link) contributes 0: the estimate is for PLANNING, the scan itself
+    still fails loudly."""
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise ValueError(f"live_bytes: {path} is not a snapshot table")
+    man = _read_manifest(path, v)
+    root = path.rstrip("/")
+    total = 0
+    for e in _manifest_files(path, man):
+        try:
+            sz = os.path.getsize(os.path.join(root, e["file"]))
+        except OSError:
+            continue
+        rows = int(e.get("rows") or 0)
+        dv = int(e.get("dv_rows") or 0)
+        total += int(sz * ((rows - dv) / rows)) if rows else sz
+    return total
+
+
+def changes_row_bound(path: str, v_from: int, v_to: int) -> int:
+    """Manifest-only UPPER BOUND on the rows :func:`snapshot_changes`
+    can emit for the window — the live rows of CHURNED files summed
+    over both endpoints, using the same (file, DV-set) signature diff
+    the feed itself applies before reading data. No Spark job; the
+    bound is loose exactly when the feed is expensive (big churn), so
+    a caller gating a broadcast hint on it errs toward shuffling.
+    """
+    man_from = _read_manifest(path, v_from)
+    man_to = _read_manifest(path, v_to)
+
+    def _sig(e: dict) -> tuple:
+        return (e["file"], tuple(sorted(e.get("dv") or [])))
+
+    def _live(e: dict) -> int:
+        return int(e.get("rows") or 0) - int(e.get("dv_rows") or 0)
+
+    from_entries = _manifest_files(path, man_from)
+    to_entries = _manifest_files(path, man_to)
+    common = {_sig(e) for e in from_entries} & {_sig(e) for e in to_entries}
+    return sum(
+        _live(e)
+        for entries in (from_entries, to_entries)
+        for e in entries
+        if _sig(e) not in common
     )
 
 

@@ -3336,6 +3336,95 @@ def test_refresh_join_rollup_dim_update_races_refresh(spark, tmp_path):
         _join_mv_expect(spark, fact_p, dim_p)
 
 
+def test_refresh_join_rollup_broadcast_guard(spark, tmp_path):
+    """The dim-side broadcast hint is gated on the manifest size
+    estimate: an over-threshold dim plans NO BroadcastExchange for the
+    dim (AQE or the bounded delta side decides instead), an
+    under-threshold dim still broadcasts, and the guarded refresh
+    stays exact through mixed fact+dim churn."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    mvmod, fact_p, dim_p, mv_p, kw = _join_mv_fixture(spark, tmp_path)
+
+    # manifest estimators are sane on the fixture tables
+    assert sn.live_bytes(dim_p) > 0
+    est = mvmod._bcast_est_bytes(dim_p, sn.current_version(dim_p))
+    assert est > sn.live_bytes(dim_p)
+
+    # plan shape of the guarded join itself, with auto-broadcast OFF
+    # so the ONLY possible BroadcastExchange is the one we plant
+    f = sn.snapshot_read(spark, fact_p)
+    d = sn.snapshot_read(spark, dim_p)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def plan(threshold):
+            j = f.join(mvmod._maybe_broadcast(d, est, threshold), ["d"])
+            # executedPlan (exchanges planted) without running the job
+            return (j._jdf.queryExecution().executedPlan().toString()
+                    + j._jdf.queryExecution().sparkPlan().toString())
+
+        assert "BroadcastHashJoin" in plan(mvmod._BCAST_DEFAULT_BYTES)
+        over = plan(0)
+        assert "BroadcastHashJoin" not in over
+        assert "BroadcastExchange" not in over
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # end-to-end: create + incremental refreshes with threshold 0
+    # (every hint suppressed) report dim_broadcast=False and match the
+    # from-scratch join+aggregate; default threshold reports True
+    r0 = mvmod.refresh_join_rollup(
+        spark, fact_p, dim_p, mv_p, broadcast_threshold_bytes=0, **kw)
+    assert r0["created"] and r0["dim_broadcast"] is False
+    sn.update_where(spark, fact_p, "k % 7 = 3", {"cents": "cents + 5"},
+                    mode="mor")
+    sn.update_where(spark, dim_p, "d = 4", {"g": "'moved'"}, mode="mor")
+    r1 = mvmod.refresh_join_rollup(
+        spark, fact_p, dim_p, mv_p, broadcast_threshold_bytes=0, **kw)
+    assert (r1["dim_broadcast"] is False and not r1["full_recompute"]
+            and r1["dim_keys_churned"] == 1)
+    assert _join_mv_got(spark, mvmod, mv_p) == \
+        _join_mv_expect(spark, fact_p, dim_p)
+    # the fixture dim is tiny: at the default threshold the next
+    # window broadcasts again, same exact answer
+    sn.update_where(spark, dim_p, "d = 5", {"g": "'moved'"}, mode="mor")
+    r2 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r2["dim_broadcast"] is True
+    assert _join_mv_got(spark, mvmod, mv_p) == \
+        _join_mv_expect(spark, fact_p, dim_p)
+
+    # changes_row_bound: manifest-only, bounds the feed from above
+    dv = sn.current_version(dim_p)
+    bound = sn.changes_row_bound(dim_p, 0, dv)
+    feed = sn.snapshot_changes(spark, dim_p, key_cols=["d"],
+                               v_from=0, v_to=dv).count()
+    assert bound >= feed > 0
+
+
+def test_join_rollup_create_refuses_null_group_keys(spark, tmp_path):
+    """A NULL group key fails at CREATE time (both refreshers) — not
+    silently materialized into an MV that every later refresh
+    refuses (an MV born unrefreshable)."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base_p = str(tmp_path / "nbase")
+    sn.snapshot_create(
+        spark,
+        spark.createDataFrame(
+            [("a", 1), (None, 2)], "g string, cents int"),
+        base_p, stats_cols=["g"], row_tracking=True)
+    with pytest.raises(ValueError, match="NULL"):
+        mvmod.refresh_rollup(spark, base_p, str(tmp_path / "nmv"),
+                             group_cols=["g"], sums={"s": "cents"})
+
+    mvmod2, fact_p, dim_p, mv_p, kw = _join_mv_fixture(spark, tmp_path)
+    # NULL the dim attribute used as the group column
+    sn.update_where(spark, dim_p, "d = 2", {"g": "NULL"}, mode="mor")
+    with pytest.raises(ValueError, match="NULL"):
+        mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+
+
 def test_refresh_rollup_compact_lands_during_recompute(
     spark, tmp_path, monkeypatch
 ):
