@@ -64,6 +64,17 @@ from pyspark.sql import functions as F
 from aws_medallion_etl_spark import snapshot as snap
 
 
+# txn-mark app id recording "this MV satisfies the atomic-refresh
+# read contract": stamped by the one-shot upgrade_rollup (legacy
+# tables; current ones answer the probe from manifest stats already).
+# Once present at a version,
+# no phantom n_rows=0 row can exist at or after it (refreshes are
+# single-commit since round 13), so read_rollup's filter and the
+# self-heal probe skip permanently. The txn map carries forward per
+# commit, which makes the marker time-travel-correct for free.
+_CONTRACT_APP = "mv.contract.atomic"
+
+
 def read_rollup(
     spark: SparkSession, mv_path: str, version: int | None = None
 ) -> DataFrame:
@@ -71,11 +82,45 @@ def read_rollup(
     ``n_rows = 0`` groups are filtered out. Since round 13 a current
     refresher can't produce one (the refresh commit is atomic); the
     filter guards MVs last written by a pre-round-13 refresher, whose
-    merge+delete window could crash in between. Always read MVs
-    through this, not a bare ``snapshot_read``."""
-    return snap.snapshot_read(spark, mv_path, version=version).where(
-        F.col("n_rows") > 0
+    merge+delete window could crash in between — and is skipped
+    entirely once the table carries :func:`upgrade_rollup`'s contract
+    marker at the read version. Always read MVs through this, not a
+    bare ``snapshot_read``."""
+    df = snap.snapshot_read(spark, mv_path, version=version)
+    if snap.last_txn_version(mv_path, _CONTRACT_APP, version=version):
+        return df
+    return df.where(F.col("n_rows") > 0)
+
+
+def upgrade_rollup(spark: SparkSession, mv_path: str) -> dict:
+    """One-shot upgrade of a LEGACY rollup MV (last written by a
+    pre-round-13 refresher) to the atomic-refresh read contract: one
+    commit deletes any phantom ``n_rows = 0`` rows (COW, so the
+    affected files' regenerated stats stop admitting zeros) and stamps
+    the contract marker as the same commit's txn mark. From then on a
+    bare ``snapshot_read`` is safe, :func:`read_rollup` skips its
+    filter, and every refresh answers the phantom probe from the
+    marker alone — zero Spark jobs, forever (current refreshers are
+    single-commit and cannot mint a new phantom). Idempotent: a second
+    call sees the marker and no-ops (txn replay contract).
+
+    Returns ``{"version", "phantoms_deleted", "already_upgraded"}``.
+    """
+    if snap.current_version(mv_path) is None:
+        raise ValueError(f"upgrade_rollup: {mv_path} is not a snapshot table")
+    if (snap.last_txn_version(mv_path, _CONTRACT_APP) or 0) >= 1:
+        return {"version": snap.current_version(mv_path),
+                "phantoms_deleted": 0, "already_upgraded": True}
+    # one commit: phantom purge + marker. A zero-match txn-marked
+    # delete still commits a data-less version (the replay contract),
+    # so the marker lands either way.
+    res = snap.delete_where(
+        spark, mv_path, "n_rows = 0", mode="cow",
+        txn=(_CONTRACT_APP, 1),
     )
+    return {"version": res["version"],
+            "phantoms_deleted": res["deleted_rows"],
+            "already_upgraded": False}
 
 
 def _zero_groups_possible(mv_path: str) -> bool:
@@ -91,7 +136,11 @@ def _zero_groups_possible(mv_path: str) -> bool:
     min-0 stat in place forever, a healed legacy MV keeps paying the
     limit(1) probe each refresh until a ``snapshot.compact()`` (or
     the one-shot :func:`upgrade_rollup`) rewrites the file and
-    restores the zero-job fast path."""
+    restores the zero-job fast path. The upgrade's contract marker
+    short-circuits everything: marked tables answer False from the
+    txn map alone, stats not consulted."""
+    if (snap.last_txn_version(mv_path, _CONTRACT_APP) or 0) >= 1:
+        return False
     try:
         sts = snap.manifest_column_stats(mv_path, "n_rows")
     except Exception:
@@ -527,6 +576,8 @@ def refresh_join_rollup(
     group_cols: list[str],
     sums: dict[str, str],
     avgs: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
     app_id: str = "mv.join_rollup",
     dim_churn_threshold: float = 0.2,
     on_dim_churn: str = "recompute",
@@ -547,10 +598,9 @@ def refresh_join_rollup(
     Unknown dim row, which makes inner and left coincide; give your
     dim an Unknown row rather than asking for left-join maintenance.
     Column names must be disjoint across fact and dim apart from
-    ``on`` (checked), and only subtractable aggregates are supported
-    (sums / counts / avgs-as-exact-companions — min/max over a join
-    would need the single-table at-risk machinery per dim churn too;
-    use :func:`refresh_rollup` on a denormalized base for that).
+    ``on`` (checked). Aggregates: subtractable ``sums`` / counts /
+    ``avgs``-as-exact-companions, plus ``mins`` / ``maxs`` (round 14)
+    via the at-risk recompute machinery — see below.
 
     Incremental algebra (the classic joint view-maintenance
     decomposition): with fact delta ``dF`` over the window and signed
@@ -573,6 +623,24 @@ def refresh_join_rollup(
     merge tail (group-cardinality frame, one atomic conditional-MERGE
     commit, n_rows > 0 read contract for legacy tables) matches
     :func:`refresh_rollup`.
+
+    ``mins`` / ``maxs`` (the r13 verdict's one refresher asymmetry):
+    the signed union IS an exact signed multiset of joined rows
+    entering (+) and leaving (−) the view, so the single-table
+    at-risk rule transfers verbatim — positive rows fold in with
+    least/greatest, and a group recomputes only when a NEGATIVE row
+    ties its stored extreme (or it has negatives with no MV row yet).
+    Soundness under combined fact+dim churn: a positive row that is
+    not actually in V_new is always canceled by an equal negative in
+    the SAME group (the algebra nets to V_new − V_old), so a spurious
+    value that could corrupt the fold necessarily trips the at-risk
+    comparison first and the group recomputes — spurious pairs cost
+    recompute work, never wrong answers. The recompute itself runs
+    against fact ⋈ dim at the CAPTURED version pair, pruned twice
+    from the manifest: the dim by the at-risk groups' dim-side
+    envelope, the fact by the surviving dim keys' join-key envelope
+    (one dim-sized bounds action) plus any fact-side group envelope
+    — cost tracks at-risk-group data, not base size.
 
     Dim-churn guard: when the window's churned dim keys exceed
     ``dim_churn_threshold`` of the dim, term 2 approaches a full fact
@@ -599,8 +667,8 @@ def refresh_join_rollup(
     dim CDF).
 
     Returns ``{"mv_version", "fact_version", "dim_version",
-    "groups_changed", "created", "full_recompute",
-    "dim_keys_churned", "dim_broadcast"}``.
+    "groups_changed", "groups_recomputed", "created",
+    "full_recompute", "dim_keys_churned", "dim_broadcast"}``.
 
     Contract: ``group_cols`` must be NON-NULL in the joined rows (dim
     attributes are often nullable — coalesce to a sentinel in the dim
@@ -610,6 +678,8 @@ def refresh_join_rollup(
     accumulating duplicate NULL-group rows.
     """
     avgs = dict(avgs or {})
+    mins = dict(mins or {})
+    maxs = dict(maxs or {})
     if on_dim_churn not in ("recompute", "error"):
         raise ValueError(
             "refresh_join_rollup: on_dim_churn must be 'recompute' or "
@@ -617,8 +687,8 @@ def refresh_join_rollup(
         )
     _check_out_names(
         "refresh_join_rollup",
-        [*sums] + [*avgs] + [f"__sum_{o}" for o in avgs]
-        + [f"__cnt_{o}" for o in avgs],
+        [*sums] + [*avgs] + [*mins] + [*maxs]
+        + [f"__sum_{o}" for o in avgs] + [f"__cnt_{o}" for o in avgs],
         group_cols,
     )
     fact_v = snap.current_version(fact_path)
@@ -658,6 +728,10 @@ def refresh_join_rollup(
               for o, src in sub_cols],
             *[F.count(F.expr(src)).cast("long").alias(f"__cnt_{o}")
               for o, src in avgs.items()],
+            *[F.min(F.expr(src)).cast("long").alias(o)
+              for o, src in mins.items()],
+            *[F.max(F.expr(src)).cast("long").alias(o)
+              for o, src in maxs.items()],
         )
         return _with_avg_cols(full, avgs)
 
@@ -676,6 +750,7 @@ def refresh_join_rollup(
         )
         return {"mv_version": v, "fact_version": fact_v,
                 "dim_version": dim_v, "groups_changed": -1,
+                "groups_recomputed": 0,
                 "created": True, "full_recompute": False,
                 "dim_keys_churned": 0, "dim_broadcast": dim_fits}
 
@@ -695,7 +770,8 @@ def refresh_join_rollup(
     if f0 >= fact_v and d0 >= dim_v:
         return {"mv_version": snap.current_version(mv_path),
                 "fact_version": fact_v, "dim_version": dim_v,
-                "groups_changed": 0, "created": False,
+                "groups_changed": 0, "groups_recomputed": 0,
+                "created": False,
                 "full_recompute": False, "dim_keys_churned": 0,
                 "dim_broadcast": dim_fits}
 
@@ -748,6 +824,11 @@ def refresh_join_rollup(
                     *[F.lit(0).cast("long").alias(o) for o, _ in sub_cols],
                     *[F.lit(0).cast("long").alias(f"__cnt_{o}")
                       for o in avgs],
+                    # vanished groups never surface (n_rows=0 deletes
+                    # in-commit and declines to insert) — the extreme
+                    # placeholders only satisfy the union schema
+                    *[F.lit(0).cast("long").alias(o)
+                      for o in [*mins, *maxs]],
                 )
             )
             merged = full.unionByName(
@@ -766,18 +847,24 @@ def refresh_join_rollup(
                 # first — report the no-op, not the loser's workload
                 return {"mv_version": res["version"],
                         "fact_version": fact_v, "dim_version": dim_v,
-                        "groups_changed": 0, "created": False,
+                        "groups_changed": 0, "groups_recomputed": 0,
+                        "created": False,
                         "full_recompute": False,
                         "dim_keys_churned": n_dim_churn,
                         "dim_broadcast": dim_fits}
             return {"mv_version": snap.current_version(mv_path),
                     "fact_version": fact_v, "dim_version": dim_v,
-                    "groups_changed": n_changed, "created": False,
+                    "groups_changed": n_changed, "groups_recomputed": 0,
+                    "created": False,
                     "full_recompute": True,
                     "dim_keys_churned": n_dim_churn,
                     "dim_broadcast": dim_fits}
 
     sign_cols = [F.col(c) for c in group_cols]
+    # min/max measure expressions ride the signed union as raw values
+    # (__x_) so the delta can split them into insert-side folds and
+    # delete-side at-risk probes per group
+    xms = {**mins, **maxs}
     parts = []
     if fact_v > f0:
         chg = snap.snapshot_changes(
@@ -805,6 +892,8 @@ def refresh_join_rollup(
                 *[F.expr(src).alias(f"__m_{o}") for o, src in sub_cols],
                 *[F.expr(src).isNotNull().cast("long").alias(f"__p_{o}")
                   for o, src in avgs.items()],
+                *[F.expr(src).cast("long").alias(f"__x_{o}")
+                  for o, src in xms.items()],
             )
         )
     if dim_delta is not None:
@@ -843,21 +932,119 @@ def refresh_join_rollup(
                 *[F.expr(src).alias(f"__m_{o}") for o, src in sub_cols],
                 *[F.expr(src).isNotNull().cast("long").alias(f"__p_{o}")
                   for o, src in avgs.items()],
+                *[F.expr(src).cast("long").alias(f"__x_{o}")
+                  for o, src in xms.items()],
             )
         )
 
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    delta = u.groupBy(*group_cols).agg(
+    pos = F.col("__sign") > 0
+    delta_aggs = [
         F.sum("__sign").cast("long").alias("__d_rows"),
         *[F.sum(F.col("__sign") * F.col(f"__m_{o}")).cast("long")
           .alias(f"__d_{o}") for o, _ in sub_cols],
         *[F.sum(F.col("__sign") * F.col(f"__p_{o}")).cast("long")
           .alias(f"__d_cnt_{o}") for o in avgs],
-    )
+    ]
+    # per-group extremes of the signed union: positive rows fold in
+    # monotonically, negative rows decide which groups are at risk —
+    # identical rule to refresh_rollup because the union is an exact
+    # signed multiset of joined rows (see docstring for why spurious
+    # cancel-pairs are safe: they recompute, never corrupt the fold)
+    for out in mins:
+        delta_aggs.append(F.min(F.when(pos, F.col(f"__x_{out}")))
+                          .cast("long").alias(f"__ins_{out}"))
+        delta_aggs.append(F.min(F.when(~pos, F.col(f"__x_{out}")))
+                          .cast("long").alias(f"__del_{out}"))
+    for out in maxs:
+        delta_aggs.append(F.max(F.when(pos, F.col(f"__x_{out}")))
+                          .cast("long").alias(f"__ins_{out}"))
+        delta_aggs.append(F.max(F.when(~pos, F.col(f"__x_{out}")))
+                          .cast("long").alias(f"__del_{out}"))
+    if xms:
+        delta_aggs.append(
+            F.sum((~pos).cast("long")).cast("long").alias("__n_del"))
+    delta = u.groupBy(*group_cols).agg(*delta_aggs)
     mv = snap.snapshot_read(spark, mv_path)
-    merged = delta.join(mv, list(group_cols), "left").select(
+    joined = delta.join(mv, list(group_cols), "left")
+
+    recomputed = None
+    n_recompute = 0
+    if xms:
+        # at-risk probe + merged projection both consume this frame
+        joined = joined.localCheckpoint(eager=False)
+        risk = F.lit(False)
+        for out in mins:
+            risk = risk | (F.col(f"__del_{out}") <= F.col(out))
+        for out in maxs:
+            risk = risk | (F.col(f"__del_{out}") >= F.col(out))
+        risk = (F.col("__n_del") > 0) & (risk | F.col("n_rows").isNull())
+        risk_keys = joined.where(risk).select(*group_cols) \
+            .localCheckpoint(eager=False)
+        probe_row = risk_keys.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[f for c in group_cols for f in (
+                F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
+            )]
+        ).first()
+        n_recompute = probe_row["__n"]
+        if n_recompute:
+            # recompute at-risk groups against fact |><| dim at the
+            # CAPTURED pair, manifest-pruned twice: the dim read by
+            # the at-risk groups' dim-side envelope, the fact read by
+            # the surviving dim keys' join-key envelope (one dim-sized
+            # bounds action) plus any fact-side group bounds — cost
+            # tracks at-risk-group data, not base size
+            dim_group = [c for c in group_cols if c in dim_now.columns]
+            fact_group = [c for c in group_cols if c not in dim_group]
+            d_prune = {
+                c: (probe_row[f"__lo_{c}"], probe_row[f"__hi_{c}"])
+                for c in dim_group
+                if probe_row[f"__lo_{c}"] is not None
+            }
+            risk_dim = snap.snapshot_read(
+                spark, dim_path, version=dim_v, prune=d_prune or None)
+            if dim_group:
+                risk_dim = risk_dim.join(
+                    risk_keys.select(*dim_group).distinct(),
+                    dim_group, "semi")
+            risk_dim = risk_dim.localCheckpoint(eager=False)
+            on_row = risk_dim.agg(*[
+                f for c in on for f in (
+                    F.min(c).alias(f"__lo_{c}"),
+                    F.max(c).alias(f"__hi_{c}"),
+                )
+            ]).first()
+            f_prune = {
+                c: (probe_row[f"__lo_{c}"], probe_row[f"__hi_{c}"])
+                for c in fact_group
+                if probe_row[f"__lo_{c}"] is not None
+            }
+            f_prune.update({
+                c: (on_row[f"__lo_{c}"], on_row[f"__hi_{c}"])
+                for c in on if on_row[f"__lo_{c}"] is not None
+            })
+            fact_base = snap.snapshot_read(
+                spark, fact_path, version=fact_v, prune=f_prune or None)
+            recomputed = (
+                fact_base
+                .join(F.broadcast(risk_dim) if dim_fits else risk_dim,
+                      list(on))
+                .join(risk_keys, list(group_cols), "semi")
+                .groupBy(*group_cols)
+                .agg(
+                    *[F.min(F.expr(src)).cast("long").alias(f"__rc_{o}")
+                      for o, src in mins.items()],
+                    *[F.max(F.expr(src)).cast("long").alias(f"__rc_{o}")
+                      for o, src in maxs.items()],
+                    F.lit(1).alias("__rc"),
+                )
+            )
+            joined = joined.join(recomputed, list(group_cols), "left")
+
+    out_cols = [
         *group_cols,
         (F.coalesce("n_rows", F.lit(0)) + F.col("__d_rows"))
         .cast("long").alias("n_rows"),
@@ -873,7 +1060,24 @@ def refresh_join_rollup(
             .cast("long").alias(f"__cnt_{o}")
             for o in avgs
         ],
-    )
+    ]
+    has_rc = F.col("__rc").isNotNull() if recomputed is not None \
+        else F.lit(False)
+    for out in mins:
+        folded = F.least(F.col(out), F.col(f"__ins_{out}"))
+        out_cols.append(
+            (F.when(has_rc, F.col(f"__rc_{out}")).otherwise(folded)
+             if recomputed is not None else folded)
+            .cast("long").alias(out)
+        )
+    for out in maxs:
+        folded = F.greatest(F.col(out), F.col(f"__ins_{out}"))
+        out_cols.append(
+            (F.when(has_rc, F.col(f"__rc_{out}")).otherwise(folded)
+             if recomputed is not None else folded)
+            .cast("long").alias(out)
+        )
+    merged = joined.select(*out_cols)
     merged = _with_avg_cols(merged, avgs)
     merged = merged.localCheckpoint(eager=False)
     n_changed = _count_groups_checked(
@@ -888,12 +1092,15 @@ def refresh_join_rollup(
     if res.get("skipped"):
         return {"mv_version": res["version"], "fact_version": fact_v,
                 "dim_version": dim_v, "groups_changed": 0,
+                "groups_recomputed": 0,
                 "created": False, "full_recompute": False,
                 "dim_keys_churned": n_dim_churn,
                 "dim_broadcast": dim_fits}
     return {"mv_version": snap.current_version(mv_path),
             "fact_version": fact_v, "dim_version": dim_v,
-            "groups_changed": n_changed, "created": False,
+            "groups_changed": n_changed,
+            "groups_recomputed": n_recompute,
+            "created": False,
             "full_recompute": False, "dim_keys_churned": n_dim_churn,
             "dim_broadcast": dim_fits}
 

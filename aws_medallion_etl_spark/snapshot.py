@@ -1438,13 +1438,18 @@ def enable_row_tracking(path: str) -> int:
     return new_v
 
 
-def last_txn_version(path: str, app_id: str) -> int | None:
+def last_txn_version(
+    path: str, app_id: str, version: int | None = None
+) -> int | None:
     """Latest committed transaction version for ``app_id`` (Delta's
     ``txnAppId``/``txnVersion`` idempotent-writer contract), or None.
     A writer that stamps each commit with a monotone per-app version
     can skip replayed work after a restart — the exactly-once half of
-    a foreachBatch sink."""
-    v = current_version(path)
+    a foreachBatch sink. ``version=`` pins the answer to a committed
+    table version (txn maps carry forward per commit, so this reads
+    the mark AS OF that version — what a time-traveling reader must
+    consult, e.g. :func:`mv.read_rollup`'s contract marker)."""
+    v = current_version(path) if version is None else version
     if v is None:
         return None
     got = _read_manifest(path, v).get("txn", {}).get(app_id)

@@ -3425,6 +3425,221 @@ def test_join_rollup_create_refuses_null_group_keys(spark, tmp_path):
         mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
 
 
+def _join_mv_expect_mm(spark, fact_p, dim_p):
+    return {
+        r["g"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in sn.snapshot_read(spark, fact_p)
+        .join(sn.snapshot_read(spark, dim_p), "d")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("cents").cast("long").alias("s"),
+             F.min("cents").cast("long").alias("mn"),
+             F.max("cents").cast("long").alias("mx"))
+        .collect()
+    }
+
+
+def _join_mv_got_mm(spark, mvmod, mv_p):
+    return {
+        r["g"]: (r["n_rows"], r["sum_cents"], r["min_cents"], r["max_cents"])
+        for r in mvmod.read_rollup(spark, mv_p).collect()
+    }
+
+
+def test_refresh_join_rollup_minmax(spark, tmp_path):
+    """min/max over the join MV (round 14 — the r13 refresher
+    asymmetry): insert extremes fold, a delete tying a stored extreme
+    recomputes the group against the pruned joined base, a dim move
+    recomputes the LOSING group, and every window equals the
+    from-scratch join+aggregate."""
+    mvmod, fact_p, dim_p, mv_p, kw = _join_mv_fixture(spark, tmp_path)
+    kw = dict(kw, mins={"min_cents": "cents"}, maxs={"max_cents": "cents"})
+    del kw["avgs"]
+
+    r0 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r0["created"]
+    assert _join_mv_got_mm(spark, mvmod, mv_p) == \
+        _join_mv_expect_mm(spark, fact_p, dim_p)
+
+    # fold path: new global maxima per group, zero deletes
+    sn.merge_into(
+        spark, fact_p,
+        spark.createDataFrame(
+            [(3000, 0, 99999), (3001, 1, 99998)],
+            "k long, d long, cents long"),
+        on=["k"])
+    r1 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r1["groups_recomputed"] == 0 and not r1["full_recompute"]
+    assert _join_mv_got_mm(spark, mvmod, mv_p) == \
+        _join_mv_expect_mm(spark, fact_p, dim_p)
+
+    # at-risk path: delete the row holding a group's max (k=3000 is
+    # g0's max) — stored extreme tied, group must recompute
+    sn.delete_where(spark, fact_p, "k = 3000", mode="mor")
+    r2 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r2["groups_recomputed"] >= 1 and not r2["full_recompute"]
+    assert _join_mv_got_mm(spark, mvmod, mv_p) == \
+        _join_mv_expect_mm(spark, fact_p, dim_p)
+
+    # dim churn: move key d=1 (carrying g1's max 99998) to a new
+    # group — the losing group recomputes, the gaining group folds
+    sn.update_where(spark, dim_p, "d = 1", {"g": "'moved'"}, mode="mor")
+    r3 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r3["dim_keys_churned"] == 1 and not r3["full_recompute"]
+    assert r3["groups_recomputed"] >= 1
+    assert _join_mv_got_mm(spark, mvmod, mv_p) == \
+        _join_mv_expect_mm(spark, fact_p, dim_p)
+
+    # mixed window: fact update + fact delete + dim move + dim delete
+    sn.update_where(spark, fact_p, "k % 11 = 2", {"cents": "cents - 7"},
+                    mode="mor")
+    sn.delete_where(spark, fact_p, "k % 13 = 1", mode="mor")
+    sn.update_where(spark, dim_p, "d = 6", {"g": "'moved'"}, mode="mor")
+    sn.delete_where(spark, dim_p, "d = 9", mode="mor")
+    r4 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p,
+                                   dim_churn_threshold=0.5, **kw)
+    assert not r4["full_recompute"]
+    assert _join_mv_got_mm(spark, mvmod, mv_p) == \
+        _join_mv_expect_mm(spark, fact_p, dim_p)
+
+    # over-threshold dim churn with extremes: full recompute stays
+    # exact too
+    sn.update_where(spark, dim_p, "d % 2 = 0", {"g": "'bulk'"}, mode="mor")
+    r5 = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+    assert r5["full_recompute"]
+    assert _join_mv_got_mm(spark, mvmod, mv_p) == \
+        _join_mv_expect_mm(spark, fact_p, dim_p)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_refresh_join_rollup_minmax_property(spark, tmp_path, seed):
+    """Property: under random mixed fact+dim churn windows the
+    incrementally maintained min/max/sum join MV equals the
+    from-scratch join+aggregate after every refresh."""
+    import random
+
+    rng = random.Random(seed)
+    mvmod, fact_p, dim_p, mv_p, kw = _join_mv_fixture(spark, tmp_path)
+    kw = dict(kw, mins={"min_cents": "cents"}, maxs={"max_cents": "cents"})
+    del kw["avgs"]
+    mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+
+    next_k = [5000]
+    next_d = [10]
+
+    def _ops():
+        op = rng.choice(["fu", "fd", "fi", "du", "dd", "di"])
+        if op == "fu":
+            sn.update_where(
+                spark, fact_p, f"k % {rng.randint(2, 9)} = 1",
+                {"cents": f"cents + {rng.randint(-50, 50)}"}, mode="mor")
+        elif op == "fd":
+            sn.delete_where(
+                spark, fact_p, f"k % {rng.randint(3, 9)} = 0", mode="mor")
+        elif op == "fi":
+            rows = [(next_k[0] + i, rng.randint(0, 9),
+                     rng.randint(-1000, 100000)) for i in range(5)]
+            next_k[0] += 5
+            sn.merge_into(
+                spark, fact_p,
+                spark.createDataFrame(rows, "k long, d long, cents long"),
+                on=["k"])
+        elif op == "du":
+            sn.update_where(
+                spark, dim_p, f"d = {rng.randint(0, 9)}",
+                {"g": f"'r{rng.randint(0, 4)}'"}, mode="mor")
+        elif op == "dd":
+            sn.delete_where(spark, dim_p, f"d = {rng.randint(0, 9)}",
+                            mode="mor")
+        else:
+            d = next_d[0]
+            next_d[0] += 1
+            sn.merge_into(
+                spark, dim_p,
+                spark.createDataFrame(
+                    [(d, f"r{rng.randint(0, 4)}")], "d long, g string"),
+                on=["d"])
+
+    for _ in range(5):
+        for _ in range(rng.randint(1, 3)):
+            _ops()
+        mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p,
+                                  dim_churn_threshold=0.6, **kw)
+        assert _join_mv_got_mm(spark, mvmod, mv_p) == \
+            _join_mv_expect_mm(spark, fact_p, dim_p)
+
+
+def test_upgrade_rollup_one_shot_legacy_heal(spark, tmp_path, monkeypatch):
+    """upgrade_rollup: one commit purges legacy phantom n_rows=0 rows
+    AND stamps the contract marker — bare snapshot_read is then safe,
+    read_rollup skips its filter, the refresh phantom probe answers
+    False from the marker alone (zero Spark jobs), and the whole
+    thing is idempotent and time-travel-correct."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base_p = str(tmp_path / "base")
+    mv_p = str(tmp_path / "mv")
+    sn.snapshot_create(
+        spark,
+        spark.range(40).select((F.col("id") % 4).alias("g"),
+                               F.col("id").alias("cents")),
+        base_p, stats_cols=["g"], row_tracking=True)
+    mvmod.refresh_rollup(spark, base_p, mv_p, ["g"], {"s": "cents"})
+
+    # simulate the pre-round-13 crash state: a merge landed an
+    # n_rows=0 group but the follow-up delete never ran
+    sn.merge_into(
+        spark, mv_p,
+        spark.createDataFrame([(99, 0, 0)], "g long, n_rows long, s long"),
+        on=["g"])
+    legacy_v = sn.current_version(mv_p)
+    assert sn.snapshot_read(spark, mv_p).where("n_rows = 0").count() == 1
+    assert mvmod.read_rollup(spark, mv_p).where("n_rows = 0").count() == 0
+
+    r = mvmod.upgrade_rollup(spark, mv_p)
+    assert r["phantoms_deleted"] == 1 and not r["already_upgraded"]
+    # bare reads are now safe; the filterless read_rollup agrees
+    assert sn.snapshot_read(spark, mv_p).where("n_rows = 0").count() == 0
+    assert sorted(
+        t for t, in mvmod.read_rollup(spark, mv_p).select("g").collect()
+    ) == [0, 1, 2, 3]
+    # the probe answers from the marker ALONE — poison the stats to
+    # prove they are not consulted
+    monkeypatch.setattr(
+        sn, "manifest_column_stats",
+        lambda *a, **k: [{"kind": "long", "min": 0, "max": 0}])
+    assert mvmod._zero_groups_possible(mv_p) is False
+    monkeypatch.undo()
+
+    # idempotent: second call no-ops, no new version
+    v = sn.current_version(mv_p)
+    r2 = mvmod.upgrade_rollup(spark, mv_p)
+    assert r2["already_upgraded"] and sn.current_version(mv_p) == v
+
+    # refresh keeps working after the upgrade and stays exact
+    sn.update_where(spark, base_p, "g = 1", {"cents": "cents + 100"},
+                    mode="mor")
+    mvmod.refresh_rollup(spark, base_p, mv_p, ["g"], {"s": "cents"})
+    expect = {
+        (row["g"], row["n"], row["s"])
+        for row in sn.snapshot_read(spark, base_p).groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s")).collect()
+    }
+    got = {
+        (row["g"], row["n_rows"], row["s"])
+        for row in mvmod.read_rollup(spark, mv_p).collect()
+    }
+    assert got == expect
+
+    # time travel to the pre-upgrade version: marker absent there, so
+    # read_rollup still filters the phantom out of history reads
+    assert sn.snapshot_read(
+        spark, mv_p, version=legacy_v).where("n_rows = 0").count() == 1
+    assert mvmod.read_rollup(
+        spark, mv_p, version=legacy_v).where("n_rows = 0").count() == 0
+
+
 def test_refresh_rollup_compact_lands_during_recompute(
     spark, tmp_path, monkeypatch
 ):
