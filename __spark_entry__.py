@@ -62,46 +62,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history run FIRST — the harness records ~50 verdicts per round, so
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
-    first verdict. Round 13 head (exactly 50 uniques, sized to the
-    ~50-verdict rotation budget): the two queries registered this
-    round (s44_join_mv, s46_merge_conditional), then all 14 queries
-    whose latest driver green is round 8 (the r12 verdict's explicit
-    ladder), then 34 of the 45 r9-verdict queries. The five IVF
-    queries moved to nprobe="auto" this round, but at grading scale
-    auto resolves to exhaustive probing and their results still
-    hash-match the exact oracle (re-contracted locally), and all five
-    carry fresh r12 verdicts — so they do not re-enter the head. The
-    11 r9 queries left over (small stable aggregates/windows:
-    a1/a2/a14/a15/a16, s1_csv, u4, w8/w9/w10/w11) lead the r14
-    ladder. Everything behind the head has a verdict from r10-r12.
+    first verdict. Round 14 head (exactly 50 uniques, sized to the
+    ~50-verdict rotation budget): the one query registered this round
+    (s47_join_mv_minmax — min/max over the join MV), then the 11
+    remaining r9-verdict queries (the r13 verdict's named leftovers:
+    a1/a2/a14/a15/a16, s1_csv, u4, w8/w9/w10/w11), then 38 of the 50
+    r10-verdict queries (alphabetical; the 12 left over —
+    str12/str13/str8/str9, t_bigram_logprob, t_js_divergence,
+    t_oov_rate, t_strip_html, ts_gapfill_interp, ts_trend_slope,
+    w13, w14 — lead the r15 ladder). s44_join_mv / s43 / s42 / s46
+    changed CODE this round (broadcast guard, min/max machinery,
+    create-time NULL check) but their RESULTS are unchanged
+    (re-contracted against the oracle locally) and all carry fresh
+    r13 verdicts, so they stay behind the head. Everything behind the
+    head has a verdict from r11-r13.
     """
     first = [
         # registered this round — no driver verdict yet
-        "s44_join_mv", "s46_merge_conditional",
-        # the 14 r8-verdict queries (oldest outstanding greens)
-        "s13_sql_subqueries", "s23_merge_snapshot",
-        "t_document_filter", "t_fingerprint", "t_lang_id",
-        "t_quality_score", "t_subword_tokens",
-        "tags_explode_normalize", "u2_unknown_row",
-        "u3_union_all_report", "w1_dedup_keep_newest",
-        "w1b_dedup_max_by", "w4_hash_sk_distinct", "w5_yoy_growth",
-        # 34 of the 45 r9-verdict queries
-        "corpus_bloom_decontaminate", "corpus_strip_boilerplate",
-        "dq_k_anonymity", "dq_l_diversity", "j15_record_linkage",
-        "s15_sorted_compact_roundtrip", "s24_merge_schema_evolution",
-        "s25_delete_vectors", "s26_compact_optimize",
-        "s27_update_restore", "s28_snapshot_skipping",
-        "s29_change_data_feed", "s30_check_constraints",
-        "s31_generated_columns", "s45_sink_roundtrip",
-        "s6_reject_quarantine_roundtrip", "sim_hard_negatives",
-        "sim_topk_lsh", "sketch_distinct_bounds",
-        "sketch_quantile_bounds", "str11_stream_merge_snapshot",
-        "str1_stream_windowed_counts", "str2_stream_sessionize",
-        "str3_stream_running_totals", "t_bpe_pair_counts",
-        "t_corpus_diversity", "t_quality_classifier",
-        "t_repetition_ngrams", "t_token_count", "t_top_dup_ngrams",
-        "ts_ohlc_bars", "w12_funnel_conversion",
-        "w2w3_scd2_from_history", "w6_trailing_average",
+        "s47_join_mv_minmax",
+        # the 11 remaining r9-verdict queries
+        "a14_histogram", "a15_cube", "a16_unpivot",
+        "a1_topk_customers", "a2_conditional_agg_owner",
+        "s1_csv_roundtrip", "u4_intersect_except",
+        "w10_distribution_ranks", "w11_range_frame",
+        "w8_sessionize", "w9_ntile_quartiles",
+        # 38 of the 50 r10-verdict queries
+        "a3_yearly_rollup", "a4_distinct_counts", "a5_global_minmax",
+        "a6_frequency_classify", "corpus_dedup_chunks",
+        "corpus_shuffle_shards", "corpus_weighted_sample",
+        "dedup_audit_cluster_sizes", "dedup_clusters_merged",
+        "dedup_containment", "dedup_cross_source_matrix",
+        "dedup_semantic_clusters", "dedup_url_canonical",
+        "dq_date_gaps", "dq_skew_report", "dq_winsorize",
+        "e2e_corpus_curation", "e2e_semantic_curation",
+        "emb_centroid_coherence", "f_map_funcs",
+        "f_pandas_udaf_median", "f_sql_udf", "f_variant_extract",
+        "graph_pagerank_hubs", "inc_rollup_merge",
+        "j14_inferred_members", "mm_image_metadata",
+        "s18_orc_roundtrip", "s19_jsonl_roundtrip",
+        "s20_python_datasource", "s21_binaryfile_scan",
+        "s22_schema_evolution_scan", "s32_auto_optimize",
+        "s33_cdf_rename_continuity", "s34_multi_table_txn",
+        "s35_shallow_clone", "s36_table_history",
+        "sketch_rolling_distinct",
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"
