@@ -414,15 +414,25 @@ def auto_nprobe(
       recall tracks the measured fraction curve: >= 0.9 at the 10x
       tier's worst-case background-neighbor regime.
     * Past the cap the per-query candidate pool pins at
-      ~``pool_cap_rows`` — the explicit cost ceiling. This IS a
-      documented recall/cost trade at extreme corpus:centroid ratios:
-      on near-uniform data (the audit's replicated tier) recall decays
-      beyond the cap, while clustered real-world embeddings keep their
-      neighbors in the nearest cells (the regime IVF exists for —
-      FAISS's own nprobe guidance is a small fixed count for exactly
-      this reason). Raise ``pool_cap_rows`` (or pass an explicit
-      ``nprobe``) to buy recall with scan — the trade lives at this
-      documented knob, not in a silent default.
+      ~``pool_cap_rows`` — the explicit cost ceiling. MEASURED where
+      the cap binds (round 14, RECALL_AUDIT.json ``capbound*`` tiers:
+      200k vectors -> 196 cells, nprobe pinned at 32 = 16.3% probed
+      vs the 0.75 target): background-neighbor recall@5 at defaults
+      is 0.697 on BOTH the replicated worst case and the organic
+      random-vector corpus; raising the cap 4x (nprobe 128, 65%
+      probed) recovers 0.984-0.986, the uncapped fraction 0.992. But
+      recall over the edges that matter for dedup/curation — TRUE
+      near-duplicates, the organic tier's planted cos~0.95 pairs —
+      is **1.0 at defaults** (the planted-pair probe,
+      ``capbound_organic``): a near-identical vector lands in the
+      query's own nearest cells, so the pinned probe count still
+      finds it. What the cap trades away is recall of BACKGROUND
+      coincidences (cos ~0.4-0.5 fifth-nearest strangers on isotropic
+      data) — the regime no IVF config can serve cheaply and no
+      curation decision depends on. Raise ``pool_cap_rows`` (or pass
+      an explicit ``nprobe``) when ranked retrieval of weak neighbors
+      matters — the trade lives at this documented knob, with its
+      price/recall curve in the audit, not in a silent default.
     """
     import math
 

@@ -32,7 +32,12 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def measure(spark, sf_dir: str) -> dict:
+def measure_shingle(spark, sf_dir: str) -> dict:
+    """The shingle-blocking family's cost drivers alone — what the
+    dedup_containment / ngram_jaccard stress ratios are proportional
+    to — plus the density guard's ADMISSION DECISION for the
+    containment query's exact config at this tier (plan-build time
+    only, no pair is materialized)."""
     from pyspark.sql import functions as F
 
     from aws_medallion_etl_spark.operators import fuzzy
@@ -40,7 +45,6 @@ def measure(spark, sf_dir: str) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out: dict = {"n_docs": docs.count()}
 
-    # --- shingle-blocking family -------------------------------------
     sh = fuzzy.shingles(docs, "doc_id", "text", n=3)
     df_stats = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     row = df_stats.agg(
@@ -57,6 +61,23 @@ def measure(spark, sf_dir: str) -> dict:
         candidate_pairs=int(row["candidate_pairs"]),
         max_shingle_df=row["max_shingle_df"],
     )
+    # the admission decision dedup_containment's config gets here
+    # (max_shingle_df=None, default budget): records predicted pairs,
+    # whether the auto-screen fired, and the retained-evidence share
+    fuzzy.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+    out["containment_admission"] = fuzzy.last_admission_decision()
+    return out
+
+
+def measure(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark.operators import fuzzy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = measure_shingle(spark, sf_dir)
     pairs = fuzzy.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
     )
@@ -100,6 +121,7 @@ def main() -> int:
     rec["ratios"] = {
         k: round(rec["sf1_10x"][k] / max(rec["sf01"][k], 1), 2)
         for k in rec["sf01"]
+        if isinstance(rec["sf01"][k], (int, float))
     }
     # the organic tier (tools/organic_bench.py), when built: same 10x
     # row count but NO replica decorrelation — its candidate_pairs
@@ -111,6 +133,18 @@ def main() -> int:
         rec["ratios_organic"] = {
             k: round(rec["organic_sf1"][k] / max(rec["sf01"][k], 1), 2)
             for k in rec["sf01"]
+            if isinstance(rec["sf01"][k], (int, float))
+        }
+    # the 100x replicated tier (when built): the candidate volume +
+    # admission decision behind the suite's steepest stress ratio
+    # (dedup_containment) — shingle family only; the verify/bigram
+    # rows are the 10x sections' job
+    x100 = "/tmp/mdl_stress_100x"
+    if os.path.isdir(os.path.join(x100, "documents.parquet")):
+        rec["sf10_100x"] = measure_shingle(spark, x100)
+        rec["ratios_100x"] = {
+            k: round(rec["sf10_100x"][k] / max(rec["sf01"][k], 1), 2)
+            for k in rec["sf10_100x"] if isinstance(rec["sf01"].get(k), (int, float))
         }
     with open(OUT, "w") as fh:
         json.dump(rec, fh, indent=1, sort_keys=True)

@@ -73,6 +73,57 @@ N_ORD = 1_500_000
 N_EVT = 1_000_000
 
 
+def build_embeddings(spark, out_dir: str, n_vecs: int) -> None:
+    """The organic embedding recipe alone, at any size: random unit
+    vectors (Irwin-Hall(4) components, xxhash64-deterministic) with
+    ~5%% planted near-dups at cos~0.95. Factored out (round 14) so the
+    cap-bound recall tier (tools/recall_audit.py ``capbound_organic``)
+    can build a 200k-vector corpus with planted TRUE neighbors without
+    dragging the documents/star-schema build along."""
+    from pyspark.sql import functions as F
+
+    def H(salt, *cols):
+        return F.xxhash64(F.lit(salt), *cols)
+
+    def U(salt, *cols):
+        return F.pmod(H(salt, *cols), F.lit(1_000_000)) / 1_000_000.0
+
+    def comp(idc, salt):  # Irwin-Hall(4) - 2: symmetric, ~N(0, 1/sqrt(3))
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                U(salt + "1", idc, j) + U(salt + "2", idc, j)
+                + U(salt + "3", idc, j) + U(salt + "4", idc, j) - 2.0
+            ),
+        )
+
+    e = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    vnear = (F.col("vec_id") % 20 == 13) & (F.col("vec_id") >= 20)
+    raw_vb = F.col("vec_id") - 1 - F.pmod(H("vb", F.col("vec_id")), F.lit(20))
+    vbase = raw_vb - F.when(raw_vb % 20 == 13, 1).otherwise(0)
+    e = e.select(
+        "vec_id",
+        F.when(
+            vnear,
+            F.zip_with(
+                comp(vbase, "g"), comp(F.col("vec_id"), "g"),
+                lambda a, b: a + 0.33 * b,
+            ),
+        ).otherwise(comp(F.col("vec_id"), "g")).alias("v"),
+    )
+    e = e.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    emb = e.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm"))
+        .cast("array<float>").alias("embedding"),
+    )
+    emb.repartition(8).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet")
+
+
 def _build(spark) -> None:
     from pyspark.sql import functions as F
 

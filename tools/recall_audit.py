@@ -42,6 +42,21 @@ DIRS = {
     # "recall on actual near-duplicates" is measurable with a real
     # sample size instead of background coincidences
     "organic": "/tmp/mdl_organic_sf1",
+    # the CAP-BOUND tier (round 14): 200k vectors -> 196 auto cells,
+    # auto nprobe pins at the pool cap's 32 -> probed fraction 0.163
+    # instead of the 0.75 target. This is the regime past
+    # pool_cap_rows the auto_nprobe docstring previously only ARGUED
+    # about; measured by measure_ivf_capbound (IVF family only — the
+    # full sweep's exact jaccard/cosine references are quadratic in
+    # corpus and not what this tier is for).
+    "capbound": "/tmp/mdl_stress_100x",
+    # same size, ORGANIC recipe (built on demand from
+    # organic_bench.build_embeddings): random unit vectors + ~5%
+    # planted near-dups at cos~0.95 — true neighbors exist by
+    # construction, so this answers "does the cap-bound default hold
+    # where real near-duplicates are at stake" instead of only the
+    # replicated tier's background-neighbor floor.
+    "capbound_organic": "/tmp/mdl_organic_capbound",
 }
 
 
@@ -248,6 +263,113 @@ def measure(spark, sf_dir: str, with_simhash: bool) -> dict:
     return out
 
 
+def measure_ivf_capbound(spark, sf_dir: str) -> dict:
+    """Recall@5 of the IVF family where the pool cap BINDS (round-14
+    ask: the 10x numbers were measured where nprobe=32 still probes
+    most cells; past ``pool_cap_rows`` the docstring argued recall
+    holds on clustered embeddings but no audit row showed it). Rows:
+
+    * defaults — what a user gets out of the box at this scale;
+    * a ``pool_cap_rows`` sweep (4x the default cap) — the documented
+      knob's measured price/recall curve point;
+    * the uncapped 0.75 fraction — the counterfactual ceiling the cap
+      trades away (cost: probing 75% of a 200k corpus per query);
+    * IVF-PQ at defaults (the cap binds identically there).
+
+    The replicated tier is DELIBERATELY the worst case: cross-replica
+    cosine concentrates near 0 (stress_bench's sign masks), so a
+    query's true neighbors sit in its own replica but the corpus has
+    no macro cluster structure for cells to exploit — real clustered
+    embeddings sit between this floor and 1.0. No organic corpus
+    exists at cap-bound sizes (organic_sf1 is 20k rows -> 20 cells),
+    so the floor is the honest measurable bound.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aws_medallion_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 1000 == 0)
+    out: dict = {"corpus_rows": n}
+
+    exact_topk = similarity.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5
+    ).cache()
+    exact_topk.count()
+
+    k_cells = similarity.auto_centroid_count(n)
+    rows = [
+        ("defaults", similarity.auto_nprobe(k_cells)),
+        ("pool_cap_4x",
+         similarity.auto_nprobe(k_cells, pool_cap_rows=131_072)),
+        ("uncapped_frac075",
+         min(k_cells, max(8, math.ceil(0.75 * k_cells)))),
+    ]
+    # the edges that MATTER for dedup/curation: exact-top-5 pairs at
+    # cos >= 0.9 (the organic tier's planted near-dups; empty on the
+    # replicated tier, whose top-5 are background coincidences)
+    hi_exact = exact_topk.where(F.col("cosine") >= 0.9).cache()
+    n_hi = hi_exact.count()
+    for tag, nprobe in rows:
+        ivf = similarity.cosine_topk_ivf(
+            emb, queries, "vec_id", "embedding",
+            k=5, n_centroids="auto", nprobe=nprobe, iters=3,
+        )
+        r, nq = _topk_recall(ivf, exact_topk)
+        out[f"sim_topk_ivf_{tag}"] = {
+            "recall_at_5": r, "n_queries": nq,
+            "n_centroids": k_cells, "nprobe": nprobe,
+            "probed_frac": round(nprobe / k_cells, 4),
+        }
+        if n_hi:
+            r_hi, _ = _topk_recall(ivf, hi_exact)
+            out[f"sim_topk_ivf_{tag}"]["recall_cos09_edges"] = r_hi
+            out[f"sim_topk_ivf_{tag}"]["n_cos09_edges"] = n_hi
+    pq = similarity.cosine_topk_ivf_pq(
+        emb, queries, "vec_id", "embedding",
+        k=5, n_centroids="auto", m=16, codes=32, iters=3,
+    )
+    r, nq = _topk_recall(pq, exact_topk)
+    out["sim_topk_ivf_pq_defaults"] = {
+        "recall_at_5": r, "n_queries": nq,
+        "n_centroids": k_cells,
+        "nprobe": similarity.auto_nprobe(k_cells),
+    }
+    if n_hi:
+        r_hi, _ = _topk_recall(pq, hi_exact)
+        out["sim_topk_ivf_pq_defaults"]["recall_cos09_edges"] = r_hi
+    hi_exact.unpersist()
+    exact_topk.unpersist()
+
+    # DENSER planted-pair probe (organic recipe only: ids ≡ 13 mod 20
+    # are clones, so ids ≡ 13 mod 1000 are ~200 of them, each with a
+    # true near-dup partner at cos~0.95) — the 200-query general set
+    # above only hits a planted edge when a query happens to be a
+    # clone BASE (~8 edges); this one measures near-dup recall with a
+    # real sample size. Empty (and skipped) on the replicated tier.
+    q_hi = emb.filter(F.col("vec_id") % 1000 == 13)
+    exact_hi = similarity.cosine_topk_bruteforce(
+        emb, q_hi, "vec_id", "embedding", k=5
+    ).where(F.col("cosine") >= 0.9).cache()
+    n_edges = exact_hi.count()
+    if n_edges:
+        ivf_hi = similarity.cosine_topk_ivf(
+            emb, q_hi, "vec_id", "embedding",
+            k=5, n_centroids="auto", iters=3,
+        )
+        r_hi, nq_hi = _topk_recall(ivf_hi, exact_hi)
+        out["planted_pair_probe_defaults"] = {
+            "recall_cos09_edges": r_hi, "n_cos09_edges": n_edges,
+            "n_queries": nq_hi, "n_centroids": k_cells,
+            "nprobe": similarity.auto_nprobe(k_cells),
+        }
+    exact_hi.unpersist()
+    return out
+
+
 def main() -> int:
     which = sys.argv[1:] or ["sf01", "10x"]
 
@@ -267,10 +389,19 @@ def main() -> int:
             doc = {}
     for tag in which:
         sf_dir = DIRS[tag]
+        if tag == "capbound_organic" and not os.path.isdir(
+                os.path.join(sf_dir, "embeddings.parquet")):
+            from tools.organic_bench import build_embeddings
+
+            os.makedirs(sf_dir, exist_ok=True)
+            build_embeddings(spark, sf_dir, n_vecs=200_000)
         if not os.path.isdir(sf_dir):
             print(f"skip {tag}: {sf_dir} missing", file=sys.stderr)
             continue
-        doc[tag] = measure(spark, sf_dir, with_simhash=(tag == "sf01"))
+        if tag.startswith("capbound"):
+            doc[tag] = measure_ivf_capbound(spark, sf_dir)
+        else:
+            doc[tag] = measure(spark, sf_dir, with_simhash=(tag == "sf01"))
         print(tag, json.dumps(doc[tag]), file=sys.stderr)
     with open(OUT, "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)
