@@ -542,6 +542,74 @@ def refresh_rollup(
             "groups_recomputed": n_recompute, "created": False}
 
 
+def coarsen_rollup(
+    spark: SparkSession,
+    mv_path: str,
+    group_cols: list[str],
+    sums: list[str] | None = None,
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
+    avgs: list[str] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Answer a COARSER GROUP BY from a stored rollup MV — the cube-
+    lattice rewrite (Delta/BigQuery materialized-view query rewrite,
+    Gray et al.'s CUBE): any aggregate over a SUBSET of the MV's group
+    columns recomposes from the stored partials without touching the
+    base table, because every maintained aggregate is distributive or
+    algebraic:
+
+    * ``n_rows`` and each ``sums`` column re-aggregate with SUM;
+    * ``mins`` / ``maxs`` re-aggregate with MIN / MAX;
+    * each ``avgs`` column recomposes EXACTLY from its stored integer
+      companions — ``sum(__sum_c) / sum(__cnt_c)``, one division of
+      two exact BIGINTs, bit-identical to computing the avg over the
+      base (averaging the stored averages would weight groups wrong
+      AND drift in float; the companions exist precisely so this
+      rewrite is exact).
+
+    At 100 TB this is the difference between answering a dashboard's
+    by-status query from a group-cardinality table and re-scanning
+    the fact: the MV refresh already paid the base read. Column lists
+    name MV columns (the caller's aggregate spec — the MV stores no
+    agg-type metadata, same contract as the refreshers); ``version=``
+    time-travels the answer. Reads through :func:`read_rollup`, so
+    the legacy phantom filter applies."""
+    sums = list(sums or [])
+    mins = list(mins or [])
+    maxs = list(maxs or [])
+    avgs = list(avgs or [])
+    mv = read_rollup(spark, mv_path, version=version)
+    have = set(mv.columns)
+    need = (
+        set(group_cols) | set(sums) | set(mins) | set(maxs)
+        | {f"__sum_{c}" for c in avgs} | {f"__cnt_{c}" for c in avgs}
+    )
+    missing = sorted(need - have)
+    if missing:
+        raise ValueError(
+            f"coarsen_rollup: {mv_path} has no columns {missing} — "
+            "group_cols must be a subset of the MV's group columns and "
+            "each aggregate list must name stored MV measure columns "
+            "(avgs need their __sum_/__cnt_ companions, i.e. the MV "
+            "was maintained with avgs=)"
+        )
+    return mv.groupBy(*group_cols).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        *[F.sum(c).cast("long").alias(c) for c in sums],
+        *[F.min(c).cast("long").alias(c) for c in mins],
+        *[F.max(c).cast("long").alias(c) for c in maxs],
+        *[
+            F.when(
+                F.sum(f"__cnt_{c}") > 0,
+                F.sum(f"__sum_{c}").cast("long").cast("double")
+                / F.sum(f"__cnt_{c}").cast("long"),
+            ).alias(c)
+            for c in avgs
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join-aggregate MVs: rollups over fact JOIN dim (round 13)
 # ---------------------------------------------------------------------------
@@ -791,11 +859,23 @@ def refresh_join_rollup(
 
     n_dim_churn = 0
     dim_delta = None
+    churn_row = None
     if dim_v > d0:
         dim_delta = snap.snapshot_changes(
             spark, dim_path, key_cols=list(on), v_from=d0, v_to=dim_v
-        ).localCheckpoint(eager=False)  # consumed by count + join + bounds
-        n_dim_churn = dim_delta.select(*on).distinct().count()
+        ).localCheckpoint(eager=False)  # consumed by probe + term-2 join
+        # ONE action answers the churn-guard numerator AND the old-fact
+        # prune envelope (round 14: these were separate scheduler
+        # round-trips — ~0.3-0.5 s of fixed cost per dim-churn window
+        # at the local floor); the agg also lands the checkpoint the
+        # term-2 join reuses
+        churn_row = dim_delta.agg(
+            F.count_distinct(*[F.col(c) for c in on]).alias("__nk"),
+            *[f for c in on for f in (
+                F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
+            )]
+        ).first()
+        n_dim_churn = churn_row["__nk"]
         # live dim size from the manifest alone (rows - dv_rows) —
         # the churn denominator must not cost a Spark count per window
         dim_total = max(1, snap.live_rows(dim_path, version=dim_v))
@@ -899,12 +979,8 @@ def refresh_join_rollup(
     if dim_delta is not None:
         # stats-prune the old-fact read to the churned keys' envelope
         # (file-granular; exact semantics restored by the join itself)
-        bounds_row = dim_delta.agg(
-            *[f for c in on for f in (
-                F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
-            )]
-        ).first()
-        prune = {c: (bounds_row[f"__lo_{c}"], bounds_row[f"__hi_{c}"])
+        # — bounds already in hand from the folded churn probe
+        prune = {c: (churn_row[f"__lo_{c}"], churn_row[f"__hi_{c}"])
                  for c in on}
         fact_old = snap.snapshot_read(
             spark, fact_path, version=f0, prune=prune

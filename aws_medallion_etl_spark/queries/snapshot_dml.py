@@ -1776,6 +1776,70 @@ def s47_join_mv_minmax(spark, sf_dir):
     )
 
 
+@query("s48_rollup_coarsen", _S43_MV_MINMAX_SQL)
+def s48_rollup_coarsen(spark, sf_dir):
+    """Cube-lattice rewrite (``mv.coarsen_rollup``, round 14): a finer
+    MV — per (status, order-year), maintained incrementally through
+    the same churn window as ``s43_mv_minmax_avg`` — answers the
+    coarser by-status query WITHOUT touching the base: n_rows/sums
+    re-aggregate with SUM, min/max with MIN/MAX, and each avg
+    recomposes EXACTLY from the stored integer companions
+    (sum(__sum)/sum(__cnt), one division — averaging the stored
+    averages would weight year-groups wrong and drift in float).
+    The oracle is s43's from-scratch by-status aggregate over the
+    mutated base, so a wrong recomposition, a phantom group leaking
+    through, or a stale year-partial hash-mismatches."""
+    import shutil
+
+    from aws_medallion_etl_spark import mv as mvmod
+    from aws_medallion_etl_spark import snapshot as snap
+
+    base = _scratch("s48base", sf_dir)
+    mv = _scratch("s48mv", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+    ).withColumn("o_year", F.year("o_orderdate").cast("int"))
+    snap.snapshot_create(
+        spark,
+        orders.drop("o_orderdate").repartitionByRange(4, "o_orderkey"),
+        base, stats_cols=["o_orderkey"], row_tracking=True,
+    )
+    cents = "CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
+    kw = dict(
+        sums={"sum_cents": cents},
+        mins={"min_cents": cents}, maxs={"max_cents": cents},
+        avgs={"avg_cents": cents},
+    )
+    group = ["o_orderstatus", "o_year"]
+    mvmod.refresh_rollup(spark, base, mv, group, **kw)
+    # s43's churn window, then one incremental refresh of the FINE MV
+    snap.update_where(
+        spark, base, "o_orderkey % 7 = 3",
+        {"o_totalprice": "o_totalprice + 10"}, mode="mor",
+    )
+    snap.delete_where(spark, base, "o_orderkey % 5 = 0", mode="mor")
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    ins = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + F.lit(maxk + 10)).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("X").alias("o_orderstatus"),
+        "o_year",
+    )
+    snap.merge_into(spark, base, ins, on=["o_orderkey"])
+    mvmod.refresh_rollup(spark, base, mv, group, **kw)
+    # the coarser answer comes from the MV alone — no base read
+    return mvmod.coarsen_rollup(
+        spark, mv, ["o_orderstatus"],
+        sums=["sum_cents"], mins=["min_cents"], maxs=["max_cents"],
+        avgs=["avg_cents"],
+    ).select(
+        "o_orderstatus", "n_rows", "sum_cents", "min_cents",
+        "max_cents", "avg_cents",
+    )
+
+
 _S46_MERGE_COND_SQL = """
     WITH maxk AS (
         SELECT max(o_orderkey) AS m FROM orders
