@@ -3569,6 +3569,54 @@ def test_refresh_join_rollup_minmax_property(spark, tmp_path, seed):
             _join_mv_expect_mm(spark, fact_p, dim_p)
 
 
+def test_coarsen_rollup_recomposes_exactly(spark, tmp_path):
+    """coarsen_rollup: a (g, h)-grouped MV answers the g-only query
+    exactly — sums/counts by SUM, min/max by MIN/MAX, avg recomposed
+    from the integer companions (NOT an average of averages), NULL
+    measures handled like SQL AVG; unknown columns refuse loudly."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base_p = str(tmp_path / "cbase")
+    mv_p = str(tmp_path / "cmv")
+    rows = [
+        ("a", 1, 10), ("a", 1, 20), ("a", 2, 1), ("b", 1, 7),
+        ("b", 2, None), ("b", 2, 5),
+    ]
+    sn.snapshot_create(
+        spark,
+        spark.createDataFrame(rows, "g string, h int, cents int"),
+        base_p, stats_cols=["g"], row_tracking=True)
+    mvmod.refresh_rollup(
+        spark, base_p, mv_p, ["g", "h"],
+        sums={"s": "cents"}, mins={"mn": "cents"}, maxs={"mx": "cents"},
+        avgs={"a": "cents"})
+
+    got = {
+        r["g"]: (r["n_rows"], r["s"], r["mn"], r["mx"], r["a"])
+        for r in mvmod.coarsen_rollup(
+            spark, mv_p, ["g"], sums=["s"], mins=["mn"], maxs=["mx"],
+            avgs=["a"]).collect()
+    }
+    # avg("a") over cents {10,20,1} = 31/3 exactly; b: {7,5}/2 = 6.0
+    # (the NULL measure is excluded from the count, SQL AVG)
+    assert got == {
+        "a": (3, 31, 1, 20, 31 / 3),
+        "b": (3, 12, 5, 7, 6.0),
+    }
+    # grand total (empty group list) works too
+    tot = mvmod.coarsen_rollup(
+        spark, mv_p, [], sums=["s"], mins=["mn"], maxs=["mx"],
+        avgs=["a"]).first()
+    assert (tot["n_rows"], tot["s"], tot["mn"], tot["mx"]) == (6, 43, 1, 20)
+    assert tot["a"] == 43 / 5
+
+    with pytest.raises(ValueError, match="no columns"):
+        mvmod.coarsen_rollup(spark, mv_p, ["g"], sums=["nope"])
+    with pytest.raises(ValueError, match="__sum_"):
+        # an avg whose companions were never maintained
+        mvmod.coarsen_rollup(spark, mv_p, ["g"], avgs=["s"])
+
+
 def test_upgrade_rollup_one_shot_legacy_heal(spark, tmp_path, monkeypatch):
     """upgrade_rollup: one commit purges legacy phantom n_rows=0 rows
     AND stamps the contract marker — bare snapshot_read is then safe,
