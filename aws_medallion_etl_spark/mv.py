@@ -86,8 +86,13 @@ def read_rollup(
     entirely once the table carries :func:`upgrade_rollup`'s contract
     marker at the read version. Always read MVs through this, not a
     bare ``snapshot_read``."""
-    df = snap.snapshot_read(spark, mv_path, version=version)
-    if snap.last_txn_version(mv_path, _CONTRACT_APP, version=version):
+    # resolve the version ONCE so the data snapshot and the marker
+    # probe agree — with version=None a concurrent upgrade_rollup
+    # landing between two separate "current" reads could mark the
+    # table AFTER the data pinned to a still-phantom version
+    v = snap.current_version(mv_path) if version is None else version
+    df = snap.snapshot_read(spark, mv_path, version=v)
+    if snap.last_txn_version(mv_path, _CONTRACT_APP, version=v):
         return df
     return df.where(F.col("n_rows") > 0)
 
@@ -579,6 +584,12 @@ def coarsen_rollup(
     mins = list(mins or [])
     maxs = list(maxs or [])
     avgs = list(avgs or [])
+    # same output-alias disjointness the refreshers enforce: a column
+    # named in two lists would mint two output columns with one name
+    # (ambiguous downstream), and n_rows/group columns are produced
+    # by the coarsening itself
+    _check_out_names(
+        "coarsen_rollup", sums + mins + maxs + avgs, group_cols)
     mv = read_rollup(spark, mv_path, version=version)
     have = set(mv.columns)
     need = (
@@ -702,8 +713,13 @@ def refresh_join_rollup(
     not actually in V_new is always canceled by an equal negative in
     the SAME group (the algebra nets to V_new − V_old), so a spurious
     value that could corrupt the fold necessarily trips the at-risk
-    comparison first and the group recomputes — spurious pairs cost
-    recompute work, never wrong answers. The recompute itself runs
+    check first and the group recomputes — spurious pairs cost
+    recompute work, never wrong answers. The check has two terms:
+    the tie comparison (negative ≤/≥ stored extreme), plus an
+    explicit NULL-extreme term (a NON-NULL negative against a NULL
+    stored extreme is always a spurious pair — a genuine delete of v
+    implies v was in the group — and the comparison alone would
+    evaluate NULL and let its positive twin fold in). The recompute itself runs
     against fact ⋈ dim at the CAPTURED version pair, pruned twice
     from the manifest: the dim by the at-risk groups' dim-side
     envelope, the fact by the surviving dim keys' join-key envelope
@@ -1052,10 +1068,24 @@ def refresh_join_rollup(
         # at-risk probe + merged projection both consume this frame
         joined = joined.localCheckpoint(eager=False)
         risk = F.lit(False)
-        for out in mins:
-            risk = risk | (F.col(f"__del_{out}") <= F.col(out))
-        for out in maxs:
-            risk = risk | (F.col(f"__del_{out}") >= F.col(out))
+        for out in [*mins, *maxs]:
+            cmp_risk = (
+                (F.col(f"__del_{out}") <= F.col(out)) if out in mins
+                else (F.col(f"__del_{out}") >= F.col(out))
+            )
+            # a NULL stored extreme (every group row carries NULL in
+            # the measure) makes the tie comparison NULL — but a
+            # NON-NULL negative against it can only be a spurious
+            # cancel-pair (a genuine delete of value v implies v was
+            # in the group, so the stored extreme was not NULL), and
+            # its positive twin would otherwise fold a value that is
+            # not in the group. Treat it as at-risk explicitly; the
+            # recompute restores the NULL. (Single-table
+            # refresh_rollup has no spurious negatives, so its rule
+            # needs no such term.)
+            risk = risk | cmp_risk | (
+                F.col(f"__del_{out}").isNotNull() & F.col(out).isNull()
+            )
         risk = (F.col("__n_del") > 0) & (risk | F.col("n_rows").isNull())
         risk_keys = joined.where(risk).select(*group_cols) \
             .localCheckpoint(eager=False)

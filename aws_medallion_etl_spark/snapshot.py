@@ -2230,14 +2230,7 @@ def snapshot_changes(
         if c not in schema_to.fieldNames():
             raise ValueError(f"snapshot_changes: key column {c} not in schema")
 
-    def _sig(e: dict) -> tuple:
-        return (e["file"], tuple(sorted(e.get("dv") or [])))
-
-    from_entries = _manifest_files(path, man_from)
-    to_entries = _manifest_files(path, man_to)
-    common = {_sig(e) for e in from_entries} & {_sig(e) for e in to_entries}
-    from_churn = [e for e in from_entries if _sig(e) not in common]
-    to_churn = [e for e in to_entries if _sig(e) not in common]
+    from_churn, to_churn = _churned_entries(path, man_from, man_to)
 
     val_cols = [f.name for f in schema_to.fields if f.name not in key_cols]
     # BOTH sides scan under the v_to schema + column map: data files
@@ -4128,31 +4121,43 @@ def live_bytes(path: str, version: int | None = None) -> int:
     return total
 
 
-def changes_row_bound(path: str, v_from: int, v_to: int) -> int:
-    """Manifest-only UPPER BOUND on the rows :func:`snapshot_changes`
-    can emit for the window — the live rows of CHURNED files summed
-    over both endpoints, using the same (file, DV-set) signature diff
-    the feed itself applies before reading data. No Spark job; the
-    bound is loose exactly when the feed is expensive (big churn), so
-    a caller gating a broadcast hint on it errs toward shuffling.
-    """
-    man_from = _read_manifest(path, v_from)
-    man_to = _read_manifest(path, v_to)
+def _churned_entries(
+    path: str, man_from: dict, man_to: dict
+) -> tuple[list[dict], list[dict]]:
+    """The (file, DV-set)-signature diff shared by the CDF feed and
+    its manifest-only row bound: entries present in only one endpoint
+    state. ONE definition on purpose — if the signature ever gains a
+    term, both the feed and :func:`changes_row_bound` move together,
+    keeping the bound an upper bound on what the feed emits (the
+    join-MV broadcast guard sizes hints off it)."""
 
     def _sig(e: dict) -> tuple:
         return (e["file"], tuple(sorted(e.get("dv") or [])))
 
-    def _live(e: dict) -> int:
-        return int(e.get("rows") or 0) - int(e.get("dv_rows") or 0)
-
     from_entries = _manifest_files(path, man_from)
     to_entries = _manifest_files(path, man_to)
     common = {_sig(e) for e in from_entries} & {_sig(e) for e in to_entries}
+    return (
+        [e for e in from_entries if _sig(e) not in common],
+        [e for e in to_entries if _sig(e) not in common],
+    )
+
+
+def changes_row_bound(path: str, v_from: int, v_to: int) -> int:
+    """Manifest-only UPPER BOUND on the rows :func:`snapshot_changes`
+    can emit for the window — the live rows of CHURNED files summed
+    over both endpoints, using the same (file, DV-set) signature diff
+    the feed itself applies before reading data (shared helper). No
+    Spark job; the bound is loose exactly when the feed is expensive
+    (big churn), so a caller gating a broadcast hint on it errs
+    toward shuffling.
+    """
+    from_churn, to_churn = _churned_entries(
+        path, _read_manifest(path, v_from), _read_manifest(path, v_to)
+    )
     return sum(
-        _live(e)
-        for entries in (from_entries, to_entries)
-        for e in entries
-        if _sig(e) not in common
+        int(e.get("rows") or 0) - int(e.get("dv_rows") or 0)
+        for e in from_churn + to_churn
     )
 
 

@@ -3569,6 +3569,49 @@ def test_refresh_join_rollup_minmax_property(spark, tmp_path, seed):
             _join_mv_expect_mm(spark, fact_p, dim_p)
 
 
+def test_join_rollup_minmax_null_extreme_spurious_pair(spark, tmp_path):
+    """Regression (round-14 review): a group whose stored extreme is
+    NULL (all rows carry NULL in the measure) must still recompute
+    when a spurious cancel-pair lands in it — the tie comparison
+    alone evaluates NULL and would let the pair's positive twin fold
+    a value that is not in the group. Repro: fact row updated AND its
+    dim key moved into the all-NULL group in the SAME window."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    fact_p = str(tmp_path / "nf")
+    dim_p = str(tmp_path / "nd")
+    mv_p = str(tmp_path / "nmv")
+    # group g2's only row has a NULL measure; row k=1 sits in g1
+    sn.snapshot_create(
+        spark,
+        spark.createDataFrame(
+            [(1, 10, 7), (2, 20, None)], "k long, d long, cents long"),
+        fact_p, stats_cols=["k", "d"], row_tracking=True)
+    sn.snapshot_create(
+        spark,
+        spark.createDataFrame([(10, "g1"), (20, "g2")], "d long, g string"),
+        dim_p, stats_cols=["d"])
+    kw = dict(on=["d"], group_cols=["g"], sums={"s": "cents"},
+              mins={"mn": "cents"}, maxs={"mx": "cents"})
+    mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p, **kw)
+
+    # one window: k=1's value 7 -> 9 AND its dim key joins g2.
+    # The signed union gives g2 a spurious (+7, -7) pair; without the
+    # NULL-extreme risk term the fold would publish min=7 (a value no
+    # g2 row ever had) instead of 9.
+    sn.update_where(spark, fact_p, "k = 1", {"cents": "9"}, mode="mor")
+    sn.update_where(spark, dim_p, "d = 10", {"g": "'g2'"}, mode="mor")
+    r = mvmod.refresh_join_rollup(spark, fact_p, dim_p, mv_p,
+                                  dim_churn_threshold=0.9, **kw)
+    assert not r["full_recompute"] and r["groups_recomputed"] >= 1
+    got = {
+        row["g"]: (row["n_rows"], row["s"], row["mn"], row["mx"])
+        for row in mvmod.read_rollup(spark, mv_p).collect()
+    }
+    # g1 vanished (its only dim key moved); g2 = {9, NULL}
+    assert got == {"g2": (2, 9, 9, 9)}
+
+
 def test_coarsen_rollup_recomposes_exactly(spark, tmp_path):
     """coarsen_rollup: a (g, h)-grouped MV answers the g-only query
     exactly — sums/counts by SUM, min/max by MIN/MAX, avg recomposed

@@ -73,7 +73,8 @@ N_ORD = 1_500_000
 N_EVT = 1_000_000
 
 
-def build_embeddings(spark, out_dir: str, n_vecs: int) -> None:
+def build_embeddings(spark, out_dir: str, n_vecs: int,
+                     with_label: bool = False) -> None:
     """The organic embedding recipe alone, at any size: random unit
     vectors (Irwin-Hall(4) components, xxhash64-deterministic) with
     ~5%% planted near-dups at cos~0.95. Factored out (round 14) so the
@@ -115,11 +116,18 @@ def build_embeddings(spark, out_dir: str, n_vecs: int) -> None:
         "nrm",
         F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
     )
-    emb = e.select(
+    cols = [
         "vec_id",
         F.transform("v", lambda x: x / F.col("nrm"))
         .cast("array<float>").alias("embedding"),
-    )
+    ]
+    if with_label:
+        lbl = F.array(*[F.lit(o) for o in ["l0", "l1", "l2", "l3"]])
+        cols.append(F.element_at(
+            lbl,
+            (F.pmod(H("lbl", F.col("vec_id")), F.lit(4)) + 1).cast("int"),
+        ).alias("label"))
+    emb = e.select(*cols)
     emb.repartition(8).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet")
 
@@ -194,41 +202,9 @@ def _build(spark) -> None:
     ).withColumn("n_chars", F.length("text"))
     docs.repartition(8).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
 
-    # ---- embeddings -------------------------------------------------
-    def comp(idc, salt):  # Irwin-Hall(4) - 2: symmetric, ~N(0, 1/sqrt(3))
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda j: (
-                U(salt + "1", idc, j) + U(salt + "2", idc, j)
-                + U(salt + "3", idc, j) + U(salt + "4", idc, j) - 2.0
-            ),
-        )
-
-    e = spark.range(N_VECS).select(F.col("id").alias("vec_id"))
-    vnear = (F.col("vec_id") % 20 == 13) & (F.col("vec_id") >= 20)
-    raw_vb = F.col("vec_id") - 1 - F.pmod(H("vb", F.col("vec_id")), F.lit(20))
-    vbase = raw_vb - F.when(raw_vb % 20 == 13, 1).otherwise(0)
-    e = e.select(
-        "vec_id",
-        F.when(
-            vnear,
-            F.zip_with(
-                comp(vbase, "g"), comp(F.col("vec_id"), "g"),
-                lambda a, b: a + 0.33 * b,
-            ),
-        ).otherwise(comp(F.col("vec_id"), "g")).alias("v"),
-    )
-    e = e.withColumn(
-        "nrm",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
-    )
-    emb = e.select(
-        "vec_id",
-        F.transform("v", lambda x: x / F.col("nrm"))
-        .cast("array<float>").alias("embedding"),
-        pick("lbl", ["l0", "l1", "l2", "l3"], F.col("vec_id")).alias("label"),
-    )
-    emb.repartition(8).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+    # ---- embeddings (ONE recipe — build_embeddings — shared with the
+    # cap-bound recall tier so the corpora can never desynchronize) ---
+    build_embeddings(spark, OUT, N_VECS, with_label=True)
 
     # ---- star schema -------------------------------------------------
     c = spark.range(N_CUST).select(F.col("id").alias("c_custkey"))
