@@ -58,6 +58,8 @@ def main() -> int:
     path = os.path.join(tempfile.gettempdir(), "mdl_conc_audit")
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(path + "_mv", ignore_errors=True)
+    shutil.rmtree(path + "_jmv", ignore_errors=True)
+    shutil.rmtree(path + "_dim", ignore_errors=True)
 
     n0 = writers * slice_keys
     base = spark.range(n0).select(
@@ -153,22 +155,89 @@ def main() -> int:
                     return
             time.sleep(0.5)
 
+    # JOIN-MV refresh loop (round 14: refresh_join_rollup gained
+    # min/max — the signed-union at-risk rule must survive the storm
+    # PLUS a racing dim writer): fact = the storm table, dim maps
+    # every possible v to a segment, a churner keeps MOVING v-keys
+    # between segments mid-refresh, so each window mixes fact churn
+    # (term 1), dim churn (term 2), spurious cancel-pairs, and at-risk
+    # recomputes against files OPTIMIZE is rewriting.
+    jmv_path = path + "_jmv"
+    dim_path = path + "_dim"
+    all_v = [0] + [w * 100 + m
+                   for w in range(writers) for m in range(1, merges_each + 1)]
+    sn.snapshot_create(
+        spark,
+        spark.createDataFrame(
+            [(v, f"s{v % 3}") for v in all_v], "v long, seg string"),
+        dim_path, stats_cols=["v"])
+    jmv_stats = {"refreshes": 0, "conflicts": 0}
+    dim_stats = {"moves": 0, "conflicts": 0}
+    stop_jmv = threading.Event()
+    jmv_kw = dict(on=["v"], group_cols=["seg"], sums={"jsum_k": "k"},
+                  mins={"jmin_k": "k"}, maxs={"jmax_k": "k"},
+                  dim_churn_threshold=0.9)
+
+    def jmv_refresher() -> None:
+        while not stop_jmv.is_set():
+            try:
+                mvmod.refresh_join_rollup(
+                    spark, path, dim_path, jmv_path, **jmv_kw)
+                with lock:
+                    jmv_stats["refreshes"] += 1
+            except RuntimeError as e:
+                if "commit conflict" in str(e):
+                    with lock:
+                        jmv_stats["conflicts"] += 1
+                else:
+                    with lock:
+                        errors.append(f"jmv: {e}")
+                    return
+            time.sleep(0.6)
+
+    def dim_churner() -> None:
+        i = 0
+        while not stop_jmv.is_set():
+            i += 1
+            try:
+                sn.update_where(
+                    spark, dim_path, f"v % 7 = {i % 7}",
+                    {"seg": f"'s{i % 4}'"}, mode="mor")
+                with lock:
+                    dim_stats["moves"] += 1
+            except RuntimeError as e:
+                if "commit conflict" in str(e):
+                    with lock:
+                        dim_stats["conflicts"] += 1
+                else:
+                    with lock:
+                        errors.append(f"dim: {e}")
+                    return
+            time.sleep(0.8)
+
     t0 = time.time()
     threads = [
         threading.Thread(target=writer, args=(w,)) for w in range(writers)
     ]
     opt = threading.Thread(target=optimizer)
     mvt = threading.Thread(target=mv_refresher)
+    jmvt = threading.Thread(target=jmv_refresher)
+    dimt = threading.Thread(target=dim_churner)
     opt.start()
     mvt.start()
+    jmvt.start()
+    dimt.start()
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     stop_optimize.set()
     stop_mv.set()
+    stop_jmv.set()
     opt.join()
     mvt.join()
+    jmvt.join()
+    dimt.join()
     wall = round(time.time() - t0, 2)
 
     # ---- SAFETY verification against the serial model -------------------
@@ -224,6 +293,32 @@ def main() -> int:
     ) + [g for g in set(want_mv) & set(got_mv) if got_mv[g] != want_mv[g]]
     if mv_lost:
         safety_errors.append(f"mv groups diverged: {mv_lost[:5]}")
+    # JOIN-MV: settle refresh, then the rollup must equal the
+    # from-scratch fact |><| dim GROUP BY seg of the final state — a
+    # group-move applied once-but-not-twice, a spurious cancel-pair
+    # that folded, or a min recomputed against the wrong version pair
+    # all diverge here
+    mvmod.refresh_join_rollup(spark, path, dim_path, jmv_path, **jmv_kw)
+    got_jmv = {
+        r["seg"]: (r["n_rows"], r["jsum_k"], r["jmin_k"], r["jmax_k"])
+        for r in mvmod.read_rollup(spark, jmv_path).collect()
+    }
+    want_jmv = {
+        r["seg"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in sn.snapshot_read(spark, path)
+        .join(sn.snapshot_read(spark, dim_path), "v")
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("k").cast("long").alias("s"),
+             F.min("k").cast("long").alias("lo"),
+             F.max("k").cast("long").alias("hi")).collect()
+    }
+    jmv_lost = sorted(
+        set(want_jmv) ^ set(got_jmv)
+    ) + [g for g in set(want_jmv) & set(got_jmv)
+         if got_jmv[g] != want_jmv[g]]
+    if jmv_lost:
+        safety_errors.append(f"join-mv groups diverged: {jmv_lost[:5]}")
     liveness_ok = len(landed) == writers * merges_each and not errors
     ok = not safety_errors
 
@@ -240,6 +335,11 @@ def main() -> int:
         "mv_refreshes": mv_stats["refreshes"],
         "mv_refresh_conflicts": mv_stats["conflicts"],
         "mv_verified_zero_lost_groups": not mv_lost,
+        "join_mv_refreshes": jmv_stats["refreshes"],
+        "join_mv_refresh_conflicts": jmv_stats["conflicts"],
+        "dim_moves": dim_stats["moves"],
+        "dim_move_conflicts": dim_stats["conflicts"],
+        "join_mv_verified_zero_lost_groups": not jmv_lost,
         "wall_s": wall,
         "verified_no_lost_updates": ok,
         "verified_liveness_all_landed": liveness_ok,
@@ -251,6 +351,8 @@ def main() -> int:
     print(json.dumps(record, sort_keys=True))
     print(f"-> {OUT}")
     shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(jmv_path, ignore_errors=True)
+    shutil.rmtree(dim_path, ignore_errors=True)
     return 0 if ok else 1
 
 
