@@ -63,16 +63,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
     first verdict. Round 14 head (exactly 50 uniques, sized to the
-    ~50-verdict rotation budget): the two queries registered this
+    ~50-verdict rotation budget): the three queries registered this
     round (s47_join_mv_minmax — min/max over the join MV;
-    s48_rollup_coarsen — the cube-lattice rewrite), then the 11
+    s48_rollup_coarsen — the cube-lattice rewrite;
+    s49_cube_from_rollup — the full CUBE from the MV), then the 11
     remaining r9-verdict queries (the r13 verdict's named leftovers:
-    a1/a2/a14/a15/a16, s1_csv, u4, w8/w9/w10/w11), then 37 of the 50
-    r10-verdict queries (alphabetical; the 13 left over —
-    sketch_rolling_distinct, str12/str13/str8/str9, t_bigram_logprob,
-    t_js_divergence, t_oov_rate, t_strip_html, ts_gapfill_interp,
-    ts_trend_slope, w13, w14 — lead the r15 ladder). s44_join_mv /
-    s43 / s42 / s46
+    a1/a2/a14/a15/a16, s1_csv, u4, w8/w9/w10/w11), then 36 of the 50
+    r10-verdict queries (alphabetical; the 14 left over —
+    s36_table_history, sketch_rolling_distinct, str12/str13/str8/str9,
+    t_bigram_logprob, t_js_divergence, t_oov_rate, t_strip_html,
+    ts_gapfill_interp, ts_trend_slope, w13, w14 — lead the r15
+    ladder). s44_join_mv / s43 / s42 / s46
     changed CODE this round (broadcast guard, min/max machinery,
     create-time NULL check) but their RESULTS are unchanged
     (re-contracted against the oracle locally) and all carry fresh
@@ -80,15 +81,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head has a verdict from r11-r13.
     """
     first = [
-        # registered this round — no driver verdict yet
+        # the three queries registered this round — no driver verdict yet
         "s47_join_mv_minmax", "s48_rollup_coarsen",
+        "s49_cube_from_rollup",
         # the 11 remaining r9-verdict queries
         "a14_histogram", "a15_cube", "a16_unpivot",
         "a1_topk_customers", "a2_conditional_agg_owner",
         "s1_csv_roundtrip", "u4_intersect_except",
         "w10_distribution_ranks", "w11_range_frame",
         "w8_sessionize", "w9_ntile_quartiles",
-        # 37 of the 50 r10-verdict queries
+        # 36 of the 50 r10-verdict queries
         "a3_yearly_rollup", "a4_distinct_counts", "a5_global_minmax",
         "a6_frequency_classify", "corpus_dedup_chunks",
         "corpus_shuffle_shards", "corpus_weighted_sample",
@@ -105,7 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s20_python_datasource", "s21_binaryfile_scan",
         "s22_schema_evolution_scan", "s32_auto_optimize",
         "s33_cdf_rename_continuity", "s34_multi_table_txn",
-        "s35_shallow_clone", "s36_table_history",
+        "s35_shallow_clone",
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"

@@ -621,6 +621,74 @@ def coarsen_rollup(
     )
 
 
+def cube_rollup(
+    spark: SparkSession,
+    mv_path: str,
+    group_cols: list[str],
+    sums: list[str] | None = None,
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
+    avgs: list[str] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """The full CUBE (Gray et al.) answered from the finest rollup MV
+    — every 2^k grouping-set of ``group_cols`` in ONE pass, plus the
+    standard ``grouping_id`` disambiguator (bit=1 where the column is
+    rolled up, leftmost column = most significant bit, SQL
+    ``GROUPING_ID()`` semantics).
+
+    Spark-first shape: ``mv.cube(*group_cols)`` plants a single
+    Expand operator over the GROUP-CARDINALITY MV — each stored
+    partial is replicated 2^k times and re-aggregated with the same
+    distributive/algebraic recomposition as :func:`coarsen_rollup`
+    (SUM of sums/counts, MIN/MAX of extremes, avgs recomposed exactly
+    from the integer companions). Cost is 2^k x |groups| rows through
+    one shuffle — at 100 TB that is the difference between cubing a
+    few thousand partials and re-scanning the fact 2^k times. Same
+    column-list contract and alias validation as coarsen_rollup;
+    consumers filter on ``grouping_id`` (or NULL group values — the
+    MV's NON-NULL group-key contract means a NULL here always means
+    "rolled up", never data)."""
+    sums = list(sums or [])
+    mins = list(mins or [])
+    maxs = list(maxs or [])
+    avgs = list(avgs or [])
+    _check_out_names(
+        "cube_rollup",
+        sums + mins + maxs + avgs + ["grouping_id"], group_cols)
+    if not group_cols:
+        raise ValueError("cube_rollup: group_cols must be non-empty")
+    mv = read_rollup(spark, mv_path, version=version)
+    have = set(mv.columns)
+    need = (
+        set(group_cols) | set(sums) | set(mins) | set(maxs)
+        | {f"__sum_{c}" for c in avgs} | {f"__cnt_{c}" for c in avgs}
+    )
+    missing = sorted(need - have)
+    if missing:
+        raise ValueError(
+            f"cube_rollup: {mv_path} has no columns {missing} — "
+            "group_cols must be a subset of the MV's group columns and "
+            "each aggregate list must name stored MV measure columns "
+            "(avgs need their __sum_/__cnt_ companions)"
+        )
+    return mv.cube(*group_cols).agg(
+        F.grouping_id().cast("long").alias("grouping_id"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        *[F.sum(c).cast("long").alias(c) for c in sums],
+        *[F.min(c).cast("long").alias(c) for c in mins],
+        *[F.max(c).cast("long").alias(c) for c in maxs],
+        *[
+            F.when(
+                F.sum(f"__cnt_{c}") > 0,
+                F.sum(f"__sum_{c}").cast("long").cast("double")
+                / F.sum(f"__cnt_{c}").cast("long"),
+            ).alias(c)
+            for c in avgs
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join-aggregate MVs: rollups over fact JOIN dim (round 13)
 # ---------------------------------------------------------------------------

@@ -1840,6 +1840,100 @@ def s48_rollup_coarsen(spark, sf_dir):
     )
 
 
+_S49_CUBE_SQL = """
+    WITH maxk AS (
+        SELECT max(o_orderkey) AS m FROM orders
+    ), mutated AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT o_orderkey + (SELECT m FROM maxk) + 10, 'X',
+               CAST(year(o_orderdate) AS INTEGER), o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+    ), cents AS (
+        SELECT o_orderstatus, o_year,
+               CAST(FLOOR(p * 100) AS BIGINT) AS c
+        FROM mutated
+    )
+    SELECT o_orderstatus, o_year,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_year)
+                AS BIGINT) AS grouping_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS sum_cents,
+           CAST(min(c) AS BIGINT) AS min_cents,
+           CAST(max(c) AS BIGINT) AS max_cents,
+           CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(c) AS avg_cents
+    FROM cents GROUP BY CUBE (o_orderstatus, o_year)
+"""
+
+
+@query("s49_cube_from_rollup", _S49_CUBE_SQL)
+def s49_cube_from_rollup(spark, sf_dir):
+    """Full CUBE answered from the finest rollup (``mv.cube_rollup``,
+    round 14 — Gray et al.'s datacube over the MV's partials): one
+    native ``cube()`` Expand pass over the incrementally maintained
+    per-(status, year) MV yields all four grouping sets — detail,
+    by-status, by-year, grand total — with the standard
+    ``grouping_id`` and every aggregate recomposed from stored
+    partials (SUM of sums, MIN/MAX of extremes, avg from the exact
+    integer companions). The oracle runs ``GROUP BY CUBE`` over the
+    mutated base from scratch, so a wrong recomposition at ANY
+    lattice level, a grouping-id bit flip, or a stale partial after
+    the churn window hash-mismatches. The base never rescans: 2^k x
+    |groups| rows through one shuffle."""
+    import shutil
+
+    from aws_medallion_etl_spark import mv as mvmod
+    from aws_medallion_etl_spark import snapshot as snap
+
+    base = _scratch("s49base", sf_dir)
+    mv = _scratch("s49mv", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+    ).withColumn("o_year", F.year("o_orderdate").cast("int"))
+    snap.snapshot_create(
+        spark,
+        orders.drop("o_orderdate").repartitionByRange(4, "o_orderkey"),
+        base, stats_cols=["o_orderkey"], row_tracking=True,
+    )
+    cents = "CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
+    kw = dict(
+        sums={"sum_cents": cents},
+        mins={"min_cents": cents}, maxs={"max_cents": cents},
+        avgs={"avg_cents": cents},
+    )
+    group = ["o_orderstatus", "o_year"]
+    mvmod.refresh_rollup(spark, base, mv, group, **kw)
+    # s43's churn window, one incremental refresh, then the cube
+    snap.update_where(
+        spark, base, "o_orderkey % 7 = 3",
+        {"o_totalprice": "o_totalprice + 10"}, mode="mor",
+    )
+    snap.delete_where(spark, base, "o_orderkey % 5 = 0", mode="mor")
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    ins = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + F.lit(maxk + 10)).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("X").alias("o_orderstatus"),
+        "o_year",
+    )
+    snap.merge_into(spark, base, ins, on=["o_orderkey"])
+    mvmod.refresh_rollup(spark, base, mv, group, **kw)
+    return mvmod.cube_rollup(
+        spark, mv, group,
+        sums=["sum_cents"], mins=["min_cents"], maxs=["max_cents"],
+        avgs=["avg_cents"],
+    ).select(
+        "o_orderstatus", "o_year", "grouping_id", "n_rows",
+        "sum_cents", "min_cents", "max_cents", "avg_cents",
+    )
+
+
 _S46_MERGE_COND_SQL = """
     WITH maxk AS (
         SELECT max(o_orderkey) AS m FROM orders

@@ -3660,6 +3660,48 @@ def test_coarsen_rollup_recomposes_exactly(spark, tmp_path):
         mvmod.coarsen_rollup(spark, mv_p, ["g"], avgs=["s"])
 
 
+def test_cube_rollup_all_lattice_levels(spark, tmp_path):
+    """cube_rollup: one Expand pass over the MV yields every grouping
+    set with correct grouping_id bits (leftmost col = MSB) and the
+    same exact recomposition as coarsen_rollup at each level."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base_p = str(tmp_path / "qbase")
+    mv_p = str(tmp_path / "qmv")
+    rows = [("a", 1, 10), ("a", 2, 20), ("b", 1, 5), ("b", 1, None)]
+    sn.snapshot_create(
+        spark,
+        spark.createDataFrame(rows, "g string, h int, cents int"),
+        base_p, stats_cols=["g"], row_tracking=True)
+    mvmod.refresh_rollup(
+        spark, base_p, mv_p, ["g", "h"],
+        sums={"s": "cents"}, mins={"mn": "cents"}, avgs={"a": "cents"})
+    got = {
+        (r["g"], r["h"], r["grouping_id"]): (r["n_rows"], r["s"], r["mn"], r["a"])
+        for r in mvmod.cube_rollup(
+            spark, mv_p, ["g", "h"], sums=["s"], mins=["mn"],
+            avgs=["a"]).collect()
+    }
+    assert got == {
+        # detail (gid 0)
+        ("a", 1, 0): (1, 10, 10, 10.0),
+        ("a", 2, 0): (1, 20, 20, 20.0),
+        ("b", 1, 0): (2, 5, 5, 5.0),
+        # h rolled up (gid 1 — h is the rightmost/least-significant bit)
+        ("a", None, 1): (2, 30, 10, 15.0),
+        ("b", None, 1): (2, 5, 5, 5.0),
+        # g rolled up (gid 2)
+        (None, 1, 2): (3, 15, 5, 7.5),
+        (None, 2, 2): (1, 20, 20, 20.0),
+        # grand total (gid 3)
+        (None, None, 3): (4, 35, 5, 35 / 3),
+    }
+    with pytest.raises(ValueError, match="non-empty"):
+        mvmod.cube_rollup(spark, mv_p, [], sums=["s"])
+    with pytest.raises(ValueError, match="no columns"):
+        mvmod.cube_rollup(spark, mv_p, ["g"], maxs=["nope"])
+
+
 def test_upgrade_rollup_one_shot_legacy_heal(spark, tmp_path, monkeypatch):
     """upgrade_rollup: one commit purges legacy phantom n_rows=0 rows
     AND stamps the contract marker — bare snapshot_read is then safe,
