@@ -160,6 +160,31 @@ def ingest_batch(
     """
     if policy not in ("filter", "cluster"):
         raise ValueError(f"ingest_batch: unknown policy {policy!r}")
+    # all actions (screen, writes, fingerprint) complete inside and a
+    # plain dict is returned, so every localCheckpoint this batch takes
+    # is dead on return — free the blocks deterministically instead of
+    # letting each ingested batch tax the next one's heap (guide §5)
+    from aws_medallion_etl_spark._ckpt import reclaim_scope
+
+    with reclaim_scope(spark.sparkContext):
+        return _ingest_batch_impl(
+            spark, batch, id_col, text_col, corpus_path, index_path,
+            clusters_path, policy, threshold, max_shingle_df,
+        )
+
+
+def _ingest_batch_impl(
+    spark,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_path: str,
+    index_path: str,
+    clusters_path: str | None,
+    policy: str,
+    threshold: float,
+    max_shingle_df: int | None,
+) -> dict:
     corpus = spark.read.parquet(corpus_path)
     n_batch = batch.count()
     report: dict = {"policy": policy, "n_batch": n_batch}

@@ -59,9 +59,33 @@ reading MVs through :func:`read_rollup`.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+import functools
+
 from pyspark.sql import functions as F
 
 from aws_medallion_etl_spark import snapshot as snap
+from aws_medallion_etl_spark._ckpt import reclaim_scope
+
+
+def _reclaiming(fn):
+    """Free the wrapped refresh's localCheckpoint blocks on exit.
+
+    The refreshers cut delta/joined lineage with lazy
+    ``localCheckpoint`` so the merge's probe/validate/write branches
+    compute it once — but those blocks have no Dataset-level handle
+    and previously stayed resident until a GC/ContextCleaner drain,
+    taxing whatever ran next (measured round 14: the bench needed an
+    explicit per-DML-query ``System.gc()``; action-heavy MV queries
+    read 26→47 s deep in the suite vs 12.4 s solo on identical code).
+    Every refresh returns a plain dict — all its actions complete
+    inside — so the id-delta is provably dead at return
+    (:func:`aws_medallion_etl_spark._ckpt.reclaim_scope`).
+    """
+    @functools.wraps(fn)
+    def wrapper(spark, *args, **kwargs):
+        with reclaim_scope(spark.sparkContext):
+            return fn(spark, *args, **kwargs)
+    return wrapper
 
 
 # txn-mark app id recording "this MV satisfies the atomic-refresh
@@ -249,6 +273,7 @@ def _check_out_names(fn: str, out_names: list, group_cols) -> None:
         )
 
 
+@_reclaiming
 def refresh_rollup(
     spark: SparkSession,
     base_path: str,
@@ -714,6 +739,7 @@ def _unpack_cursor(mark: int) -> tuple[int, int]:
     return int(mark) // _DIM_PACK, int(mark) % _DIM_PACK
 
 
+@_reclaiming
 def refresh_join_rollup(
     spark: SparkSession,
     fact_path: str,

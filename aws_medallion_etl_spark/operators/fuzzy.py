@@ -19,6 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Delta-tracking of localCheckpoint storage blocks (no public
+# Dataset-level handle exists) — shared with the MV/ingest paths via
+# the dedicated module since round 14.
+from aws_medallion_etl_spark._ckpt import (
+    persistent_rdd_ids as _persistent_rdd_ids,
+    unpersist_rdd_ids as _unpersist_rdd_ids,
+)
+
 
 def tokens_col(text_col: str):
     """Whitespace tokens of trimmed text."""
@@ -775,31 +783,6 @@ def simhash_pairs(
     return simhash_pairs_from_signatures(sig, max_hamming, prefix_bits, rotations)
 
 
-def _persistent_rdd_ids(sc) -> set[int]:
-    """Ids of RDDs currently persisted in this context's BlockManager.
-
-    Used to delta-track the blocks our own ``localCheckpoint`` calls
-    create so dead iteration rounds can be freed (there is no public
-    Dataset-level handle to a local checkpoint's storage).
-    """
-    out = set()
-    it = sc._jsc.sc().getPersistentRDDs().iterator()
-    while it.hasNext():
-        out.add(it.next()._1())
-    return out
-
-
-def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
-    """Non-blocking unpersist of the given persistent RDD ids."""
-    if not ids:
-        return
-    it = sc._jsc.sc().getPersistentRDDs().iterator()
-    while it.hasNext():
-        t = it.next()
-        if t._1() in ids:
-            t._2().unpersist(False)
-
-
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -911,7 +894,13 @@ def merge_clusters(clusters: DataFrame, new_pairs: DataFrame) -> DataFrame:
     # materialize the pair endpoints ONCE: the frame feeds both the
     # contracted-graph projection and the base relabeling, and the
     # caller's pair lineage is typically the expensive LSH screen —
-    # without this it would re-execute per consumer
+    # without this it would re-execute per consumer. (Blocks created
+    # by that lineage — admission-probe shingle checkpoints etc. —
+    # are reclaimed by the CALLER's scope: every engine path invoking
+    # this sits inside a `_ckpt.reclaim_scope` or the bench's
+    # per-query reclaim, which frees them once the operation's actions
+    # complete; freeing here would be unsafe, the caller may reuse
+    # its pair frame.)
     ends = new_pairs.select(
         F.col("id_a").alias("__a"), F.col("id_b").alias("__b")
     ).localCheckpoint(eager=True)

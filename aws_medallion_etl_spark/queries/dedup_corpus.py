@@ -278,14 +278,23 @@ def dedup_clusters_merged(spark, sf_dir):
     corpus edges. The oracle is the SAME full-graph recursive closure
     as ``dedup_clusters``: the merged labeling must equal from-scratch
     exactly (min-id labels are canonical under contraction).
+
+    ONE blocking self-join pass stages both sides (round 14, guide
+    §1.2 "remove unnecessary passes"): the pre-clustered corpus pairs
+    are the even-even subset and the batch the odd-touching subset of
+    the SAME pair frame — per-pair Jaccard depends only on the two
+    documents, so filtering the full-corpus pairs is bit-identical to
+    pairing each side separately (oracle re-proven this round), and
+    the second shingle+self-join pass the old staging paid over the
+    even half is gone. The frame is checkpointed once and consumed by
+    both sides.
     """
     docs = _t(spark, sf_dir, "documents")
-    even = docs.where(F.col("doc_id") % 2 == 0)
-    corpus_pairs = fuzzy.ngram_jaccard_pairs(
-        even, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
-    )
     all_pairs = fuzzy.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    ).localCheckpoint(eager=True)
+    corpus_pairs = all_pairs.where(
+        (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0)
     )
     batch_pairs = all_pairs.where(
         (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)

@@ -744,9 +744,17 @@ def str9_stream_incremental_clusters(spark, sf_dir):
     ALL docs (the same recursive-CTE oracle as ``dedup_clusters``) —
     arrival order provably doesn't matter.
 
-    (Pair generation here re-shingles the seen set per batch — the
-    deliberate exact mode matching the oracle; the production screen
-    is the persisted band index of ``str8``.)
+    (Pair generation per batch is RESTRICTED to batch-touching pairs
+    — cross batch-vs-seen via ``fuzzy.dedup_against_corpus``'s
+    blocking equi-join plus exact within-batch pairs, the same edge
+    split the production cluster policy (``ingest.ingest_batch``)
+    runs, but in deliberate exact mode matching the oracle: no band
+    screen, so the seen side is re-shingled per batch. Round 14
+    removed the old staging's full pairs(seen ∪ batch) pass, whose
+    seen×seen candidates were generated and discarded every batch —
+    per-pair Jaccard depends only on the two documents, so the
+    batch-touching pair SET is unchanged (oracle re-proven). The
+    production screen is the persisted band index of ``str8``.)
     """
     import shutil
 
@@ -774,18 +782,16 @@ def str9_stream_incremental_clusters(spark, sf_dir):
     def _cluster_batch(batch_df, _bid):
         s = batch_df.sparkSession
         seen = s.read.parquet(seen_p)
-        pairs = fuzzy.ngram_jaccard_pairs(
-            seen.unionByName(batch_df), "doc_id", "text",
-            n=3, threshold=0.8, max_shingle_df=None,
+        cross = fuzzy.dedup_against_corpus(
+            batch_df, seen, "doc_id", "text",
+            n=3, threshold=0.8, max_shingle_df=None, return_pairs=True,
         )
-        bids = batch_df.select("doc_id")
-        batch_pairs = (
-            pairs.join(bids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
-            .unionByName(
-                pairs.join(bids.withColumnRenamed("doc_id", "id_b"), "id_b",
-                           "left_semi")
-            )
-            .distinct()
+        within = fuzzy.ngram_jaccard_pairs(
+            batch_df, "doc_id", "text", n=3, threshold=0.8,
+            max_shingle_df=None,
+        )
+        batch_pairs = cross.select("id_a", "id_b").unionByName(
+            within.select("id_a", "id_b")
         )
         merged = fuzzy.merge_clusters(
             s.read.parquet(labels_p), batch_pairs

@@ -128,9 +128,25 @@ def run_available_now(
     The batch-parity execution mode: each micro-batch is handed to
     ``batch_fn(df, batch_id)`` (e.g. an idempotent ``io.write_parquet``
     by run_date), with exactly-once bookkeeping in ``checkpoint_dir``.
+
+    Per-batch storage hygiene (guide §5): any ``localCheckpoint``
+    blocks the batch body takes (CC rounds, admission probes, lineage
+    severing before overwriting a source) are freed the moment the
+    batch returns — cross-batch state must flow through the SINKS
+    (which is the contract here anyway: foreachBatch bodies re-read
+    persisted state so a restart replays correctly), never through an
+    in-memory frame held across batches. Without this, every drained
+    micro-batch leaves its blocks to the GC/ContextCleaner chain and
+    a long-running ingest loop degrades under eviction pressure.
     """
+    from aws_medallion_etl_spark._ckpt import reclaim_scope
+
+    def _reclaimed(df: DataFrame, batch_id: int) -> None:
+        with reclaim_scope(df.sparkSession.sparkContext):
+            batch_fn(df, batch_id)
+
     q = (
-        stream.writeStream.foreachBatch(batch_fn)
+        stream.writeStream.foreachBatch(_reclaimed)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -401,8 +417,17 @@ def stream_merge_snapshot(
         if post_batch is not None:
             post_batch(spark, batch_id)
 
+    def _apply_reclaimed(batch: DataFrame, batch_id: int) -> None:
+        # same per-batch block hygiene as run_available_now: the MERGE
+        # (and any post_batch MV refresh) completes inside the batch,
+        # so its localCheckpoint blocks are dead when it returns
+        from aws_medallion_etl_spark._ckpt import reclaim_scope
+
+        with reclaim_scope(batch.sparkSession.sparkContext):
+            _apply(batch, batch_id)
+
     return (
-        stream.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(_apply_reclaimed)
         .option("checkpointLocation", f"{path.rstrip('/')}/_stream_checkpoint")
         .trigger(availableNow=True)
         .start()

@@ -231,6 +231,22 @@ def _bench_phase(phase, spark, sf_dir, timings, medians, failures,
     before each heavy query charges cleanup to the session, so the
     recorded number prices the query.
     """
+    # Deterministic block reclamation between queries (round 14, guide
+    # §5): each query's localCheckpoint blocks (CC rounds, admission
+    # probes, MV deltas) are dead once its reps finish — the returned
+    # frames are rebuilt from scratch per rep — but have no Dataset
+    # handle and previously lingered until a GC/ContextCleaner drain,
+    # taxing co-resident queries (measured: dedup_clusters_merged rep
+    # spread [13.4, 21.1, 39.1] mid-suite vs ~6.5 s steady-state solo).
+    # Freeing the id-delta after each query's reps charges nothing to
+    # any timed region — every rep still computes fully from parquet.
+    try:
+        from aws_medallion_etl_spark._ckpt import (
+            persistent_rdd_ids, unpersist_rdd_ids,
+        )
+    except Exception:
+        persistent_rdd_ids = unpersist_rdd_ids = None
+
     for name, fn in phase:
         if gc_between:
             try:
@@ -238,6 +254,10 @@ def _bench_phase(phase, spark, sf_dir, timings, medians, failures,
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
+        pre_ids = (
+            persistent_rdd_ids(spark.sparkContext)
+            if persistent_rdd_ids else None
+        )
 
         def _run_once() -> float:
             t0 = time.time()
@@ -246,27 +266,37 @@ def _bench_phase(phase, spark, sf_dir, timings, medians, failures,
             return round(time.time() - t0, 3)
 
         try:
-            t = _run_once()
-        except Exception as e:  # noqa: BLE001 — a failed query must not kill the bench
-            failures[name] = f"{type(e).__name__}: {e}"
-            continue
-        if t >= 3.0:
-            # heavy tail: one shot in a shared JVM is noisy enough
-            # to read as a round-over-round regression — record the
-            # median of three (queries re-stage their own scratch
-            # inputs, so re-runs are self-contained). A rerun failure
-            # must not void the already-successful first timing.
-            runs = [t]
             try:
-                runs.append(_run_once())
-                runs.append(_run_once())
-            except Exception:  # noqa: BLE001 — keep the good samples
-                pass
-            runs.sort()
-            medians[name] = runs
-            timings[name] = runs[len(runs) // 2]
-        else:
-            timings[name] = t
+                t = _run_once()
+            except Exception as e:  # noqa: BLE001 — a failed query must not kill the bench
+                failures[name] = f"{type(e).__name__}: {e}"
+                continue
+            if t >= 3.0:
+                # heavy tail: one shot in a shared JVM is noisy enough
+                # to read as a round-over-round regression — record the
+                # median of three (queries re-stage their own scratch
+                # inputs, so re-runs are self-contained). A rerun failure
+                # must not void the already-successful first timing.
+                runs = [t]
+                try:
+                    runs.append(_run_once())
+                    runs.append(_run_once())
+                except Exception:  # noqa: BLE001 — keep the good samples
+                    pass
+                runs.sort()
+                medians[name] = runs
+                timings[name] = runs[len(runs) // 2]
+            else:
+                timings[name] = t
+        finally:
+            if pre_ids is not None:
+                try:
+                    unpersist_rdd_ids(
+                        spark.sparkContext,
+                        persistent_rdd_ids(spark.sparkContext) - pre_ids,
+                    )
+                except Exception:
+                    pass
 
 
 def _bench_pipeline(spark, sf_dir: str) -> float:
