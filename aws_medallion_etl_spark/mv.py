@@ -375,9 +375,14 @@ def refresh_rollup(
         _count_groups_checked(full, group_cols, "refresh_rollup (create)")
         v = snap.snapshot_create(
             # n_rows rides the stats columns so the phantom-group
-            # probe can be answered from the manifest alone
+            # probe can be answered from the manifest alone; the
+            # contract marker rides the SAME create commit (round 14)
+            # — a round-13+ refresher is single-commit-atomic from
+            # birth, so the per-refresh phantom probe and read_rollup's
+            # n_rows filter are answered from the txn map with zero
+            # Spark jobs, exactly like an upgraded legacy table
             spark, full, mv_path, stats_cols=[*group_cols, "n_rows"],
-            txn=(app_id, base_v),
+            txn=[(app_id, base_v), (_CONTRACT_APP, 1)],
         )
         return {"mv_version": v, "base_version": base_v,
                 "groups_changed": -1, "groups_recomputed": 0,
@@ -924,7 +929,11 @@ def refresh_join_rollup(
         v = snap.snapshot_create(
             spark, full, mv_path,
             stats_cols=[*group_cols, "n_rows"],
-            txn=(app_id, _pack_cursor(fact_v, dim_v)),
+            # cursor + atomic-read contract in the one create commit
+            # (round 14) — see refresh_rollup's create for why this is
+            # sound from birth for a round-13+ refresher
+            txn=[(app_id, _pack_cursor(fact_v, dim_v)),
+                 (_CONTRACT_APP, 1)],
         )
         return {"mv_version": v, "fact_version": fact_v,
                 "dim_version": dim_v, "groups_changed": -1,

@@ -1456,14 +1456,23 @@ def last_txn_version(
     return int(got) if got is not None else None
 
 
-def _txn_fields(man: dict | None, txn: tuple[str, int] | None) -> dict:
+def _txn_fields(
+    man: dict | None,
+    txn: tuple[str, int] | list[tuple[str, int]] | None,
+) -> dict:
     """Manifest txn map: previous map carried forward, this writer's
     entry updated. Every commit path carries it — a compaction or
     delete between stream batches must not amnesia the stream's
-    high-water mark."""
+    high-water mark. ``txn`` may be a list of marks for commits that
+    stamp several app ids at once (round 14: a rollup-MV CREATE
+    records both the refresh cursor and the atomic-read contract in
+    its single commit — only :func:`snapshot_create` accepts the list
+    form, where no concurrent same-app writer can exist yet)."""
     cur = dict((man or {}).get("txn", {}))
-    if txn is not None:
-        app, ver = txn
+    marks = [] if txn is None else (
+        txn if isinstance(txn, list) else [txn]
+    )
+    for app, ver in marks:
         # never regress: a rebase onto a manifest whose mark for this
         # app is already HIGHER (a concurrent same-app commit that
         # _check_rebase_safe should have caught — belt and braces)
@@ -1760,7 +1769,7 @@ def snapshot_create(
     df: DataFrame,
     path: str,
     stats_cols: list[str],
-    txn: tuple[str, int] | None = None,
+    txn: tuple[str, int] | list[tuple[str, int]] | None = None,
     constraints: dict[str, str] | None = None,
     generated: dict[str, str] | None = None,
     row_tracking: bool = False,
@@ -1776,7 +1785,9 @@ def snapshot_create(
     :func:`merge_into` prunes on. Refuses an existing snapshot table
     (use :func:`merge_into` or commit a new version explicitly).
     ``txn=(app_id, version)`` stamps the idempotent-writer high-water
-    mark (see :func:`last_txn_version`). ``constraints`` are CHECK
+    mark (see :func:`last_txn_version`); a LIST of such marks stamps
+    several app ids in the one create commit (safe only here — no
+    concurrent same-app writer can exist before the table does). ``constraints`` are CHECK
     constraints ``{name: sql_expr}`` — the initial data is validated
     before anything commits, and every later write path enforces them
     on the rows it writes (Delta's ``ADD CONSTRAINT CHECK``).

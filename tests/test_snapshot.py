@@ -3028,20 +3028,34 @@ def test_refresh_rollup_null_measures_and_crash_heal(
     assert sn.current_version(mv) == v_before + 1        # single commit
     assert sn.snapshot_read(spark, mv).where("g = 20").count() == 0
     assert sn.snapshot_read(spark, mv).where("n_rows = 0").count() == 0
-    # (2b) a LEGACY phantom (pre-round-13 crash artifact, planted
-    # out-of-band) heals on the next refresh via the self-heal probe
+    # (2b) a LEGACY phantom heals on the next refresh via the
+    # self-heal probe. Since round 14 a refresher-created MV carries
+    # the atomic-read contract marker from birth (the probe answers
+    # False from the txn map alone), so the legacy state must be
+    # CONSTRUCTED as a pre-round-13 refresher would have left it:
+    # cursor mark only, no contract marker, phantom row present.
+    legacy_mv = str(tmp_path / "legacy_mv2")
+    legacy_agg = (
+        sn.snapshot_read(spark, base).groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("cents").cast("long").alias("sum_cents"))
+    )
+    sn.snapshot_create(spark, legacy_agg, legacy_mv,
+                       stats_cols=["g", "n_rows"],
+                       txn=("mv.rollup", sn.current_version(base)))
     sn.merge_into(
-        spark, mv,
+        spark, legacy_mv,
         spark.createDataFrame([(99, 0, 0)],
                               "g long, n_rows long, sum_cents long"),
         on=["g"],
     )
-    assert sn.snapshot_read(spark, mv).where("n_rows = 0").count() == 1
+    assert sn.snapshot_read(spark, legacy_mv).where("n_rows = 0").count() == 1
     sn.update_where(spark, base, "k = 1", {"cents": "cents + 1"},
                     mode="mor")                       # give it a delta
-    mvmod.refresh_rollup(spark, base, mv, ["g"], {"sum_cents": "cents"})
-    assert sn.snapshot_read(spark, mv).where("n_rows = 0").count() == 0
-    assert sn.snapshot_read(spark, mv).where("g = 99").count() == 0
+    mvmod.refresh_rollup(spark, base, legacy_mv, ["g"],
+                         {"sum_cents": "cents"})
+    assert sn.snapshot_read(spark, legacy_mv).where("n_rows = 0").count() == 0
+    assert sn.snapshot_read(spark, legacy_mv).where("g = 99").count() == 0
 
 
 def test_compact_survives_renamed_stats_column(spark, tmp_path):
@@ -3717,7 +3731,18 @@ def test_upgrade_rollup_one_shot_legacy_heal(spark, tmp_path, monkeypatch):
         spark.range(40).select((F.col("id") % 4).alias("g"),
                                F.col("id").alias("cents")),
         base_p, stats_cols=["g"], row_tracking=True)
-    mvmod.refresh_rollup(spark, base_p, mv_p, ["g"], {"s": "cents"})
+    # construct the MV as a PRE-round-13 refresher left it: cursor
+    # mark only, NO contract marker (a round-14 refresher-create
+    # stamps the marker from birth, which would make this upgrade a
+    # no-op and the filter assertions vacuous)
+    legacy_agg = (
+        sn.snapshot_read(spark, base_p).groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("cents").cast("long").alias("s"))
+    )
+    sn.snapshot_create(spark, legacy_agg, mv_p,
+                       stats_cols=["g", "n_rows"],
+                       txn=("mv.rollup", sn.current_version(base_p)))
 
     # simulate the pre-round-13 crash state: a merge landed an
     # n_rows=0 group but the follow-up delete never ran
@@ -3839,6 +3864,50 @@ def test_refresh_rollup_compact_lands_during_recompute(
     r2 = mvmod.refresh_rollup(spark, base, mv, ["g"], **kw)
     assert r2["groups_changed"] == 0 and r2["groups_recomputed"] == 0
     check()
+
+
+def test_mv_create_stamps_atomic_contract(spark, tmp_path, monkeypatch):
+    """Round 14: BOTH refreshers stamp the atomic-read contract marker
+    in their create commit (alongside the cursor txn mark), so a
+    refresher-born MV behaves like an upgraded one from birth: the
+    per-refresh phantom probe answers False from the txn map alone
+    (stats not consulted — poisoned to prove it), read_rollup applies
+    no filter, and upgrade_rollup recognizes it as already upgraded."""
+    from aws_medallion_etl_spark import mv as mvmod
+
+    base = str(tmp_path / "fact7")
+    dim = str(tmp_path / "dim7")
+    mv1 = str(tmp_path / "mv7a")
+    mv2 = str(tmp_path / "mv7b")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"),
+        (F.col("id") * 10).alias("cents"),
+    )
+    sn.snapshot_create(spark, df, base, ["k"], row_tracking=True)
+    sn.snapshot_create(
+        spark,
+        spark.range(4).select(F.col("id").alias("g"),
+                              F.concat(F.lit("s"), F.col("id"))
+                              .alias("seg")),
+        dim, stats_cols=["g"])
+    mvmod.refresh_rollup(spark, base, mv1, ["g"], {"s": "cents"})
+    mvmod.refresh_join_rollup(
+        spark, base, dim, mv2, on=["g"], group_cols=["seg"],
+        sums={"s": "cents"})
+    for mv_p in (mv1, mv2):
+        assert sn.last_txn_version(mv_p, mvmod._CONTRACT_APP) == 1
+        monkeypatch.setattr(
+            sn, "manifest_column_stats",
+            lambda *a, **k: [{"kind": "long", "min": 0, "max": 0}])
+        assert mvmod._zero_groups_possible(mv_p) is False
+        monkeypatch.undo()
+        r = mvmod.upgrade_rollup(spark, mv_p)
+        assert r["already_upgraded"]
+    # read_rollup goes filterless: no Filter node over n_rows in the
+    # analyzed plan of a marked MV
+    plan = mvmod.read_rollup(spark, mv1)._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "n_rows > 0" not in plan
 
 
 def test_mv_zero_group_probe_is_manifest_only(spark, tmp_path):
