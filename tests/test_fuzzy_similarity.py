@@ -664,6 +664,37 @@ def test_dedup_against_corpus_lsh_matches_exact(spark, tmp_path):
     assert loose >= set(exact)
 
 
+def test_minhash_index_sanity_check_is_footer_based(spark, tmp_path):
+    """Round 14: the probe-time generation sanity check answers
+    max(band) from parquet row-group statistics (zero Spark jobs, no
+    per-batch index scan). The footer value must equal the Spark
+    aggregate, and a sidecar/data generation mismatch must still
+    raise through the footer path."""
+    import json
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    idx = str(tmp_path / "mh_footer")
+    fuzzy.build_minhash_index(existing, "doc_id", "text", idx, bands=16)
+    foot = fuzzy._max_band_from_footers(f"{idx}/bands")
+    agg = spark.read.parquet(f"{idx}/bands").agg(
+        F.max("band")).collect()[0][0]
+    assert foot == agg == 15
+    # stale sidecar (crash window between bands write and sidecar
+    # replace) still detected without any Spark scan
+    with open(f"{idx}/params.json") as fh:
+        params = json.load(fh)
+    params["bands"] = 4
+    with open(f"{idx}/params.json", "w") as fh:
+        json.dump(params, fh)
+    with pytest.raises(ValueError, match="inconsistent"):
+        fuzzy.dedup_against_corpus_lsh(
+            spark, new, existing, "doc_id", "text", idx,
+            threshold=0.8, max_shingle_df=None,
+        )
+
+
 def test_dedup_lsh_stop_shingles_from_stored_stats(spark, tmp_path):
     """With a stop-shingle cap the probe must (a) agree with the
     unindexed dedup_against_corpus under the same cap — the stored
