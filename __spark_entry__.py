@@ -66,24 +66,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ~50-verdict rotation budget): the three queries registered this
     round (s47_join_mv_minmax — min/max over the join MV;
     s48_rollup_coarsen — the cube-lattice rewrite;
-    s49_cube_from_rollup — the full CUBE from the MV), then the 11
-    remaining r9-verdict queries (the r13 verdict's named leftovers:
-    a1/a2/a14/a15/a16, s1_csv, u4, w8/w9/w10/w11), then 36 of the 50
-    r10-verdict queries (alphabetical; the 14 left over —
-    s36_table_history, sketch_rolling_distinct, str12/str13/str8/str9,
+    s49_cube_from_rollup — the full CUBE from the MV), then the three
+    queries the OPTIMIZATION pass restructured or re-parameterized
+    (str9_stream_incremental_clusters — batch-restricted pair
+    generation; sim_topk_ivf_pq / sim_topk_ivf_pq_indexed — shortlist
+    512 fixing the measured sf0.1 ADC boundary; all three oracle-
+    re-proven locally at sf0.001/0.01/0.1), then the 11 remaining
+    r9-verdict queries (the r13 verdict's named leftovers:
+    a1/a2/a14/a15/a16, s1_csv, u4, w8/w9/w10/w11), then 33 of the 50
+    r10-verdict queries (alphabetical; the 17 left over —
+    s33_cdf_rename_continuity, s34_multi_table_txn, s35_shallow_clone,
+    s36_table_history, sketch_rolling_distinct, str12/str13/str8,
     t_bigram_logprob, t_js_divergence, t_oov_rate, t_strip_html,
-    ts_gapfill_interp, ts_trend_slope, w13, w14 — lead the r15
-    ladder). s44_join_mv / s43 / s42 / s46
-    changed CODE this round (broadcast guard, min/max machinery,
-    create-time NULL check) but their RESULTS are unchanged
-    (re-contracted against the oracle locally) and all carry fresh
-    r13 verdicts, so they stay behind the head. Everything behind the
-    head has a verdict from r11-r13.
+    ts_gapfill_interp, ts_trend_slope, w13, w14 (str9 promoted above)
+    — lead the r15 ladder). s44_join_mv / s43 / s42 / s46 changed CODE
+    this round (broadcast guard, min/max machinery, create-time NULL
+    check) but their RESULTS are unchanged (re-contracted against the
+    oracle locally) and all carry fresh r13 verdicts, so they stay
+    behind the head; likewise dedup_clusters_merged (restructured,
+    oracle-re-proven, in the head via the r10 tranche) and the
+    remaining IVF / MV / LSH queries whose optimized paths were
+    oracle-verified result-identical this round. Everything behind
+    the head has a verdict from r11-r13.
     """
     first = [
         # the three queries registered this round — no driver verdict yet
         "s47_join_mv_minmax", "s48_rollup_coarsen",
         "s49_cube_from_rollup",
+        # the three queries the optimization pass restructured /
+        # re-parameterized (oracle-re-proven at all three SFs)
+        "str9_stream_incremental_clusters",
+        "sim_topk_ivf_pq", "sim_topk_ivf_pq_indexed",
         # the 11 remaining r9-verdict queries
         "a14_histogram", "a15_cube", "a16_unpivot",
         "a1_topk_customers", "a2_conditional_agg_owner",
@@ -106,8 +119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s18_orc_roundtrip", "s19_jsonl_roundtrip",
         "s20_python_datasource", "s21_binaryfile_scan",
         "s22_schema_evolution_scan", "s32_auto_optimize",
-        "s33_cdf_rename_continuity", "s34_multi_table_txn",
-        "s35_shallow_clone",
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"
