@@ -103,7 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_csv_roundtrip", "u4_intersect_except",
         "w10_distribution_ranks", "w11_range_frame",
         "w8_sessionize", "w9_ntile_quartiles",
-        # 36 of the 50 r10-verdict queries
+        # 33 of the 50 r10-verdict queries
         "a3_yearly_rollup", "a4_distinct_counts", "a5_global_minmax",
         "a6_frequency_classify", "corpus_dedup_chunks",
         "corpus_shuffle_shards", "corpus_weighted_sample",
