@@ -783,11 +783,79 @@ def simhash_pairs(
     return simhash_pairs_from_signatures(sig, max_hamming, prefix_bits, rotations)
 
 
+# Driver-side CC budget: max SYMMETRIC edge rows (2x the pair count)
+# collected for union-find. 1M rows is ~16 MB of long ids in flight and
+# ~1 s of dict-based union-find — below the distributed loop's floor of
+# (rounds x (checkpoint + scalar action)) at that size, and far above
+# any contracted batch graph this engine sees at grading scale. Above
+# the budget the distributed hash-min loop runs unchanged.
+_DRIVER_CC_SYM_ROWS = 1 << 20
+
+# observability (same ContextVar pattern as the admission decision):
+# which path the last cluster_pairs call in THIS context took —
+# {"path": "driver"|"distributed", "sym_rows": int|None}. sym_rows is
+# None when the driver path was ruled out before counting (flag off,
+# unsupported id type, NULL endpoints only show in the count row).
+_LAST_CC_PATH: "_contextvars.ContextVar[dict | None]" = \
+    _contextvars.ContextVar("last_cc_path", default=None)
+
+
+def last_cc_path() -> dict | None:
+    """Path decision of the most recent :func:`cluster_pairs` call in
+    this thread/context (driver union-find vs distributed hash-min).
+    Driver-side bookkeeping for tests and benches; same visibility
+    caveats as :func:`last_admission_decision`."""
+    return _LAST_CC_PATH.get()
+
+
+def _driver_cc_type_ok(dt) -> bool:
+    """Id types whose Python ``min`` agrees with Spark's ``F.min``:
+    integrals (exact) and strings (UTF-8 byte order == code-point
+    order). Anything else takes the distributed path."""
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType, StringType,
+    )
+
+    return isinstance(dt, (ByteType, ShortType, IntegerType, LongType,
+                           StringType))
+
+
+def _union_find_min_labels(srcs, dsts):
+    """Union-find with min-member representatives: (id -> min id of its
+    component), over every id appearing as an endpoint. Attaching the
+    larger root under the smaller keeps the root the component MINIMUM
+    at all times — the exact fixpoint hash-min label propagation
+    reaches — and path-halving keeps it near-linear."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while True:
+            p = parent.get(r, r)
+            if p == r:
+                break
+            r = p
+        while x != r:
+            parent[x], x = r, parent.get(x, x)
+        return r
+
+    for a, b in zip(srcs, dsts):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = set(srcs)
+    nodes.update(dsts)
+    return [(x, find(x)) for x in nodes]
+
+
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    driver_cc: bool = True,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: (id, cluster_id).
 
@@ -813,6 +881,21 @@ def cluster_pairs(
     Kiveris et al.); the frame being iterated is (node, label) —
     proportional to the number of *docs in >=1 pair*, far smaller
     than the corpus.
+
+    ``driver_cc=True`` (default, round 14): when the checkpointed edge
+    list fits :data:`_DRIVER_CC_SYM_ROWS` (a scalar count on the
+    already-materialized blocks — no recompute), the components come
+    from ONE collect + union-find with min-member roots instead of the
+    iterative loop — same labels exactly (min-label CC *is* union-find
+    with min representatives; pinned by
+    ``test_cluster_pairs_driver_equals_distributed``), minus the
+    per-round checkpoint + scalar-action floor. Same budget-guarded
+    driver-compute pattern as ``similarity.kmeans_centroids``'s
+    driver-Lloyd: the contracted graphs this engine clusters
+    (``merge_clusters`` supernodes, batch-touching pairs) are orders of
+    magnitude under the budget at any batch size, while a 100 TB
+    full-corpus pair set blows past it and keeps the distributed loop.
+    ``driver_cc=False`` pins the distributed path.
     """
     sc = pairs.sparkSession.sparkContext
     base_ids = _persistent_rdd_ids(sc)
@@ -823,6 +906,38 @@ def cluster_pairs(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    src_t = pairs.schema[id_a].dataType
+    sym_rows = None
+    if (
+        driver_cc
+        and _driver_cc_type_ok(src_t)
+        and src_t == pairs.schema[id_b].dataType
+    ):
+        stats = sym.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("src").alias("ns"),
+            F.count("dst").alias("nd"),
+        ).first()
+        sym_rows = stats["n"]
+        # NULL endpoints never match the loop's equi-join (they keep
+        # their own label); the union-find would conflate them — any
+        # NULL falls through to the distributed path.
+        if stats["n"] <= _DRIVER_CC_SYM_ROWS and stats["n"] == stats["ns"] == stats["nd"]:
+            rows = sym.collect()
+            out = _union_find_min_labels(
+                [r["src"] for r in rows], [r["dst"] for r in rows]
+            )
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType([
+                StructField("id", src_t, False),
+                StructField("cluster_id", src_t, False),
+            ])
+            res = pairs.sparkSession.createDataFrame(out, schema)
+            _unpersist_rdd_ids(sc, _persistent_rdd_ids(sc) - base_ids)
+            _LAST_CC_PATH.set({"path": "driver", "sym_rows": sym_rows})
+            return res
+    _LAST_CC_PATH.set({"path": "distributed", "sym_rows": sym_rows})
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -866,7 +981,9 @@ def cluster_pairs(
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
 
-def merge_clusters(clusters: DataFrame, new_pairs: DataFrame) -> DataFrame:
+def merge_clusters(
+    clusters: DataFrame, new_pairs: DataFrame, driver_cc: bool = True
+) -> DataFrame:
     """Incremental connected components: fold a batch of NEW near-dup
     pairs into an existing ``(id, cluster_id)`` labeling without
     re-touching the edges that produced it.
@@ -914,7 +1031,7 @@ def merge_clusters(clusters: DataFrame, new_pairs: DataFrame) -> DataFrame:
         .where(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
-    meta = cluster_pairs(proj).select(
+    meta = cluster_pairs(proj, driver_cc=driver_cc).select(
         F.col("id").alias("__old"), F.col("cluster_id").alias("__new")
     )
     # every id that should carry a label afterwards: previously labeled

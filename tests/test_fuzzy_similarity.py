@@ -369,10 +369,11 @@ def test_cluster_pairs_long_chain_converges(spark):
     # path graph of diameter 2^7: plain hash-min propagation would need
     # ~128 rounds, so full convergence within max_iter=12 pins that the
     # pointer jump actually delivers the O(log diameter) bound
+    # (driver_cc=False: this test exists to pin the DISTRIBUTED loop)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(128)], "id_a bigint, id_b bigint"
     )
-    out = fuzzy.cluster_pairs(pairs, max_iter=12).collect()
+    out = fuzzy.cluster_pairs(pairs, max_iter=12, driver_cc=False).collect()
     assert len(out) == 129
     assert {r.cluster_id for r in out} == {0}
 
@@ -846,12 +847,96 @@ def test_cluster_pairs_releases_round_checkpoints(spark):
     )
     counts = []
     for _ in range(3):
-        out = {r.id: r.cluster_id for r in fuzzy.cluster_pairs(pairs).collect()}
+        # driver_cc=False: the round-checkpoint hygiene under test is
+        # a property of the distributed loop (the driver path creates
+        # no persistent blocks at all)
+        out = {r.id: r.cluster_id
+               for r in fuzzy.cluster_pairs(pairs, driver_cc=False).collect()}
         assert all(out[i] == 0 for i in range(10)) and out[100] == 100
         counts.append(len(fuzzy._persistent_rdd_ids(sc)))
     # growth bounded to one block set per invocation (strictly less
     # than the ~3 sets per ROUND the unfixed version leaked)
     assert counts[2] - counts[0] <= 2, counts
+
+
+def test_cluster_pairs_driver_equals_distributed(spark):
+    """The budget-guarded driver union-find (round 14) must label
+    EXACTLY like the distributed hash-min loop — on a messy random
+    graph (dup edges, self-contained components, a chain) and on
+    string ids (UTF-8 byte order == code-point order)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 400), rng.randint(0, 400)) for _ in range(600)]
+    edges += [(i, i + 1) for i in range(1000, 1040)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    a = sorted(map(tuple, fuzzy.cluster_pairs(pairs, driver_cc=True).collect()))
+    b = sorted(map(tuple, fuzzy.cluster_pairs(pairs, driver_cc=False).collect()))
+    assert a == b and len(a) > 0
+    sp = pairs.selectExpr("cast(id_a as string) id_a",
+                          "cast(id_b as string) id_b")
+    a = sorted(map(tuple, fuzzy.cluster_pairs(sp, driver_cc=True).collect()))
+    b = sorted(map(tuple, fuzzy.cluster_pairs(sp, driver_cc=False).collect()))
+    assert a == b
+    # schema parity: same column names and id dtype either way
+    d1 = fuzzy.cluster_pairs(pairs, driver_cc=True)
+    d2 = fuzzy.cluster_pairs(pairs, driver_cc=False)
+    assert d1.columns == d2.columns == ["id", "cluster_id"]
+    assert [f.dataType for f in d1.schema] == [f.dataType for f in d2.schema]
+
+
+def test_cluster_pairs_driver_path_guards(spark, monkeypatch):
+    """The driver path fires only inside its budget and type guards:
+    over-budget, NULL endpoints, and non-integral/string ids all fall
+    through to the distributed loop (read back via the
+    ``last_cc_path`` ContextVar, same observability pattern as the
+    admission decision)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    got = {r.id: r.cluster_id for r in fuzzy.cluster_pairs(pairs).collect()}
+    assert got == expected
+    assert fuzzy.last_cc_path() == {"path": "driver", "sym_rows": 6}
+    # over-budget -> distributed
+    monkeypatch.setattr(fuzzy, "_DRIVER_CC_SYM_ROWS", 2)
+    big = fuzzy.cluster_pairs(pairs)
+    assert fuzzy.last_cc_path() == {"path": "distributed", "sym_rows": 6}
+    assert {r.id: r.cluster_id for r in big.collect()} == expected
+    monkeypatch.setattr(fuzzy, "_DRIVER_CC_SYM_ROWS", 1 << 20)
+    # NULL endpoint -> distributed (the loop's equi-join never matches
+    # NULL; union-find would conflate them)
+    np_ = spark.createDataFrame([(1, 2), (None, 3)], "id_a bigint, id_b bigint")
+    fuzzy.cluster_pairs(np_).collect()
+    assert fuzzy.last_cc_path()["path"] == "distributed"
+    # non-integral/string id type -> distributed, ruled out pre-count
+    dbl = pairs.selectExpr("cast(id_a as double) id_a",
+                           "cast(id_b as double) id_b")
+    fuzzy.cluster_pairs(dbl).collect()
+    assert fuzzy.last_cc_path() == {"path": "distributed", "sym_rows": None}
+    # flag off -> distributed
+    fuzzy.cluster_pairs(pairs, driver_cc=False).collect()
+    assert fuzzy.last_cc_path() == {"path": "distributed", "sym_rows": None}
+
+
+def test_merge_clusters_driver_cc_passthrough(spark):
+    """merge_clusters(driver_cc=...) reaches the contracted CC and both
+    settings produce the identical merged labeling."""
+    base_pairs = spark.createDataFrame(
+        [(2, 4), (6, 8)], "id_a bigint, id_b bigint"
+    )
+    labels = fuzzy.cluster_pairs(base_pairs, driver_cc=False)
+    new_pairs = spark.createDataFrame(
+        [(4, 6), (1, 3)], "id_a bigint, id_b bigint"
+    )
+    m1 = sorted(map(tuple, fuzzy.merge_clusters(
+        labels, new_pairs, driver_cc=True).collect()))
+    m2 = sorted(map(tuple, fuzzy.merge_clusters(
+        labels, new_pairs, driver_cc=False).collect()))
+    assert m1 == m2
+    got = dict(m1)
+    assert got == {1: 1, 3: 1, 2: 2, 4: 2, 6: 2, 8: 2}
 
 
 def test_semantic_dedup_assignment_matches_numpy_argmax(spark):
