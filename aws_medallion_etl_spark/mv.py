@@ -231,6 +231,24 @@ def _with_avg_cols(df: DataFrame, avgs: dict[str, str]) -> DataFrame:
     return df.select("*", *_avg_cols(avgs)) if avgs else df
 
 
+def _null_any(group_cols):
+    """OR of per-column IS NULL over the group columns."""
+    pred = None
+    for c in group_cols:
+        p = F.col(c).isNull()
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def _null_group_error(fn: str, n_nulls: int, group_cols) -> ValueError:
+    return ValueError(
+        f"{fn}: {n_nulls} delta row(s) carry NULL in a "
+        f"group column {list(group_cols)} — NULL group keys never "
+        "match their MV row under MERGE semantics and would "
+        "accumulate duplicates; coalesce them to a sentinel first"
+    )
+
+
 def _count_groups_checked(merged: DataFrame, group_cols, fn: str) -> int:
     """Count the merged delta's groups AND enforce the NON-NULL
     group-key contract in the same single action: a NULL group key
@@ -238,22 +256,39 @@ def _count_groups_checked(merged: DataFrame, group_cols, fn: str) -> int:
     refresh would INSERT another partial NULL-group row — silent
     accumulation. Refuse loudly before anything commits; coalesce
     nullable grouping columns to a sentinel upstream."""
-    null_any = None
-    for c in group_cols:
-        pred = F.col(c).isNull()
-        null_any = pred if null_any is None else (null_any | pred)
     row = merged.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(null_any.cast("long")).alias("__nulls"),
+        F.sum(_null_any(group_cols).cast("long")).alias("__nulls"),
     ).first()
     if row["__nulls"]:
-        raise ValueError(
-            f"{fn}: {row['__nulls']} delta row(s) carry NULL in a "
-            f"group column {list(group_cols)} — NULL group keys never "
-            "match their MV row under MERGE semantics and would "
-            "accumulate duplicates; coalesce them to a sentinel first"
-        )
+        raise _null_group_error(fn, row["__nulls"], group_cols)
     return row["__n"]
+
+
+def _observe_null_groups(df: DataFrame, group_cols):
+    """Attach the create-path NULL-group check as an Observation so it
+    rides the create write's own action (round 15) instead of costing
+    a separate count + checkpoint. Returns ``(df, observation)``;
+    check with :func:`_raise_if_null_groups` AFTER the write."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(
+        obs, F.sum(_null_any(group_cols).cast("long")).alias("__nulls")
+    ), obs
+
+
+def _raise_if_null_groups(obs, mv_path: str, group_cols, fn: str) -> None:
+    """Create-path epilogue for :func:`_observe_null_groups`: a NULL
+    group key in the just-written aggregate removes the table again
+    (create is single-writer; nothing else can have seen it) and
+    raises the same contract error the pre-write check did."""
+    n_nulls = obs.get["__nulls"]
+    if n_nulls:
+        import shutil
+
+        shutil.rmtree(mv_path, ignore_errors=True)
+        raise _null_group_error(fn, n_nulls, group_cols)
 
 
 def _check_out_names(fn: str, out_names: list, group_cols) -> None:
@@ -367,12 +402,14 @@ def refresh_rollup(
         # enforce the NON-NULL group-key contract at CREATE time too
         # (round 14): the create used to materialize NULL-group rows
         # silently and every LATER refresh touching the group refused —
-        # an MV born unrefreshable, fixable only by rebuild. Fail here,
-        # while coalescing upstream and retrying is still cheap. The
-        # checkpoint keeps the check's action and the write from
-        # computing the full aggregate twice.
-        full = full.localCheckpoint(eager=False)
-        _count_groups_checked(full, group_cols, "refresh_rollup (create)")
+        # an MV born unrefreshable, fixable only by rebuild. Round 15:
+        # the check rides the CREATE WRITE itself as an Observation
+        # (guide §1.2 — the separate count action and its
+        # localCheckpoint staging are gone); a NULL-group aggregate
+        # still raises the same error, with the just-created table
+        # removed so the outcome is identical to failing before the
+        # write (no table left behind, single-writer create path).
+        full, obs = _observe_null_groups(full, group_cols)
         v = snap.snapshot_create(
             # n_rows rides the stats columns so the phantom-group
             # probe can be answered from the manifest alone; the
@@ -384,6 +421,8 @@ def refresh_rollup(
             spark, full, mv_path, stats_cols=[*group_cols, "n_rows"],
             txn=[(app_id, base_v), (_CONTRACT_APP, 1)],
         )
+        _raise_if_null_groups(obs, mv_path, group_cols,
+                              "refresh_rollup (create)")
         return {"mv_version": v, "base_version": base_v,
                 "groups_changed": -1, "groups_recomputed": 0,
                 "created": True}
@@ -455,6 +494,7 @@ def refresh_rollup(
 
     recomputed = None
     n_recompute = 0
+    n_changed = None
     if mins or maxs:
         # the at-risk probe AND the merged projection both consume this
         # (group-cardinality-sized) frame; without a checkpoint each
@@ -475,20 +515,29 @@ def refresh_rollup(
         risk = (F.col("__n_del") > 0) & (
             risk | F.col("n_rows").isNull()
         )
-        risk_keys = joined.where(risk).select(*group_cols) \
-            .localCheckpoint(eager=False)
-        # ONE action answers both "any at-risk groups?" and the prune
-        # envelope (round 13: the count and the bounds were separate
-        # scheduler round-trips; the agg lands the checkpoint, so the
-        # semi-join below reuses it for free)
-        probe_row = risk_keys.agg(
-            F.count(F.lit(1)).alias("__n"),
+        # ONE action (round 15, was two) answers the at-risk count,
+        # the recompute's prune envelope (risk-conditional min/max),
+        # AND the merged delta's group count + NON-NULL group-key
+        # check: `merged` below is a 1:1 projection of this frame
+        # (the recompute left-join is per-group unique), so its count
+        # and NULL-group content are exactly this frame's.
+        probe_row = joined.agg(
+            F.count(F.lit(1)).alias("__n_groups"),
+            F.sum(_null_any(group_cols).cast("long")).alias("__nulls"),
+            F.count(F.when(risk, F.lit(1))).alias("__n"),
             *[f for c in group_cols for f in (
-                F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
+                F.min(F.when(risk, F.col(c))).alias(f"__lo_{c}"),
+                F.max(F.when(risk, F.col(c))).alias(f"__hi_{c}"),
             )]
         ).first()
+        if probe_row["__nulls"]:
+            raise _null_group_error(
+                "refresh_rollup", probe_row["__nulls"], group_cols)
+        n_changed = probe_row["__n_groups"]
         n_recompute = probe_row["__n"]
         if n_recompute:
+            risk_keys = joined.where(risk).select(*group_cols) \
+                .localCheckpoint(eager=False)
             # stats-pruned base scan: bound each group column by the
             # at-risk key envelope, drop every file the manifest
             # proves disjoint, THEN semi-join exact
@@ -554,7 +603,11 @@ def refresh_rollup(
     # the merge's probe/validate/write branches each consume this
     # frame — materialize the (group-cardinality-sized) delta once
     merged = merged.localCheckpoint(eager=False)
-    n_changed = _count_groups_checked(merged, group_cols, "refresh_rollup")
+    if n_changed is None:
+        # no min/max columns: the fused probe above never ran, so the
+        # count + NULL-group check is its own (only) pre-merge action
+        n_changed = _count_groups_checked(
+            merged, group_cols, "refresh_rollup")
     # ONE atomic commit (round 13, conditional MERGE clauses): live
     # groups upsert, groups the delta emptied DELETE in the same
     # commit, and a group that both appeared and emptied inside the
@@ -920,12 +973,12 @@ def refresh_join_rollup(
 
     if snap.current_version(mv_path) is None:
         # same create-time NON-NULL group-key enforcement as
-        # refresh_rollup (see its create path): fail while coalescing
-        # the (often nullable) dim attribute upstream is still cheap,
-        # instead of minting an MV no refresh will ever accept
-        full = _full_agg(fact_v, dim_v).localCheckpoint(eager=False)
-        _count_groups_checked(
-            full, group_cols, "refresh_join_rollup (create)")
+        # refresh_rollup (see its create path) — round 15: the check
+        # rides the create write as an Observation; a NULL-group
+        # aggregate removes the just-written table and raises the
+        # same error (no separate count action, no checkpoint)
+        full, obs = _observe_null_groups(
+            _full_agg(fact_v, dim_v), group_cols)
         v = snap.snapshot_create(
             spark, full, mv_path,
             stats_cols=[*group_cols, "n_rows"],
@@ -935,6 +988,8 @@ def refresh_join_rollup(
             txn=[(app_id, _pack_cursor(fact_v, dim_v)),
                  (_CONTRACT_APP, 1)],
         )
+        _raise_if_null_groups(obs, mv_path, group_cols,
+                              "refresh_join_rollup (create)")
         return {"mv_version": v, "fact_version": fact_v,
                 "dim_version": dim_v, "groups_changed": -1,
                 "groups_recomputed": 0,
@@ -1167,6 +1222,7 @@ def refresh_join_rollup(
 
     recomputed = None
     n_recompute = 0
+    n_changed = None
     if xms:
         # at-risk probe + merged projection both consume this frame
         joined = joined.localCheckpoint(eager=False)
@@ -1190,16 +1246,27 @@ def refresh_join_rollup(
                 F.col(f"__del_{out}").isNotNull() & F.col(out).isNull()
             )
         risk = (F.col("__n_del") > 0) & (risk | F.col("n_rows").isNull())
-        risk_keys = joined.where(risk).select(*group_cols) \
-            .localCheckpoint(eager=False)
-        probe_row = risk_keys.agg(
-            F.count(F.lit(1)).alias("__n"),
+        # one fused action (round 15): at-risk count + prune envelope
+        # + the merged delta's group count and NON-NULL group-key
+        # check — `merged` below is a 1:1 projection of this frame
+        # (see refresh_rollup's fused probe for the argument)
+        probe_row = joined.agg(
+            F.count(F.lit(1)).alias("__n_groups"),
+            F.sum(_null_any(group_cols).cast("long")).alias("__nulls"),
+            F.count(F.when(risk, F.lit(1))).alias("__n"),
             *[f for c in group_cols for f in (
-                F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
+                F.min(F.when(risk, F.col(c))).alias(f"__lo_{c}"),
+                F.max(F.when(risk, F.col(c))).alias(f"__hi_{c}"),
             )]
         ).first()
+        if probe_row["__nulls"]:
+            raise _null_group_error(
+                "refresh_join_rollup", probe_row["__nulls"], group_cols)
+        n_changed = probe_row["__n_groups"]
         n_recompute = probe_row["__n"]
         if n_recompute:
+            risk_keys = joined.where(risk).select(*group_cols) \
+                .localCheckpoint(eager=False)
             # recompute at-risk groups against fact |><| dim at the
             # CAPTURED pair, manifest-pruned twice: the dim read by
             # the at-risk groups' dim-side envelope, the fact read by
@@ -1289,8 +1356,11 @@ def refresh_join_rollup(
     merged = joined.select(*out_cols)
     merged = _with_avg_cols(merged, avgs)
     merged = merged.localCheckpoint(eager=False)
-    n_changed = _count_groups_checked(
-        merged, group_cols, "refresh_join_rollup")
+    if n_changed is None:
+        # no min/max columns: the fused probe never ran — the count +
+        # NULL-group check is its own (only) pre-merge action
+        n_changed = _count_groups_checked(
+            merged, group_cols, "refresh_join_rollup")
     # one atomic commit — see refresh_rollup's merge for the contract
     res = snap.merge_into(
         spark, mv_path, merged, on=list(group_cols),

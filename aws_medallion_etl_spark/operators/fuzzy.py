@@ -28,6 +28,19 @@ from aws_medallion_etl_spark._ckpt import (
 )
 
 
+def _run_overlapped(*thunks) -> None:
+    """Run independent Spark actions concurrently from driver threads
+    (guide §2.6 "overlap independent jobs"): the scheduler back-fills
+    one job's straggler tail with the other's tasks, so a pair of
+    fixed-latency writes costs the slower one, not the sum. Joins all
+    threads before returning and re-raises the first failure."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
 def tokens_col(text_col: str):
     """Whitespace tokens of trimmed text."""
     return F.split(F.trim(F.col(text_col)), r"\s+")
@@ -1335,10 +1348,17 @@ def build_minhash_index(
     try:
         sig = _signatures_from_shingles(sh, num_hashes)
         b = _bands_from_signatures(sig, num_hashes, bands)
-        b.write.mode("overwrite").parquet(f"{path}/bands")
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/shingle_df")
+        # the two outputs are independent jobs over the one persisted
+        # shingle frame — overlap them (guide §2.6) so the build pays
+        # the slower write, not the sum; the sidecar replace below
+        # still happens only after BOTH succeed (pool join), so the
+        # crash contract is unchanged
+        _run_overlapped(
+            lambda: b.write.mode("overwrite").parquet(f"{path}/bands"),
+            lambda: sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .write.mode("overwrite").parquet(f"{path}/shingle_df"),
+        )
     finally:
         sh.unpersist()
     os.makedirs(path, exist_ok=True)
@@ -1383,10 +1403,16 @@ def append_to_minhash_index(
     try:
         sig = _signatures_from_shingles(sh, params["num_hashes"])
         b = _bands_from_signatures(sig, params["num_hashes"], params["bands"])
-        b.write.mode("append").parquet(f"{path}/bands")
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).write.mode(
-            "append"
-        ).parquet(f"{path}/shingle_df")
+        # independent appends over the one persisted shingle frame —
+        # overlapped like the build's writes (guide §2.6). The crash
+        # contract is unchanged in kind: a failure mid-append already
+        # meant "rebuild the index" whichever append died first.
+        _run_overlapped(
+            lambda: b.write.mode("append").parquet(f"{path}/bands"),
+            lambda: sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .write.mode("append").parquet(f"{path}/shingle_df"),
+        )
     finally:
         sh.unpersist()
 
@@ -1404,15 +1430,20 @@ def compact_minhash_index(spark, path: str, target_files: int = 32) -> None:
     """
     from aws_medallion_etl_spark import io as _io
 
-    _io.compact(
-        spark,
-        f"{path}/shingle_df",
-        target_files,
-        transform=lambda df: df.groupBy("shingle").agg(
-            F.sum("__df").alias("__df")
+    # the two tables compact independently (separate dirs, separate
+    # staging siblings, separate swaps) — overlap the rewrites
+    # (guide §2.6); each one's crash-safe stage+swap is untouched
+    _run_overlapped(
+        lambda: _io.compact(
+            spark,
+            f"{path}/shingle_df",
+            target_files,
+            transform=lambda df: df.groupBy("shingle").agg(
+                F.sum("__df").alias("__df")
+            ),
         ),
+        lambda: _io.compact(spark, f"{path}/bands", target_files),
     )
-    _io.compact(spark, f"{path}/bands", target_files)
 
 
 def index_stop_shingles(

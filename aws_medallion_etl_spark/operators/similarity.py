@@ -577,25 +577,27 @@ def kmeans_centroids(
         ]
         for _ in range(iters):
             assigned = vecs.withColumn("__cid", _assign_centroid(cents)(F.col("__v")))
-            dims = (
+            # one (n_centroids x dim)-row aggregate per round; the flat
+            # (cid, pos, mean) rows re-assemble DRIVER-side (round 15,
+            # guide §2.4) — the old collect_list/array_sort re-assembly
+            # was a second full exchange per round for data the driver
+            # re-orders in microseconds. Values are the identical __m
+            # doubles either way, so centroids are bit-equal.
+            rows = (
                 assigned.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
                 .groupBy("__cid", "__pos")
                 .agg(F.avg("__val").alias("__m"))
-            )
-            rows = (
-                dims.groupBy("__cid")
-                .agg(
-                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm")
-                )
-                .select("__cid", F.transform("__pm", lambda s: s["__m"]).alias("__mean"))
                 .collect()
             )
-            new = list(cents)
+            by_cid: dict[int, dict[int, float]] = {}
             for r in rows:
-                m = r["__mean"]
+                by_cid.setdefault(r["__cid"], {})[r["__pos"]] = r["__m"]
+            new = list(cents)
+            for ci, pm in by_cid.items():
+                m = [pm[p] for p in sorted(pm)]
                 norm = sum(x * x for x in m) ** 0.5
                 if norm > 0:
-                    new[r["__cid"]] = [x / norm for x in m]
+                    new[ci] = [x / norm for x in m]
             cents = new
     finally:
         vecs.unpersist()
@@ -1028,7 +1030,12 @@ def train_pq_codebooks(
             assigned = vecs.select(
                 "__v", enc(F.col("__v")).alias("__codes")
             )
-            # one narrow aggregate for ALL subspaces: (j, code, pos) mean
+            # one narrow aggregate for ALL subspaces: (j, code, pos)
+            # mean — flat rows re-assembled DRIVER-side (round 15,
+            # guide §2.4; same rationale as kmeans_centroids: the old
+            # collect_list/array_sort pass was a second exchange per
+            # round for a driver-side re-ordering). Identical __mn
+            # doubles either way, so codebooks are bit-equal.
             dims = (
                 assigned.select(
                     F.posexplode("__codes").alias("__j", "__code"),
@@ -1046,21 +1053,16 @@ def train_pq_codebooks(
                 )
                 .groupBy("__j", "__code", "__pos")
                 .agg(F.avg("__val").alias("__mn"))
-                .groupBy("__j", "__code")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct("__pos", "__mn"))
-                    ).alias("__pm")
-                )
-                .select(
-                    "__j", "__code",
-                    F.transform("__pm", lambda s: s["__mn"]).alias("__mean"),
-                )
                 .collect()
             )
-            new = [list(b) for b in books]
+            by_jc: dict[tuple[int, int], dict[int, float]] = {}
             for r in dims:
-                new[r["__j"]][r["__code"]] = list(r["__mean"])
+                by_jc.setdefault(
+                    (r["__j"], r["__code"]), {}
+                )[r["__pos"]] = r["__mn"]
+            new = [list(b) for b in books]
+            for (j, c), pm in by_jc.items():
+                new[j][c] = [pm[p] for p in sorted(pm)]
             books = new
     finally:
         vecs.unpersist()

@@ -256,6 +256,40 @@ def run_gold(
     return report
 
 
+def _run_layer(stages: dict[str, Callable[[], dict]],
+               max_workers: int) -> dict[str, dict]:
+    """Run one layer's independent per-table stages, overlapped.
+
+    Guide §2.6 ("overlap independent jobs"): within a layer every
+    table's stage is an independent branch of the C3 DAG — bronze
+    tables share nothing, and each silver stage gates on ITS OWN
+    bronze report only — so driver threads let the scheduler back-fill
+    one table's straggler tail with the next table's tasks. Failure
+    stays deterministic: every stage runs to completion (a failing
+    table still writes its own failed report, exactly as sequential
+    order did for tables before it), then the FIRST failure in spec
+    order is re-raised."""
+    if max_workers <= 1 or len(stages) <= 1:
+        return {n: fn() for n, fn in stages.items()}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers, len(stages))
+    ) as pool:
+        futs = {n: pool.submit(fn) for n, fn in stages.items()}
+        results: dict[str, dict] = {}
+        first_err: BaseException | None = None
+        for n, f in futs.items():
+            try:
+                results[n] = f.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
+        return results
+
+
 def run_pipeline(
     spark: SparkSession,
     sources: dict[str, DataFrame],
@@ -264,24 +298,45 @@ def run_pipeline(
     out_dir: str,
     run_date: str,
     fingerprints: bool = False,
+    layer_concurrency: int = 3,
 ) -> dict:
     """C4 master runner: bronze(all) → silver(all) → gold, gated.
 
-    Dependency order within a layer is the dict order of ``specs``
-    (C3's DAG collapses to a topological call order). Returns the
-    combined report tree. ``fingerprints=True`` adds per-layer content
-    checksums to the reports (opt-in audit pass — see
-    :func:`run_silver_table` for the cost model).
+    Within a layer the per-table stages are INDEPENDENT branches of
+    C3's DAG (bronze tables share nothing; each silver stage gates on
+    its own table's bronze report) and run overlapped from a small
+    driver thread pool (round 15, guide §2.6 — the same concurrency
+    an Airflow deployment of the reference DAG gets from its
+    parallel task slots), capped at ``layer_concurrency`` in-flight
+    tables; pass ``1`` to pin the old strictly-sequential dict-order
+    execution (e.g. when a custom ``clean`` hook reads ANOTHER
+    table's silver output — cross-table in-layer dependence is
+    outside the layer contract). Layer boundaries remain strict
+    barriers: silver starts only after every bronze stage finished,
+    gold after every silver. Returns the combined report tree.
+    ``fingerprints=True`` adds per-layer content checksums to the
+    reports (opt-in audit pass — see :func:`run_silver_table` for the
+    cost model).
     """
     reports: dict = {"bronze": {}, "silver": {}, "gold": None}
-    for name, spec in specs.items():
-        reports["bronze"][name] = run_bronze_table(
-            spark, spec, sources[name], out_dir, run_date
-        )
-    for name, spec in specs.items():
-        reports["silver"][name] = run_silver_table(
-            spark, spec, out_dir, run_date, fingerprints=fingerprints
-        )
+    reports["bronze"] = _run_layer(
+        {
+            name: (lambda s=spec, n=name: run_bronze_table(
+                spark, s, sources[n], out_dir, run_date
+            ))
+            for name, spec in specs.items()
+        },
+        layer_concurrency,
+    )
+    reports["silver"] = _run_layer(
+        {
+            name: (lambda s=spec: run_silver_table(
+                spark, s, out_dir, run_date, fingerprints=fingerprints
+            ))
+            for name, spec in specs.items()
+        },
+        layer_concurrency,
+    )
     reports["gold"] = run_gold(
         spark, gold_builders, list(specs), out_dir, run_date,
         fingerprints=fingerprints,

@@ -824,7 +824,8 @@ def _stage_ordered_batches(df, id_col: str, src_dir: str, n: int = 4):
         )
     hi += 1
     step = (hi + n - 1) // n
-    for i in range(n):
+
+    def _stage_one(i: int) -> None:
         tmp = f"{src_dir}/_tmp{i}"
         (df.where(
             (F.col(id_col) >= i * step)
@@ -835,6 +836,16 @@ def _stage_ordered_batches(df, id_col: str, src_dir: str, n: int = 4):
         _shutil.copyfile(part, dst)
         _os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
         _shutil.rmtree(tmp)
+
+    # the n range writes are independent jobs over disjoint id slices —
+    # overlap them (guide §2.6) so the stream sees all n files at the
+    # same cost as the slowest one; each file's mtime is SET explicitly
+    # after its copy, so completion order cannot perturb the
+    # oldest-first delivery the stream relies on
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, n)) as pool:
+        list(pool.map(_stage_one, range(n)))
 
 
 @query("str10_stream_pack", _PACK_GREEDY_SQL)

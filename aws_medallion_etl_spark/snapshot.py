@@ -456,6 +456,52 @@ def _read_dv(spark: SparkSession, root: str, refs: list[str]) -> DataFrame:
     )
 
 
+# driver-side DV-totals budget: sidecars under this many bytes on
+# disk are summed in-process (a commit's runs, 3 small columns —
+# far under this in any sane commit); bigger ones take the Spark
+# aggregate. 64 MB of run rows is ~2.6M runs — reading that on the
+# driver is still trivial, the cap just bounds the worst case.
+_DV_DRIVER_TOTAL_BYTES = 64 << 20
+
+
+def _dv_totals_driver(dv_dir: str) -> dict[str, int] | None:
+    """Per-file ``sum(run_len)`` of a freshly written run-encoded
+    sidecar, computed from the written parquet ON THE DRIVER — zero
+    Spark jobs. Returns None (caller falls back to the exact Spark
+    aggregate) when the directory exceeds the size budget, a file is
+    unreadable, or the expected columns are missing (a legacy layout
+    this writer never produces)."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    files = []
+    total_bytes = 0
+    try:
+        for name in sorted(os.listdir(dv_dir)):
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                p = os.path.join(dv_dir, name)
+                total_bytes += os.path.getsize(p)
+                files.append(p)
+    except OSError:
+        return None
+    if total_bytes > _DV_DRIVER_TOTAL_BYTES:
+        return None
+    totals: dict[str, int] = {}
+    for p in files:
+        try:
+            t = pq.read_table(p, columns=["file", "run_len"])
+        except Exception:
+            return None
+        for f, n in zip(
+            t.column("file").to_pylist(), t.column("run_len").to_pylist()
+        ):
+            if f is None or n is None:
+                return None
+            totals[f] = totals.get(f, 0) + int(n)
+    return totals
+
+
 def _mint_dv(
     spark: SparkSession,
     root: str,
@@ -603,11 +649,20 @@ def _mint_dv(
         import shutil
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
-    totals = {
-        r["file"]: int(r["cnt"])
-        for r in spark.read.schema(_dv_schema()).parquet(dv_dir)
-        .groupBy("file").agg(F.sum("run_len").alias("cnt")).collect()
-    }
+    # totals still come from the WRITTEN sidecar (the manifest can
+    # never disagree with the bytes on disk) but via a driver-side
+    # pyarrow read of the just-written files (round 15, guide §6):
+    # the Spark read-back aggregate was one full scheduler round trip
+    # per DML commit for a commit-churn-sized table. Over the size
+    # budget (or on any read hiccup) the exact Spark aggregate runs
+    # unchanged.
+    totals = _dv_totals_driver(dv_dir)
+    if totals is None:
+        totals = {
+            r["file"]: int(r["cnt"])
+            for r in spark.read.schema(_dv_schema()).parquet(dv_dir)
+            .groupBy("file").agg(F.sum("run_len").alias("cnt")).collect()
+        }
     new_counts = {
         f: c - prior_rows.get(f, 0)
         for f, c in totals.items() if c - prior_rows.get(f, 0) > 0

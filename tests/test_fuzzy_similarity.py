@@ -1407,6 +1407,39 @@ def test_train_pq_codebooks_deterministic_shapes(spark):
     assert r != a
 
 
+def test_distributed_lloyd_matches_driver_path(spark):
+    """The >budget distributed Lloyd loop (driver_lloyd=False) after
+    the round-15 restructure (flat (cid, pos, mean) collect, driver
+    re-assembly — the collect_list/array_sort exchange per round is
+    gone): still deterministic across runs, unit-norm, and agrees
+    with the driver-side NumPy path to float tolerance (the two paths
+    differ only in mean summation order, never in assignment)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dist = similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", 4, iters=2, driver_lloyd=False)
+    assert dist == similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", 4, iters=2, driver_lloyd=False)
+    drv = similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", 4, iters=2, driver_lloyd=True)
+    assert np.allclose(np.array(dist), np.array(drv), atol=1e-9)
+    for c in dist:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+    bd = similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, codes=16, iters=2,
+        driver_lloyd=False)
+    assert bd == similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, codes=16, iters=2,
+        driver_lloyd=False)
+    bv = similarity.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, codes=16, iters=2,
+        driver_lloyd=True)
+    assert np.allclose(np.array(bd), np.array(bv), atol=1e-9)
+    assert len(bd) == 8 and all(len(book) == 16 for book in bd)
+
+
 def test_encode_pq_codes_in_range(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     books = similarity.train_pq_codebooks(

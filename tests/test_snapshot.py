@@ -341,6 +341,37 @@ def test_delete_where_mor_marks_without_rewriting(spark, tmp_path):
         sn.delete_where(spark, path, "k = 1", mode="zap")
 
 
+def test_dv_totals_driver_matches_spark_aggregate(spark, tmp_path):
+    """The round-15 driver-side sidecar totals (`_dv_totals_driver`,
+    zero Spark jobs) must equal the Spark read-back aggregate they
+    replaced, on a real minted sidecar; the budget guard falls back
+    to the aggregate path (returns None) instead of guessing."""
+    path, _ = _mk(spark, tmp_path)
+    sn.delete_where(spark, path, "k % 10 = 3", mode="mor")
+    ents = sn._manifest_files(path, sn._read_manifest(path, 1))
+    refs = sorted({r for e in ents for r in e.get("dv") or []})
+    assert len(refs) == 1
+    dv_dir = os.path.join(path, refs[0])
+    got = sn._dv_totals_driver(dv_dir)
+    assert got is not None
+    expect = {
+        r["file"]: int(r["cnt"])
+        for r in spark.read.schema(sn._dv_schema()).parquet(dv_dir)
+        .groupBy("file").agg(F.sum("run_len").alias("cnt")).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == 10
+    # over-budget sidecars must decline (caller runs the Spark agg)
+    orig = sn._DV_DRIVER_TOTAL_BYTES
+    try:
+        sn._DV_DRIVER_TOTAL_BYTES = 0
+        assert sn._dv_totals_driver(dv_dir) is None
+    finally:
+        sn._DV_DRIVER_TOTAL_BYTES = orig
+    # unreadable dir declines too
+    assert sn._dv_totals_driver(str(tmp_path / "nope")) is None
+
+
 def test_delete_where_cow_rewrites_only_matching_files(spark, tmp_path):
     path, _ = _mk(spark, tmp_path)  # 4 range files over k=0..99
     rep = sn.delete_where(spark, path, "k < 25", mode="cow")
