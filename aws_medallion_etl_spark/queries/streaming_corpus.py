@@ -332,7 +332,13 @@ def str3_stream_running_totals(spark, sf_dir):
 
     stream = _events_stream(spark, sf_dir, "str3src")
     totals = streaming.running_totals(stream, ["event_type"], "value")
-    streaming.to_memory_sink(totals, "str3_totals", output_mode="update")
+    # state key space = the event-type enum (a handful of values):
+    # size the state-store instance count to it instead of the
+    # session's data-shuffle width (round 15 — see
+    # streaming._state_partitions for the measured rationale)
+    streaming.to_memory_sink(
+        totals, "str3_totals", output_mode="update", shuffle_partitions=8
+    )
     return (
         spark.table("str3_totals")
         .groupBy("event_type")
