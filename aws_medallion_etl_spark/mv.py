@@ -620,6 +620,7 @@ def refresh_rollup(
         txn=(app_id, base_v),
         matched_delete_where="n_rows = 0",
         insert_where="n_rows > 0",
+        small_source_hint=n_changed,
     )
     if res.get("skipped"):
         return {"mv_version": res["version"], "base_version": base_v,
@@ -1095,6 +1096,7 @@ def refresh_join_rollup(
                 txn=(app_id, _pack_cursor(fact_v, dim_v)),
                 matched_delete_where="n_rows = 0",
                 insert_where="n_rows > 0",
+                small_source_hint=n_changed,
             )
             if res.get("skipped"):
                 # a racing refresher landed this (or a later) window
@@ -1367,6 +1369,7 @@ def refresh_join_rollup(
         txn=(app_id, _pack_cursor(fact_v, dim_v)),
         matched_delete_where="n_rows = 0",
         insert_where="n_rows > 0",
+        small_source_hint=n_changed,
     )
     if res.get("skipped"):
         return {"mv_version": res["version"], "fact_version": fact_v,

@@ -2377,12 +2377,21 @@ def snapshot_changes(
     )
 
 
+# caller-hinted driver probe budget: a merge source declared at or
+# under this many distinct keys answers the touched-file split with
+# ONE tiny collect instead of one broadcast range-join job per probe
+# column (the MV refreshers' merge sources are group-cardinality and
+# already checkpointed — the collect is milliseconds)
+_TOUCHED_DRIVER_KEYS = 1024
+
+
 def _touched_files(
     spark: SparkSession,
     files: list[dict],
     stat_cols: list[str],
     source: DataFrame,
     on: list[str],
+    small_hint: int | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Split manifest entries into (touched, untouched) by key-range
     overlap with the source's distinct keys.
@@ -2399,6 +2408,15 @@ def _touched_files(
     source values — never a scan of target data. Files without
     usable stats in a column count as hit for that column; unknown
     stat kinds only cost rewrite I/O, never correctness.
+
+    ``small_hint`` (round 15): the CALLER's bound on the source's
+    distinct key count. At or under :data:`_TOUCHED_DRIVER_KEYS` the
+    probe collects the distinct key tuples once (capped — a wrong
+    hint falls back to the Spark probes, it cannot miss files) and
+    evaluates every column's range check in-process: identical
+    semantics (same stat values, and Python int/float/str ordering
+    matches Spark's for these stat kinds — UTF-8 byte order is code-
+    point order), one tiny action instead of a job per probe column.
     """
     if not files:
         return [], []
@@ -2413,6 +2431,38 @@ def _touched_files(
                 probes.append((c, sorted(kinds)[0]))
     if not probes:
         return list(files), []
+    if small_hint is not None and small_hint <= _TOUCHED_DRIVER_KEYS:
+        cap = _TOUCHED_DRIVER_KEYS
+        key_rows = (
+            source.select(*[c for c, _ in probes])
+            .distinct().limit(cap + 1).collect()
+        )
+        if len(key_rows) <= cap:
+            touched_idx = set(range(len(files)))
+            for probe_col, probe_kind in probes:
+                vals = [
+                    r[probe_col] for r in key_rows
+                    if r[probe_col] is not None
+                ]
+                hit_idx = set()
+                for i in touched_idx:
+                    st = files[i]["stats"].get(probe_col)
+                    if not st or st["kind"] != probe_kind:
+                        hit_idx.add(i)        # no usable stats: keep
+                        continue
+                    lo, hi = st["min"], st["max"]
+                    if any(lo <= v <= hi for v in vals):
+                        hit_idx.add(i)
+                touched_idx &= hit_idx
+                if not touched_idx:
+                    break
+            touched = [e for i, e in enumerate(files) if i in touched_idx]
+            untouched = [
+                e for i, e in enumerate(files) if i not in touched_idx
+            ]
+            return touched, untouched
+        # hint was wrong (more keys than declared): fall through to
+        # the exact Spark probes — correctness never depends on it
     touched_idx = set(range(len(files)))
     for probe_col, probe_kind in probes:
         if not touched_idx:
@@ -2463,8 +2513,17 @@ def merge_into(
     matched_delete_where: str | None = None,
     insert_where: str | None = None,
     matched_update_where: str | None = None,
+    small_source_hint: int | None = None,
 ) -> dict:
     """SQL MERGE onto a snapshot table, atomically versioned.
+
+    ``small_source_hint`` (round 15): the caller's bound on the
+    source's distinct-key count, when it already knows one (the MV
+    refreshers' merge source is their counted group delta). At or
+    under :data:`_TOUCHED_DRIVER_KEYS` the touched-file probe runs
+    driver-side off one capped collect instead of a broadcast range
+    join per key column; a low hint can only fall back (the collect
+    is capped), never mis-prune. Purely an optimization hint.
 
     ``when_matched``: ``"update"`` (replace the whole target row with
     the source row), ``"delete"``, or ``None`` (leave matched rows).
@@ -2703,7 +2762,8 @@ def merge_into(
         F.col(c).alias(_phys(cmap, c)) for c in on
     ])
     touched, untouched = _touched_files(
-        spark, man_files, man.get("columns", []), src_probe, on_phys
+        spark, man_files, man.get("columns", []), src_probe, on_phys,
+        small_hint=small_source_hint,
     )
     root = path.rstrip("/")
     new_v = _next_version(path, base_v)

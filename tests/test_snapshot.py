@@ -341,6 +341,38 @@ def test_delete_where_mor_marks_without_rewriting(spark, tmp_path):
         sn.delete_where(spark, path, "k = 1", mode="zap")
 
 
+def test_touched_files_driver_hint_matches_spark_probe(spark, tmp_path):
+    """The round-15 hinted driver-side touched-file split must equal
+    the Spark broadcast-probe split exactly, and a WRONG (too-low)
+    hint must fall back to the Spark probes rather than mis-prune."""
+    path, _ = _mk(spark, tmp_path)  # 4 range files over k=0..99
+    man = sn._read_manifest(path, 0)
+    files = sn._manifest_files(path, man)
+    src = spark.createDataFrame([(3,), (7,), (98,)], "k int")
+    probe = src.select(F.col("k"))
+    spark_split = sn._touched_files(
+        spark, files, man.get("columns", []), probe, ["k"])
+    drv_split = sn._touched_files(
+        spark, files, man.get("columns", []), probe, ["k"], small_hint=3)
+    assert [e["file"] for e in drv_split[0]] == \
+        [e["file"] for e in spark_split[0]]
+    assert [e["file"] for e in drv_split[1]] == \
+        [e["file"] for e in spark_split[1]]
+    assert len(drv_split[0]) < len(files)      # pruning actually fired
+    # a hint smaller than the true key count (cap exceeded on a big
+    # source) must fall back to the exact Spark path — simulate with
+    # a tiny cap
+    orig = sn._TOUCHED_DRIVER_KEYS
+    try:
+        sn._TOUCHED_DRIVER_KEYS = 1
+        low = sn._touched_files(
+            spark, files, man.get("columns", []), probe, ["k"],
+            small_hint=1)
+    finally:
+        sn._TOUCHED_DRIVER_KEYS = orig
+    assert [e["file"] for e in low[0]] == [e["file"] for e in spark_split[0]]
+
+
 def test_dv_totals_driver_matches_spark_aggregate(spark, tmp_path):
     """The round-15 driver-side sidecar totals (`_dv_totals_driver`,
     zero Spark jobs) must equal the Spark read-back aggregate they
