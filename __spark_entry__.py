@@ -62,63 +62,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history run FIRST — the harness records ~50 verdicts per round, so
     if the run is ever cut short, the cut should land on entries
     proven green in prior rounds, not on the ones still needing their
-    first verdict. Round 14 head (exactly 50 uniques, sized to the
-    ~50-verdict rotation budget): the three queries registered this
-    round (s47_join_mv_minmax — min/max over the join MV;
-    s48_rollup_coarsen — the cube-lattice rewrite;
-    s49_cube_from_rollup — the full CUBE from the MV), then the three
-    queries the OPTIMIZATION pass restructured or re-parameterized
-    (str9_stream_incremental_clusters — batch-restricted pair
-    generation; sim_topk_ivf_pq / sim_topk_ivf_pq_indexed — shortlist
-    512 fixing the measured sf0.1 ADC boundary; all three oracle-
-    re-proven locally at sf0.001/0.01/0.1), then the 11 remaining
-    r9-verdict queries (the r13 verdict's named leftovers:
-    a1/a2/a14/a15/a16, s1_csv, u4, w8/w9/w10/w11), then 33 of the 50
-    r10-verdict queries (alphabetical; the 17 left over —
-    s33_cdf_rename_continuity, s34_multi_table_txn, s35_shallow_clone,
-    s36_table_history, sketch_rolling_distinct, str12/str13/str8,
-    t_bigram_logprob, t_js_divergence, t_oov_rate, t_strip_html,
-    ts_gapfill_interp, ts_trend_slope, w13, w14 (str9 promoted above)
-    — lead the r15 ladder). s44_join_mv / s43 / s42 / s46 changed CODE
-    this round (broadcast guard, min/max machinery, create-time NULL
-    check) but their RESULTS are unchanged (re-contracted against the
-    oracle locally) and all carry fresh r13 verdicts, so they stay
-    behind the head; likewise dedup_clusters_merged (restructured,
-    oracle-re-proven, in the head via the r10 tranche) and the
-    remaining IVF / MV / LSH queries whose optimized paths were
-    oracle-verified result-identical this round. Everything behind
-    the head has a verdict from r11-r13.
+    first verdict. Round 15 head (exactly 50 uniques, sized to the
+    ~50-verdict rotation budget): first the 17 queries whose CODE the
+    round-15 optimization pass restructured (results proven identical
+    against the local oracle at sf0.01, the touched set additionally
+    at sf0.1 — but changed code should sit under driver scrutiny: the
+    MV refresh family's fused at-risk probe / create-time Observation
+    / hinted touched-file split, the DML family's driver-side DV
+    totals, the overlapped medallion layers and MinHash lifecycle,
+    and the state-store sizing of the bounded-key streams), then the
+    16 queries whose last driver verdict is round 10 (the stale
+    ladder the r14 head deferred; str8/str12/str13/s33/s34/s35 in
+    that tranche ALSO sit on round-15-touched DML/index paths), then
+    17 of the r11-verdict tranche (alphabetical). The remaining
+    r11-verdict queries lead the next ladder. Everything behind the
+    head has a verdict from r11-r14; the r14-changed trio
+    (str9/sim_topk_ivf_pq/_indexed) and s47/s48/s49's registrations
+    all got fresh r14 verdicts and their round-15 code deltas are
+    covered by the head's MV-family entries.
     """
     first = [
-        # the three queries registered this round — no driver verdict yet
+        # round-15 restructured paths (results oracle-identical):
+        # MV refresh family — fused probe, create Observation,
+        # hinted touched-file split, driver-side DV totals
         "s47_join_mv_minmax", "s48_rollup_coarsen",
-        "s49_cube_from_rollup",
-        # the three queries the optimization pass restructured /
-        # re-parameterized (oracle-re-proven at all three SFs)
-        "str9_stream_incremental_clusters",
-        "sim_topk_ivf_pq", "sim_topk_ivf_pq_indexed",
-        # the 11 remaining r9-verdict queries
-        "a14_histogram", "a15_cube", "a16_unpivot",
-        "a1_topk_customers", "a2_conditional_agg_owner",
-        "s1_csv_roundtrip", "u4_intersect_except",
-        "w10_distribution_ranks", "w11_range_frame",
-        "w8_sessionize", "w9_ntile_quartiles",
-        # 33 of the 50 r10-verdict queries
-        "a3_yearly_rollup", "a4_distinct_counts", "a5_global_minmax",
-        "a6_frequency_classify", "corpus_dedup_chunks",
-        "corpus_shuffle_shards", "corpus_weighted_sample",
-        "dedup_audit_cluster_sizes", "dedup_clusters_merged",
-        "dedup_containment", "dedup_cross_source_matrix",
-        "dedup_semantic_clusters", "dedup_url_canonical",
-        "dq_date_gaps", "dq_skew_report", "dq_winsorize",
-        "e2e_corpus_curation", "e2e_semantic_curation",
-        "emb_centroid_coherence", "f_map_funcs",
-        "f_pandas_udaf_median", "f_sql_udf", "f_variant_extract",
-        "graph_pagerank_hubs", "inc_rollup_merge",
-        "j14_inferred_members", "mm_image_metadata",
-        "s18_orc_roundtrip", "s19_jsonl_roundtrip",
-        "s20_python_datasource", "s21_binaryfile_scan",
-        "s22_schema_evolution_scan", "s32_auto_optimize",
+        "s49_cube_from_rollup", "s42_incremental_mv",
+        "s43_mv_minmax_avg", "s44_join_mv",
+        "str14_stream_mv_refresh",
+        # DML commits on the driver-side DV-totals path
+        "s25_delete_vectors", "s27_update_restore",
+        "s40_row_tracking", "s46_merge_conditional",
+        "str11_stream_merge_snapshot",
+        # overlapped medallion layers / MinHash index lifecycle
+        "e2e_medallion_gold", "dedup_incremental_lsh",
+        "dedup_incremental_lsh_appended",
+        # bounded-key stateful streams (state-store sizing)
+        "str3_stream_running_totals", "str10_stream_pack",
+        # the 16 r10-verdict queries (stale ladder; str8/str12/str13/
+        # s33/s34/s35 also sit on round-15-touched paths)
+        "s33_cdf_rename_continuity", "s34_multi_table_txn",
+        "s35_shallow_clone", "s36_table_history",
+        "sketch_rolling_distinct", "str12_stream_snapshot_tail",
+        "str13_stream_cdf", "str8_stream_incremental_dedup",
+        "t_bigram_logprob", "t_js_divergence", "t_oov_rate",
+        "t_strip_html", "ts_gapfill_interp", "ts_trend_slope",
+        "w13_clean_path_conversions", "w14_max_drawdown",
+        # 17 of the r11-verdict tranche (alphabetical)
+        "a10_rollup_status_year", "a11_pivot_status_by_year",
+        "a12_percentiles", "a7_exact_dedup", "a9_share_of_total",
+        "c1_circuit_breaker_stats", "corpus_bm25",
+        "corpus_contamination_report", "corpus_decontaminate",
+        "corpus_dsir_select", "corpus_mix_sources_tokens",
+        "corpus_pack_greedy", "corpus_split_leakage_safe",
+        "corpus_trim_dup_spans", "dedup_simhash_rotations",
+        "dim_date_calendar", "dq_dataset_fingerprint",
     ]
     missing = [n for n in first if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"
